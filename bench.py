@@ -1,0 +1,64 @@
+"""Benchmark runner — headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": ...}
+
+Per BASELINE.md: median of 3 warm runs per query, local[$SPARK_GRAFT_CPUS],
+AQE on.  Each timing forces the full plan with a count-ish action
+(``df.foreach(noop)`` would skip result decode; ``toPandas`` would add Arrow
+transfer; ``count()`` on a cached-free plan measures engine work).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from msgraphdatapipelines_spark.queries import REGISTRY, _ensure_loaded
+from msgraphdatapipelines_spark.session import get_spark
+
+RUNS = int(os.environ.get("BENCH_RUNS", "3"))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    _ensure_loaded()
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name, q in REGISTRY.items():
+        # warm-up (plan compile, file listing, code cache)
+        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.monotonic()
+            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.monotonic() - t0)
+        timings[name] = round(statistics.median(samples), 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "query_suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,98 @@
+"""Declared query surface — the driver-verified operator inventory.
+
+Every operator claimed done in SURVEY.md §2 is registered here as a named
+query: a ``(spark, sf_dir) -> DataFrame`` callable plus (when expressible)
+a DuckDB oracle SQL string over the same parquet tables.  The driver runs
+both at sf0.01 and compares row-count + schema + order-insensitive value
+hash (see ``/root/repo/__spark_entry__.py`` docstring).
+
+Column-name contract: every computed column is aliased identically in the
+Spark plan and the oracle SQL — the driver sorts columns by name before
+hashing.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Query:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL twin; None → driver does rows-only check
+    doc: str
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    """Register a query under ``name`` with an optional DuckDB oracle."""
+
+    def deco(fn):
+        REGISTRY[name] = Query(name, fn, oracle, fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def _harden(spark: SparkSession) -> None:
+    """Pin the runtime confs the queries rely on, idempotently — the driver
+    may hand us a session built without them (UTC for oracle parity, nanos
+    legacy mode for events.parquet, AQE for adaptive plans)."""
+    for k, v in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.adaptive.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # noqa: BLE001 — non-settable in some deployments; best effort
+            pass
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _harden(spark)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ts as TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as LongType nanos —
+    convert to a proper µs TimestampType (UTC), matching DuckDB's ns→µs
+    truncation of the same column."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    ev = load(spark, sf_dir, "events")
+    if isinstance(ev.schema["ts"].dataType, T.LongType):
+        # integer `div`, not `/` — double division loses precision on 1e18-ns longs
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return ev
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _ensure_loaded()
+    return {q.name: q.fn for q in REGISTRY.values()}
+
+
+def oracle_sql() -> dict[str, str]:
+    _ensure_loaded()
+    return {q.name: q.oracle for q in REGISTRY.values() if q.oracle is not None}
+
+
+_LOADED = False
+
+
+def _ensure_loaded() -> None:
+    """Import every query module exactly once (imports populate REGISTRY)."""
+    global _LOADED
+    if _LOADED:
+        return
+    from . import dedup, graphops, relational, similarity, streaming, text  # noqa: F401
+
+    _LOADED = True

@@ -1,0 +1,57 @@
+"""SparkSession builder for the engine.
+
+Scale notes (100 TB design): every config here is also correct on a large
+cluster — AQE handles runtime re-planning (partition coalescing, skew joins,
+dynamic broadcast), Arrow makes any unavoidable Python boundary batched, and
+UTC pins timestamp semantics so results are portable across engines
+(FIXTURES.md §C).  Only ``shuffle.partitions`` is sized for the local
+harness; on a real cluster leave it to AQE's coalescing from a higher
+initial value (e.g. 2000+ for 100 TB inputs).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "msgraphdatapipelines-spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    AQE on (adaptive joins, skew handling, partition coalescing), Arrow on
+    (vectorized Pandas-UDF boundary), session timezone pinned to UTC for
+    oracle parity (FIXTURES.md §C).
+    """
+    n = cpus or DEFAULT_CPUS
+    b = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # the driver's events.parquet stores ts as TIMESTAMP(NANOS) which the
+        # vanilla parquet reader rejects; read as long and convert (see
+        # queries.load_events)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if SparkSession.getActiveSession() is None:
+        b = b.master(f"local[{n}]")
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
+
+
+def testdata_dir(sf: str = "0.001") -> str:
+    """Path of the driver-generated parquet tables for a scale factor."""
+    return os.environ.get("SPARK_GRAFT_SF_DIR", f"/root/testdata/sf{sf}")

@@ -1,0 +1,130 @@
+"""Sink / load semantics (SURVEY.md §2.4, L1-L8).
+
+The reference bulk-loads a typed table via a TVP stored procedure and then
+either full-replaces (`DELETE FROM …; INSERT … SELECT`,
+`Prepare-SQLDatabase.sql:104-178`) or — the commented alternative — appends
+with a retention window (`DATEDIFF(day, timeGenerated, GetDate()) >
+@MaxInventoryAge`, `:99-111`), stamping every row with a load time
+(`GETDATE() → timeGenerated`, `:144`).
+
+Spark-first mapping: Parquet is the warehouse; full refresh =
+``mode("overwrite")``; retention = partition-by-load-date + dropping old
+partitions (pure metadata at 100 TB — never a rewrite of surviving data);
+the stamp is ``current_timestamp()``; the surrogate key is zip-with-index
+semantics via a window only when contiguity is demanded (documented cost),
+else ``monotonically_increasing_id``.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LOAD_STAMP = "timeGenerated"
+LOAD_DATE = "loadDate"
+
+
+def stamp(df: DataFrame, at: _dt.datetime | None = None) -> DataFrame:
+    """L4 — audit stamp: add ``timeGenerated`` (reference: GETDATE(),
+    `Prepare-SQLDatabase.sql:144,177`).  Pass ``at`` for deterministic tests.
+    """
+    ts = F.lit(at).cast("timestamp") if at is not None else F.current_timestamp()
+    return df.withColumn(LOAD_STAMP, ts)
+
+
+def with_surrogate_key(df: DataFrame, name: str = "ClusterID", contiguous: bool = False) -> DataFrame:
+    """L5 — surrogate key (reference: int IDENTITY(1,1),
+    `Prepare-SQLDatabase.sql:8`).
+
+    Default is ``monotonically_increasing_id`` — unique, non-contiguous,
+    shuffle-free (partition-id in the high bits).  ``contiguous=True`` uses
+    zipWithIndex-style global row_number, which serializes on a single-
+    partition window — correct but O(all-data-through-one-task); only for
+    small dimension loads, never the 100 TB fact path.
+    """
+    if not contiguous:
+        return df.withColumn(name, F.monotonically_increasing_id())
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.monotonically_increasing_id())
+    return df.withColumn(name, F.row_number().over(w).cast("long"))
+
+
+def write_full_refresh(df: DataFrame, path: str, sort_by: str | None = None) -> None:
+    """L2 — truncate-and-load snapshot (reference DELETE+INSERT,
+    `Prepare-SQLDatabase.sql:104-178`).
+
+    ``sort_by`` emulates L6 (secondary index on the business key): sorting
+    within partitions gives Parquet tight min/max column stats on that key,
+    so later point-lookups skip row groups — the Parquet analog of the
+    reference's nonclustered index on ``id`` (`Prepare-SQLDatabase.sql:47-51`).
+    """
+    out = df.sortWithinPartitions(sort_by) if sort_by else df
+    out.write.mode("overwrite").parquet(path)
+
+
+def write_append_with_retention(
+    df: DataFrame,
+    spark: SparkSession,
+    path: str,
+    max_age_days: int = 40,
+    now: _dt.datetime | None = None,
+) -> None:
+    """L3 — append + retention window (reference commented alternative,
+    `Prepare-SQLDatabase.sql:99-111`, default @MaxInventoryAge=40).
+
+    The table is partitioned by ``loadDate``; expiry drops whole partitions
+    older than the window.  On plain Parquet that is a directory delete —
+    no data rewrite — which is the only retention strategy that stays O(1)
+    in data size at 100 TB (Delta's `DELETE WHERE` would log-rewrite).
+    """
+    stamped = df if LOAD_STAMP in df.columns else stamp(df, now)
+    (
+        stamped.withColumn(LOAD_DATE, F.to_date(F.col(LOAD_STAMP)))
+        .write.mode("append")
+        .partitionBy(LOAD_DATE)
+        .parquet(path)
+    )
+    expire_old_partitions(spark, path, max_age_days, now)
+
+
+def expire_old_partitions(
+    spark: SparkSession, path: str, max_age_days: int, now: _dt.datetime | None = None
+) -> list[str]:
+    """Drop loadDate partitions older than the retention window.
+
+    Mirrors `DATEDIFF(day, timeGenerated, GetDate()) > @MaxInventoryAge`
+    (`Prepare-SQLDatabase.sql:110`) at partition granularity.
+    """
+    sc = spark.sparkContext
+    hpath = sc._jvm.org.apache.hadoop.fs.Path(path)  # noqa: SLF001 — py4j bridge
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())  # noqa: SLF001
+    if not fs.exists(hpath):
+        return []
+    today = (now or _dt.datetime.now(_dt.timezone.utc)).date()
+    removed = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if not name.startswith(f"{LOAD_DATE}="):
+            continue
+        part_date = _dt.date.fromisoformat(name.split("=", 1)[1])
+        if (today - part_date).days > max_age_days:
+            fs.delete(st.getPath(), True)
+            removed.append(name)
+    return removed
+
+
+def row_count(df: DataFrame) -> int:
+    """L7 — rows-processed feedback (`Invoke…ps1:326-328`)."""
+    return df.count()
+
+
+def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "overwrite", **options) -> None:
+    """L1 — bulk relational load (reference TVP stored-proc path,
+    `Invoke…ps1:310-333`).  JDBC writer batches rows (`batchsize`), the
+    Spark analog of the TVP bulk transfer; no SQL server exists in the test
+    environment so this stays a thin, untested-over-network shim.
+    """
+    df.write.mode(mode).options(**options).jdbc(url, table)

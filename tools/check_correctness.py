@@ -1,0 +1,118 @@
+"""Self-check harness mimicking the driver's DuckDB-oracle comparison.
+
+For every query in msgraphdatapipelines_spark.queries.REGISTRY: run the Spark
+DataFrame and the DuckDB oracle SQL on the same sf dir, sort columns by name
+and rows by all values, and compare cell-by-cell (exact for
+ints/strings/bools, ulp-tight for doubles).  Usage:
+
+    python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+from msgraphdatapipelines_spark.queries import REGISTRY, _ensure_loaded  # noqa: E402
+from msgraphdatapipelines_spark.session import get_spark  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings".split()
+)
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def cells_equal(a, b) -> bool:
+    if pd.isna(a) and pd.isna(b):
+        return True
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            af, bf = float(a), float(b)
+        except (TypeError, ValueError):
+            return str(a) == str(b)
+        if math.isnan(af) and math.isnan(bf):
+            return True
+        return af == bf or abs(af - bf) <= 1e-9 * max(abs(af), abs(bf))
+    return a == b
+
+
+def compare(name: str, s: pd.DataFrame, d: pd.DataFrame) -> list[str]:
+    problems = []
+    if sorted(s.columns) != sorted(d.columns):
+        return [f"columns differ: spark={sorted(s.columns)} duck={sorted(d.columns)}"]
+    if len(s) != len(d):
+        problems.append(f"row count differs: spark={len(s)} duck={len(d)}")
+        return problems
+    s, d = normalize(s), normalize(d)
+    bad = 0
+    for c in s.columns:
+        for i, (x, y) in enumerate(zip(s[c].tolist(), d[c].tolist())):
+            if not cells_equal(x, y):
+                if bad < 3:
+                    problems.append(f"cell mismatch {c}[{i}]: spark={x!r} duck={y!r}")
+                bad += 1
+    if bad:
+        problems.append(f"total mismatched cells: {bad}")
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    _ensure_loaded()
+    spark = get_spark(cpus=8)
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    failures = 0
+    for name, q in REGISTRY.items():
+        if only and name not in only:
+            continue
+        t0 = time.monotonic()
+        try:
+            sdf = q.fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark raised {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        if q.oracle is None:
+            print(f"ok?   {name}: rows-only ({len(sdf)} rows, {time.monotonic()-t0:.1f}s)")
+            if len(sdf) == 0:
+                print(f"WARN  {name}: 0 rows from rows-only query")
+            continue
+        try:
+            ddf = con.execute(q.oracle).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb raised {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        problems = compare(name, sdf, ddf)
+        if problems:
+            failures += 1
+            print(f"FAIL  {name} ({len(sdf)} rows):")
+            for p in problems:
+                print(f"      {p}")
+        else:
+            print(f"PASS  {name} ({len(sdf)} rows, {time.monotonic()-t0:.1f}s)")
+    spark.stop()
+    print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
