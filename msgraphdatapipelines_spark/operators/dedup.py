@@ -1,0 +1,197 @@
+"""Deduplication operators — the north-star extension family (BASELINE.json).
+
+Exact, MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+All are pure DataFrame compositions (no Python row UDFs) so they stay in
+whole-stage codegen and scale with the cluster.
+
+Scale design (100 TB corpus):
+- exact dedup = one hash-partitioned aggregation on the dedup key; Spark's
+  partial aggregation collapses duplicates map-side before the shuffle.
+- MinHash+LSH is *the* scale path for fuzzy dedup: per-doc signatures are a
+  narrow map after one explode+agg; candidate generation joins only docs
+  sharing a band bucket (shuffle keyed on (band, hash) — tiny compared to
+  the all-pairs cross join the naive n-gram approach needs), and the
+  expensive Jaccard verification runs only on candidates.
+- hash function is pluggable: ``xxhash64`` (JVM, fastest) for production,
+  ``md5`` for cross-engine oracle parity (DuckDB computes identical digests).
+
+Reference parity note: the reference has no dedup operator (SURVEY.md §2.5
+lists it as a charter extension); exact dedup generalizes its snapshot
+full-refresh semantics (L2) where re-extracted rows replace prior copies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def word_ngrams(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams of a string column as an array<string>.
+
+    Pure codegen: split → sequence → transform → slice → join.
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    ws = F.filter(F.split(t, " "), lambda w: w != "")
+    cnt = F.greatest(F.size(ws) - F.lit(n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), cnt), lambda i: F.array_join(F.slice(ws, i, n), " "))
+    )
+
+
+def exact_dedup(df: DataFrame, keys: list[str], order_cols: list[str]) -> DataFrame:
+    """Exact dedup with a deterministic representative row.
+
+    Keeps, per key group, the row minimizing ``order_cols`` (first-wins by
+    e.g. doc_id), plus an ``n_copies`` count.  One shuffle on the dedup key
+    with map-side combine — at 100 TB this is strictly cheaper than
+    ``dropDuplicates`` (same shuffle) while adding determinism + lineage.
+    """
+    payload = [c for c in df.columns if c not in keys]
+    return (
+        df.groupBy(*keys)
+        .agg(
+            F.min_by(F.struct(*payload), F.struct(*order_cols)).alias("_rep"),
+            F.count("*").alias("n_copies"),
+        )
+        .select(*keys, *[F.col(f"_rep.{c}").alias(c) for c in payload], "n_copies")
+    )
+
+
+def _hash_hex(col: Column, seed: int, fn: str) -> Column:
+    """Deterministic per-seed hash of a string column, as orderable value."""
+    if fn == "md5":
+        return F.md5(F.concat(F.lit(f"{seed}|"), col))
+    if fn == "xxhash64":
+        return F.xxhash64(col, F.lit(seed))
+    raise ValueError(f"unknown hash fn {fn!r}")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    gram_col: str,
+    num_hashes: int = 8,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Per-document MinHash signature over an exploded gram set.
+
+    ``df`` must have one row per (id, gram).  Output: id + ``mh0..mh{k-1}``
+    columns (min of the seeded hash per doc) — one aggregation, map-side
+    partial mins, shuffle keyed on the doc id.
+    """
+    aggs = [
+        F.min(_hash_hex(F.col(gram_col), s, hash_fn)).alias(f"mh{s}") for s in range(num_hashes)
+    ]
+    return df.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding: docs sharing any band of their signature become a
+    candidate pair (id_a < id_b, distinct).
+
+    The band array explodes to ``bands`` rows per doc; the self-join is
+    keyed on (band_idx, band_hash) so only true bucket collisions shuffle
+    together — the step that makes fuzzy dedup sub-quadratic at scale.
+    """
+    rows_per_band = num_hashes // bands
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *[f"mh{b * rows_per_band + r}" for r in range(rows_per_band)])).alias(
+                "bh"
+            ),
+        )
+        for b in range(bands)
+    ]
+    exploded = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col(f"b.band"))
+            & (F.col(f"a.bh") == F.col(f"b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    grams: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    gram_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact Jaccard over candidate pairs (the verify step after LSH).
+
+    ``grams``: one row per (id, gram).  Joins gram sets only for candidate
+    pairs; intersection via equi-join, union by inclusion-exclusion.
+    Jaccard is computed as an exact integer ratio cast to double —
+    cross-engine deterministic.
+    """
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("sz"))
+    ga = grams.select(F.col(id_col).alias("id_a"), F.col(gram_col).alias("g"))
+    gb = grams.select(F.col(id_col).alias("id_b"), F.col(gram_col).alias("g"))
+    inter = (
+        pairs.join(ga, "id_a")
+        .join(gb, ["id_b", "g"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash_bits(token_col: Column | str, num_bits: int = 16) -> list[Column]:
+    """Per-token ±1 contributions for each SimHash bit.
+
+    Bit b of a token = parity of hex digit b of md5(token) — a deterministic
+    pseudo-random bit family reproducible in any engine with md5 (the
+    DuckDB oracle uses the same construction).  Returns ``num_bits`` columns
+    valued +1/-1.
+    """
+    t = F.col(token_col) if isinstance(token_col, str) else token_col
+    h = F.md5(t)
+    out = []
+    for b in range(num_bits):
+        hexval = F.instr(F.lit("0123456789abcdef"), F.substring(h, b + 1, 1)) - 1
+        out.append(F.when(hexval % 2 == 1, F.lit(1)).otherwise(F.lit(-1)).alias(f"bit{b}"))
+    return out
+
+
+def simhash(
+    tokens: DataFrame, id_col: str, token_col: str, num_bits: int = 16
+) -> DataFrame:
+    """Per-document SimHash signature (string of 0/1) from exploded tokens.
+
+    One aggregation: sum the ±1 bit contributions per doc, sign → bit.
+    Near-dup docs (mostly shared tokens) land on equal or nearby signatures;
+    grouping by signature buckets is the O(n) dedup pass.
+    """
+    bits = simhash_bits(F.col(token_col), num_bits)
+    sums = tokens.groupBy(id_col).agg(
+        *[F.sum(bits[b]).alias(f"s{b}") for b in range(num_bits)]
+    )
+    bit_strs = [F.when(F.col(f"s{b}") > 0, F.lit("1")).otherwise(F.lit("0")) for b in range(num_bits)]
+    return sums.select(id_col, F.concat(*bit_strs).alias("simhash"))

@@ -53,15 +53,17 @@ def argmax_in_array(
     Array-native: sort the (tiny, per-row) array descending by
     ``order_field`` and take element 1.  Narrow transformation — no shuffle,
     unlike the explode + Window.partitionBy(id) formulation.
+    ``try_element_at``: ANSI mode (Spark 4 default) makes plain
+    ``element_at`` throw on the empty array instead of yielding NULL.
     """
-    top = F.element_at(
+    top = F.try_element_at(
         F.array_sort(
             F.col(array_col),
             lambda l, r: F.when(l[order_field] > r[order_field], F.lit(-1))
             .when(l[order_field] < r[order_field], F.lit(1))
             .otherwise(F.lit(0)),
         ),
-        1,
+        F.lit(1),
     )
     for new_col, (field, cast_to) in lifted.items():
         c = top.getField(field)
@@ -81,7 +83,7 @@ def array_first_field(
     `Prepare-SQLDatabase-CloudPCAuditEvents.sql:18`); per SURVEY.md §2.3 the
     engine's documented decision is *first element*.
     """
-    df = df.withColumn(new_col, F.element_at(F.col(array_col).getField(field), 1))
+    df = df.withColumn(new_col, F.try_element_at(F.col(array_col).getField(field), F.lit(1)))
     return df.drop(array_col) if drop_source else df
 
 

@@ -1,0 +1,145 @@
+"""Multimodal column operators (north-star): image/audio/video as opaque
+``binary`` columns with typed metadata.
+
+The container ships no media libraries, so the actual byte decoding is
+STUBBED: ``decode_image`` tries Pillow and, absent it, falls back to a
+clearly-marked deterministic fake (metadata derived from the payload hash).
+Everything Spark-side is real and tested — schemas, Arrow batch iteration
+(``mapInPandas``), partitioning, UDF signatures — so swapping the fake for
+a real codec is a pure function replacement.
+
+Scale notes: media payloads are large blobs; the operators keep them
+*opaque* (never materialized driver-side), process them in Arrow batches,
+and emit compact metadata/features.  Partition sizing is byte-driven —
+``spark.sql.files.maxPartitionBytes`` governs blob scan splits, and feature
+extraction is embarrassingly parallel per batch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# media record: opaque payload + declared metadata (SURVEY.md §1.3 notes the
+# reference has no binary type; this is the engine's extension convention)
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("mime", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("mime", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("decoder", T.StringType()),
+    ]
+)
+
+FEATURE_DIM = 8
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def wrap_text_as_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Package a text column as a media record (utf-8 payload) — the test
+    stand-in for real image/audio bytes."""
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.lit("text/plain").alias("mime"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+    )
+
+
+def _fake_dims(digest: bytes) -> tuple[int, int]:
+    """Deterministic fake image dimensions from the payload hash.
+
+    STUB: stands in for a real codec's header parse; replace with
+    ``PIL.Image.open(io.BytesIO(payload)).size`` when Pillow is present.
+    """
+    return 320 + digest[0] % 8 * 160, 240 + digest[1] % 8 * 120
+
+
+def decode_image_meta(df: DataFrame) -> DataFrame:
+    """Decode image metadata from payload bytes via Arrow-batched
+    ``mapInPandas`` (real plumbing; decode itself stubbed — see module doc).
+    """
+    try:  # pragma: no cover - container has no Pillow
+        import io
+
+        from PIL import Image
+
+        def dims(payload: bytes) -> tuple[int, int, str]:
+            w, h = Image.open(io.BytesIO(payload)).size
+            return w, h, "pillow"
+
+    except ImportError:
+
+        def dims(payload: bytes) -> tuple[int, int, str]:
+            d = hashlib.sha256(payload).digest()
+            w, h = _fake_dims(d)
+            return w, h, "fake-deterministic"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            meta = [dims(bytes(p)) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "sha256": payloads.map(lambda p: hashlib.sha256(bytes(p)).hexdigest()),
+                    "width": pd.Series([m[0] for m in meta], dtype="int64"),
+                    "height": pd.Series([m[1] for m in meta], dtype="int64"),
+                    "decoder": [m[2] for m in meta],
+                }
+            )
+
+    return df.mapInPandas(batches, IMAGE_META_SCHEMA)
+
+
+def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Deterministic payload 'embedding' via Arrow-batched mapInPandas.
+
+    STUB feature fn (bytes of sha256 → [0,1) doubles); the batch shape,
+    output schema, and partition behavior match what a real encoder
+    (CLIP/wav2vec/etc.) would use.
+    """
+
+    def feat(payload: bytes) -> list[float]:
+        d = hashlib.sha256(bytes(payload)).digest()
+        return [d[i] / 255.0 for i in range(dim)]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "feature": pdf["payload"].map(feat)}
+            )
+
+    return df.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame sampling — NOT IMPLEMENTED in this environment (no codec
+    libraries).  The signature and output schema are the contract a real
+    implementation fills in."""
+    raise NotImplementedError(
+        "frame_sample requires a video codec library absent from this "
+        "environment; see module docstring for the intended contract"
+    )

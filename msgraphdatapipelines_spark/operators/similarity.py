@@ -1,0 +1,142 @@
+"""Vector similarity search — brute-force and LSH-bucketed ANN (north-star).
+
+Embeddings are ``array<float>`` columns.  All scoring is JVM-side
+(``zip_with`` + ``aggregate``) — no Arrow round trip, no Python in the hot
+loop.  For oracle-checked paths the dot products fold left-to-right in
+DOUBLE, so an oracle computing the same left-associated sum produces
+bit-identical results (see queries/similarity.py).
+
+Scale design (100 TB / billions of vectors):
+- brute-force top-k broadcasts the (small) query set against the corpus:
+  a broadcast-nested-loop scoring pass, per-partition top-k via window —
+  no all-pairs shuffle; correct baseline and the verifier for ANN recall.
+- random-hyperplane LSH buckets the corpus once (narrow map), then scores
+  only within the query's bucket — the candidate set shrinks by ~2^planes;
+  the bucket join is an equi-join Spark hash-partitions, AQE handles
+  bucket skew.  Recall/cost is tuned by ``num_planes`` and multi-probe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def seq_dot(a: Column, b: Column) -> Column:
+    """Sequential double dot product of two array<double> columns.
+
+    ``aggregate`` folds left-to-right over element order, so the IEEE
+    accumulation order is fixed — an oracle computing the same
+    left-associated sum (e.g. an inline ``a[1]*b[1] + a[2]*b[2] + …``)
+    produces the bit-identical double.  Inputs must already be DOUBLE
+    (cast float embeddings first): float math would diverge from a
+    double-computing oracle.
+    """
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def cosine_seq(a: Column, b: Column) -> Column:
+    """Deterministic cosine from sequential double dots."""
+    return seq_dot(a, b) / (F.sqrt(seq_dot(a, a)) * F.sqrt(seq_dot(b, b)))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_q: str,
+    id_c: str,
+    vec_q: str,
+    vec_c: str,
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    Broadcast the query side (the small side by construction), score every
+    corpus row, keep k per query with a ranking window partitioned by the
+    query id.  Output: (id_q, id_c, score, rank).
+    """
+    q = F.broadcast(
+        queries.select(F.col(id_q).alias("qid"), F.col(vec_q).cast("array<double>").alias("qv"))
+    )
+    c = corpus.select(F.col(id_c).alias("cid"), F.col(vec_c).cast("array<double>").alias("cv"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn("score", cosine_seq(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid"), F.col("cid"), F.round("score", 6).alias("score"), "rank"
+        )
+    )
+
+
+def hyperplane_bucket(vec: Column, num_planes: int = 8, dim: int = 64) -> Column:
+    """Random-hyperplane LSH bucket id (string of sign bits).
+
+    Plane p's weight for dimension d is ±1 from the parity of hex digit
+    (d mod 32) of md5("p|d") — deterministic, engine-portable, no stored
+    plane matrix.  sign(Σ_d w[p,d]·v[d]) per plane → bit string.
+    """
+    v = vec.cast("array<double>")
+    bits = []
+    for p in range(num_planes):
+        weights = [_plane_weight(p, d) for d in range(dim)]
+        arr = F.array(*[F.lit(w) for w in weights])
+        dot = seq_dot(v, arr)
+        bits.append(F.when(dot > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def _plane_weight(p: int, d: int) -> float:
+    """±1 weight for plane p, dim d — parity of a hex digit of md5(f"{p}|{d}")."""
+    import hashlib
+
+    h = hashlib.md5(f"{p}|{d}".encode()).hexdigest()
+    return 1.0 if int(h[d % 32], 16) % 2 == 1 else -1.0
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_q: str,
+    id_c: str,
+    vec_q: str,
+    vec_c: str,
+    k: int = 5,
+    num_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors in the query's LSH bucket.
+
+    Bucketing is a narrow map on both sides; the join shuffles on the bucket
+    key only.  Output schema matches brute_force_topk (+ recall measurable by
+    joining the two).
+    """
+    q = queries.select(
+        F.col(id_q).alias("qid"),
+        F.col(vec_q).cast("array<double>").alias("qv"),
+        hyperplane_bucket(F.col(vec_q), num_planes, dim).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_c).alias("cid"),
+        F.col(vec_c).cast("array<double>").alias("cv"),
+        hyperplane_bucket(F.col(vec_c), num_planes, dim).alias("bucket"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn("score", cosine_seq(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", F.round("score", 6).alias("score"), "rank")
+    )

@@ -1,0 +1,113 @@
+"""Text-analysis operators (north-star): language ID, quality scoring,
+token counting, document fingerprinting.
+
+All pure Column expressions — regex/string/hash built-ins, zero Python in
+the row path, so the operators cost one scan at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Minimal per-language stopword marker sets for the heuristic classifier.
+# Deterministic and tiny by design: the classifier is a scoring rule over
+# marker hits, reproducible in plain SQL for the oracle twin.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "de", "que", "los"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+}
+
+# BPE-ish token pattern: runs of letters, runs of digits, or single
+# non-space symbols — the standard pre-tokenizer shape.
+BPE_TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens with empties removed."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(t, " "), lambda w: w != "")
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count (bigint)."""
+    return F.size(tokens(text)).cast("long")
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Sub-word-ish token count via the BPE-style pre-tokenizer regex."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(t, F.lit(BPE_TOKEN_RE), 0)).cast("long")
+
+
+def quality_stats(text: Column | str) -> dict[str, Column]:
+    """Quality-scoring signals: length, token stats, stopword/digit ratios.
+
+    Ratios are exact integer ratios cast to double (deterministic).
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    ws = tokens(t)
+    n_tok = F.size(ws)
+    stop = F.array([F.lit(w) for ms in LANG_MARKERS.values() for w in ms])
+    n_stop = F.size(F.filter(ws, lambda w: F.array_contains(stop, w)))
+    n_digit_tok = F.size(F.filter(ws, lambda w: w.rlike("^[0-9]+$")))
+    mean_len = F.when(
+        n_tok > 0,
+        F.aggregate(
+            F.transform(ws, lambda w: F.length(w).cast("long")), F.lit(0).cast("long"), lambda a, b: a + b
+        ).cast("double")
+        / n_tok,
+    )
+    return {
+        "n_chars": F.length(t).cast("long"),
+        "n_tokens": n_tok.cast("long"),
+        "mean_token_len": F.round(mean_len, 4),
+        "stopword_ratio": F.round(n_stop.cast("double") / F.greatest(n_tok, F.lit(1)), 4),
+        "digit_token_ratio": F.round(n_digit_tok.cast("double") / F.greatest(n_tok, F.lit(1)), 4),
+    }
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language marker-hit counts (the language-ID signal)."""
+    ws = tokens(text)
+    return {
+        lang: F.size(F.filter(ws, lambda w: F.array_contains(F.array(*[F.lit(m) for m in ms]), w)))
+        for lang, ms in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text: Column | str) -> Column:
+    """Heuristic language ID: argmax marker-hit count, 'und' when all zero.
+
+    Deterministic tie-break: first language in LANG_MARKERS order wins.
+    """
+    scores = list(lang_scores(text).items())
+    expr = F.lit("und")
+    # build the CASE chain back-to-front; earlier languages win ties via >=
+    for i in range(len(scores) - 1, -1, -1):
+        lang, n = scores[i]
+        cond = n > 0
+        for _, later_n in scores[i + 1 :]:
+            cond = cond & (n >= later_n)
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint_exact(text: Column | str) -> Column:
+    """Exact-dup fingerprint: md5 of the normalized text (lowercase,
+    whitespace collapsed).  Two docs with equal fingerprints are duplicates
+    after normalization — the O(n) dedup key."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.regexp_replace(F.lower(F.trim(t)), "\\s+", " "))
+
+
+def fingerprint_minhash1(text: Column | str, k: int = 5) -> Column:
+    """Content fingerprint robust to local edits: the minimum md5 over the
+    document's character k-shingles (a 1-hash MinHash).  Docs sharing it are
+    near-dup candidates."""
+    from ..functions import char_shingles
+
+    sh = char_shingles(text, k)
+    return F.array_min(F.transform(sh, lambda s: F.md5(s)))

@@ -93,6 +93,14 @@ def _ensure_loaded() -> None:
     global _LOADED
     if _LOADED:
         return
-    from . import dedup, graphops, relational, similarity, streaming, text  # noqa: F401
+    from . import (  # noqa: F401
+        dedup,
+        graphops,
+        multimodal,
+        relational,
+        similarity,
+        streaming,
+        text,
+    )
 
     _LOADED = True

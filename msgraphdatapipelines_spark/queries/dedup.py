@@ -1,1 +1,245 @@
-"""(filled in later this round)"""
+"""Dedup queries (north-star) over the ``documents`` table, oracle-checked.
+
+The synthetic corpus has planted near-duplicates (word-3gram Jaccard ≥ 0.89
+for planted pairs vs ≤ 0.07 background), so threshold 0.5 separates cleanly.
+
+Oracle notes: DuckDB v1.0 lacks correlated lateral ``generate_series``; the
+SQL uses the scalar-list form ``unnest(generate_series(...))`` instead.
+MinHash/SimHash use md5-derived hashes so both engines compute identical
+signatures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from . import load, register
+
+# shared oracle CTE: distinct word 3-grams per document
+_GRAMS_SQL = """
+words AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+    FROM documents
+),
+grams AS (
+    SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS g
+    FROM (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws)-2, 1))) AS i
+          FROM words)
+)
+"""
+
+
+def _doc_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per (doc_id, distinct word-3gram)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.explode(D.word_ngrams("text", 3)).alias("g"))
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    WITH d2 AS (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+    SELECT text,
+           arg_min(doc_id, doc_id) AS doc_id,
+           arg_min(lang, doc_id) AS lang,
+           arg_min(source, doc_id) AS source,
+           arg_min(n_chars, doc_id) AS n_chars,
+           count(*) AS n_copies
+    FROM d2
+    GROUP BY text
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with deterministic first-wins representative
+    (operators.dedup.exact_dedup): the corpus is unioned with itself so the
+    operator provably collapses copies (n_copies = 2·k).  One hash
+    aggregation with map-side combine — the O(n) scale path."""
+    docs = load(spark, sf_dir, "documents")
+    doubled = docs.unionAll(docs)
+    return D.exact_dedup(doubled, keys=["text"], order_cols=["doc_id"])
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_GRAMS_SQL},
+    sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3gram Jaccard near-dup pairs, computed relationally: the
+    intersection join only meets docs sharing a gram, so cost is driven by
+    gram frequency, not n² (the exact-verification building block that
+    LSH narrows further)."""
+    grams = _doc_grams(spark, sf_dir)
+    ga = grams.select(F.col("doc_id").alias("id_a"), "g")
+    gb = grams.select(F.col("doc_id").alias("id_b"), "g")
+    pairs = (
+        ga.join(gb, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("inter").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= 0.5)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def _minhash_oracle(num_hashes: int = 8, bands: int = 4, threshold: float = 0.5) -> str:
+    rpb = num_hashes // bands
+    mh_exprs = ",\n           ".join(
+        f"min(md5('{s}|' || g)) AS mh{s}" for s in range(num_hashes)
+    )
+    band_selects = "\n        UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({concat}) AS bh FROM sigs".format(
+            b=b,
+            concat=" || '|' || ".join(f"mh{b * rpb + r}" for r in range(rpb)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH {_GRAMS_SQL},
+    sigs AS (
+        SELECT doc_id,
+           {mh_exprs}
+        FROM grams GROUP BY doc_id
+    ),
+    banded AS (
+        {band_selects}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+    inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS i
+        FROM cand c
+        JOIN grams ga ON ga.doc_id = c.id_a
+        JOIN grams gb ON gb.doc_id = c.id_b AND gb.g = ga.g
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= {threshold}
+    """
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (8 hashes) + LSH banding (4 bands × 2) + exact Jaccard verify —
+    the sub-quadratic fuzzy-dedup scale path (operators.dedup).  Candidate
+    pairs come only from band-bucket collisions; the expensive gram join runs
+    on candidates, not all pairs.  md5-seeded hashes keep the oracle
+    bit-identical."""
+    grams = _doc_grams(spark, sf_dir)
+    sigs = D.minhash_signatures(grams, "doc_id", "g", num_hashes=8, hash_fn="md5")
+    cand = D.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=4)
+    return D.jaccard_verify(grams, cand, "doc_id", "g", threshold=0.5)
+
+
+def _simhash_oracle(num_bits: int = 16) -> str:
+    sums = ",\n           ".join(
+        f"sum(CASE WHEN (strpos('0123456789abcdef', substr(md5(tok), {b + 1}, 1)) - 1) % 2 = 1"
+        f" THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(num_bits)
+    )
+    bits = ", ".join(f"CASE WHEN s{b} > 0 THEN '1' ELSE '0' END" for b in range(num_bits))
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS tok
+        FROM documents
+    ),
+    sums AS (
+        SELECT doc_id,
+           {sums}
+        FROM toks GROUP BY doc_id
+    ),
+    sigs AS (SELECT doc_id, concat({bits}) AS simhash FROM sums)
+    SELECT doc_id, simhash,
+           CAST(count(*) OVER (PARTITION BY simhash) AS BIGINT) AS bucket_n
+    FROM sigs
+    """
+
+
+@register("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (16-bit, md5-digit bit family, token-frequency weighted) +
+    bucket sizes: equal signatures = near-dup candidates in O(n).  The
+    signature is one aggregation over exploded tokens; bucketing is a window
+    count on the signature."""
+    docs = load(spark, sf_dir, "documents")
+    # raw split (not word_ngrams, which dedupes) — keep token-frequency weights
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias("tok"),
+    )
+    sigs = D.simhash(toks, "doc_id", "tok", num_bits=16)
+    w = Window.partitionBy("simhash")
+    return sigs.select("doc_id", "simhash", F.count("*").over(w).cast("long").alias("bucket_n"))
+
+
+def _emb_dot_sql(a: str, b: str, dim: int = 64) -> str:
+    """Left-associated inline double dot product — same IEEE accumulation
+    order as operators.similarity.seq_dot."""
+    return " + ".join(
+        f"(CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE))" for i in range(1, dim + 1)
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(({_emb_dot_sql('a.embedding', 'b.embedding')})
+                 / (sqrt({_emb_dot_sql('a.embedding', 'a.embedding')})
+                    * sqrt({_emb_dot_sql('b.embedding', 'b.embedding')})), 6) AS cosine
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ({_emb_dot_sql('a.embedding', 'b.embedding')})
+          / (sqrt({_emb_dot_sql('a.embedding', 'a.embedding')})
+             * sqrt({_emb_dot_sql('b.embedding', 'b.embedding')})) >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ 0.4 within a blocking key (label).
+    Blocking bounds the pair count (the all-pairs cross join would be n²);
+    at 100 TB the blocking key is an LSH bucket (see similarity.lsh_topk) —
+    label stands in here to keep the oracle expressible."""
+    from ..operators.similarity import cosine_seq
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("label").alias("la"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("label").alias("lb"), F.col("v").alias("vb"))
+    cos = cosine_seq(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("id_a") < F.col("id_b")))
+        .filter(cos >= 0.4)
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+    )

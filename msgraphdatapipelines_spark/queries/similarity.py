@@ -1,1 +1,100 @@
-"""(filled in later this round)"""
+"""Similarity-search queries (north-star) over ``embeddings``, oracle-checked.
+
+Scores are sequential-double cosines (operators.similarity.seq_dot) matched
+bit-for-bit by left-associated inline sums in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import similarity as S
+from . import load, register
+
+DIM = 64
+N_QUERIES = 20  # query set = vec_id < 20
+K = 5
+
+
+def _dot(a: str, b: str) -> str:
+    return " + ".join(
+        f"(CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE))" for i in range(1, DIM + 1)
+    )
+
+
+def _cos(a: str, b: str) -> str:
+    return f"({_dot(a, b)}) / (sqrt({_dot(a, a)}) * sqrt({_dot(b, b)}))"
+
+
+def _bucket_expr(col: str, num_planes: int = 8) -> str:
+    """Inline hyperplane bucket — identical ±1 weights and accumulation
+    order as operators.similarity.hyperplane_bucket."""
+    planes = []
+    for p in range(num_planes):
+        terms = " + ".join(
+            f"(CAST({col}[{d + 1}] AS DOUBLE) * {S._plane_weight(p, d):.1f})" for d in range(DIM)
+        )
+        planes.append(f"CASE WHEN ({terms}) > 0 THEN '1' ELSE '0' END")
+    return "concat(" + ", ".join(planes) + ")"
+
+
+@register(
+    "ann_bruteforce_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+    scored AS (
+        SELECT qid, cid, {_cos('qv', 'cv')} AS score
+        FROM q JOIN c ON qid <> cid
+    )
+    SELECT qid, cid, round(score, 6) AS score, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn
+          FROM scored) t
+    WHERE rn <= {K}
+    """,
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors (the ANN baseline/verifier): broadcast
+    the small query set over the corpus — a broadcast nested-loop scoring
+    pass with a per-query ranking window; no all-pairs shuffle."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(
+        emb.filter(F.col("vec_id") < N_QUERIES), emb, "vec_id", "vec_id", "embedding", "embedding", K
+    )
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv, {_bucket_expr('embedding')} AS bucket
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id AS cid, embedding AS cv, {_bucket_expr('embedding')} AS bucket
+          FROM embeddings),
+    scored AS (
+        SELECT qid, cid, {_cos('qv', 'cv')} AS score
+        FROM q JOIN c ON q.bucket = c.bucket AND qid <> cid
+    )
+    SELECT qid, cid, round(score, 6) AS score, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn
+          FROM scored) t
+    WHERE rn <= {K}
+    """,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH buckets (8 planes →
+    ~2^8 buckets): candidates shrink ~256×, the scale path for
+    billion-vector corpora.  Same output schema as the brute-force baseline
+    so recall is measurable by joining the two."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.lsh_topk(
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        emb,
+        "vec_id",
+        "vec_id",
+        "embedding",
+        "embedding",
+        k=K,
+        num_planes=8,
+        dim=DIM,
+    )

@@ -1,1 +1,147 @@
-"""(filled in later this round)"""
+"""Streaming queries (SURVEY.md §2.5) over ``events``, oracle-checked.
+
+``stream_tumbling_counts`` runs a REAL Structured Streaming job (file
+source → watermark → window agg → memory sink, drained synchronously); its
+append-mode output is deterministic — exactly the windows whose end ≤
+final watermark (max event time − delay) — so a batch SQL oracle can
+reproduce it.  Sliding and session windows use the same window operators in
+batch mode (identical semantics, SQL-expressible).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import streaming as ST
+from . import load_events, register
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+@register(
+    "stream_tumbling_counts",
+    oracle="""
+    WITH w AS (
+        SELECT to_timestamp(floor(epoch(ts) / 3600) * 3600) AS ws,
+               event_type, value
+        FROM events
+    ),
+    agg AS (
+        SELECT ws, event_type, count(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM w GROUP BY ws, event_type
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, n, sum_value
+    FROM agg
+    WHERE ws + INTERVAL 1 HOUR
+          <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
+    """,
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation, executed as a real stream
+    (readStream → withWatermark 1h → 1h windows → append-mode memory sink).
+    Append emits exactly the finalized windows: end ≤ max(ts) − watermark —
+    which the batch oracle reproduces.  Late-data drop semantics are
+    pytest-covered with a two-batch file sequence."""
+    # the conf must be set before the streaming parquet source is planned
+    from . import _harden
+
+    _harden(spark)
+    ev = ST.read_events_stream(spark, sf_dir, glob="events.parquet")
+    agg = ST.tumbling_counts(ev, window="1 hour", watermark="1 hour")
+    result, _ = ST.run_stream_to_memory(agg, output_mode="append")
+    return result.select(
+        F.date_format("window.start", TS_FMT).alias("window_start"),
+        "event_type",
+        "n",
+        F.col("sum_value_dec").cast("double").alias("sum_value"),
+    )
+
+
+@register(
+    "stream_sliding_windows",
+    oracle="""
+    WITH starts AS (
+        SELECT to_timestamp(floor(epoch(ts) / 3600) * 3600) AS w0,
+               to_timestamp(floor(epoch(ts) / 3600) * 3600 - 3600) AS w1,
+               event_type, value, ts
+        FROM events
+    ),
+    assigned AS (
+        SELECT unnest([w0, w1]) AS ws, event_type, value FROM starts
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM assigned
+    GROUP BY ws, event_type
+    """,
+)
+def stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2h length, 1h slide): every event lands in two
+    windows.  Same ``window()`` operator as the streaming path, run in batch
+    where it is SQL-expressible; the oracle assigns each event to both
+    containing windows via unnest."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("window.start", TS_FMT).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "stream_session_windows",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN prev_ts IS NULL
+                         OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_s
+        FROM ordered
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, sid
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user via the native
+    ``session_window`` operator (the same state machine Structured Streaming
+    uses); the oracle is the classic gaps-and-islands SQL.  Spark's session
+    end = last event + gap, mirrored in the oracle."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("session_window.start", TS_FMT).alias("session_start"),
+            F.date_format("session_window.end", TS_FMT).alias("session_end"),
+            "n_events",
+        )
+    )

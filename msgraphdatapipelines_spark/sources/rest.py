@@ -1,0 +1,276 @@
+"""Graph-style paged REST/OData source (SURVEY.md §2.1 S1-S5, §2.2 P1-P2).
+
+The reference walks an OData collection — build URL with ``$select`` /
+``$filter`` pushdown (`Invoke-GraphDataPipelineToAzureSQLDatabase.ps1:53-85`),
+follow ``@odata.nextLink`` until exhausted (`:170-194`), retry HTTP 429 with
+a sleep budget (`:138-148`), and skip a failing endpoint without aborting
+the run (`:150-162`).
+
+Spark-first shape: the *cursor walk is inherently sequential*, so the driver
+follows the chain cheaply (fetching only page bodies, or in the DataSource
+variant just discovering page addresses), then hands the heavy work —
+JSON parse, flatten, type conversion — to executors via ``spark.read.json``
+/ ``from_json`` on distributed page payloads.  Fetchers are injectable so
+tests run on local fixture files; the HTTP fetcher covers the live case.
+
+Pushdown contract: ``select``/``filter`` become OData query options exactly
+like the reference (P1/P2) when the server honors them; the engine re-applies
+them client-side too, so a server that ignores the options still yields
+correct results (same superset-tolerance as the reference's DataTable copy).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.parse
+import urllib.request
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+NEXT_LINK = "@odata.nextLink"
+VALUE = "value"
+
+
+class ThrottledError(Exception):
+    """HTTP 429 — retry after a pause (reference: 30 s sleep, ≤5 tries)."""
+
+
+@dataclass
+class RetryPolicy:
+    """429/auth retry budget (`Invoke…ps1:8,95-117,138-148`)."""
+
+    max_retries: int = 5
+    sleep_s: float = 30.0
+    backoff: float = 1.0  # reference sleeps a constant 30 s; >1 = exponential
+
+    def run(self, fn: Callable[[], str], sleeper: Callable[[float], None] = time.sleep) -> str:
+        delay = self.sleep_s
+        for attempt in range(self.max_retries + 1):
+            try:
+                return fn()
+            except ThrottledError:
+                if attempt == self.max_retries:
+                    raise
+                sleeper(delay)
+                delay *= self.backoff
+        raise AssertionError("unreachable")
+
+
+def file_fetcher(url: str) -> str:
+    """Fetcher for local fixture pages (tests): url = filesystem path.
+
+    OData query options appended by build_url are dropped — a local fixture
+    can't evaluate them server-side (read_odata re-applies them client-side,
+    the same superset-tolerance the reference shows for extra DDL columns).
+    """
+    with open(url.split("?", 1)[0], encoding="utf-8") as f:
+        return f.read()
+
+
+def http_fetcher(url: str, token: str | None = None, timeout: float = 60.0) -> str:
+    """Live HTTP fetcher; raises ThrottledError on 429 so RetryPolicy engages."""
+    req = urllib.request.Request(url)
+    if token:
+        req.add_header("Authorization", f"Bearer {token}")
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:  # noqa: S310
+            return resp.read().decode("utf-8")
+    except urllib.error.HTTPError as e:  # pragma: no cover - needs live server
+        if e.code == 429:
+            raise ThrottledError(url) from e
+        raise
+
+
+def build_url(base: str, select: list[str] | None = None, filter: str | None = None) -> str:
+    """Append OData query options — P1 ($select) / P2 ($filter) pushdown,
+    mirroring the reference's URL builder (`Invoke…ps1:58-69`)."""
+    opts = {}
+    if select:
+        opts["$select"] = ",".join(select)
+    if filter:
+        opts["$filter"] = filter
+    if not opts:
+        return base
+    sep = "&" if "?" in base else "?"
+    return base + sep + urllib.parse.urlencode(opts)
+
+
+def fetch_pages(
+    first_url: str,
+    fetcher: Callable[[str], str] = file_fetcher,
+    retry: RetryPolicy | None = None,
+    sleeper: Callable[[float], None] = time.sleep,
+    max_pages: int = 100_000,
+) -> list[str]:
+    """Walk the ``@odata.nextLink`` cursor chain (S2), returning raw page
+    bodies.  Sequential by protocol design; each body is small (one page)."""
+    retry = retry or RetryPolicy()
+    pages: list[str] = []
+    url: str | None = first_url
+    while url and len(pages) < max_pages:
+        body = retry.run(lambda u=url: fetcher(u), sleeper)
+        pages.append(body)
+        url = json.loads(body).get(NEXT_LINK)
+    return pages
+
+
+def read_odata(
+    spark: SparkSession,
+    first_url: str,
+    schema: T.StructType,
+    select: list[str] | None = None,
+    filter_expr: str | None = None,
+    fetcher: Callable[[str], str] = file_fetcher,
+    retry: RetryPolicy | None = None,
+    sleeper: Callable[[float], None] = time.sleep,
+) -> DataFrame:
+    """Read a full OData collection as a DataFrame.
+
+    Driver walks the cursor (S2, with S4 retry); executors parse: page
+    bodies are parallelized and decoded with ``from_json`` against the
+    envelope schema (S3), then the ``value`` array explodes to records.
+    ``select``/``filter_expr`` are applied as real Column ops — when the
+    source honored the OData options they are no-ops Catalyst prunes.
+    """
+    url = build_url(first_url, select, filter_expr)
+    pages = fetch_pages(url, fetcher, retry, sleeper)
+    envelope = T.StructType([T.StructField(VALUE, T.ArrayType(schema))])
+    df = (
+        spark.createDataFrame([(p,) for p in pages], "body string")
+        .repartition(max(1, min(len(pages), spark.sparkContext.defaultParallelism)))
+        .select(F.explode(F.from_json("body", envelope).getField(VALUE)).alias("rec"))
+        .select("rec.*")
+    )
+    if select:
+        df = df.select(*select)
+    if filter_expr:
+        df = df.filter(_odata_filter_to_column(filter_expr))
+    return df
+
+
+def _odata_filter_to_column(expr: str):
+    """Translate the OData comparison grammar subset the reference uses
+    (`$filter=operatingSystem eq 'Windows'`, `Invoke…ps1:24`) into a Column.
+
+    Supports ``<prop> <eq|ne|gt|ge|lt|le> <'str'|number>`` joined by
+    ``and`` / ``or`` (left-associative, and binds tighter per OData).
+    """
+    ors = [o.strip() for o in _split_keyword(expr, " or ")]
+    out = None
+    for o in ors:
+        ands = [a.strip() for a in _split_keyword(o, " and ")]
+        acc = None
+        for a in ands:
+            c = _comparison_to_column(a)
+            acc = c if acc is None else (acc & c)
+        out = acc if out is None else (out | acc)
+    return out
+
+
+def _split_keyword(s: str, kw: str) -> list[str]:
+    parts, depth, cur, i = [], False, "", 0
+    low = s.lower()
+    while i < len(s):
+        if s[i] == "'":
+            depth = not depth
+        if not depth and low.startswith(kw, i):
+            parts.append(cur)
+            cur = ""
+            i += len(kw)
+            continue
+        cur += s[i]
+        i += 1
+    parts.append(cur)
+    return parts
+
+
+_OPS = {"eq": "==", "ne": "!=", "gt": ">", "ge": ">=", "lt": "<", "le": "<="}
+
+
+def _comparison_to_column(comp: str):
+    toks = comp.split(None, 2)
+    if len(toks) != 3 or toks[1].lower() not in _OPS:
+        raise ValueError(f"unsupported OData filter term: {comp!r}")
+    prop, op, raw = toks[0], toks[1].lower(), toks[2].strip()
+    val = raw[1:-1] if raw.startswith("'") and raw.endswith("'") else json.loads(raw)
+    c = F.col(prop)
+    return {
+        "eq": c == val,
+        "ne": c != val,
+        "gt": c > val,
+        "ge": c >= val,
+        "lt": c < val,
+        "le": c <= val,
+    }[op]
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 Python DataSource variant: spark.read.format("odata")
+# ---------------------------------------------------------------------------
+try:  # pragma: no cover - exercised in tests when the API exists
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class _PagePartition(InputPartition):
+        def __init__(self, url: str):
+            self.url = url
+
+    class ODataDataSource(DataSource):
+        """``spark.read.format("odata").schema(s).option("path", first_page)``
+
+        The reader walks the cursor chain driver-side to *discover* page
+        addresses (bodies are immediately discarded — at most one page held
+        at a time), then each page becomes an InputPartition parsed on
+        executors: the DSv2 shape SURVEY.md §4 calls for, with per-page
+        parallelism the reference lacks.
+        """
+
+        @classmethod
+        def name(cls) -> str:
+            return "odata"
+
+        def schema(self):
+            raise NotImplementedError("odata source requires an explicit schema")
+
+        def reader(self, schema) -> "ODataReader":
+            return ODataReader(schema, self.options)
+
+    class ODataReader(DataSourceReader):
+        def __init__(self, schema, options):
+            self.user_schema = schema
+            self.options = options
+
+        def partitions(self):
+            url = build_url(
+                self.options["path"],
+                [s for s in self.options.get("select", "").split(",") if s] or None,
+                self.options.get("filter") or None,
+            )
+            urls = []
+            while url and len(urls) < 100_000:
+                urls.append(url)
+                body = file_fetcher(url)
+                url = json.loads(body).get(NEXT_LINK)
+            return [_PagePartition(u) for u in urls]
+
+        def read(self, partition):
+            body = RetryPolicy().run(lambda: file_fetcher(partition.url))
+            names = [f.name for f in self.user_schema.fields]
+            for rec in json.loads(body).get(VALUE, []):
+                yield tuple(rec.get(n) for n in names)
+
+    HAS_PYTHON_DATASOURCE = True
+except ImportError:  # pragma: no cover
+    HAS_PYTHON_DATASOURCE = False
+
+
+def register_odata_source(spark: SparkSession) -> bool:
+    """Register the Python DataSource if the runtime supports it."""
+    if HAS_PYTHON_DATASOURCE:
+        spark.dataSource.register(ODataDataSource)
+        return True
+    return False

@@ -1,0 +1,82 @@
+"""Structured Streaming operators (SURVEY.md §2.5 streaming row).
+
+The reference is batch snapshot-per-run; its retention window (L3) is the
+batch cousin of streaming TTL state.  The engine adds first-class
+event-time processing: tumbling/sliding windows, watermarks with late-data
+drop, and session windows — all on the ``events`` fixture.
+
+Scale notes: windowed aggregation state is partitioned by (window, keys) —
+the same hash-shuffle as batch groupBy; the watermark bounds state size
+(old windows evict once the watermark passes), which is what makes a
+100 TB/day stream's state finite.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# events.parquet stores ts as TIMESTAMP(NANOS) → LongType under
+# nanosAsLong; the stream converts to a µs timestamp column `ts`.
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession,
+    directory: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over events parquet with event-time ``ts``.
+
+    The file source requires a *directory*; ``pathGlobFilter`` narrows it to
+    the events file(s).  ``max_files_per_trigger=1`` yields one micro-batch
+    per file — how the tests stage late-data sequences.
+    """
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA).option("pathGlobFilter", glob)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(directory)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "1 hour"
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event_type (append-mode
+    emittable: a window finalizes once the watermark passes its end)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count("*").alias("n"), F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value_dec"))
+    )
+
+
+def run_stream_to_memory(agg: DataFrame, output_mode: str = "append") -> tuple[DataFrame, str]:
+    """Run a streaming aggregation to completion against a memory sink and
+    return the materialized result as a batch DataFrame.
+
+    ``processAllAvailable`` drains every input file; Spark then runs
+    no-data micro-batches so the advanced watermark flushes finalized
+    windows (spark.sql.streaming.noDataMicroBatches.enabled, default on).
+    """
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.outputMode(output_mode).format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark = agg.sparkSession
+    return spark.table(name), name

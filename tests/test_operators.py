@@ -1,0 +1,143 @@
+"""Unit-ish operator tests on crafted micro-data: dedup family, similarity
+top-k, text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from msgraphdatapipelines_spark.operators import dedup as D
+from msgraphdatapipelines_spark.operators import multimodal as M
+from msgraphdatapipelines_spark.operators import similarity as S
+from msgraphdatapipelines_spark.operators import text as X
+
+
+def test_word_ngrams(spark):
+    df = spark.createDataFrame([("a b c d",), ("x",)], "text string")
+    got = df.select(D.word_ngrams("text", 3).alias("g")).collect()
+    assert got[0]["g"] == ["a b c", "b c d"]
+    assert got[1]["g"] == ["x"]  # shorter than n → one partial gram
+
+
+def test_exact_dedup_first_wins(spark):
+    df = spark.createDataFrame(
+        [(3, "dup", "z"), (1, "dup", "a"), (2, "uniq", "b")], "doc_id long, text string, tag string"
+    )
+    out = {r["text"]: r for r in D.exact_dedup(df, ["text"], ["doc_id"]).collect()}
+    assert out["dup"]["doc_id"] == 1 and out["dup"]["tag"] == "a"  # min doc_id row
+    assert out["dup"]["n_copies"] == 2
+    assert out["uniq"]["n_copies"] == 1
+
+
+def test_minhash_lsh_finds_planted_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    near = base.replace("lazy", "sleepy")  # one token differs
+    far = "completely different content about spark engines and parquet files " * 5
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    grams = docs.select("doc_id", F.explode(D.word_ngrams("text", 3)).alias("g"))
+    sigs = D.minhash_signatures(grams, "doc_id", "g")
+    pairs = D.lsh_candidate_pairs(sigs, "doc_id")
+    verified = D.jaccard_verify(grams, pairs, "doc_id", "g", threshold=0.5).collect()
+    assert [(r["id_a"], r["id_b"]) for r in verified] == [(1, 2)]
+    assert verified[0]["jaccard"] > 0.5
+
+
+def test_simhash_near_dup_closer_than_far(spark):
+    toks = spark.createDataFrame(
+        [(i, w) for i, text in enumerate(
+            ["a b c d e f g h", "a b c d e f g x", "q r s t u v w z"]
+        ) for w in text.split()],
+        "doc_id long, tok string",
+    )
+    sig = {r["doc_id"]: r["simhash"] for r in D.simhash(toks, "doc_id", "tok").collect()}
+    ham = lambda a, b: sum(x != y for x, y in zip(a, b))
+    assert ham(sig[0], sig[1]) < ham(sig[0], sig[2])
+
+
+def test_brute_force_topk_orders_by_cosine(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0]),   # orthogonal
+        (3, [0.7, 0.7, 0.0]),   # diagonal
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = S.brute_force_topk(
+        df.filter(F.col("vec_id") == 0), df, "vec_id", "vec_id", "embedding", "embedding", k=3
+    ).collect()
+    assert [r["cid"] for r in out] == [1, 3, 2]
+    assert math.isclose(out[0]["score"], 0.9 / math.sqrt(0.82), rel_tol=1e-5)
+
+
+def test_lsh_topk_subset_of_bruteforce_universe(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = S.brute_force_topk(q, emb, "vec_id", "vec_id", "embedding", "embedding", k=5)
+    approx = S.lsh_topk(q, emb, "vec_id", "vec_id", "embedding", "embedding", k=5)
+    exact_scores = {(r["qid"], r["cid"]): r["score"] for r in exact.collect()}
+    for r in approx.collect():
+        # every approximate hit is a real corpus vector scored identically
+        key = (r["qid"], r["cid"])
+        if key in exact_scores:
+            assert math.isclose(exact_scores[key], r["score"], rel_tol=1e-9)
+
+
+def test_lang_id_first_wins_ties(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog",), ("el que la de los",), ("zzz qqq",), ("la de el le et",)],
+        "text string",
+    )
+    got = [r[0] for r in df.select(X.lang_id("text")).collect()]
+    assert got[0] == "en"
+    assert got[1] == "es"
+    assert got[2] == "und"
+    # es (la, de, el → 3+) vs fr (le, et, la, des): es wins the tie order
+    assert got[3] in ("es", "fr")
+
+
+def test_quality_stats_values(spark):
+    df = spark.createDataFrame([("the 42 cat",)], "text string")
+    stats = X.quality_stats("text")
+    row = df.select(
+        stats["n_tokens"].alias("nt"),
+        stats["stopword_ratio"].alias("sr"),
+        stats["digit_token_ratio"].alias("dr"),
+        stats["mean_token_len"].alias("ml"),
+    ).collect()[0]
+    assert row["nt"] == 3
+    assert math.isclose(row["sr"], 1 / 3, abs_tol=1e-4)
+    assert math.isclose(row["dr"], 1 / 3, abs_tol=1e-4)
+    assert math.isclose(row["ml"], (3 + 2 + 3) / 3, abs_tol=1e-4)
+
+
+def test_bpe_token_count(spark):
+    df = spark.createDataFrame([("hello, world42!",)], "text string")
+    # [hello][,][world][42][!] = 5
+    assert df.select(X.bpe_token_count("text").alias("n")).collect()[0]["n"] == 5
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [("  Hello   World ",), ("hello world",)], "text string"
+    )
+    fps = [r[0] for r in df.select(X.fingerprint_exact("text")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_multimodal_decode_and_features_deterministic(spark):
+    docs = spark.createDataFrame([(1, "some payload text")], "doc_id long, text string")
+    media = M.wrap_text_as_media(docs, "doc_id", "text")
+    meta = M.decode_image_meta(media).collect()[0]
+    assert meta["decoder"] == "fake-deterministic"
+    assert meta["n_bytes"] == len("some payload text")
+    assert 320 <= meta["width"] <= 320 + 7 * 160
+    feats = M.extract_features(media).collect()[0]["feature"]
+    assert len(feats) == M.FEATURE_DIM
+    assert all(0.0 <= f <= 1.0 for f in feats)
+    # frame sampling is an explicit stub in this environment
+    with pytest.raises(NotImplementedError):
+        M.frame_sample(media)

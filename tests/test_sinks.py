@@ -1,0 +1,57 @@
+"""Sink semantics tests (L2-L5): overwrite snapshot, append+retention with
+partition expiry, audit stamp, surrogate keys."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from msgraphdatapipelines_spark import sinks
+
+
+def test_full_refresh_overwrite(spark, tmp_path):
+    out = str(tmp_path / "snap")
+    df1 = spark.range(100).withColumnRenamed("id", "k")
+    sinks.write_full_refresh(df1, out, sort_by="k")
+    assert spark.read.parquet(out).count() == 100
+    df2 = spark.range(7).withColumnRenamed("id", "k")
+    sinks.write_full_refresh(df2, out)
+    # overwrite ⇒ count equals last batch (SURVEY §5 property check)
+    assert spark.read.parquet(out).count() == 7
+
+
+def test_append_with_retention_drops_old_partitions(spark, tmp_path):
+    out = str(tmp_path / "hist")
+    now = dt.datetime(2024, 6, 1, tzinfo=dt.timezone.utc)
+    old = dt.datetime(2024, 4, 1, tzinfo=dt.timezone.utc)  # 61 days before now
+    df = spark.range(10).withColumnRenamed("id", "k")
+    sinks.write_append_with_retention(df, spark, out, max_age_days=40, now=old)
+    sinks.write_append_with_retention(df, spark, out, max_age_days=40, now=now)
+    kept = spark.read.parquet(out)
+    # the old partition (61 days > 40) was expired; only the new remains
+    assert kept.count() == 10
+    dates = [r["loadDate"] for r in kept.select("loadDate").distinct().collect()]
+    assert dates == [dt.date(2024, 6, 1)]
+
+
+def test_stamp_fixed_and_current(spark):
+    df = spark.range(3)
+    fixed = sinks.stamp(df, at=dt.datetime(2024, 6, 1))
+    vals = {r["timeGenerated"] for r in fixed.collect()}
+    assert vals == {dt.datetime(2024, 6, 1)}
+    live = sinks.stamp(df).collect()
+    assert all(r["timeGenerated"] is not None for r in live)
+
+
+def test_surrogate_key_unique_and_contiguous(spark):
+    df = spark.range(1000).repartition(8)
+    keyed = sinks.with_surrogate_key(df)
+    assert keyed.select("ClusterID").distinct().count() == 1000
+    contig = sinks.with_surrogate_key(df, contiguous=True)
+    ids = sorted(r["ClusterID"] for r in contig.collect())
+    assert ids == list(range(1, 1001))
+
+
+def test_row_count_feedback(spark):
+    assert sinks.row_count(spark.range(42)) == 42

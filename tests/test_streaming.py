@@ -1,0 +1,115 @@
+"""Structured Streaming semantics: watermark late-data drop across
+micro-batches, session windows, tumbling aggregation."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from msgraphdatapipelines_spark import streaming as ST
+
+
+def _write_events(path, rows):
+    """Write an events-shaped parquet file with ns timestamps."""
+    pdf = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[1] for r in rows]),
+            "user_id": [r[2] for r in rows],
+            "event_type": [r[3] for r in rows],
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    )
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("ns")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    pq.write_table(pa.Table.from_pandas(pdf, schema=schema), path)
+
+
+def test_watermark_drops_late_event_across_batches(spark, tmp_path):
+    """A file arriving after the watermark advanced to 12:00−10min carries a
+    10:00 event — late beyond the finalized window — which append output
+    must drop, while its 11:56 event stays pending (window not closed).
+
+    Note on semantics: Spark finalizes+evicts a window once the watermark
+    passes its end; a late row for an already-finalized window is dropped.
+    A row arriving in the *same* batch where the watermark first jumps is
+    still aggregated — hence the explicit two-phase file arrival here."""
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    base = "2024-01-01 "
+    _write_events(
+        str(d / "a_batch1.parquet"),
+        [(1, base + "10:00:00", 1, "x"), (2, base + "12:00:00", 1, "x")],
+    )
+    ev = ST.read_events_stream(spark, str(d), glob="*.parquet")
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    q = agg.writeStream.outputMode("append").format("memory").queryName("wm_test").start()
+    try:
+        q.processAllAvailable()  # batch 1 + no-data batch: watermark → 11:50
+        _write_events(
+            str(d / "b_batch2.parquet"),
+            [(3, base + "10:00:00", 1, "late"), (4, base + "11:56:00", 1, "ontime")],
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    finalized = {
+        (r["window"]["start"].strftime("%H:%M"), r["event_type"]): r["n"]
+        for r in spark.table("wm_test").collect()
+    }
+    # late event (10:00 arriving when watermark is 11:50) dropped:
+    assert ("10:00", "late") not in finalized
+    # batch-1 10:00 event emitted once its window closed:
+    assert finalized.get(("10:00", "x")) == 1
+    # on-time batch-2 event not emitted (window 11:55 not yet past watermark)
+    assert ("11:55", "ontime") not in finalized
+
+
+def test_tumbling_counts_match_batch(spark, sf_dir):
+    """Streaming tumbling agg in complete mode == the batch groupBy."""
+    ev = ST.read_events_stream(spark, sf_dir, glob="events.parquet")
+    agg = ev.groupBy(F.window("ts", "6 hours")).agg(F.count("*").alias("n"))
+    result, _ = ST.run_stream_to_memory(agg, output_mode="complete")
+    stream_total = sum(r["n"] for r in result.collect())
+    from msgraphdatapipelines_spark.queries import load_events
+
+    assert stream_total == load_events(spark, sf_dir).count()
+
+
+def test_session_window_end_is_last_plus_gap(spark):
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10, 0), 1, "a", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 10, 10), 1, "a", 1.0, "{}"),
+        (3, dt.datetime(2024, 1, 1, 12, 0), 1, "a", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = (
+        df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select("session_window.start", "session_window.end", "n")
+        .orderBy("start")
+        .collect()
+    )
+    assert len(out) == 2  # 110-minute gap splits the sessions
+    assert out[0]["n"] == 2
+    assert out[0]["end"] == dt.datetime(2024, 1, 1, 10, 40)  # last + gap
