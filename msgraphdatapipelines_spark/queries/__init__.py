@@ -98,6 +98,7 @@ def _ensure_loaded() -> None:
         graphops,
         multimodal,
         relational,
+        relational2,
         similarity,
         streaming,
         text,

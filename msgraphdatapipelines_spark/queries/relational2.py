@@ -1,0 +1,401 @@
+"""Advanced relational surface: as-of/range joins, grouping sets, exact
+statistics, percentiles, extended window/string/array functions,
+deterministic sampling.
+
+Determinism conventions as in relational.py; variance/correlation use the
+exact-decimal moment formula (n·Σx² − (Σx)² …) instead of streaming
+stddev/corr, whose float accumulation order differs between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import load, load_events, register
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+@register(
+    "asof_join_last_order",
+    oracle="""
+    SELECT event_id, user_id, asof_orderkey FROM (
+        SELECT e.event_id, e.user_id, o.o_orderkey AS asof_orderkey,
+               row_number() OVER (PARTITION BY e.event_id
+                                  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM events e
+        LEFT JOIN orders o
+          ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    ) t
+    WHERE rn = 1 OR asof_orderkey IS NULL
+    """,
+)
+def asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward) join — each event matched to the user's most recent
+    order at-or-before the event time.  Spark lacks a native as-of join; the
+    scale path here is the union-tagged window: tag both streams, one
+    sort-shuffle per key, ``last_value(ignorenulls)`` carries the latest
+    order forward.  O(n log n) single pass — not the O(n·m) inequality join
+    the oracle uses (fine for DuckDB at test scale)."""
+    ev = load_events(spark, sf_dir).select("event_id", "user_id", "ts")
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("t"),
+        F.col("o_orderkey").alias("okey"),
+    )
+    tagged = orders.select(
+        "user_id", "t", F.lit(0).alias("is_event"), "okey", F.lit(None).cast("long").alias("event_id")
+    ).unionByName(
+        ev.select(
+            "user_id",
+            F.col("ts").alias("t"),
+            F.lit(1).alias("is_event"),
+            F.lit(None).cast("long").alias("okey"),
+            "event_id",
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_event", "okey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("asof_orderkey", F.last("okey", ignorenulls=True).over(w))
+        .filter(F.col("is_event") == 1)
+        .select("event_id", "user_id", "asof_orderkey")
+    )
+
+
+@register(
+    "range_join_events_after_order",
+    oracle="""
+    SELECT o.o_orderkey,
+           count(e.event_id) AS n_events_week,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM orders o
+    LEFT JOIN events e
+      ON e.user_id = o.o_custkey
+     AND e.ts >= o.o_orderdate
+     AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+    GROUP BY o.o_orderkey
+    """,
+)
+def range_join_events_after_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join — events in the 7-day window after each order, blocked on
+    the user equi-key so Spark plans a hash join with the range as a post-
+    filter (the scalable shape: pure range joins need bucketized time keys,
+    documented in PERF.md)."""
+    o = load(spark, sf_dir, "orders")
+    e = load_events(spark, sf_dir)
+    cond = (
+        (e.user_id == o.o_custkey)
+        & (e.ts >= o.o_orderdate)
+        & (e.ts < F.col("o_orderdate") + F.expr("INTERVAL 7 DAY"))
+    )
+    return (
+        o.join(e, cond, "left")
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("event_id").alias("n_events_week"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+           count(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping() indicators (beyond
+    rollup/cube) via the SQL API over a temp view."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+               CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+               count(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "exact_moments_stats",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               count(*) AS n,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+               SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+               SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))), 4) AS stddev_qty,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4)
+               AS corr_qty_price
+    FROM s
+    """,
+)
+def exact_moments_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample stddev and Pearson correlation from exact decimal moments —
+    the cross-engine-deterministic formulation of stddev()/corr() (their
+    streaming float accumulators are order-dependent).  Single aggregation,
+    map-side partials, same cost as the built-ins."""
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y).alias("sy"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sxx = F.col("sx").cast("double"), F.col("sxx").cast("double")
+    sy, syy = F.col("sy").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(F.sqrt((nd * sxx - sx * sx) / (nd * (nd - F.lit(1.0)))), 4).alias("stddev_qty"),
+        F.round(
+            (nd * sxy - sx * sy) / (F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)), 4
+        ).alias("corr_qty_price"),
+    )
+
+
+@register(
+    "percentiles_by_segment",
+    oracle="""
+    SELECT c_mktsegment,
+           round(quantile_cont(c_acctbal, 0.5), 4) AS median_bal,
+           round(quantile_cont(c_acctbal, 0.9), 4) AS p90_bal,
+           round(CAST(quantile_disc(c_acctbal, 0.5) AS DOUBLE), 4) AS median_disc
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (continuous + discrete) per group.  Exact
+    ``percentile`` needs a sort per group — at 100 TB prefer
+    ``approx_percentile`` (t-digest, one pass); see approx_distinct_stats."""
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.round(F.expr("percentile(c_acctbal, 0.5)"), 4).alias("median_bal"),
+        F.round(F.expr("percentile(c_acctbal, 0.9)"), 4).alias("p90_bal"),
+        F.round(F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY c_acctbal)").cast("double"), 4).alias(
+            "median_disc"
+        ),
+    )
+
+
+@register(
+    "window_rank_battery",
+    oracle="""
+    SELECT s_suppkey, s_nationkey, s_acctbal,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           round(percent_rank() OVER w, 6) AS prank,
+           round(cume_dist() OVER w, 6) AS cdist,
+           first_value(s_suppkey) OVER w AS top_supp
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+    """,
+)
+def window_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile / percent_rank / cume_dist / first_value in
+    one window — the full ranking-function battery."""
+    w = Window.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_nationkey",
+        "s_acctbal",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.first("s_suppkey").over(w).alias("top_supp"),
+    )
+
+
+@register(
+    "string_battery",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+           split_part(p_type, ' ', 1) AS type_head,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+           translate(p_brand, '#', '-') AS brand_dash,
+           reverse(p_brand) AS brand_rev,
+           repeat(left(p_name, 2), 2) AS name_echo,
+           CAST(levenshtein(p_brand, 'Brand#1') AS BIGINT) AS lev_to_b1,
+           CAST(contains(p_type, 'a') AS BOOLEAN) AS has_a,
+           CAST(starts_with(p_name, 'a') AS BOOLEAN) AS starts_a
+    FROM part
+    """,
+)
+def string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended string functions: regexp_extract, split_part, pad,
+    translate, reverse, repeat, levenshtein, predicates."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.translate("p_brand", "#", "-").alias("brand_dash"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.repeat(F.substring("p_name", 1, 2), 2).alias("name_echo"),
+        F.levenshtein("p_brand", F.lit("Brand#1")).cast("long").alias("lev_to_b1"),
+        F.col("p_type").contains("a").alias("has_a"),
+        F.col("p_name").startswith("a").alias("starts_a"),
+    )
+
+
+@register(
+    "array_set_ops_per_order",
+    oracle="""
+    WITH early AS (
+        SELECT l_orderkey, l_partkey FROM lineitem WHERE l_linenumber <= 3 GROUP BY 1, 2
+    ),
+    late AS (
+        SELECT l_orderkey, l_partkey FROM lineitem WHERE l_linenumber > 3 GROUP BY 1, 2
+    ),
+    u AS (
+        SELECT l_orderkey, count(*) AS n_union FROM
+            (SELECT * FROM early UNION SELECT * FROM late) GROUP BY 1
+    ),
+    i AS (
+        SELECT e.l_orderkey, count(*) AS n_common
+        FROM early e JOIN late l ON e.l_orderkey = l.l_orderkey AND e.l_partkey = l.l_partkey
+        GROUP BY 1
+    )
+    SELECT u.l_orderkey, u.n_union,
+           coalesce(i.n_common, 0) AS n_common
+    FROM u LEFT JOIN i ON u.l_orderkey = i.l_orderkey
+    """,
+)
+def array_set_ops_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra (array_union / array_intersect / array_distinct)
+    per order, array-native — the oracle does the same with relational set
+    ops.  The arrays stay per-row (narrow after one groupBy)."""
+    li = load(spark, sf_dir, "lineitem")
+    nested = li.groupBy("l_orderkey").agg(
+        F.collect_set(F.when(F.col("l_linenumber") <= 3, F.col("l_partkey"))).alias("early"),
+        F.collect_set(F.when(F.col("l_linenumber") > 3, F.col("l_partkey"))).alias("late"),
+    )
+    return nested.select(
+        "l_orderkey",
+        F.size(F.array_union("early", "late")).cast("long").alias("n_union"),
+        F.size(F.array_intersect("early", "late")).cast("long").alias("n_common"),
+    )
+
+
+@register(
+    "conditional_aggregates",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT) AS n_big,
+           bool_or(o_orderstatus = 'F') AS any_f,
+           bool_and(o_totalprice > 0) AS all_positive,
+           CAST(max(CASE WHEN o_orderstatus = 'O' THEN o_orderkey END) AS BIGINT) AS max_open_key
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count_if / bool_or / bool_and / conditional max."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_f"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.max(F.when(F.col("o_orderstatus") == "O", F.col("o_orderkey"))).alias("max_open_key"),
+    )
+
+
+@register(
+    "null_handling",
+    oracle="""
+    SELECT c_custkey,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+           CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal_nonneg,
+           coalesce(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, 0.0) AS bal_filled,
+           (c_acctbal IS NULL) AS bal_is_null
+    FROM customer
+    """,
+)
+def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL normalization battery (T7 generalized): nullif/coalesce/is-null."""
+    c = load(spark, sf_dir, "customer")
+    bal_nonneg = F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(F.col("c_acctbal"))
+    return c.select(
+        "c_custkey",
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "seg_or_other"
+        ),
+        bal_nonneg.alias("bal_nonneg"),
+        F.coalesce(bal_nonneg, F.lit(0.0)).alias("bal_filled"),
+        F.col("c_acctbal").isNull().alias("bal_is_null"),
+    )
+
+
+@register(
+    "deterministic_sample",
+    oracle="""
+    SELECT count(*) AS n_sampled,
+           count(DISTINCT o_custkey) AS n_cust,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '1a'
+    """,
+)
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% deterministic hash sample (md5-prefix predicate) — reproducible
+    across engines and runs, unlike TABLESAMPLE; the idiom for sampled
+    profiling jobs on a 100 TB table (predicate evaluates in the scan)."""
+    o = load(spark, sf_dir, "orders")
+    sampled = o.filter(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2) < "1a")
+    return sampled.agg(
+        F.count("*").alias("n_sampled"),
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+    )
+
+
+@register("approx_distinct_stats", oracle=None)
+def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HLL count-distinct, t-digest percentile) —
+    the one-pass sketches that replace exact distinct/percentile at 100 TB.
+    No oracle: sketch outputs are engine-specific (FIXTURES.md §C); the
+    driver records the rows-only check.  pytest bounds the HLL error vs the
+    exact count instead."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_cust"),
+        F.countDistinct("o_custkey").alias("exact_cust"),
+        F.percentile_approx("o_totalprice", 0.5, 1000).alias("approx_median_price"),
+    )

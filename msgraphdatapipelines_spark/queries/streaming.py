@@ -102,6 +102,28 @@ def stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stateful_first_seen",
+    oracle="""
+    SELECT user_id, event_type, min(event_id) AS first_event_id
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def stream_stateful_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): streaming
+    first-occurrence dedup keyed by (user_id, event_type) — Arrow-batched
+    per-key state, emit-on-improvement.  Batch-min makes the result row-order
+    independent, so the single-batch run equals the GROUP BY min oracle."""
+    from . import _harden
+    from ..streaming.stateful import first_seen_dedup
+
+    _harden(spark)
+    ev = ST.read_events_stream(spark, sf_dir, glob="events.parquet")
+    result, _ = ST.run_stream_to_memory(first_seen_dedup(ev), output_mode="update")
+    return result
+
+
+@register(
     "stream_session_windows",
     oracle="""
     WITH ordered AS (

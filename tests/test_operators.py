@@ -128,6 +128,15 @@ def test_fingerprint_normalization(spark):
     assert fps[0] == fps[1]
 
 
+def test_approx_count_distinct_error_bounded(spark, sf_dir):
+    """HLL sketch has no cross-engine oracle; bound its error vs exact
+    instead (rsd=0.02 → generous 10% assertion band)."""
+    from msgraphdatapipelines_spark.queries.relational2 import approx_distinct_stats
+
+    for r in approx_distinct_stats(spark, sf_dir).collect():
+        assert abs(r["approx_cust"] - r["exact_cust"]) <= max(5, 0.1 * r["exact_cust"])
+
+
 def test_multimodal_decode_and_features_deterministic(spark):
     docs = spark.createDataFrame([(1, "some payload text")], "doc_id long, text string")
     media = M.wrap_text_as_media(docs, "doc_id", "text")
