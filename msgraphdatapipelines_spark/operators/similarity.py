@@ -101,6 +101,22 @@ def _plane_weight(p: int, d: int) -> float:
     return 1.0 if int(h[d % 32], 16) % 2 == 1 else -1.0
 
 
+def flip_bit_buckets(bucket: Column, num_planes: int) -> Column:
+    """Multi-probe bucket set: the bucket itself plus every 1-bit flip.
+
+    Raises recall from ~p^planes to covering all near-boundary planes at the
+    cost of (planes+1)× candidate lookups — still ~2^planes cheaper than
+    brute force.
+    """
+    variants = [bucket]
+    for p in range(num_planes):
+        flipped = F.when(F.substring(bucket, p + 1, 1) == "1", F.lit("0")).otherwise(F.lit("1"))
+        variants.append(
+            F.concat(F.substring(bucket, 1, p), flipped, F.substring(bucket, p + 2, num_planes))
+        )
+    return F.array(*variants)
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -111,17 +127,22 @@ def lsh_topk(
     k: int = 5,
     num_planes: int = 8,
     dim: int = 64,
+    multi_probe: bool = False,
 ) -> DataFrame:
-    """Approximate top-k: score only corpus vectors in the query's LSH bucket.
+    """Approximate top-k: score only corpus vectors in the query's LSH bucket
+    (``multi_probe=True`` also probes every 1-bit-flip neighbor bucket).
 
     Bucketing is a narrow map on both sides; the join shuffles on the bucket
     key only.  Output schema matches brute_force_topk (+ recall measurable by
     joining the two).
     """
+    qb = hyperplane_bucket(F.col(vec_q), num_planes, dim)
     q = queries.select(
         F.col(id_q).alias("qid"),
         F.col(vec_q).cast("array<double>").alias("qv"),
-        hyperplane_bucket(F.col(vec_q), num_planes, dim).alias("bucket"),
+        (
+            F.explode(flip_bit_buckets(qb, num_planes)) if multi_probe else qb
+        ).alias("bucket"),
     )
     c = corpus.select(
         F.col(id_c).alias("cid"),

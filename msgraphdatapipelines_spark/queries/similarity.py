@@ -64,6 +64,54 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _probe_buckets_sql(bexpr: str, num_planes: int = 8) -> str:
+    """The bucket + every 1-bit flip, as a SQL list — mirrors
+    operators.similarity.flip_bit_buckets."""
+    variants = [bexpr]
+    for p in range(num_planes):
+        flip = f"(CASE substr({bexpr}, {p + 1}, 1) WHEN '1' THEN '0' ELSE '1' END)"
+        variants.append(f"substr({bexpr}, 1, {p}) || {flip} || substr({bexpr}, {p + 2})")
+    return "[" + ", ".join(variants) + "]"
+
+
+@register(
+    "ann_lsh_multiprobe_topk",
+    oracle=f"""
+    WITH qb AS (SELECT vec_id AS qid, embedding AS qv,
+                       {_bucket_expr('embedding')} AS bucket
+                FROM embeddings WHERE vec_id < {N_QUERIES}),
+    q AS (SELECT qid, qv, unnest({_probe_buckets_sql('bucket')}) AS bucket FROM qb),
+    c AS (SELECT vec_id AS cid, embedding AS cv, {_bucket_expr('embedding')} AS bucket
+          FROM embeddings),
+    scored AS (
+        SELECT qid, cid, {_cos('qv', 'cv')} AS score
+        FROM q JOIN c ON q.bucket = c.bucket AND qid <> cid
+    )
+    SELECT qid, cid, round(score, 6) AS score, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn
+          FROM scored) t
+    WHERE rn <= {K}
+    """,
+)
+def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-k: each query probes its bucket plus all 1-bit
+    flips (9 lookups for 8 planes) — the standard recall fix when similarity
+    structure is weak, still ~2^planes cheaper than brute force."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.lsh_topk(
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        emb,
+        "vec_id",
+        "vec_id",
+        "embedding",
+        "embedding",
+        k=K,
+        num_planes=8,
+        dim=DIM,
+        multi_probe=True,
+    )
+
+
 @register(
     "ann_lsh_topk",
     oracle=f"""

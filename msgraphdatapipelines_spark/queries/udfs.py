@@ -1,0 +1,89 @@
+"""UDF/UDAF surface (SURVEY.md §2.5): Arrow-vectorized scalar Pandas UDF
+and a grouped-map (applyInPandas) aggregation — the sanctioned Python
+escape hatches.  Both are deterministic, so even the Python paths get
+DuckDB oracles.
+
+The row-at-a-time ``F.udf`` is deliberately absent from the engine: at
+100 TB the serde cost is prohibitive (PERF.md); anything expressible as a
+Column expression stays JVM-side, and genuine Python work goes through
+Arrow batches like these.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from . import load, register
+
+
+@pandas_udf(T.StringType())
+def _clean_text(s: pd.Series) -> pd.Series:
+    """Vectorized normalization: lowercase, strip non-alphanumerics to
+    spaces, collapse runs — one Arrow batch per task, no per-row serde."""
+    return s.str.lower().str.replace(r"[^a-z0-9]+", " ", regex=True).str.strip()
+
+
+@register(
+    "udf_vectorized_clean",
+    oracle="""
+    SELECT p_partkey,
+           trim(regexp_replace(lower(p_name || ' ' || p_brand), '[^a-z0-9]+', ' ', 'g'))
+               AS clean_name
+    FROM part
+    """,
+)
+def udf_vectorized_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar Pandas UDF (Arrow-batched) text normalization; oracle mirrors
+    it with regexp_replace."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        _clean_text(F.concat_ws(" ", "p_name", "p_brand")).alias("clean_name"),
+    )
+
+
+_MAD_SCHEMA = "c_mktsegment string, n bigint, median_bal double, mad_bal double"
+
+
+def _mad(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Median absolute deviation per group — a UDAF shape no built-in
+    aggregate covers in one pass.  numpy median matches quantile_cont(0.5)
+    interpolation ((a+b)/2 at even counts), keeping the oracle exact."""
+    bal = pdf["c_acctbal"]
+    med = bal.median()
+    return pd.DataFrame(
+        {
+            "c_mktsegment": [pdf["c_mktsegment"].iloc[0]],
+            "n": [len(pdf)],
+            "median_bal": [round(med, 4)],
+            "mad_bal": [round((bal - med).abs().median(), 4)],
+        }
+    )
+
+
+@register(
+    "udaf_grouped_mad",
+    oracle="""
+    WITH med AS (
+        SELECT c_mktsegment, median(c_acctbal) AS m
+        FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c.c_mktsegment,
+           count(*) AS n,
+           round(any_value(med.m), 4) AS median_bal,
+           round(median(abs(c.c_acctbal - med.m)), 4) AS mad_bal
+    FROM customer c JOIN med ON c.c_mktsegment = med.c_mktsegment
+    GROUP BY c.c_mktsegment
+    """,
+)
+def udaf_grouped_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map UDAF via applyInPandas: per-segment median absolute
+    deviation.  One shuffle on the group key; each group lands as a single
+    Arrow batch (fine for bounded groups — for giant groups pre-aggregate
+    or sketch instead, PERF.md)."""
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").applyInPandas(_mad, _MAD_SCHEMA)

@@ -1,0 +1,59 @@
+"""File-format round trips (S7/L8) and skew-salting equivalence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from msgraphdatapipelines_spark.operators import skew
+from msgraphdatapipelines_spark.sources import files
+
+
+def test_csv_json_orc_round_trips(spark, sf_dir, tmp_path):
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    schema = nation.schema
+    expected = sorted(tuple(r) for r in nation.collect())
+
+    files.write_csv(nation, str(tmp_path / "n_csv"))
+    got = files.read_csv(spark, str(tmp_path / "n_csv"), schema)
+    assert sorted(tuple(r) for r in got.collect()) == expected
+
+    files.write_json(nation, str(tmp_path / "n_json"))
+    got = files.read_json(spark, str(tmp_path / "n_json"), schema)
+    assert sorted(tuple(r) for r in got.collect()) == expected
+
+    files.write_orc(nation, str(tmp_path / "n_orc"))
+    got = files.read_orc(spark, str(tmp_path / "n_orc"))
+    assert sorted(tuple(r) for r in got.collect()) == expected
+
+
+def test_json_schema_superset_tolerance(spark, tmp_path):
+    """Extra JSON fields dropped, missing fields NULL (SURVEY §1.2)."""
+    p = tmp_path / "recs.json"
+    p.write_text('{"a": 1, "zzz": true}\n{"a": 2, "b": "x"}\n')
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("b", T.StringType())]
+    )
+    rows = {r["a"]: r for r in files.read_json(spark, str(p), schema).collect()}
+    assert rows[1]["b"] is None
+    assert rows[2]["b"] == "x"
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting redistributes the hot key without changing the result."""
+    left = spark.createDataFrame(
+        [(1, f"v{i}") for i in range(500)] + [(2, "rare")], "k int, payload string"
+    )  # key 1 is hot: 500 of 501 rows
+    right = spark.createDataFrame([(1, "one"), (2, "two"), (3, "three")], "k int, name string")
+    plain = sorted(tuple(r) for r in left.join(right, "k").collect())
+    salted = sorted(
+        tuple(r) for r in skew.salted_join(left, right, "k", salts=4).select("k", "payload", "name").collect()
+    )
+    assert salted == plain
+
+
+def test_salted_groupby_count(spark):
+    df = spark.createDataFrame([(1,)] * 100 + [(2,)] * 3, "k int")
+    got = {r["k"]: r["n"] for r in skew.salted_groupby_count(df, "k", salts=4).collect()}
+    assert got == {1: 100, 2: 3}
