@@ -57,14 +57,23 @@ def brute_force_topk(
     corpus row, keep k per query with a ranking window partitioned by the
     query id.  Output: (id_q, id_c, score, rank).
     """
+    # norms are precomputed once per row (narrow map) — scoring each pair
+    # then costs one dot, not three; values are bit-identical to the
+    # per-pair recomputation since sqrt∘seq_dot is deterministic per row
+    qv = F.col(vec_q).cast("array<double>")
+    cv = F.col(vec_c).cast("array<double>")
     q = F.broadcast(
-        queries.select(F.col(id_q).alias("qid"), F.col(vec_q).cast("array<double>").alias("qv"))
+        queries.select(
+            F.col(id_q).alias("qid"), qv.alias("qv"), F.sqrt(seq_dot(qv, qv)).alias("qn")
+        )
     )
-    c = corpus.select(F.col(id_c).alias("cid"), F.col(vec_c).cast("array<double>").alias("cv"))
+    c = corpus.select(
+        F.col(id_c).alias("cid"), cv.alias("cv"), F.sqrt(seq_dot(cv, cv)).alias("cn")
+    )
     scored = (
         q.crossJoin(c)
         .filter(F.col("qid") != F.col("cid"))
-        .withColumn("score", cosine_seq(F.col("qv"), F.col("cv")))
+        .withColumn("score", seq_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
     return (
@@ -137,23 +146,27 @@ def lsh_topk(
     joining the two).
     """
     qb = hyperplane_bucket(F.col(vec_q), num_planes, dim)
+    qv = F.col(vec_q).cast("array<double>")
+    cv = F.col(vec_c).cast("array<double>")
     q = queries.select(
         F.col(id_q).alias("qid"),
-        F.col(vec_q).cast("array<double>").alias("qv"),
+        qv.alias("qv"),
+        F.sqrt(seq_dot(qv, qv)).alias("qn"),
         (
             F.explode(flip_bit_buckets(qb, num_planes)) if multi_probe else qb
         ).alias("bucket"),
     )
     c = corpus.select(
         F.col(id_c).alias("cid"),
-        F.col(vec_c).cast("array<double>").alias("cv"),
+        cv.alias("cv"),
+        F.sqrt(seq_dot(cv, cv)).alias("cn"),
         hyperplane_bucket(F.col(vec_c), num_planes, dim).alias("bucket"),
     )
     scored = (
         F.broadcast(q)
         .join(c, "bucket")
         .filter(F.col("qid") != F.col("cid"))
-        .withColumn("score", cosine_seq(F.col("qv"), F.col("cv")))
+        .withColumn("score", seq_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
     return (

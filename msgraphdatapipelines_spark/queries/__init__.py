@@ -102,6 +102,7 @@ def _ensure_loaded() -> None:
         similarity,
         streaming,
         text,
+        tpch,
         udfs,
     )
 

@@ -230,16 +230,25 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Blocking bounds the pair count (the all-pairs cross join would be n²);
     at 100 TB the blocking key is an LSH bucket (see similarity.lsh_topk) —
     label stands in here to keep the oracle expressible."""
-    from ..operators.similarity import cosine_seq
+    from ..operators.similarity import seq_dot
 
+    v = F.col("embedding").cast("array<double>")
+    # per-row norm precomputed (narrow map): pair scoring costs one dot
     emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+        "vec_id", "label", v.alias("v"), F.sqrt(seq_dot(v, v)).alias("n")
     )
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("label").alias("la"), F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("label").alias("lb"), F.col("v").alias("vb"))
-    cos = cosine_seq(F.col("va"), F.col("vb"))
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("label").alias("la"),
+        F.col("v").alias("va"), F.col("n").alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("label").alias("lb"),
+        F.col("v").alias("vb"), F.col("n").alias("nb"),
+    )
+    cos = seq_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, (F.col("la") == F.col("lb")) & (F.col("id_a") < F.col("id_b")))
-        .filter(cos >= 0.4)
-        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .withColumn("_cos", cos)  # materialize once; filter + round reference it
+        .filter(F.col("_cos") >= 0.4)
+        .select("id_a", "id_b", F.round("_cos", 6).alias("cosine"))
     )

@@ -121,6 +121,55 @@ def row_count(df: DataFrame) -> int:
     return df.count()
 
 
+def upsert_snapshot(existing: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
+    """SCD1 upsert without MERGE INTO (no Delta in this environment):
+    updates ∪ (existing ⟕anti updates) — new rows replace matching keys,
+    unmatched history is preserved.
+
+    The anti-join shuffles both sides on the key once; with the warehouse
+    bucketed on the key (L6 analog) the existing side's shuffle disappears.
+    This generalizes the reference's full-refresh (L2) to keyed refresh —
+    what `Prepare-SQLDatabase.sql`'s DELETE+INSERT would become with a
+    business-key match instead of a truncate.
+    """
+    survivors = existing.join(updates.select(*keys), keys, "left_anti")
+    return updates.unionByName(survivors)
+
+
+def write_rest_batched(
+    df: DataFrame,
+    endpoint: str,
+    poster,
+    batch_size: int = 500,
+) -> int:
+    """L8 — batched REST post sink (the Log Analytics-workspace analog the
+    reference README names, `README.md:3`; no code exists in the snapshot).
+
+    Rows serialize to JSON batches per partition and post via ``poster``
+    (injectable: tests collect, production POSTs with auth).  Work happens
+    on executors — the driver never materializes the data; returns the
+    number of batches posted (via a collected per-partition count, bounded
+    by partition count not row count).
+    """
+    import json as _json
+
+    def post_partition(rows):
+        batch, n = [], 0
+        for row in rows:
+            batch.append(row.asDict(recursive=True))
+            if len(batch) >= batch_size:
+                poster(endpoint, _json.dumps(batch, default=str))
+                n += 1
+                batch = []
+        if batch:
+            poster(endpoint, _json.dumps(batch, default=str))
+            n += 1
+        yield n
+
+    counts = df.rdd.mapPartitions(post_partition).collect()
+    return sum(counts)
+
+
 def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "overwrite", **options) -> None:
     """L1 — bulk relational load (reference TVP stored-proc path,
     `Invoke…ps1:310-333`).  JDBC writer batches rows (`batchsize`), the

@@ -86,18 +86,55 @@ def http_fetcher(url: str, token: str | None = None, timeout: float = 60.0) -> s
         raise
 
 
-def build_url(base: str, select: list[str] | None = None, filter: str | None = None) -> str:
-    """Append OData query options — P1 ($select) / P2 ($filter) pushdown,
-    mirroring the reference's URL builder (`Invoke…ps1:58-69`)."""
+def build_url(
+    base: str,
+    select: list[str] | None = None,
+    filter: str | None = None,
+    expand: str | None = None,
+) -> str:
+    """Append OData query options — P1 ($select) / P2 ($filter) pushdown and
+    P3 ($expand, server-side relationship join), mirroring the reference's
+    URL builder (`Invoke…ps1:58-80`)."""
     opts = {}
     if select:
         opts["$select"] = ",".join(select)
     if filter:
         opts["$filter"] = filter
+    if expand:
+        opts["$expand"] = expand
     if not opts:
         return base
     sep = "&" if "?" in base else "?"
     return base + sep + urllib.parse.urlencode(opts)
+
+
+class TokenProvider:
+    """S6 — credential acquisition with a retry budget (reference:
+    managed-identity token, ≤5 tries × 10 s sleep, cached per run —
+    `Invoke…ps1:95-117,248-252`).
+
+    ``acquire`` is injectable (tests use a counter; production supplies the
+    real identity-endpoint call).  The token is cached until ``invalidate``.
+    """
+
+    def __init__(
+        self,
+        acquire: Callable[[], str],
+        retry: RetryPolicy | None = None,
+        sleeper: Callable[[float], None] = time.sleep,
+    ):
+        self._acquire = acquire
+        self._retry = retry or RetryPolicy(max_retries=5, sleep_s=10.0)
+        self._sleeper = sleeper
+        self._token: str | None = None
+
+    def token(self) -> str:
+        if self._token is None:
+            self._token = self._retry.run(self._acquire, self._sleeper)
+        return self._token
+
+    def invalidate(self) -> None:
+        self._token = None
 
 
 def fetch_pages(

@@ -55,3 +55,17 @@ def test_surrogate_key_unique_and_contiguous(spark):
 
 def test_row_count_feedback(spark):
     assert sinks.row_count(spark.range(42)) == 42
+
+
+def test_upsert_snapshot_scd1(spark):
+    existing = spark.createDataFrame(
+        [(1, "old-a", 10.0), (2, "old-b", 20.0), (3, "old-c", 30.0)], "id long, v string, x double"
+    )
+    updates = spark.createDataFrame(
+        [(2, "NEW-b", 21.0), (4, "NEW-d", 40.0)], "id long, v string, x double"
+    )
+    got = {r["id"]: r for r in sinks.upsert_snapshot(existing, updates, ["id"]).collect()}
+    assert len(got) == 4
+    assert got[2]["v"] == "NEW-b"  # matched key replaced
+    assert got[1]["v"] == "old-a"  # unmatched history preserved
+    assert got[4]["v"] == "NEW-d"  # new key inserted
