@@ -88,13 +88,25 @@ def array_first_field(
 
 
 def explode_array(
-    df: DataFrame, array_col: str, keep: list[str] | None = None, outer: bool = False
+    df: DataFrame,
+    array_col: str,
+    keep: list[str] | None = None,
+    outer: bool = False,
+    element_name: str | None = None,
 ) -> DataFrame:
     """Relational flatten — one output row per array element (§2.5).
 
     ``outer=True`` keeps rows whose array is NULL/empty (element NULL),
-    which is what retention-style audits need.
+    which is what retention-style audits need.  The element column is named
+    ``element_name`` when given; otherwise a single plural 's' is stripped
+    ('items'→'item') — but never a trailing 'ss' ('address' stays intact;
+    the old rstrip mangled every trailing s: 'buses'→'bu').
     """
     ex = F.explode_outer(array_col) if outer else F.explode(array_col)
     cols = [F.col(c) for c in (keep or [c for c in df.columns if c != array_col])]
-    return df.select(*cols, ex.alias(array_col.rstrip("s") or array_col))
+    element = element_name or (
+        array_col.removesuffix("s")
+        if array_col.endswith("s") and not array_col.endswith("ss")
+        else array_col
+    )
+    return df.select(*cols, ex.alias(element or array_col))

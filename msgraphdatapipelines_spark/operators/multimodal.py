@@ -135,11 +135,58 @@ def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     return df.mapInPandas(batches, FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("frame_sha256", T.StringType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+    ]
+)
+
+# fake codec's fixed parameters: one frame per 64 payload bytes at 10 fps
+FRAME_CHUNK_BYTES = 64
+FRAME_MS = 100
+
+
 def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame sampling — NOT IMPLEMENTED in this environment (no codec
-    libraries).  The signature and output schema are the contract a real
-    implementation fills in."""
-    raise NotImplementedError(
-        "frame_sample requires a video codec library absent from this "
-        "environment; see module docstring for the intended contract"
-    )
+    """Video frame sampling via Arrow-batched ``mapInPandas``: emit every
+    ``every_n``-th frame's (index, timestamp, content hash, dimensions).
+
+    STUB codec (container has no PyAV/ffmpeg): the deterministic fake
+    treats the payload as a video of ``ceil(n_bytes / 64)`` frames at
+    10 fps; a frame's content hash is the sha256 hash chain
+    ``sha256(sha256hex(payload) + '|' + str(idx))`` and its dimensions come
+    from ``_fake_dims`` of that digest — the same convention as
+    ``decode_image_meta``, so the whole operator is value-checkable
+    cross-engine.  The Spark-side contract a real codec drops into is real:
+    one input row fans out to ~n_frames/every_n output rows inside the
+    Arrow batch (no explode shuffle), payloads stay opaque and
+    executor-side.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "media_id": [], "frame_idx": [], "ts_ms": [],
+                "frame_sha256": [], "width": [], "height": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                full_hex = hashlib.sha256(b).hexdigest()
+                n_frames = max(1, -(-len(b) // FRAME_CHUNK_BYTES))
+                for idx in range(0, n_frames, every_n):
+                    fd = hashlib.sha256(f"{full_hex}|{idx}".encode())
+                    digest = fd.digest()
+                    w, h = _fake_dims(digest)
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(idx)
+                    out["ts_ms"].append(idx * FRAME_MS)
+                    out["frame_sha256"].append(fd.hexdigest())
+                    out["width"].append(w)
+                    out["height"].append(h)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, FRAME_SCHEMA)

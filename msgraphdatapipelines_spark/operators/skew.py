@@ -14,6 +14,18 @@ from pyspark.sql import functions as F
 
 SALT = "_salt"
 
+# join types where replicating `other` salts× cannot duplicate output rows:
+# every output row still matches exactly one (key, salt) pair on the left.
+# right/full would emit each unmatched right row salts× — rejected below.
+_SALT_SAFE_JOINS = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+
+
+def _row_salt(salts: int) -> Column:
+    """Per-row salt independent of row content: identical duplicate rows of a
+    hot key must still spread across partitions (a content hash would send
+    all copies to one salt — common in dedup workloads)."""
+    return F.pmod(F.monotonically_increasing_id(), F.lit(salts)).cast("int")
+
 
 def salted_join(
     skewed: DataFrame,
@@ -24,15 +36,21 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join where ``skewed``'s hot keys overwhelm single partitions.
 
-    The skewed side gets a deterministic per-row salt (hash of all columns
-    mod ``salts``); the other side is replicated ``salts``× via explode.
-    The shuffle key becomes (key, salt) so a hot key spreads over ``salts``
-    partitions.  Cost: other side × salts — use only when 'other' is modest
-    but above the broadcast threshold.
+    The skewed side gets a per-row salt; the other side is replicated
+    ``salts``× via explode.  The shuffle key becomes (key, salt) so a hot
+    key spreads over ``salts`` partitions.  Cost: other side × salts — use
+    only when 'other' is modest but above the broadcast threshold.
+
+    Only left-preserving join types are accepted: with how='right'/'full'
+    every unmatched right row would surface once per replica (salts×
+    duplicates).
     """
-    salted_l = skewed.withColumn(
-        SALT, F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(salts)).cast("int")
-    )
+    if how not in _SALT_SAFE_JOINS:
+        raise ValueError(
+            f"salted_join supports {sorted(_SALT_SAFE_JOINS)}; got how={how!r} "
+            "(right/full would duplicate unmatched rows of the replicated side)"
+        )
+    salted_l = skewed.withColumn(SALT, _row_salt(salts))
     replicated_r = other.withColumn(
         SALT, F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
     )
@@ -46,8 +64,6 @@ def salted_groupby_count(df: DataFrame, key: str, salts: int = 8) -> DataFrame:
     ``salts`` tasks in phase 1.  (Spark's hash aggregate already does
     map-side partials; explicit salting matters for high-cardinality
     payload aggs like collect_list where partials can't combine.)"""
-    salted = df.withColumn(
-        SALT, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salts)).cast("int")
-    )
+    salted = df.withColumn(SALT, _row_salt(salts))
     partial = salted.groupBy(key, SALT).agg(F.count("*").alias("_n"))
     return partial.groupBy(key).agg(F.sum("_n").alias("n"))

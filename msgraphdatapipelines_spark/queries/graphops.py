@@ -22,58 +22,47 @@ from . import load, register
 
 
 @register(
-    "graph_flatten_struct",
-    oracle="""
-    SELECT o_orderkey,
-           o_orderstatus AS status,
-           o_orderpriority AS priority,
-           CAST(length(o_orderpriority) AS BIGINT) AS priority_len
-    FROM orders
-    """,
-)
-def graph_flatten_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T1/T3 — struct-field lift (`Invoke…ps1:214-221` health-state flatten,
-    `Export…ps1:224-232` actor flatten): nest two columns into a struct, then
-    flatten with casts through ``operators.flatten.flatten_struct``.
-    Catalyst collapses the nest+lift to a plain projection — zero overhead."""
-    o = load(spark, sf_dir, "orders").withColumn(
-        "meta", F.struct(F.col("o_orderstatus").alias("st"), F.col("o_orderpriority").alias("pr"))
-    )
-    flat = flatten.flatten_struct(
-        o,
-        "meta",
-        {"status": ("st", None), "priority": ("pr", None)},
-    )
-    return flat.select(
-        "o_orderkey",
-        "status",
-        "priority",
-        F.length("priority").cast("long").alias("priority_len"),
-    )
-
-
-@register(
     "graph_argmax_lines",
     oracle="""
-    SELECT l_orderkey,
-           l_partkey AS latest_partkey,
-           l_quantity AS latest_qty,
-           strftime(l_shipdate, '%Y-%m-%d') AS latest_ship_day
-    FROM (
-        SELECT *, row_number() OVER (PARTITION BY l_orderkey
-                                     ORDER BY l_shipdate DESC, l_linenumber DESC,
-                                              l_partkey DESC) AS rn
-        FROM lineitem
-    ) t
-    WHERE rn = 1
+    WITH latest AS (
+        SELECT l_orderkey,
+               l_partkey AS latest_partkey,
+               l_quantity AS latest_qty,
+               strftime(l_shipdate, '%Y-%m-%d') AS latest_ship_day
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY l_orderkey
+                                         ORDER BY l_shipdate DESC, l_linenumber DESC,
+                                                  l_partkey DESC) AS rn
+            FROM lineitem
+        ) t
+        WHERE rn = 1
+    ),
+    firsts AS (
+        SELECT l_orderkey,
+               l_partkey AS first_partkey,
+               CAST(n_lines AS BIGINT) AS n_lines
+        FROM (
+            SELECT l_orderkey, l_partkey,
+                   row_number() OVER (PARTITION BY l_orderkey
+                                      ORDER BY l_linenumber, l_partkey) AS rn,
+                   count(*) OVER (PARTITION BY l_orderkey) AS n_lines
+            FROM lineitem
+        ) t
+        WHERE rn = 1
+    )
+    SELECT latest.l_orderkey, latest_partkey, latest_qty, latest_ship_day,
+           first_partkey, n_lines
+    FROM latest JOIN firsts ON latest.l_orderkey = firsts.l_orderkey
     """,
 )
 def graph_argmax_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T2 — per-row argmax over a nested array (`usersLoggedOn | Sort … |
-    Select -first 1`, `Invoke…ps1:223-229`): nest lineitems per order into an
-    array of structs, then take the latest element array-natively
-    (``array_sort`` + comparator + ``element_at`` — a narrow op, no second
-    shuffle after the build)."""
+    """T2 + T4 — per-row argmax AND first-element projection over one nested
+    array (`usersLoggedOn | Sort … | Select -first 1`, `Invoke…ps1:223-229`;
+    ``$resources.displayName`` → scalar, `Export…ps1:234-239`): nest
+    lineitems per order into an array of structs once, then extract the
+    latest element (``array_sort`` + comparator + ``element_at``) and the
+    first element + array size — all narrow ops sharing the single nested
+    build, no second shuffle.  Consolidated from two queries (r2)."""
     li = load(spark, sf_dir, "lineitem")
     nested = li.groupBy("l_orderkey").agg(
         F.collect_list(
@@ -92,6 +81,7 @@ def graph_argmax_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lines",
             lambda s: F.struct(
                 F.struct(s["ship"], s["line"], s["part"]).alias("ord"),
+                F.struct(s["line"], s["part"]).alias("pos"),
                 s["part"].alias("part"),
                 s["qty"].alias("qty"),
                 s["ship"].alias("ship"),
@@ -107,45 +97,26 @@ def graph_argmax_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             "latest_qty": ("qty", None),
             "latest_ship": ("ship", None),
         },
+        drop_source=False,
     )
+    # T4 first-element: sort the same array ascending by (line, part)
+    first_sorted = F.array_sort(
+        F.col("lines"),
+        lambda l, r: F.when(l["pos"] < r["pos"], F.lit(-1))
+        .when(l["pos"] > r["pos"], F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    top = top.withColumn(
+        "first_partkey", F.try_element_at(first_sorted, F.lit(1)).getField("part")
+    ).withColumn("n_lines", F.size("lines").cast("long"))
     return top.select(
         "l_orderkey",
         "latest_partkey",
         "latest_qty",
         F.date_format("latest_ship", "yyyy-MM-dd").alias("latest_ship_day"),
+        "first_partkey",
+        "n_lines",
     )
-
-
-@register(
-    "graph_array_first",
-    oracle="""
-    SELECT l_orderkey,
-           l_partkey AS first_partkey,
-           CAST(n_lines AS BIGINT) AS n_lines
-    FROM (
-        SELECT l_orderkey, l_partkey,
-               row_number() OVER (PARTITION BY l_orderkey
-                                  ORDER BY l_linenumber, l_partkey) AS rn,
-               count(*) OVER (PARTITION BY l_orderkey) AS n_lines
-        FROM lineitem
-    ) t
-    WHERE rn = 1
-    """,
-)
-def graph_array_first(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T4 — array member projection to scalar (``$resources.displayName`` →
-    varchar, `Export…ps1:234-239`): engine decision = first element.
-    ``sort_array`` on (linenumber, partkey) structs makes 'first' well-defined
-    despite collect_list's nondeterministic order."""
-    li = load(spark, sf_dir, "lineitem")
-    nested = li.groupBy("l_orderkey").agg(
-        F.sort_array(
-            F.collect_list(F.struct(F.col("l_linenumber").alias("line"), F.col("l_partkey").alias("part")))
-        ).alias("resources"),
-        F.count("*").alias("n_lines"),
-    )
-    first = flatten.array_first_field(nested, "resources", "part", "first_partkey")
-    return first.select("l_orderkey", "first_partkey", "n_lines")
 
 
 @register(
@@ -155,15 +126,27 @@ def graph_array_first(spark: SparkSession, sf_dir: str) -> DataFrame:
            c_name AS name,
            CAST(c_acctbal AS DOUBLE) AS acctbal,
            CAST(NULL AS VARCHAR) AS loyalty_tier,
-           CAST(c_nationkey AS BIGINT) AS nationkey
+           CAST(c_nationkey AS BIGINT) AS nationkey,
+           c_mktsegment AS segment,
+           CAST(length(c_mktsegment) AS BIGINT) AS segment_len,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+           CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal_nonneg,
+           coalesce(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, 0.0) AS bal_filled,
+           (c_acctbal IS NULL) AS bal_is_null
     FROM customer
     """,
 )
 def graph_conform_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P5/T6/T7 — declared-schema projection (`Invoke…ps1:255-307`): extra
-    source columns silently dropped (c_mktsegment), missing declared column
-    (loyalty_tier) materialized as typed NULL, int32 nationkey cast to long.
-    Catalyst prunes the dropped column out of the parquet scan."""
+    """T1/T3 + P4 + P5/T6/T7 — the reference's full transform→load shape in
+    one plan (consolidated r2): nest two columns into a struct and flatten it
+    back with ``operators.flatten.flatten_struct`` (the health-state/actor
+    lift, `Invoke…ps1:214-221`, `Export…ps1:224-232`), NULL-normalization
+    battery (T7 generalized: nullif/coalesce/is-null), client-side column
+    exclusion (`Select-Object -ExcludeProperty`, `Invoke…ps1:233-238`), then
+    declared-schema projection (`Invoke…ps1:255-307`): extra columns silently
+    dropped, missing declared column (loyalty_tier) materialized as typed
+    NULL, int32 nationkey cast to long.  Catalyst collapses nest+lift to a
+    plain projection and prunes dropped columns out of the parquet scan."""
     target = T.StructType(
         [
             T.StructField("custkey", T.LongType()),
@@ -171,75 +154,90 @@ def graph_conform_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("acctbal", T.DoubleType()),
             T.StructField("loyalty_tier", T.StringType()),
             T.StructField("nationkey", T.LongType()),
+            T.StructField("segment", T.StringType()),
+            T.StructField("segment_len", T.LongType()),
+            T.StructField("seg_or_other", T.StringType()),
+            T.StructField("bal_nonneg", T.DoubleType()),
+            T.StructField("bal_filled", T.DoubleType()),
+            T.StructField("bal_is_null", T.BooleanType()),
         ]
     )
-    c = load(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("custkey"),
-        F.col("c_name").alias("name"),
-        F.col("c_acctbal").alias("acctbal"),
-        F.col("c_nationkey").alias("nationkey"),
-        "c_mktsegment",  # extra column — conform must drop it
+    c = load(spark, sf_dir, "customer").withColumn(
+        "profile",
+        F.struct(F.col("c_mktsegment").alias("seg"), F.col("c_acctbal").alias("bal")),
     )
-    return project.conform(c, target)
-
-
-@register(
-    "graph_exclude_columns",
-    oracle="""
-    SELECT s_suppkey, s_name FROM supplier
-    """,
-)
-def graph_exclude_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P4 — client-side column exclusion (`Select-Object -ExcludeProperty`,
-    `Invoke…ps1:233-238`).  Column pruning reaches the scan: ReadSchema lists
-    only the two surviving columns."""
-    return project.exclude(load(spark, sf_dir, "supplier"), "s_nationkey", "s_acctbal")
+    # T1: struct-field lift with casts
+    flat = flatten.flatten_struct(
+        c, "profile", {"segment": ("seg", None), "segment_len_raw": ("seg", None)}
+    ).withColumn("segment_len", F.length("segment_len_raw").cast("long"))
+    # T7 battery
+    bal_nonneg = F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(F.col("c_acctbal"))
+    flat = (
+        flat.withColumn(
+            "seg_or_other",
+            F.coalesce(F.nullif(F.col("segment"), F.lit("BUILDING")), F.lit("OTHER")),
+        )
+        .withColumn("bal_nonneg", bal_nonneg)
+        .withColumn("bal_filled", F.coalesce(bal_nonneg, F.lit(0.0)))
+        .withColumn("bal_is_null", F.col("c_acctbal").isNull())
+    )
+    # P4: explicit exclusion of the nested source + an intermediate
+    flat = project.exclude(flat, "profile", "segment_len_raw")
+    # P5/T6: declared projection — renames, casts, typed-NULL loyalty_tier,
+    # drops whatever the exclusion left behind (c_mktsegment itself)
+    return project.conform(
+        flat.select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("c_acctbal").alias("acctbal"),
+            F.col("c_nationkey").alias("nationkey"),
+            "segment",
+            "segment_len",
+            "seg_or_other",
+            "bal_nonneg",
+            "bal_filled",
+            "bal_is_null",
+            "c_mktsegment",  # extra column — conform must drop it
+        ),
+        target,
+    )
 
 
 @register(
     "graph_stamp_and_key",
     oracle="""
-    SELECT n_nationkey, n_name,
-           CAST(row_number() OVER (ORDER BY n_nationkey) AS BIGINT) AS ClusterID,
+    SELECT event_id, user_id, event_type,
+           CAST(row_number() OVER (ORDER BY event_id) AS BIGINT) AS ClusterID,
            strftime(TIMESTAMP '2024-06-01 00:00:00', '%Y-%m-%d %H:%M:%S') AS timeGenerated_s
-    FROM nation
-    """,
-)
-def graph_stamp_and_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L4+L5 — load-time audit stamp (GETDATE() → timeGenerated,
-    `Prepare-SQLDatabase.sql:144`) with a fixed test instant, and the
-    IDENTITY surrogate key (`:8`) as contiguous row_number over the business
-    key — the single-partition window is acceptable only because this is the
-    25-row dimension path, never the fact path (see sinks.with_surrogate_key)."""
-    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    stamped = sinks.stamp(n, at=dt.datetime(2024, 6, 1))
-    w = Window.orderBy("n_nationkey")
-    return stamped.select(
-        "n_nationkey",
-        "n_name",
-        F.row_number().over(w).cast("long").alias("ClusterID"),
-        F.date_format(F.col(sinks.LOAD_STAMP), "yyyy-MM-dd HH:mm:ss").alias("timeGenerated_s"),
-    )
-
-
-@register(
-    "graph_retention_filter",
-    oracle="""
-    SELECT event_id, user_id, event_type
     FROM events
     WHERE date_diff('day', CAST(ts AS DATE), DATE '2024-01-31') <= 10
     """,
 )
-def graph_retention_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L3 — retention-window predicate (`DATEDIFF(day, timeGenerated,
-    GetDate()) > @MaxInventoryAge`, `Prepare-SQLDatabase.sql:110`) with a
-    fixed 'now' for determinism; at the sink this becomes partition drops
-    (sinks.expire_old_partitions), not a row filter."""
+def graph_stamp_and_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 + L4 + L5 — the reference's load-side battery in one plan
+    (consolidated r2): retention-window predicate (`DATEDIFF(day,
+    timeGenerated, GetDate()) > @MaxInventoryAge`,
+    `Prepare-SQLDatabase.sql:110`) with a fixed 'now' for determinism,
+    load-time audit stamp (GETDATE() → timeGenerated, `:144`) with a fixed
+    test instant, and the IDENTITY surrogate key (`:8`) as contiguous
+    row_number over the business key.  The single-partition window is
+    acceptable only on the retained-snapshot/dimension path — never the raw
+    fact path (see sinks.with_surrogate_key); at the sink, retention becomes
+    partition drops (sinks.expire_old_partitions), not a row filter."""
     from . import load_events
 
     ev = load_events(spark, sf_dir)
     keep = F.datediff(F.lit("2024-01-31"), F.to_date("ts")) <= 10
-    return ev.filter(keep).select("event_id", "user_id", "event_type")
+    retained = ev.filter(keep).select("event_id", "user_id", "event_type")
+    stamped = sinks.stamp(retained, at=dt.datetime(2024, 6, 1))
+    w = Window.orderBy("event_id")
+    return stamped.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.row_number().over(w).cast("long").alias("ClusterID"),
+        F.date_format(F.col(sinks.LOAD_STAMP), "yyyy-MM-dd HH:mm:ss").alias("timeGenerated_s"),
+    )
 
 
 @register(

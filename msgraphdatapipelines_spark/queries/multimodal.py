@@ -43,10 +43,10 @@ def _hexval(c: str) -> str:
     return f"(strpos('0123456789abcdef', {c}) - 1)"
 
 
-def _digest_byte(i: int) -> str:
-    """i-th byte (0-based) of the sha256 digest, from its hex string ``h``."""
-    hi = _hexval(f"substr(h, {2 * i + 1}, 1)")
-    lo = _hexval(f"substr(h, {2 * i + 2}, 1)")
+def _digest_byte(i: int, col: str = "h") -> str:
+    """i-th byte (0-based) of a sha256 digest, from its hex string column."""
+    hi = _hexval(f"substr({col}, {2 * i + 1}, 1)")
+    lo = _hexval(f"substr({col}, {2 * i + 2}, 1)")
     return f"({hi} * 16 + {lo})"
 
 
@@ -87,3 +87,44 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("feature", 2).alias("f1"),
         )
     )
+
+
+_EVERY_N = 4
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT doc_id, sha256(text) AS h,
+               CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_frames
+        FROM documents
+    ),
+    frames AS (
+        SELECT doc_id,
+               sha256(h || '|' || CAST(idx AS VARCHAR)) AS fh,
+               idx
+        FROM (SELECT doc_id, h,
+                     unnest(generate_series(0, CAST(greatest(n_frames, 1) - 1 AS BIGINT),
+                                            {_EVERY_N})) AS idx
+              FROM hashed)
+    )
+    SELECT doc_id AS media_id,
+           CAST(idx AS BIGINT) AS frame_idx,
+           CAST(idx * 100 AS BIGINT) AS ts_ms,
+           fh AS frame_sha256,
+           CAST(320 + ({_digest_byte(0, 'fh')} % 8) * 160 AS BIGINT) AS width,
+           CAST(240 + ({_digest_byte(1, 'fh')} % 8) * 120 AS BIGINT) AS height
+    FROM frames
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (every 4th frame) through the real mapInPandas
+    fan-out plumbing — one media row yields ~n_frames/4 frame rows inside
+    the Arrow batch, no explode shuffle.  The codec is the documented
+    deterministic fake (operators.multimodal.frame_sample): frame hash =
+    sha256 chain over (payload sha256 hex, frame index), dims from the
+    frame digest — reproduced exactly by the oracle."""
+    docs = load(spark, sf_dir, "documents")
+    media = M.wrap_text_as_media(docs, "doc_id", "text")
+    return M.frame_sample(media, every_n=_EVERY_N)

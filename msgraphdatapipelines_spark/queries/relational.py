@@ -189,21 +189,38 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inner / left-outer / left-semi / left-anti joins in one scalar row.
     Semi/anti are first-class join types (no materialized subquery), the
-    plan Catalyst itself rewrites EXISTS into."""
+    plan Catalyst itself rewrites EXISTS into.
+
+    Single-action shape (r2, VERDICT item 4): the four counts are a tagged
+    union of aggregates collapsed by one conditional aggregation — one
+    Spark action instead of four driver-blocking ``count()`` jobs."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     of = o.filter(F.col("o_orderstatus") == "F")
-    inner_n = c.join(o, c.c_custkey == o.o_custkey).count()
-    left_only_n = (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .filter(F.col("o_orderkey").isNull())
-        .count()
+
+    def tagged(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+            F.lit(tag).alias("k"), "n"
+        )
+
+    u = (
+        tagged(c.join(o, c.c_custkey == o.o_custkey), "inner")
+        .unionByName(
+            tagged(
+                c.join(o, c.c_custkey == o.o_custkey, "left").filter(
+                    F.col("o_orderkey").isNull()
+                ),
+                "left_only",
+            )
+        )
+        .unionByName(tagged(c.join(of, c.c_custkey == of.o_custkey, "left_semi"), "semi"))
+        .unionByName(tagged(c.join(o, c.c_custkey == o.o_custkey, "left_anti"), "anti"))
     )
-    semi_n = c.join(of, c.c_custkey == of.o_custkey, "left_semi").count()
-    anti_n = c.join(o, c.c_custkey == o.o_custkey, "left_anti").count()
-    return spark.createDataFrame(
-        [(inner_n, left_only_n, semi_n, anti_n)],
-        "inner_n long, left_only_n long, semi_n long, anti_n long",
+    return u.agg(
+        F.max(F.when(F.col("k") == "inner", F.col("n"))).alias("inner_n"),
+        F.max(F.when(F.col("k") == "left_only", F.col("n"))).alias("left_only_n"),
+        F.max(F.when(F.col("k") == "semi", F.col("n"))).alias("semi_n"),
+        F.max(F.when(F.col("k") == "anti", F.col("n"))).alias("anti_n"),
     )
 
 
@@ -257,6 +274,8 @@ def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cube_orders",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
            COUNT(*) AS n,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
     FROM orders
@@ -264,11 +283,19 @@ def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE grouping sets — all 2^k grouping combinations in one aggregation."""
+    """CUBE grouping sets — all 2^k grouping combinations in one aggregation,
+    with grouping() indicator columns (absorbs the explicit-GROUPING-SETS
+    query, r2: CUBE = grouping sets ((s,p),(s),(p),()) and the indicators
+    distinguish the subtotal levels exactly as grouping_sets_revenue did)."""
     return (
         load(spark, sf_dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count("*").alias("n"), _dsum("o_totalprice").alias("revenue"))
+        .agg(
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.grouping("o_orderpriority").cast("long").alias("g_prio"),
+            F.count("*").alias("n"),
+            _dsum("o_totalprice").alias("revenue"),
+        )
     )
 
 
@@ -351,19 +378,27 @@ def global_top10_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "set_ops_customers",
     oracle="""
-    SELECT custkey FROM (
+    SELECT 'union_except' AS op, CAST(custkey AS VARCHAR) AS key FROM (
         (SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
          UNION
          SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
         EXCEPT
         SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
     ) t
+    UNION ALL
+    SELECT 'intersect' AS op, p_type AS key FROM (
+        SELECT p_type FROM part WHERE p_size > 25
+        INTERSECT
+        SELECT p_type FROM part WHERE p_brand = 'Brand#1'
+    ) s
     """,
 )
 def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION (distinct) + EXCEPT — SQL set semantics via union().distinct()
-    and subtract().  Pagination append in the reference (S2) is the UNION ALL
-    cousin (`Invoke…ps1:170-194`)."""
+    """Full set-operation battery in one op-tagged result: UNION (distinct)
+    + EXCEPT via union().distinct()/subtract(), and INTERSECT (distinct) —
+    consolidated from two queries (r2) so both land a driver row.
+    Pagination append in the reference (S2) is the UNION ALL cousin
+    (`Invoke…ps1:170-194`)."""
     o = load(spark, sf_dir, "orders")
     urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
         F.col("o_custkey").alias("custkey")
@@ -372,25 +407,20 @@ def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("custkey")
     )
     f = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
-    return urgent.union(high).distinct().subtract(f)
-
-
-@register(
-    "intersect_part_types",
-    oracle="""
-    SELECT p_type FROM part WHERE p_size > 25
-    INTERSECT
-    SELECT p_type FROM part WHERE p_brand = 'Brand#1'
-    """,
-)
-def intersect_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT (distinct) set operation."""
+    union_except = (
+        urgent.union(high)
+        .distinct()
+        .subtract(f)
+        .select(F.lit("union_except").alias("op"), F.col("custkey").cast("string").alias("key"))
+    )
     p = load(spark, sf_dir, "part")
-    return (
+    inter = (
         p.filter(F.col("p_size") > 25)
         .select("p_type")
         .intersect(p.filter(F.col("p_brand") == "Brand#1").select("p_type"))
+        .select(F.lit("intersect").alias("op"), F.col("p_type").alias("key"))
     )
+    return union_except.unionByName(inter)
 
 
 @register(
@@ -404,13 +434,25 @@ def intersect_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(p_size % 7 AS BIGINT) AS size_mod,
            CAST(abs(p_size - 25) AS BIGINT) AS size_dist,
            CAST(round(CAST(p_retailprice AS DECIMAL(18,2)) * 1.1, 2) AS DOUBLE) AS bumped,
-           CAST(floor(sqrt(p_retailprice)) AS DOUBLE) AS sqrt_floor
+           CAST(floor(sqrt(p_retailprice)) AS DOUBLE) AS sqrt_floor,
+           regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+           split_part(p_type, ' ', 1) AS type_head,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+           translate(p_brand, '#', '-') AS brand_dash,
+           reverse(p_brand) AS brand_rev,
+           repeat(left(p_name, 2), 2) AS name_echo,
+           CAST(levenshtein(p_brand, 'Brand#1') AS BIGINT) AS lev_to_b1,
+           CAST(contains(p_type, 'a') AS BOOLEAN) AS has_a,
+           CAST(starts_with(p_name, 'a') AS BOOLEAN) AS starts_a
     FROM part
     """,
 )
 def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar string/math function battery — all JVM-side codegen expressions
-    (§2.5 'scalar fns'; reference's only scalar work is casts T6 + DATEDIFF L3)."""
+    (§2.5 'scalar fns'; reference's only scalar work is casts T6 + DATEDIFF
+    L3).  Absorbs the extended string battery (regexp_extract, split_part,
+    pad, translate, reverse, repeat, levenshtein, predicates) — one scan,
+    one driver CORRECTNESS row (r2 registry consolidation)."""
     p = load(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
@@ -426,6 +468,15 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("bumped"),
         F.floor(F.sqrt("p_retailprice")).cast("double").alias("sqrt_floor"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.translate("p_brand", "#", "-").alias("brand_dash"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.repeat(F.substring("p_name", 1, 2), 2).alias("name_echo"),
+        F.levenshtein("p_brand", F.lit("Brand#1")).cast("long").alias("lev_to_b1"),
+        F.col("p_type").contains("a").alias("has_a"),
+        F.col("p_name").startswith("a").alias("starts_a"),
     )
 
 
@@ -483,20 +534,37 @@ def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "pivot_status_by_priority",
     oracle="""
-    SELECT o_orderpriority,
-           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS f_n,
-           CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS o_n,
-           CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS p_n
-    FROM orders
-    GROUP BY o_orderpriority
+    WITH base AS (
+        SELECT o_orderpriority,
+               CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS f_n,
+               CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS o_n,
+               CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS p_n,
+               CAST(count(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT) AS n_big,
+               bool_or(o_orderstatus = 'F') AS any_f,
+               bool_and(o_totalprice > 0) AS all_positive,
+               CAST(max(CASE WHEN o_orderstatus = 'O' THEN o_orderkey END) AS BIGINT)
+                   AS max_open_key
+        FROM orders
+        GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n_big, any_f, all_positive, max_open_key,
+           'f_n' AS status_col, f_n AS n FROM base
+    UNION ALL
+    SELECT o_orderpriority, n_big, any_f, all_positive, max_open_key,
+           'o_n', o_n FROM base
+    UNION ALL
+    SELECT o_orderpriority, n_big, any_f, all_positive, max_open_key,
+           'p_n', p_n FROM base
     """,
 )
 def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot (long→wide) with an explicit value list — one-pass aggregation,
-    no second shuffle for the transpose."""
-    return (
-        load(spark, sf_dir, "orders")
-        .groupBy("o_orderpriority")
+    """Pivot (long→wide, explicit value list) + conditional aggregates
+    (count_if / bool_or / bool_and / conditional max) + native unpivot back
+    to long — the wide↔long battery consolidated into one driver row (r2).
+    The pivot is a one-pass aggregation; unpivot is a zero-shuffle expand."""
+    o = load(spark, sf_dir, "orders")
+    pv = (
+        o.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
         .count()
         .select(
@@ -506,26 +574,16 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("P"), F.lit(0)).alias("p_n"),
         )
     )
-
-
-@register(
-    "unpivot_part_measures",
-    oracle="""
-    SELECT p_partkey, measure, val FROM (
-        SELECT p_partkey, 'retailprice' AS measure, p_retailprice AS val FROM part
-        UNION ALL
-        SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
-    ) t
-    """,
-)
-def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unpivot (wide→long) via the native unpivot/melt operator."""
-    return (
-        load(spark, sf_dir, "part")
-        .select(
-            "p_partkey",
-            F.col("p_retailprice").alias("retailprice"),
-            F.col("p_size").cast("double").alias("size"),
-        )
-        .unpivot("p_partkey", ["retailprice", "size"], "measure", "val")
+    cond = o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_f"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.max(F.when(F.col("o_orderstatus") == "O", F.col("o_orderkey"))).alias("max_open_key"),
+    )
+    wide = pv.join(cond, "o_orderpriority")  # 5-row join, AQE broadcasts
+    return wide.unpivot(
+        ["o_orderpriority", "n_big", "any_f", "all_positive", "max_open_key"],
+        ["f_n", "o_n", "p_n"],
+        "status_col",
+        "n",
     )

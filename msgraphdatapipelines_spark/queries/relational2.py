@@ -104,35 +104,6 @@ def range_join_events_after_order(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
-    "grouping_sets_revenue",
-    oracle="""
-    SELECT o_orderstatus, o_orderpriority,
-           CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
-           CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
-           count(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-    FROM orders
-    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-    """,
-)
-def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS with grouping() indicators (beyond
-    rollup/cube) via the SQL API over a temp view."""
-    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
-    return spark.sql(
-        """
-        SELECT o_orderstatus, o_orderpriority,
-               CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
-               CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
-               count(*) AS n,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-        FROM orders_gs
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        """
-    )
-
-
-@register(
     "exact_moments_stats",
     oracle="""
     WITH s AS (
@@ -186,31 +157,6 @@ def exact_moments_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "percentiles_by_segment",
-    oracle="""
-    SELECT c_mktsegment,
-           round(quantile_cont(c_acctbal, 0.5), 4) AS median_bal,
-           round(quantile_cont(c_acctbal, 0.9), 4) AS p90_bal,
-           round(CAST(quantile_disc(c_acctbal, 0.5) AS DOUBLE), 4) AS median_disc
-    FROM customer
-    GROUP BY c_mktsegment
-    """,
-)
-def percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentiles (continuous + discrete) per group.  Exact
-    ``percentile`` needs a sort per group — at 100 TB prefer
-    ``approx_percentile`` (t-digest, one pass); see approx_distinct_stats."""
-    c = load(spark, sf_dir, "customer")
-    return c.groupBy("c_mktsegment").agg(
-        F.round(F.expr("percentile(c_acctbal, 0.5)"), 4).alias("median_bal"),
-        F.round(F.expr("percentile(c_acctbal, 0.9)"), 4).alias("p90_bal"),
-        F.round(F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY c_acctbal)").cast("double"), 4).alias(
-            "median_disc"
-        ),
-    )
-
-
-@register(
     "window_rank_battery",
     oracle="""
     SELECT s_suppkey, s_nationkey, s_acctbal,
@@ -238,40 +184,6 @@ def window_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("prank"),
         F.round(F.cume_dist().over(w), 6).alias("cdist"),
         F.first("s_suppkey").over(w).alias("top_supp"),
-    )
-
-
-@register(
-    "string_battery",
-    oracle="""
-    SELECT p_partkey,
-           regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
-           split_part(p_type, ' ', 1) AS type_head,
-           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
-           translate(p_brand, '#', '-') AS brand_dash,
-           reverse(p_brand) AS brand_rev,
-           repeat(left(p_name, 2), 2) AS name_echo,
-           CAST(levenshtein(p_brand, 'Brand#1') AS BIGINT) AS lev_to_b1,
-           CAST(contains(p_type, 'a') AS BOOLEAN) AS has_a,
-           CAST(starts_with(p_name, 'a') AS BOOLEAN) AS starts_a
-    FROM part
-    """,
-)
-def string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Extended string functions: regexp_extract, split_part, pad,
-    translate, reverse, repeat, levenshtein, predicates."""
-    p = load(spark, sf_dir, "part")
-    return p.select(
-        "p_partkey",
-        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
-        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
-        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
-        F.translate("p_brand", "#", "-").alias("brand_dash"),
-        F.reverse("p_brand").alias("brand_rev"),
-        F.repeat(F.substring("p_name", 1, 2), 2).alias("name_echo"),
-        F.levenshtein("p_brand", F.lit("Brand#1")).cast("long").alias("lev_to_b1"),
-        F.col("p_type").contains("a").alias("has_a"),
-        F.col("p_name").startswith("a").alias("starts_a"),
     )
 
 
@@ -311,55 +223,6 @@ def array_set_ops_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         F.size(F.array_union("early", "late")).cast("long").alias("n_union"),
         F.size(F.array_intersect("early", "late")).cast("long").alias("n_common"),
-    )
-
-
-@register(
-    "conditional_aggregates",
-    oracle="""
-    SELECT o_orderpriority,
-           CAST(count(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT) AS n_big,
-           bool_or(o_orderstatus = 'F') AS any_f,
-           bool_and(o_totalprice > 0) AS all_positive,
-           CAST(max(CASE WHEN o_orderstatus = 'O' THEN o_orderkey END) AS BIGINT) AS max_open_key
-    FROM orders
-    GROUP BY o_orderpriority
-    """,
-)
-def conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """count_if / bool_or / bool_and / conditional max."""
-    o = load(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
-        F.bool_or(F.col("o_orderstatus") == "F").alias("any_f"),
-        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
-        F.max(F.when(F.col("o_orderstatus") == "O", F.col("o_orderkey"))).alias("max_open_key"),
-    )
-
-
-@register(
-    "null_handling",
-    oracle="""
-    SELECT c_custkey,
-           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
-           CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal_nonneg,
-           coalesce(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, 0.0) AS bal_filled,
-           (c_acctbal IS NULL) AS bal_is_null
-    FROM customer
-    """,
-)
-def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NULL normalization battery (T7 generalized): nullif/coalesce/is-null."""
-    c = load(spark, sf_dir, "customer")
-    bal_nonneg = F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(F.col("c_acctbal"))
-    return c.select(
-        "c_custkey",
-        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")).alias(
-            "seg_or_other"
-        ),
-        bal_nonneg.alias("bal_nonneg"),
-        F.coalesce(bal_nonneg, F.lit(0.0)).alias("bal_filled"),
-        F.col("c_acctbal").isNull().alias("bal_is_null"),
     )
 
 

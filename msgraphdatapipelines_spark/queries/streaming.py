@@ -81,23 +81,22 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding windows (2h length, 1h slide): every event lands in two
-    windows.  Same ``window()`` operator as the streaming path, run in batch
-    where it is SQL-expressible; the oracle assigns each event to both
-    containing windows via unnest."""
-    ev = load_events(spark, sf_dir)
-    return (
-        ev.groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
-        )
-        .select(
-            F.date_format("window.start", TS_FMT).alias("window_start"),
-            "event_type",
-            "n",
-            "sum_value",
-        )
+    """Sliding windows (2h length, 1h slide) executed as a REAL stream
+    (readStream → window agg → complete-mode memory sink, r2): every event
+    lands in two windows; complete mode keeps all window state, so the
+    drained stream equals the batch semantics and the SQL oracle (which
+    assigns each event to both containing windows via unnest)."""
+    from . import _harden
+
+    _harden(spark)
+    ev = ST.read_events_stream(spark, sf_dir, glob="events.parquet")
+    agg = ST.sliding_counts(ev, window="2 hours", slide="1 hour")
+    result, _ = ST.run_stream_to_memory(agg, output_mode="complete")
+    return result.select(
+        F.date_format("window.start", TS_FMT).alias("window_start"),
+        "event_type",
+        "n",
+        F.col("sum_value_dec").cast("double").alias("sum_value"),
     )
 
 
@@ -152,18 +151,22 @@ def stream_stateful_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session windows (30-min gap) per user via the native
-    ``session_window`` operator (the same state machine Structured Streaming
-    uses); the oracle is the classic gaps-and-islands SQL.  Spark's session
-    end = last event + gap, mirrored in the oracle."""
-    ev = load_events(spark, sf_dir)
-    return (
-        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
-        .agg(F.count("*").alias("n_events"))
-        .select(
-            "user_id",
-            F.date_format("session_window.start", TS_FMT).alias("session_start"),
-            F.date_format("session_window.end", TS_FMT).alias("session_end"),
-            "n_events",
-        )
+    """Session windows (30-min gap) per user executed as a REAL stream via
+    the native ``session_window`` state machine (r2): sessions merge across
+    micro-batches; complete mode retains all session state so the drained
+    result equals batch semantics.  The oracle is the classic
+    gaps-and-islands SQL; Spark's session end = last event + gap, mirrored
+    there."""
+    from . import _harden
+
+    _harden(spark)
+    ev = ST.read_events_stream(spark, sf_dir, glob="events.parquet")
+    result, _ = ST.run_stream_to_memory(
+        ST.session_counts(ev, gap="30 minutes"), output_mode="complete"
+    )
+    return result.select(
+        "user_id",
+        F.date_format("session_window.start", TS_FMT).alias("session_start"),
+        F.date_format("session_window.end", TS_FMT).alias("session_end"),
+        "n_events",
     )

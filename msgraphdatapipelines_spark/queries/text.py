@@ -3,6 +3,11 @@
 All operators are single-scan Column expressions (operators.text); the
 oracle mirrors them with DuckDB list lambdas.  Note DuckDB regexp_replace
 needs the 'g' flag to match Spark's replace-all semantics.
+
+r2 consolidation: quality stats, language ID, and fingerprints merged into
+ONE registered query (``text_battery``) so the whole text-analysis family
+lands a single driver CORRECTNESS row — all three operator groups still
+run, over one scan of ``documents``.
 """
 
 from __future__ import annotations
@@ -19,41 +24,8 @@ _ALL_MARKERS = ", ".join(
 )
 
 
-@register(
-    "text_stats",
-    oracle=f"""
-    SELECT doc_id,
-           CAST(length(text) AS BIGINT) AS n_chars,
-           CAST(len({_WS}) AS BIGINT) AS n_tokens,
-           round(CAST(list_sum(list_transform({_WS}, w -> length(w))) AS DOUBLE)
-                 / len({_WS}), 4) AS mean_token_len,
-           round(CAST(len(list_filter({_WS}, w -> w IN ({_ALL_MARKERS}))) AS DOUBLE)
-                 / greatest(len({_WS}), 1), 4) AS stopword_ratio,
-           round(CAST(len(list_filter({_WS}, w -> regexp_matches(w, '^[0-9]+$'))) AS DOUBLE)
-                 / greatest(len({_WS}), 1), 4) AS digit_token_ratio,
-           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT)
-               AS n_bpe_tokens
-    FROM documents
-    """,
-)
-def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-scoring signals per document: char/token counts, mean token
-    length, stopword + digit-token ratios, BPE-ish sub-word token count —
-    the standard corpus-filtering features, one scan, all codegen."""
-    docs = load(spark, sf_dir, "documents")
-    stats = X.quality_stats("text")
-    return docs.select(
-        "doc_id",
-        stats["n_chars"].alias("n_chars"),
-        stats["n_tokens"].alias("n_tokens"),
-        stats["mean_token_len"].alias("mean_token_len"),
-        stats["stopword_ratio"].alias("stopword_ratio"),
-        stats["digit_token_ratio"].alias("digit_token_ratio"),
-        X.bpe_token_count("text").alias("n_bpe_tokens"),
-    )
-
-
-def _lang_sql() -> str:
+def _lang_case_sql() -> tuple[str, str]:
+    """(CASE chain for detected_lang, per-language score columns)."""
     score = {
         lang: f"len(list_filter({_WS}, w -> w IN ({', '.join(repr(m) for m in ms)})))"
         for lang, ms in X.LANG_MARKERS.items()
@@ -66,32 +38,16 @@ def _lang_sql() -> str:
         ]
         cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
     case_chain = "CASE " + " ".join(cases) + " ELSE 'und' END"
-    return f"""
-    SELECT doc_id, lang AS labeled_lang, {case_chain} AS detected_lang,
-           {" , ".join(f"CAST({score[lang]} AS BIGINT) AS score_{lang}" for lang in langs)}
-    FROM documents
-    """
+    score_cols = " , ".join(f"CAST({score[lang]} AS BIGINT) AS score_{lang}" for lang in langs)
+    return case_chain, score_cols
 
 
-@register("text_lang_id", oracle=_lang_sql())
-def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language ID: per-language stopword-marker hit counts with a
-    deterministic first-wins argmax (operators.text.lang_id).  The synthetic
-    corpus is word soup, so agreement with the ``lang`` label is not the
-    point — cross-engine determinism of the classifier is."""
-    docs = load(spark, sf_dir, "documents")
-    scores = X.lang_scores("text")
-    return docs.select(
-        "doc_id",
-        F.col("lang").alias("labeled_lang"),
-        X.lang_id("text").alias("detected_lang"),
-        *[scores[lang].cast("long").alias(f"score_{lang}") for lang in scores],
-    )
+_CASE_CHAIN, _SCORE_COLS = _lang_case_sql()
 
 
 @register(
-    "text_fingerprints",
-    oracle="""
+    "text_battery",
+    oracle=f"""
     WITH sh AS (
         SELECT doc_id, min(md5(substr(text, i, 5))) AS fp_minhash1
         FROM (SELECT doc_id, text,
@@ -100,18 +56,51 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY doc_id
     )
     SELECT d.doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len({_WS}) AS BIGINT) AS n_tokens,
+           round(CAST(list_sum(list_transform({_WS}, w -> length(w))) AS DOUBLE)
+                 / len({_WS}), 4) AS mean_token_len,
+           round(CAST(len(list_filter({_WS}, w -> w IN ({_ALL_MARKERS}))) AS DOUBLE)
+                 / greatest(len({_WS}), 1), 4) AS stopword_ratio,
+           round(CAST(len(list_filter({_WS}, w -> regexp_matches(w, '^[0-9]+$'))) AS DOUBLE)
+                 / greatest(len({_WS}), 1), 4) AS digit_token_ratio,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT)
+               AS n_bpe_tokens,
+           lang AS labeled_lang,
+           {_CASE_CHAIN} AS detected_lang,
+           {_SCORE_COLS},
            md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp_exact,
            sh.fp_minhash1
     FROM documents d JOIN sh ON d.doc_id = sh.doc_id
     """,
 )
-def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprints: md5 of normalized text (exact-dup key) and the
-    min-md5 over char-5-shingles (1-hash MinHash, robust to local edits).
-    Both are narrow maps — the O(n) dedup keys for a 100 TB corpus."""
+def text_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The text-analysis operator family over one ``documents`` scan:
+
+    - quality-scoring signals (char/token counts, mean token length,
+      stopword + digit-token ratios, BPE-ish sub-word token count) — the
+      standard corpus-filtering features, all codegen;
+    - heuristic language ID (per-language stopword-marker hit counts with a
+      deterministic first-wins argmax; the synthetic corpus is word soup, so
+      cross-engine determinism of the classifier is the point, not accuracy);
+    - document fingerprints: md5 of normalized text (exact-dup key) and the
+      min-md5 over char-5-shingles (1-hash MinHash, robust to local edits) —
+      the O(n) dedup keys for a 100 TB corpus.
+    """
     docs = load(spark, sf_dir, "documents")
+    stats = X.quality_stats("text")
+    scores = X.lang_scores("text")
     return docs.select(
         "doc_id",
+        stats["n_chars"].alias("n_chars"),
+        stats["n_tokens"].alias("n_tokens"),
+        stats["mean_token_len"].alias("mean_token_len"),
+        stats["stopword_ratio"].alias("stopword_ratio"),
+        stats["digit_token_ratio"].alias("digit_token_ratio"),
+        X.bpe_token_count("text").alias("n_bpe_tokens"),
+        F.col("lang").alias("labeled_lang"),
+        X.lang_id("text").alias("detected_lang"),
+        *[scores[lang].cast("long").alias(f"score_{lang}") for lang in scores],
         X.fingerprint_exact("text").alias("fp_exact"),
         X.fingerprint_minhash1("text", 5).alias("fp_minhash1"),
     )

@@ -69,21 +69,37 @@ def _mad(pdf: pd.DataFrame) -> pd.DataFrame:
     "udaf_grouped_mad",
     oracle="""
     WITH med AS (
-        SELECT c_mktsegment, median(c_acctbal) AS m
+        SELECT c_mktsegment, median(c_acctbal) AS m,
+               round(quantile_cont(c_acctbal, 0.9), 4) AS p90_bal,
+               round(CAST(quantile_disc(c_acctbal, 0.5) AS DOUBLE), 4) AS median_disc
         FROM customer GROUP BY c_mktsegment
     )
     SELECT c.c_mktsegment,
            count(*) AS n,
            round(any_value(med.m), 4) AS median_bal,
-           round(median(abs(c.c_acctbal - med.m)), 4) AS mad_bal
+           round(median(abs(c.c_acctbal - med.m)), 4) AS mad_bal,
+           any_value(med.p90_bal) AS p90_bal,
+           any_value(med.median_disc) AS median_disc
     FROM customer c JOIN med ON c.c_mktsegment = med.c_mktsegment
     GROUP BY c.c_mktsegment
     """,
 )
 def udaf_grouped_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped-map UDAF via applyInPandas: per-segment median absolute
-    deviation.  One shuffle on the group key; each group lands as a single
-    Arrow batch (fine for bounded groups — for giant groups pre-aggregate
-    or sketch instead, PERF.md)."""
+    """Grouped-map UDAF via applyInPandas (per-segment median absolute
+    deviation) joined with the native exact-percentile aggregation
+    (continuous p90 + discrete median) on the same group key — the UDAF and
+    percentile capabilities consolidated into one driver row (r2).  One
+    shuffle on the group key each; the 5-row join is broadcast.  Each group
+    lands as a single Arrow batch (fine for bounded groups — for giant
+    groups pre-aggregate or sketch instead, PERF.md); exact ``percentile``
+    needs a sort per group — at 100 TB prefer ``approx_percentile``
+    (t-digest, one pass, see approx_distinct_stats)."""
     c = load(spark, sf_dir, "customer")
-    return c.groupBy("c_mktsegment").applyInPandas(_mad, _MAD_SCHEMA)
+    mad = c.groupBy("c_mktsegment").applyInPandas(_mad, _MAD_SCHEMA)
+    pct = c.groupBy("c_mktsegment").agg(
+        F.round(F.expr("percentile(c_acctbal, 0.9)"), 4).alias("p90_bal"),
+        F.round(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY c_acctbal)").cast("double"), 4
+        ).alias("median_disc"),
+    )
+    return mad.join(pct, "c_mktsegment")

@@ -141,6 +141,58 @@ MANAGED_DEVICE_TARGET = T.StructType(
     ]
 )
 
+# CloudPCs source payload: the 15 $select properties (Export…ps1:22) — all
+# scalar; CloudPCs is the reference's identity-transform entity (T9,
+# Export…ps1:217-219).
+CLOUDPC_RAW = T.StructType(
+    [
+        T.StructField("id", T.StringType(), False),
+        T.StructField("displayName", T.StringType()),
+        T.StructField("imageDisplayName", T.StringType()),
+        T.StructField("provisioningPolicyId", T.StringType()),
+        T.StructField("provisioningPolicyName", T.StringType()),
+        T.StructField("onPremisesConnectionName", T.StringType()),
+        T.StructField("servicePlanId", T.StringType()),
+        T.StructField("servicePlanName", T.StringType()),
+        T.StructField("userPrincipalName", T.StringType()),
+        T.StructField("lastModifiedDateTime", T.StringType()),
+        T.StructField("managedDeviceId", T.StringType()),
+        T.StructField("managedDeviceName", T.StringType()),
+        T.StructField("aadDeviceId", T.StringType()),
+        T.StructField("gracePeriodEndDateTime", T.StringType()),
+        T.StructField("provisioningType", T.StringType()),
+    ]
+)
+
+# CloudPCs target: 19 load columns (Prepare-SQLDatabase-CloudPCs.sql:47-67
+# table type) — the 15 $select properties plus 4 DDL-only columns
+# (servicePlanType, diskEncryptionState, statusDetails, statusDescription,
+# `…CloudPCs.sql:23-27`) that arrive NULL unless the API returns them:
+# the schema-superset tolerance case (SURVEY.md §1.4).
+CLOUDPC_TARGET = T.StructType(
+    [
+        T.StructField("id", T.StringType(), False),
+        T.StructField("displayName", T.StringType()),
+        T.StructField("imageDisplayName", T.StringType()),
+        T.StructField("provisioningPolicyId", T.StringType()),
+        T.StructField("provisioningPolicyName", T.StringType()),
+        T.StructField("onPremisesConnectionName", T.StringType()),
+        T.StructField("servicePlanId", T.StringType()),
+        T.StructField("servicePlanName", T.StringType()),
+        T.StructField("userPrincipalName", T.StringType()),
+        T.StructField("lastModifiedDateTime", T.TimestampType()),
+        T.StructField("managedDeviceId", T.StringType()),
+        T.StructField("managedDeviceName", T.StringType()),
+        T.StructField("aadDeviceId", T.StringType()),
+        T.StructField("gracePeriodEndDateTime", T.TimestampType()),
+        T.StructField("servicePlanType", T.StringType()),
+        T.StructField("diskEncryptionState", T.StringType()),
+        T.StructField("provisioningType", T.StringType()),
+        T.StructField("statusDetails", T.StringType()),
+        T.StructField("statusDescription", T.StringType()),
+    ]
+)
+
 # CloudPC audit-events target: 10 scalar columns
 # (Prepare-SQLDatabase-CloudPCAuditEvents.sql:38-49).
 AUDIT_EVENT_TARGET = T.StructType(

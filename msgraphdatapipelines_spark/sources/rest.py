@@ -42,18 +42,25 @@ class ThrottledError(Exception):
 
 @dataclass
 class RetryPolicy:
-    """429/auth retry budget (`Invoke…ps1:8,95-117,138-148`)."""
+    """429/auth retry budget (`Invoke…ps1:8,95-117,138-148`).
+
+    ``retry_on`` picks the retryable exception types: fetch paths retry only
+    ThrottledError (a 404 must fail fast), while token acquisition retries
+    any Exception — the reference's auth loop (`Invoke…ps1:95-117`) retries
+    transient identity-endpoint failures of every kind.
+    """
 
     max_retries: int = 5
     sleep_s: float = 30.0
     backoff: float = 1.0  # reference sleeps a constant 30 s; >1 = exponential
+    retry_on: tuple[type[Exception], ...] = (ThrottledError,)
 
     def run(self, fn: Callable[[], str], sleeper: Callable[[float], None] = time.sleep) -> str:
         delay = self.sleep_s
         for attempt in range(self.max_retries + 1):
             try:
                 return fn()
-            except ThrottledError:
+            except self.retry_on:
                 if attempt == self.max_retries:
                     raise
                 sleeper(delay)
@@ -124,7 +131,9 @@ class TokenProvider:
         sleeper: Callable[[float], None] = time.sleep,
     ):
         self._acquire = acquire
-        self._retry = retry or RetryPolicy(max_retries=5, sleep_s=10.0)
+        # retry_on=Exception: any transient auth failure retries, like the
+        # reference's ≤5-try loop around Get-AzAccessToken
+        self._retry = retry or RetryPolicy(max_retries=5, sleep_s=10.0, retry_on=(Exception,))
         self._sleeper = sleeper
         self._token: str | None = None
 
@@ -165,17 +174,52 @@ def read_odata(
     fetcher: Callable[[str], str] = file_fetcher,
     retry: RetryPolicy | None = None,
     sleeper: Callable[[float], None] = time.sleep,
+    datasource_page_threshold: int = 64,
+    expand: str | None = None,
 ) -> DataFrame:
     """Read a full OData collection as a DataFrame.
+
+    ``expand`` emits the OData ``$expand`` option (P3 — server-side
+    relationship join, `Invoke…ps1:70-80`); the expanded entities arrive as
+    nested struct/array fields of ``schema`` and survive ingestion intact,
+    ready for dot-access or explode downstream.
 
     Driver walks the cursor (S2, with S4 retry); executors parse: page
     bodies are parallelized and decoded with ``from_json`` against the
     envelope schema (S3), then the ``value`` array explodes to records.
     ``select``/``filter_expr`` are applied as real Column ops — when the
     source honored the OData options they are no-ops Catalyst prunes.
+
+    Driver-memory bound: this path materializes every page body in a
+    driver-side list before ``createDataFrame`` — fine for reference-scale
+    collections (thousands of rows), wrong for a 10M-row collection.  When
+    the walk exceeds ``datasource_page_threshold`` pages and the runtime
+    has the Python DataSource API, the read switches to the ``odata``
+    DataSource (the scale path: pages ship to executors as partitions,
+    at most one body held per task).  The switch requires the default
+    ``file_fetcher`` (an injected fetcher can't be shipped through
+    DataSource options); custom fetchers keep the driver path.
     """
-    url = build_url(first_url, select, filter_expr)
-    pages = fetch_pages(url, fetcher, retry, sleeper)
+    url = build_url(first_url, select, filter_expr, expand)
+    if fetcher is file_fetcher and HAS_PYTHON_DATASOURCE and not expand:
+        probe = fetch_pages(url, fetcher, retry, sleeper, max_pages=datasource_page_threshold)
+        last_next = json.loads(probe[-1]).get(NEXT_LINK) if probe else None
+        if last_next is not None:  # more pages than the threshold → scale path
+            register_odata_source(spark)
+            reader = spark.read.format("odata").schema(schema).option("path", first_url)
+            if select:
+                reader = reader.option("select", ",".join(select))
+            if filter_expr:
+                reader = reader.option("filter", filter_expr)
+            df = reader.load()
+            if select:
+                df = df.select(*select)
+            if filter_expr:
+                df = df.filter(_odata_filter_to_column(filter_expr))
+            return df
+        pages = probe
+    else:
+        pages = fetch_pages(url, fetcher, retry, sleeper)
     envelope = T.StructType([T.StructField(VALUE, T.ArrayType(schema))])
     df = (
         spark.createDataFrame([(p,) for p in pages], "body string")
@@ -184,7 +228,12 @@ def read_odata(
         .select("rec.*")
     )
     if select:
-        df = df.select(*select)
+        keep = list(select)
+        if expand:  # expanded nav property rides along with $select (reference P1+P3)
+            root = expand.split("(")[0].strip()
+            if root in df.columns and root not in keep:
+                keep.append(root)
+        df = df.select(*keep)
     if filter_expr:
         df = df.filter(_odata_filter_to_column(filter_expr))
     return df
@@ -253,17 +302,27 @@ try:  # pragma: no cover - exercised in tests when the API exists
     from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
     class _PagePartition(InputPartition):
-        def __init__(self, url: str):
+        def __init__(self, url: str, body: str | None = None, path: str | None = None):
             self.url = url
+            self.body = body  # embedded page body (small pages)
+            self.path = path  # spill-file path (when spill_dir is set)
 
     class ODataDataSource(DataSource):
         """``spark.read.format("odata").schema(s).option("path", first_page)``
 
-        The reader walks the cursor chain driver-side to *discover* page
-        addresses (bodies are immediately discarded — at most one page held
-        at a time), then each page becomes an InputPartition parsed on
-        executors: the DSv2 shape SURVEY.md §4 calls for, with per-page
-        parallelism the reference lacks.
+        The reader walks the cursor chain driver-side (the @odata.nextLink
+        protocol is inherently sequential), then each page becomes an
+        InputPartition parsed on executors: the DSv2 shape SURVEY.md §4
+        calls for, with per-page parallelism the reference lacks.
+
+        Each page body is fetched exactly once.  Discovery must read the
+        body anyway (the next link lives inside it), so instead of
+        discarding it the reader either embeds it in the partition
+        (pages ≤ ``embed_max_bytes``, default 1 MiB — partitions are
+        pickled to executors, so this ships the body with the task) or,
+        when ``spill_dir`` is set (must be cluster-visible storage on a
+        real cluster), writes it there and ships only the path.  Oversized
+        pages with no spill_dir fall back to a documented second fetch.
         """
 
         @classmethod
@@ -287,15 +346,33 @@ try:  # pragma: no cover - exercised in tests when the API exists
                 [s for s in self.options.get("select", "").split(",") if s] or None,
                 self.options.get("filter") or None,
             )
-            urls = []
-            while url and len(urls) < 100_000:
-                urls.append(url)
-                body = file_fetcher(url)
+            embed_max = int(self.options.get("embed_max_bytes", str(1 << 20)))
+            spill_dir = self.options.get("spill_dir")
+            parts: list[_PagePartition] = []
+            while url and len(parts) < 100_000:
+                body = RetryPolicy().run(lambda u=url: file_fetcher(u))
+                if len(body) <= embed_max:
+                    parts.append(_PagePartition(url, body=body))
+                elif spill_dir:
+                    import os
+
+                    spill_path = os.path.join(spill_dir, f"odata-page-{len(parts)}.json")
+                    with open(spill_path, "w", encoding="utf-8") as f:
+                        f.write(body)
+                    parts.append(_PagePartition(url, path=spill_path))
+                else:  # oversized, nowhere to spill: executor re-fetches this page
+                    parts.append(_PagePartition(url))
                 url = json.loads(body).get(NEXT_LINK)
-            return [_PagePartition(u) for u in urls]
+            return parts
 
         def read(self, partition):
-            body = RetryPolicy().run(lambda: file_fetcher(partition.url))
+            if partition.body is not None:
+                body = partition.body
+            elif partition.path is not None:
+                with open(partition.path, encoding="utf-8") as f:
+                    body = f.read()
+            else:
+                body = RetryPolicy().run(lambda: file_fetcher(partition.url))
             names = [f.name for f in self.user_schema.fields]
             for rec in json.loads(body).get(VALUE, []):
                 yield tuple(rec.get(n) for n in names)

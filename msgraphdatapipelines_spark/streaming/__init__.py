@@ -64,6 +64,35 @@ def tumbling_counts(
     )
 
 
+def sliding_counts(
+    events: DataFrame,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Sliding-window counts per event_type (every event lands in
+    window/slide overlapping windows).  Without a watermark the aggregation
+    is complete-mode emittable: all windows stay in state, which is exactly
+    what makes the stream result equal the batch oracle."""
+    g = events.withWatermark("ts", watermark) if watermark else events
+    return g.groupBy(F.window("ts", window, slide), "event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value_dec"),
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str | None = None
+) -> DataFrame:
+    """Session-window (gap-based) event counts per user — Structured
+    Streaming's native session state machine: sessions merge across
+    micro-batches when events arrive within ``gap``."""
+    g = events.withWatermark("ts", watermark) if watermark else events
+    return g.groupBy(F.session_window("ts", gap), "user_id").agg(
+        F.count("*").alias("n_events")
+    )
+
+
 def run_stream_to_memory(agg: DataFrame, output_mode: str = "append") -> tuple[DataFrame, str]:
     """Run a streaming aggregation to completion against a memory sink and
     return the materialized result as a batch DataFrame.

@@ -26,6 +26,11 @@ FIRST_SEEN_SCHEMA = T.StructType(
 
 FIRST_SEEN_STATE = T.StructType([T.StructField("min_event_id", T.LongType())])
 
+# Idle-key TTL: a (user_id, event_type) key that has not appeared for this
+# long is evicted.  Re-appearing after eviction re-emits (at-least-once
+# dedup window) — the bounded-state contract for week-long streams.
+FIRST_SEEN_TTL_MS = 6 * 60 * 60 * 1000
+
 
 def _first_seen_fn(
     key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -34,8 +39,13 @@ def _first_seen_fn(
     the minimum event_id ever seen; emit only when it improves.
 
     min() over the batch makes the result independent of intra-batch row
-    order — deterministic under any partitioning.
+    order — deterministic under any partitioning.  State eviction: a
+    processing-time TTL (refreshed on every batch that touches the key)
+    bounds state to recently-active keys.
     """
+    if state.hasTimedOut:
+        state.remove()
+        return
     prev = state.get[0] if state.exists else None
     mn = prev
     for pdf in pdfs:
@@ -47,15 +57,17 @@ def _first_seen_fn(
         yield pd.DataFrame(
             {"user_id": [key[0]], "event_type": [key[1]], "first_event_id": [mn]}
         )
+    if state.exists:
+        state.setTimeoutDuration(FIRST_SEEN_TTL_MS)
 
 
 def first_seen_dedup(events: DataFrame) -> DataFrame:
     """Apply the first-occurrence dedup state machine to a stream keyed by
-    (user_id, event_type)."""
+    (user_id, event_type), with a processing-time TTL bounding state size."""
     return events.groupBy("user_id", "event_type").applyInPandasWithState(
         _first_seen_fn,
         FIRST_SEEN_SCHEMA,
         FIRST_SEEN_STATE,
         "update",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.ProcessingTimeTimeout,
     )

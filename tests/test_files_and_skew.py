@@ -57,3 +57,44 @@ def test_salted_groupby_count(spark):
     df = spark.createDataFrame([(1,)] * 100 + [(2,)] * 3, "k int")
     got = {r["k"]: r["n"] for r in skew.salted_groupby_count(df, "k", salts=4).collect()}
     assert got == {1: 100, 2: 3}
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    """ADVICE fix: replicating the right side makes right/full joins emit
+    unmatched right rows salts× — the operator must refuse them."""
+    import pytest as _pytest
+
+    from msgraphdatapipelines_spark.operators import skew
+
+    df = spark.range(4).withColumnRenamed("id", "k")
+    for how in ("right", "full", "outer", "right_outer"):
+        with _pytest.raises(ValueError):
+            skew.salted_join(df, df, "k", how=how)
+
+
+def test_salt_spreads_identical_duplicate_rows(spark):
+    """ADVICE fix: the salt must be content-independent so identical
+    duplicate rows of one hot key land in different salt buckets."""
+    from pyspark.sql import functions as F
+
+    from msgraphdatapipelines_spark.operators import skew
+
+    hot = spark.range(1000).select(F.lit(1).alias("k"))  # 1000 identical rows
+    salted = hot.withColumn("s", skew._row_salt(8))
+    n_buckets = salted.select("s").distinct().count()
+    assert n_buckets > 1  # xxhash64-of-content would give exactly 1
+
+
+def test_explode_array_element_naming(spark):
+    from pyspark.sql import functions as F
+
+    from msgraphdatapipelines_spark.operators import flatten
+
+    df = spark.range(2).select(
+        F.col("id"),
+        F.array(F.lit("a"), F.lit("b")).alias("items"),
+        F.array(F.lit("x")).alias("address"),
+    )
+    assert "item" in flatten.explode_array(df, "items", keep=["id"]).columns
+    # single-suffix strip only — 'address' must NOT become 'addres'
+    assert "address" in flatten.explode_array(df, "address", keep=["id"]).columns

@@ -99,3 +99,130 @@ def test_managed_devices_pipeline_end_to_end(spark, tmp_path):
     results = run_all(spark, [Pipeline("managedDevices", source, transform, sink)])
     assert results[0].ok
     assert spark.read.parquet(out).count() == 8
+
+
+def _cloudpc(i: int) -> dict:
+    return {
+        "id": f"cpc-{i:02d}",
+        "displayName": f"CPC-{i}",
+        "imageDisplayName": "Windows 11",
+        "provisioningPolicyId": f"pp-{i % 2}",
+        "provisioningPolicyName": "Std",
+        "onPremisesConnectionName": "anc-1",
+        "servicePlanId": f"sp-{i % 3}",
+        "servicePlanName": "2vCPU/8GB",
+        "userPrincipalName": f"user{i}@contoso.test",
+        "lastModifiedDateTime": f"2024-05-{(i % 27) + 1:02d}T12:00:00Z",
+        "managedDeviceId": f"md-{i}",
+        "managedDeviceName": f"CPC-host-{i}",
+        "aadDeviceId": f"aad-{i}",
+        "gracePeriodEndDateTime": None,
+        "provisioningType": "dedicated",
+        # NOTE: servicePlanType/diskEncryptionState/statusDetails/
+        # statusDescription deliberately absent — the API $select doesn't
+        # request them; the DDL still declares them (superset tolerance)
+    }
+
+
+def _audit_event(i: int) -> dict:
+    return {
+        "id": f"ae-{i:02d}",
+        "displayName": f"Action {i}",
+        "componentName": "CloudPcProvisioning",
+        "activityDateTime": f"2024-05-{(i % 27) + 1:02d}T09:30:00Z",
+        "activityType": "Patch CloudPC",
+        "activityResult": "Success" if i % 4 else "Failure",
+        "category": "Other",
+        "actor": {
+            "applicationDisplayName": "Cloud PC Service",
+            "userPrincipalName": f"admin{i % 2}@contoso.test",
+        },
+        "resources": (
+            [{"displayName": f"CPC-{i}"}, {"displayName": f"CPC-{i}-extra"}]
+            if i % 3
+            else []
+        ),
+    }
+
+
+def test_windows365_two_entity_pipeline(spark, tmp_path):
+    """Export-MSIntuneCloudPCs parity: two endpoints in one run
+    (`Export…ps1:15-40`) — CloudPCs with the identity transform (T9,
+    `:217-219`) and schema-superset conform (4 DDL-only columns arrive
+    NULL, `Prepare-SQLDatabase-CloudPCs.sql:23-27`); CloudPCAuditEvents
+    with actor flatten (T3, `:224-232`) + resources first-element (T4,
+    `:234-239`)."""
+    cpc_page = tmp_path / "cloudpcs.json"
+    cpc_page.write_text(json.dumps({"value": [_cloudpc(i) for i in range(6)]}))
+    ae1, ae2 = tmp_path / "audit1.json", tmp_path / "audit2.json"
+    ae1.write_text(
+        json.dumps(
+            {"value": [_audit_event(i) for i in range(4)], "@odata.nextLink": str(ae2)}
+        )
+    )
+    ae2.write_text(json.dumps({"value": [_audit_event(i) for i in range(4, 7)]}))
+    out_cpc = str(tmp_path / "wh" / "cloudpcs")
+    out_ae = str(tmp_path / "wh" / "cloudpc_audit_events")
+
+    def cpc_transform(df):
+        # T9 identity transform — conform + stamp are the load step, not
+        # a transform (the reference's CloudPCs switch branch is empty)
+        return sinks.stamp(
+            project.conform(df, schemas.CLOUDPC_TARGET), at=dt.datetime(2024, 6, 1)
+        )
+
+    def ae_transform(df):
+        df = flatten.flatten_struct(
+            df,
+            "actor",
+            {
+                "applicationDisplayName": ("applicationDisplayName", None),
+                "userPrincipalName": ("userPrincipalName", None),
+            },
+        )
+        df = flatten.array_first_field(df, "resources", "displayName", "resourceDisplayName")
+        return sinks.stamp(
+            project.conform(df.drop("actor"), schemas.AUDIT_EVENT_TARGET),
+            at=dt.datetime(2024, 6, 1),
+        )
+
+    results = run_all(
+        spark,
+        [
+            Pipeline(
+                "CloudPCs",
+                lambda s: rest.read_odata(s, str(cpc_page), schemas.CLOUDPC_RAW),
+                cpc_transform,
+                lambda df: sinks.write_full_refresh(df, out_cpc, sort_by="id"),
+            ),
+            Pipeline(
+                "CloudPCAuditEvents",
+                lambda s: rest.read_odata(s, str(ae1), schemas.AUDIT_EVENT_RAW),
+                ae_transform,
+                lambda df: sinks.write_full_refresh(df, out_ae, sort_by="id"),
+            ),
+        ],
+    )
+    assert all(r.ok for r in results), [r.error for r in results]
+
+    cpcs = spark.read.parquet(out_cpc)
+    assert cpcs.count() == 6
+    cpc_cols = [f.name for f in schemas.CLOUDPC_TARGET.fields] + [sinks.LOAD_STAMP]
+    assert cpcs.columns == cpc_cols
+    rows = {r["id"]: r for r in cpcs.collect()}
+    # superset tolerance: DDL-only columns materialized as typed NULLs
+    for ddl_only in ("servicePlanType", "diskEncryptionState", "statusDetails", "statusDescription"):
+        assert all(r[ddl_only] is None for r in rows.values()), ddl_only
+    assert rows["cpc-03"]["lastModifiedDateTime"] == dt.datetime(2024, 5, 4, 12, 0)
+    assert rows["cpc-03"]["gracePeriodEndDateTime"] is None
+
+    aes = spark.read.parquet(out_ae)
+    assert aes.count() == 7
+    ae_cols = [f.name for f in schemas.AUDIT_EVENT_TARGET.fields] + [sinks.LOAD_STAMP]
+    assert aes.columns == ae_cols
+    arow = {r["id"]: r for r in aes.collect()}
+    assert arow["ae-01"]["applicationDisplayName"] == "Cloud PC Service"  # T3 lift
+    assert arow["ae-01"]["resourceDisplayName"] == "CPC-1"  # T4 first element
+    assert arow["ae-03"]["resourceDisplayName"] is None  # empty array → NULL
+    assert arow["ae-04"]["activityResult"] == "Failure"
+    assert arow["ae-02"]["activityDateTime"] == dt.datetime(2024, 5, 3, 9, 30)

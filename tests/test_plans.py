@@ -19,7 +19,12 @@ def test_filter_project_pushes_down(spark, sf_dir):
 
 
 def test_exclude_prunes_scan(spark, sf_dir):
-    (cols,) = plans.scan_columns(qg.graph_exclude_columns(spark, sf_dir))
+    """P4 exclusion must reach the scan (operator-level since the r2 query
+    consolidation made the registered query read every customer column)."""
+    from msgraphdatapipelines_spark.operators import project
+
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    (cols,) = plans.scan_columns(project.exclude(sup, "s_nationkey", "s_acctbal"))
     assert cols == ["s_suppkey", "s_name"]
 
 
@@ -50,10 +55,28 @@ def test_pricing_summary_partial_agg_one_exchange(spark, sf_dir):
 
 
 def test_conform_prunes_unreferenced_columns(spark, sf_dir):
-    """P5 conform drops c_mktsegment — pruning must reach the scan."""
-    df = qg.graph_conform_schema(spark, sf_dir)
-    (cols,) = plans.scan_columns(df)
-    assert "c_mktsegment" not in cols
+    """P5 conform drops undeclared columns — pruning must reach the scan
+    (operator-level: the r2 consolidated query consumes every column)."""
+    from pyspark.sql import types as T
+
+    from msgraphdatapipelines_spark.operators import project
+
+    target = T.StructType(
+        [T.StructField("c_custkey", T.LongType()), T.StructField("c_name", T.StringType())]
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    (cols,) = plans.scan_columns(project.conform(cust, target))
+    assert "c_mktsegment" not in cols and "c_acctbal" not in cols
+
+
+def test_join_variants_single_plan_four_join_types(spark, sf_dir):
+    """r2 rewrite (VERDICT item 4): join_variants is ONE DataFrame whose
+    plan contains all four join types — no driver-side multi-action loop."""
+    df = qr.join_variants(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "LeftSemi" in plan and "LeftAnti" in plan and "LeftOuter" in plan
+    n_joins = plan.count("Join")
+    assert n_joins >= 4
 
 
 def test_exact_dedup_single_shuffle(spark, sf_dir):

@@ -131,3 +131,145 @@ def test_python_datasource_reads_pages(spark, pages):
     assert sorted(r["id"] for r in df.collect()) == sorted(r["id"] for r in recs)
     # one partition per page — the parallelism unit the reference lacks
     assert df.rdd.getNumPartitions() == 3
+
+
+def test_datasource_fetches_each_page_once(pages, monkeypatch):
+    """Discovery must not double-fetch: page bodies ride along in partitions
+    (or spill files), so executors never re-fetch what the driver read."""
+    first, _ = pages
+    if not rest.HAS_PYTHON_DATASOURCE:
+        pytest.skip("Python DataSource API unavailable")
+    calls: list[str] = []
+    real = rest.file_fetcher
+
+    def counting(url: str) -> str:
+        calls.append(url)
+        return real(url)
+
+    monkeypatch.setattr(rest, "file_fetcher", counting)
+    reader = rest.ODataReader(SCHEMA, {"path": first})
+    parts = reader.partitions()
+    assert len(parts) == 3 and len(calls) == 3  # fetch count == page count
+    assert all(p.body is not None for p in parts)
+
+    def refuses(url: str) -> str:
+        raise AssertionError(f"executor re-fetched {url}")
+
+    monkeypatch.setattr(rest, "file_fetcher", refuses)
+    rows = [r for p in parts for r in reader.read(p)]
+    assert len(rows) == 9
+
+
+def test_datasource_spills_oversized_pages(pages, monkeypatch, tmp_path):
+    first, _ = pages
+    if not rest.HAS_PYTHON_DATASOURCE:
+        pytest.skip("Python DataSource API unavailable")
+    spill = tmp_path / "spill"
+    spill.mkdir()
+    reader = rest.ODataReader(
+        SCHEMA, {"path": first, "embed_max_bytes": "0", "spill_dir": str(spill)}
+    )
+    parts = reader.partitions()
+    assert all(p.body is None and p.path is not None for p in parts)
+    monkeypatch.setattr(
+        rest, "file_fetcher", lambda u: (_ for _ in ()).throw(AssertionError("re-fetch"))
+    )
+    rows = [r for p in parts for r in reader.read(p)]
+    assert len(rows) == 9
+
+
+def test_read_odata_autoswitches_to_datasource(spark, tmp_path):
+    """Above the page threshold, read_odata must take the DataSource scale
+    path instead of materializing the collection driver-side."""
+    if not rest.HAS_PYTHON_DATASOURCE:
+        pytest.skip("Python DataSource API unavailable")
+    paths = [tmp_path / f"big{i}.json" for i in range(5)]
+    for i, p in enumerate(paths):
+        body = {"value": [{"id": f"r{i}", "operatingSystem": "Windows",
+                           "osVersion": "11", "errorCode": i}]}
+        if i < 4:
+            body["@odata.nextLink"] = str(paths[i + 1])
+        p.write_text(json.dumps(body))
+    df = rest.read_odata(spark, str(paths[0]), SCHEMA, datasource_page_threshold=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchScan odata" in plan  # the DataSource path, not ExistingRDD
+    assert sorted(r["id"] for r in df.collect()) == [f"r{i}" for i in range(5)]
+    # below the threshold: stays on the driver path
+    df_small = rest.read_odata(spark, str(paths[0]), SCHEMA, datasource_page_threshold=10)
+    assert "BatchScan odata" not in df_small._jdf.queryExecution().executedPlan().toString()
+    assert df_small.count() == 5
+
+
+def test_token_provider_retries_transient_failures():
+    """ADVICE fix: token acquisition retries ANY exception (reference's
+    ≤5-try loop around Get-AzAccessToken), not just ThrottledError."""
+    attempts = {"n": 0}
+    sleeps: list[float] = []
+
+    def flaky_acquire() -> str:
+        attempts["n"] += 1
+        if attempts["n"] <= 2:
+            raise RuntimeError("identity endpoint hiccup")
+        return "tok-ok"
+
+    tp = rest.TokenProvider(flaky_acquire, sleeper=sleeps.append)
+    assert tp.token() == "tok-ok"
+    assert sleeps == [10.0, 10.0]
+    assert tp.token() == "tok-ok" and attempts["n"] == 3  # cached
+
+
+def test_expand_survives_select(spark, tmp_path):
+    """P3 e2e — $expand emitted in the URL; expanded nested collection
+    survives ingestion alongside $select and is consumable (explode +
+    dot access), matching `Invoke…ps1:70-80`."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("displayName", T.StringType()),
+            T.StructField(
+                "members",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("userId", T.StringType()),
+                            T.StructField("userPrincipalName", T.StringType()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+    page = tmp_path / "groups.json"
+    page.write_text(
+        json.dumps(
+            {
+                "value": [
+                    {
+                        "id": "g1",
+                        "displayName": "Admins",
+                        "members": [
+                            {"userId": "u1", "userPrincipalName": "a@x"},
+                            {"userId": "u2", "userPrincipalName": "b@x"},
+                        ],
+                    },
+                    {"id": "g2", "displayName": "Empty", "members": []},
+                ]
+            }
+        )
+    )
+    df = rest.read_odata(
+        spark, str(page), schema, select=["id", "displayName"], expand="members"
+    )
+    assert set(df.columns) == {"id", "displayName", "members"}
+    from msgraphdatapipelines_spark.operators import flatten
+
+    exploded = flatten.explode_array(df, "members", keep=["id"])
+    rows = {(r["id"], r["member"]["userId"]) for r in exploded.collect()}
+    assert rows == {("g1", "u1"), ("g1", "u2")}
+    upns = sorted(
+        r["upn"]
+        for r in exploded.select(
+            exploded["member"]["userPrincipalName"].alias("upn")
+        ).collect()
+    )
+    assert upns == ["a@x", "b@x"]
