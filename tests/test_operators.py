@@ -147,6 +147,9 @@ def test_multimodal_decode_and_features_deterministic(spark):
     feats = M.extract_features(media).collect()[0]["feature"]
     assert len(feats) == M.FEATURE_DIM
     assert all(0.0 <= f <= 1.0 for f in feats)
-    # frame sampling is an explicit stub in this environment
-    with pytest.raises(NotImplementedError):
-        M.frame_sample(media)
+    # frame sampling: deterministic fake codec, every_n stride over fake frames
+    frames = M.frame_sample(media, every_n=1).collect()
+    n_frames = max(1, -(-len("some payload text") // M.FRAME_CHUNK_BYTES))
+    assert len(frames) == n_frames
+    assert frames[0]["frame_idx"] == 0 and frames[0]["ts_ms"] == 0
+    assert len({f["frame_sha256"] for f in frames}) == len(frames)
