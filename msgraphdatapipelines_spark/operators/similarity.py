@@ -18,6 +18,8 @@ Scale design (100 TB / billions of vectors):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -124,6 +126,92 @@ def flip_bit_buckets(bucket: Column, num_planes: int) -> Column:
             F.concat(F.substring(bucket, 1, p), flipped, F.substring(bucket, p + 2, num_planes))
         )
     return F.array(*variants)
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_q: str,
+    id_c: str,
+    vec_q: str,
+    vec_c: str,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """IVF-flat approximate top-k: a coarse quantizer partitions the corpus
+    into ``n_centroids`` inverted lists; each query scores only the lists of
+    its ``nprobe`` nearest centroids (~nprobe/n_centroids of the corpus).
+
+    Centroids are MODEL STATE, not data: O(C·dim) values collected once and
+    inlined as literals, so both list assignment and query probing are
+    narrow per-row expressions — argmax/top-nprobe over an inline scored
+    struct array, zero joins, zero shuffles.  With the query side broadcast
+    the whole plan's only wide step is the final per-query top-k window
+    (WindowGroupLimit partial → tiny qid shuffle), identical to
+    brute_force_topk — the shape that survives a billion-vector corpus.
+
+    ``centroids`` defaults to the ``n_centroids`` lowest-id corpus vectors
+    (deterministic, oracle-expressible).  Production plugs k-means centroids
+    into the same parameter; the plan shape is unchanged by how centroids
+    were chosen.
+
+    Tie-breaks everywhere are (score DESC, centroid/candidate id ASC), and
+    scores are sequential-double cosines (seq_dot) — bit-matchable by a SQL
+    oracle computing the same left-associated sums.
+    """
+    if centroids is None:
+        centroids = [
+            (r["_cid"], [float(x) for x in r["_cvec"]])
+            for r in corpus.select(
+                F.col(id_c).alias("_cid"), F.col(vec_c).cast("array<double>").alias("_cvec")
+            )
+            .orderBy("_cid")
+            .limit(n_centroids)
+            .collect()
+        ]
+
+    def scored_centroids(vec: Column, norm: Column) -> Column:
+        """array<struct<neg_score, centroid_id>>, ascending-sorted = best first."""
+        entries = []
+        for cid, cvec in centroids:
+            arr = F.array(*[F.lit(x) for x in cvec])
+            cn = math.sqrt(sum(x * x for x in cvec))
+            score = seq_dot(vec, arr) / (norm * F.lit(cn))
+            entries.append(F.struct((-score).alias("ns"), F.lit(cid).alias("cent")))
+        return F.sort_array(F.array(*entries))
+
+    qv = F.col(vec_q).cast("array<double>")
+    cv = F.col(vec_c).cast("array<double>")
+    c = corpus.select(
+        F.col(id_c).alias("cid"), cv.alias("cv"), F.sqrt(seq_dot(cv, cv)).alias("cn")
+    )
+    c = c.withColumn("cent", scored_centroids(F.col("cv"), F.col("cn"))[0]["cent"])
+    q = queries.select(
+        F.col(id_q).alias("qid"), qv.alias("qv"), F.sqrt(seq_dot(qv, qv)).alias("qn")
+    )
+    q = q.withColumn(
+        "cent",
+        F.explode(
+            F.transform(
+                F.slice(scored_centroids(F.col("qv"), F.col("qn")), 1, nprobe),
+                lambda s: s["cent"],
+            )
+        ),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "cent")
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn("score", seq_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", F.round("score", 6).alias("score"), "rank")
+    )
 
 
 def lsh_topk(

@@ -64,6 +64,63 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_CENTROIDS = 8
+NPROBE = 2
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH cent AS (SELECT vec_id AS cent, embedding AS cvec FROM embeddings
+                  WHERE vec_id < {N_CENTROIDS}),
+    assign AS (
+        SELECT cid, cv, cent FROM (
+            SELECT e.vec_id AS cid, e.embedding AS cv, cent.cent,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_cos('e.embedding', 'cvec')} DESC, cent.cent) AS rn
+            FROM embeddings e CROSS JOIN cent) t
+        WHERE rn = 1
+    ),
+    qprobe AS (
+        SELECT qid, qv, cent FROM (
+            SELECT q.vec_id AS qid, q.embedding AS qv, cent.cent,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_cos('q.embedding', 'cvec')} DESC, cent.cent) AS rn
+            FROM embeddings q CROSS JOIN cent WHERE q.vec_id < {N_QUERIES}) t
+        WHERE rn <= {NPROBE}
+    ),
+    scored AS (
+        SELECT qid, cid, {_cos('qv', 'cv')} AS score
+        FROM qprobe JOIN assign USING (cent) WHERE qid <> cid
+    )
+    SELECT qid, cid, round(score, 6) AS score, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn
+          FROM scored) t
+    WHERE rn <= {K}
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN top-k: coarse-quantize the corpus into inverted lists
+    (centroids = model state, inlined as literals → list assignment and
+    query probing are narrow maps, zero joins/shuffles), then score only the
+    nprobe probed lists per query.  The deterministic lowest-id centroid
+    choice stands in for k-means — the plan shape is identical either way."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.ivf_topk(
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        emb,
+        "vec_id",
+        "vec_id",
+        "embedding",
+        "embedding",
+        k=K,
+        n_centroids=N_CENTROIDS,
+        nprobe=NPROBE,
+    )
+
+
 def _probe_buckets_sql(bexpr: str, num_planes: int = 8) -> str:
     """The bucket + every 1-bit flip, as a SQL list — mirrors
     operators.similarity.flip_bit_buckets."""

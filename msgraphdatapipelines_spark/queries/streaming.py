@@ -118,7 +118,12 @@ def stream_stateful_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _harden(spark)
     ev = ST.read_events_stream(spark, sf_dir, glob="events.parquet")
-    result, _ = ST.run_stream_to_memory(first_seen_dedup(ev), output_mode="update")
+    # availableNow drain + event-time TTL: wall-clock (ProcessingTime)
+    # timers would keep the engine in state-cleanup micro-batches forever,
+    # so no drain could ever terminate (r2 livelock caught by the sweep)
+    result, _ = ST.run_stream_to_memory(
+        first_seen_dedup(ev), output_mode="update", available_now=True
+    )
     return result
 
 

@@ -93,18 +93,42 @@ def session_counts(
     )
 
 
-def run_stream_to_memory(agg: DataFrame, output_mode: str = "append") -> tuple[DataFrame, str]:
+def run_stream_to_memory(
+    agg: DataFrame,
+    output_mode: str = "append",
+    available_now: bool = False,
+    drain_timeout_s: int = 600,
+) -> tuple[DataFrame, str]:
     """Run a streaming aggregation to completion against a memory sink and
     return the materialized result as a batch DataFrame.
 
-    ``processAllAvailable`` drains every input file; Spark then runs
-    no-data micro-batches so the advanced watermark flushes finalized
-    windows (spark.sql.streaming.noDataMicroBatches.enabled, default on).
+    Default drain: ``processAllAvailable`` consumes every input file; Spark
+    then runs no-data micro-batches so the advanced watermark flushes
+    finalized windows (spark.sql.streaming.noDataMicroBatches.enabled,
+    default on).
+
+    ``available_now=True`` drains via ``trigger(availableNow=true)`` — the
+    query processes everything available and then TERMINATES ITSELF.  This
+    is REQUIRED for operators registering processing-time timers
+    (``applyInPandasWithState`` + ProcessingTimeTimeout): pending timers
+    make the engine schedule state-cleanup micro-batches indefinitely, so
+    ``processAllAvailable`` livelocks ("No new data but cleaning up state"
+    forever).  With availableNow the run ends after the data; timers are
+    a long-running-stream concern and never fire in a drain.
     """
     name = f"mem_{uuid.uuid4().hex[:8]}"
-    q = agg.writeStream.outputMode(output_mode).format("memory").queryName(name).start()
+    writer = agg.writeStream.outputMode(output_mode).format("memory").queryName(name)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
     try:
-        q.processAllAvailable()
+        if available_now:
+            if not q.awaitTermination(drain_timeout_s):
+                raise TimeoutError(
+                    f"availableNow drain exceeded {drain_timeout_s}s for {name}"
+                )
+        else:
+            q.processAllAvailable()
     finally:
         q.stop()
     spark = agg.sparkSession

@@ -26,9 +26,14 @@ FIRST_SEEN_SCHEMA = T.StructType(
 
 FIRST_SEEN_STATE = T.StructType([T.StructField("min_event_id", T.LongType())])
 
-# Idle-key TTL: a (user_id, event_type) key that has not appeared for this
-# long is evicted.  Re-appearing after eviction re-emits (at-least-once
-# dedup window) — the bounded-state contract for week-long streams.
+# Idle-key TTL in EVENT time: a (user_id, event_type) key whose last event
+# is this far behind the watermark is evicted.  Re-appearing after eviction
+# re-emits (at-least-once dedup window) — the bounded-state contract for
+# week-long streams.  Event-time (not processing-time) timers on purpose:
+# wall-clock timers make the micro-batch engine schedule state-cleanup
+# batches indefinitely, so a finite drain (processAllAvailable OR
+# availableNow) never terminates — an event-time timer only fires when the
+# watermark moves, which only happens with data.
 FIRST_SEEN_TTL_MS = 6 * 60 * 60 * 1000
 
 
@@ -39,35 +44,44 @@ def _first_seen_fn(
     the minimum event_id ever seen; emit only when it improves.
 
     min() over the batch makes the result independent of intra-batch row
-    order — deterministic under any partitioning.  State eviction: a
-    processing-time TTL (refreshed on every batch that touches the key)
-    bounds state to recently-active keys.
+    order — deterministic under any partitioning.  State eviction: an
+    event-time TTL (refreshed to last-seen-ts + TTL on every batch touching
+    the key) bounds state to recently-active keys.
     """
     if state.hasTimedOut:
         state.remove()
         return
     prev = state.get[0] if state.exists else None
     mn = prev
+    max_ts_ms = None
     for pdf in pdfs:
         if len(pdf):
             m = int(pdf["event_id"].min())
             mn = m if mn is None else min(mn, m)
+            t = int(pdf["ts"].max().value // 1_000_000)
+            max_ts_ms = t if max_ts_ms is None else max(max_ts_ms, t)
     if mn is not None and mn != prev:
         state.update((mn,))
         yield pd.DataFrame(
             {"user_id": [key[0]], "event_type": [key[1]], "first_event_id": [mn]}
         )
-    if state.exists:
-        state.setTimeoutDuration(FIRST_SEEN_TTL_MS)
+    if state.exists and max_ts_ms is not None:
+        # must be strictly beyond the current watermark or Spark rejects it
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(max_ts_ms + FIRST_SEEN_TTL_MS, wm + 1))
 
 
-def first_seen_dedup(events: DataFrame) -> DataFrame:
+def first_seen_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Apply the first-occurrence dedup state machine to a stream keyed by
-    (user_id, event_type), with a processing-time TTL bounding state size."""
-    return events.groupBy("user_id", "event_type").applyInPandasWithState(
+    (user_id, event_type), with an event-time TTL bounding state size.
+    The watermark on ``ts`` drives both late-data semantics and timer
+    firing (EventTimeTimeout requires one)."""
+    return events.withWatermark("ts", watermark).groupBy(
+        "user_id", "event_type"
+    ).applyInPandasWithState(
         _first_seen_fn,
         FIRST_SEEN_SCHEMA,
         FIRST_SEEN_STATE,
         "update",
-        GroupStateTimeout.ProcessingTimeTimeout,
+        GroupStateTimeout.EventTimeTimeout,
     )

@@ -1,0 +1,61 @@
+"""ANN recall vs the exact brute-force baseline (VERDICT r1 item 10).
+
+The synthetic embeddings are random (no true near-dup clusters; best cosines
+~0.35-0.5), so absolute recall is structurally low — the assertions pin the
+*relationships* PERF.md documents, which hold regardless of corpus:
+
+- multi-probe (bucket + all 1-bit flips) recalls at least as much as
+  single-probe at the same plane count, and strictly more candidates;
+- fewer planes → bigger buckets → recall at least as high (4 vs 8 planes,
+  the PERF.md-recommended weak-similarity configuration);
+- IVF with nprobe/n_centroids = 1/4 of the corpus scanned beats 8-plane
+  single-probe LSH (~1/256 of the corpus scanned).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from msgraphdatapipelines_spark.operators import similarity as S
+
+K = 5
+N_QUERIES = 20
+
+
+def _pairs(df) -> set[tuple[int, int]]:
+    return {(r["qid"], r["cid"]) for r in df.collect()}
+
+
+def _recall(approx: set, exact: set) -> float:
+    return len(approx & exact) / len(exact)
+
+
+def test_ann_recall_ladder(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    args = (q, emb, "vec_id", "vec_id", "embedding", "embedding")
+
+    exact = _pairs(S.brute_force_topk(*args, k=K))
+    assert len(exact) == N_QUERIES * K
+
+    lsh8 = _pairs(S.lsh_topk(*args, k=K, num_planes=8))
+    lsh4 = _pairs(S.lsh_topk(*args, k=K, num_planes=4))
+    multi8 = _pairs(S.lsh_topk(*args, k=K, num_planes=8, multi_probe=True))
+    ivf = _pairs(S.ivf_topk(*args, k=K, n_centroids=8, nprobe=2))
+
+    r_lsh8, r_lsh4 = _recall(lsh8, exact), _recall(lsh4, exact)
+    r_multi8, r_ivf = _recall(multi8, exact), _recall(ivf, exact)
+
+    # documented orderings (PERF.md "Known trade-offs"): probes ⊃ bucket,
+    # 4-plane buckets ⊇ nothing 8-plane finds less often, IVF scans 64× more
+    assert r_multi8 >= r_lsh8
+    assert r_lsh4 >= r_lsh8
+    assert r_ivf >= r_lsh8
+    # the scale-path configs must find *something* on a 500-vector corpus
+    assert r_ivf > 0.0 and r_lsh4 > 0.0
+    # multi-probe explores strictly more buckets, so it returns at least as
+    # many result rows (top-k PAIRS need not be a superset: a better
+    # candidate from a flipped bucket can displace a single-probe pair —
+    # which is exactly why recall above is monotone, per-query the displacer
+    # outranks the displaced pair globally too)
+    assert len(multi8) >= len(lsh8)
