@@ -42,13 +42,21 @@ def bpe_token_count(text: Column | str) -> Column:
     return F.size(F.regexp_extract_all(t, F.lit(BPE_TOKEN_RE), 0)).cast("long")
 
 
-def quality_stats(text: Column | str) -> dict[str, Column]:
+def quality_stats(text: Column | str, ws: Column | None = None) -> dict[str, Column]:
     """Quality-scoring signals: length, token stats, stopword/digit ratios.
 
     Ratios are exact integer ratios cast to double (deterministic).
+
+    Pass ``ws`` (a materialized ``tokens(text)`` column) when combining with
+    other token-consuming operators: higher-order functions are
+    codegen-fallback, so Catalyst does NOT common-subexpression-eliminate a
+    repeated ``split``+``filter`` — tokenizing once in a prior projection
+    (CollapseProject keeps non-cheap exprs referenced more than once staged)
+    turns O(uses) tokenizations per row into one.
     """
     t = F.col(text) if isinstance(text, str) else text
-    ws = tokens(t)
+    if ws is None:
+        ws = tokens(t)
     n_tok = F.size(ws)
     stop = F.array([F.lit(w) for ms in LANG_MARKERS.values() for w in ms])
     n_stop = F.size(F.filter(ws, lambda w: F.array_contains(stop, w)))
@@ -69,21 +77,23 @@ def quality_stats(text: Column | str) -> dict[str, Column]:
     }
 
 
-def lang_scores(text: Column | str) -> dict[str, Column]:
-    """Per-language marker-hit counts (the language-ID signal)."""
-    ws = tokens(text)
+def lang_scores(text: Column | str, ws: Column | None = None) -> dict[str, Column]:
+    """Per-language marker-hit counts (the language-ID signal).  ``ws``: see
+    quality_stats — pass the materialized token array to tokenize once."""
+    if ws is None:
+        ws = tokens(text)
     return {
         lang: F.size(F.filter(ws, lambda w: F.array_contains(F.array(*[F.lit(m) for m in ms]), w)))
         for lang, ms in LANG_MARKERS.items()
     }
 
 
-def lang_id(text: Column | str) -> Column:
-    """Heuristic language ID: argmax marker-hit count, 'und' when all zero.
-
-    Deterministic tie-break: first language in LANG_MARKERS order wins.
-    """
-    scores = list(lang_scores(text).items())
+def lang_id_from_scores(scores_by_lang: dict[str, Column]) -> Column:
+    """Argmax language from per-language score columns, 'und' when all zero.
+    Deterministic tie-break: earlier dict order wins.  Feed it materialized
+    score COLUMNS (cheap attribute refs) — a CASE chain over inline score
+    expressions would re-evaluate each tokenization per branch."""
+    scores = list(scores_by_lang.items())
     expr = F.lit("und")
     # build the CASE chain back-to-front; earlier languages win ties via >=
     for i in range(len(scores) - 1, -1, -1):
@@ -93,6 +103,16 @@ def lang_id(text: Column | str) -> Column:
             cond = cond & (n >= later_n)
         expr = F.when(cond, F.lit(lang)).otherwise(expr)
     return expr
+
+
+def lang_id(text: Column | str, ws: Column | None = None) -> Column:
+    """Heuristic language ID: argmax marker-hit count, 'und' when all zero.
+
+    Deterministic tie-break: first language in LANG_MARKERS order wins.
+    Standalone convenience — inside a multi-signal projection, materialize
+    lang_scores as columns and use lang_id_from_scores instead.
+    """
+    return lang_id_from_scores(lang_scores(text, ws))
 
 
 def fingerprint_exact(text: Column | str) -> Column:

@@ -86,11 +86,20 @@ def text_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     - document fingerprints: md5 of normalized text (exact-dup key) and the
       min-md5 over char-5-shingles (1-hash MinHash, robust to local edits) —
       the O(n) dedup keys for a 100 TB corpus.
+
+    Plan shape (r2): tokenization is materialized ONCE in a first
+    projection — higher-order functions are codegen-fallback, so Catalyst
+    never CSEs the repeated split+filter; without staging, every stat and
+    language score re-tokenizes the document (~20× per row).  Language
+    scores are likewise computed once and detected_lang derives from the
+    score COLUMNS.  Same values, one tokenization.
     """
     docs = load(spark, sf_dir, "documents")
-    stats = X.quality_stats("text")
-    scores = X.lang_scores("text")
-    return docs.select(
+    toked = docs.select("doc_id", "lang", "text", X.tokens("text").alias("_ws"))
+    ws = F.col("_ws")
+    stats = X.quality_stats("text", ws=ws)
+    scores = X.lang_scores("text", ws=ws)
+    mid = toked.select(
         "doc_id",
         stats["n_chars"].alias("n_chars"),
         stats["n_tokens"].alias("n_tokens"),
@@ -99,8 +108,23 @@ def text_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats["digit_token_ratio"].alias("digit_token_ratio"),
         X.bpe_token_count("text").alias("n_bpe_tokens"),
         F.col("lang").alias("labeled_lang"),
-        X.lang_id("text").alias("detected_lang"),
         *[scores[lang].cast("long").alias(f"score_{lang}") for lang in scores],
         X.fingerprint_exact("text").alias("fp_exact"),
         X.fingerprint_minhash1("text", 5).alias("fp_minhash1"),
+    )
+    return mid.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        "mean_token_len",
+        "stopword_ratio",
+        "digit_token_ratio",
+        "n_bpe_tokens",
+        "labeled_lang",
+        X.lang_id_from_scores(
+            {lang: F.col(f"score_{lang}") for lang in X.LANG_MARKERS}
+        ).alias("detected_lang"),
+        *[f"score_{lang}" for lang in X.LANG_MARKERS],
+        "fp_exact",
+        "fp_minhash1",
     )
