@@ -34,8 +34,15 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # optional filters for ad-hoc runs (e.g. scaling sweeps that exclude the
+    # documented-quadratic baselines); the driver's plain invocation runs all
+    skip = {s for s in os.environ.get("BENCH_SKIP", "").split(",") if s}
+    only = {s for s in os.environ.get("BENCH_ONLY", "").split(",") if s}
+
     timings: dict[str, float] = {}
     for name, q in REGISTRY.items():
+        if name in skip or (only and name not in only):
+            continue
         # warm-up (plan compile, file listing, code cache)
         q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         samples = []

@@ -211,43 +211,60 @@ def _emb_dot_sql(a: str, b: str, dim: int = 64) -> str:
     )
 
 
+def _emb_bucket_sql() -> str:
+    from .similarity import _bucket_expr
+
+    return _bucket_expr("embedding", num_planes=8)
+
+
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
+    WITH e AS (SELECT vec_id, embedding, {_emb_bucket_sql()} AS bucket FROM embeddings)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(({_emb_dot_sql('a.embedding', 'b.embedding')})
                  / (sqrt({_emb_dot_sql('a.embedding', 'a.embedding')})
                     * sqrt({_emb_dot_sql('b.embedding', 'b.embedding')})), 6) AS cosine
-    FROM embeddings a
-    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    FROM e a
+    JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE ({_emb_dot_sql('a.embedding', 'b.embedding')})
           / (sqrt({_emb_dot_sql('a.embedding', 'a.embedding')})
              * sqrt({_emb_dot_sql('b.embedding', 'b.embedding')})) >= 0.4
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: cosine ≥ 0.4 within a blocking key (label).
-    Blocking bounds the pair count (the all-pairs cross join would be n²);
-    at 100 TB the blocking key is an LSH bucket (see similarity.lsh_topk) —
-    label stands in here to keep the oracle expressible."""
-    from ..operators.similarity import seq_dot
+    """Embedding near-dup pairs: cosine ≥ 0.4 within an LSH blocking bucket
+    (8 random hyperplanes → ~256 buckets, operators.similarity).
+
+    This is the actual 100 TB blocking key, not a stand-in: bucketing is a
+    narrow map, the self-join shuffles on the bucket only, and candidate
+    pairs scale with bucket density (~n²/2^planes), not n² — r1's label
+    blocking went ~100× super-linear on a 10× replicated corpus because
+    block sizes grow with the data (PERF.md scaling table).  High-cosine
+    pairs agree on most hyperplane signs, so near-dup recall stays high;
+    cross-bucket misses are the documented LSH approximation (probe more
+    bands/planes to trade cost for recall — see ann_lsh_multiprobe)."""
+    from ..operators.similarity import hyperplane_bucket, seq_dot
 
     v = F.col("embedding").cast("array<double>")
-    # per-row norm precomputed (narrow map): pair scoring costs one dot
+    # per-row norm + bucket precomputed (narrow map): pair scoring costs one dot
     emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", v.alias("v"), F.sqrt(seq_dot(v, v)).alias("n")
+        "vec_id",
+        v.alias("v"),
+        F.sqrt(seq_dot(v, v)).alias("n"),
+        hyperplane_bucket(F.col("embedding"), num_planes=8, dim=64).alias("bucket"),
     )
     a = emb.select(
-        F.col("vec_id").alias("id_a"), F.col("label").alias("la"),
+        F.col("vec_id").alias("id_a"), F.col("bucket").alias("ba"),
         F.col("v").alias("va"), F.col("n").alias("na"),
     )
     b = emb.select(
-        F.col("vec_id").alias("id_b"), F.col("label").alias("lb"),
+        F.col("vec_id").alias("id_b"), F.col("bucket").alias("bb"),
         F.col("v").alias("vb"), F.col("n").alias("nb"),
     )
     cos = seq_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
-        a.join(b, (F.col("la") == F.col("lb")) & (F.col("id_a") < F.col("id_b")))
+        a.join(b, (F.col("ba") == F.col("bb")) & (F.col("id_a") < F.col("id_b")))
         .withColumn("_cos", cos)  # materialize once; filter + round reference it
         .filter(F.col("_cos") >= 0.4)
         .select("id_a", "id_b", F.round("_cos", 6).alias("cosine"))
