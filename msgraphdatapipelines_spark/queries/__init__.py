@@ -94,6 +94,7 @@ def _ensure_loaded() -> None:
     if _LOADED:
         return
     from . import (  # noqa: F401
+        curation,
         dedup,
         graphops,
         multimodal,

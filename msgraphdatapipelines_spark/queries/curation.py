@@ -1,0 +1,84 @@
+"""End-to-end corpus curation (north-star composition): the canonical
+training-data prep pipeline as ONE declarative plan —
+
+    quality-filter → exact-dedup (keep-first) → deterministic sample
+
+Each stage is an operator family proven elsewhere (operators.text quality
+signals, operators.dedup exact grouping, md5-prefix sampling); this query
+is the composition evidence: Catalyst fuses the filter into the scan, the
+dedup is the single hash shuffle, and the sample predicate costs nothing.
+At 100 TB this exact shape (filter early → one shuffle → cheap sample) is
+the difference between a curation job that runs and one that doesn't.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import text as X
+from . import load, register
+
+_WS = "list_filter(string_split(text, ' '), w -> w <> '')"
+_ALL_MARKERS = ", ".join(f"'{m}'" for ms in X.LANG_MARKERS.values() for m in ms)
+
+
+@register(
+    "corpus_curation",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id,
+               CAST(len({_WS}) AS BIGINT) AS n_tokens,
+               round(CAST(len(list_filter({_WS}, w -> w IN ({_ALL_MARKERS}))) AS DOUBLE)
+                     / greatest(len({_WS}), 1), 4) AS stopword_ratio,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp_exact
+        FROM documents
+    ),
+    quality AS (
+        SELECT * FROM scored
+        WHERE n_tokens BETWEEN 30 AND 95 AND stopword_ratio >= 0.01
+    ),
+    deduped AS (
+        SELECT fp_exact,
+               min(doc_id) AS doc_id,
+               arg_min(n_tokens, doc_id) AS n_tokens,
+               arg_min(stopword_ratio, doc_id) AS stopword_ratio,
+               count(*) AS n_copies
+        FROM quality GROUP BY fp_exact
+    )
+    SELECT doc_id, n_tokens, stopword_ratio, n_copies, fp_exact
+    FROM deduped
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+    """,
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter → exact-dedup → ~50% deterministic sample, one plan.
+
+    Stage shapes: the quality predicate evaluates in the scan stage
+    (tokenization staged once, filter before any shuffle — the early-prune
+    that matters at 100 TB); dedup is ONE hash aggregation on the
+    normalized-text fingerprint with first-wins representative (map-side
+    partial min); the sample is an md5-prefix predicate on the surviving
+    rows (reproducible across engines, free at scan).
+    """
+    docs = load(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", "text", X.tokens("text").alias("_ws"))
+    stats = X.quality_stats("text", ws=F.col("_ws"))
+    scored = toked.select(
+        "doc_id",
+        stats["n_tokens"].alias("n_tokens"),
+        stats["stopword_ratio"].alias("stopword_ratio"),
+        X.fingerprint_exact("text").alias("fp_exact"),
+    )
+    quality = scored.filter(
+        F.col("n_tokens").between(30, 95) & (F.col("stopword_ratio") >= 0.01)
+    )
+    deduped = quality.groupBy("fp_exact").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("n_tokens", "doc_id").alias("n_tokens"),
+        F.min_by("stopword_ratio", "doc_id").alias("stopword_ratio"),
+        F.count("*").alias("n_copies"),
+    )
+    return deduped.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8"
+    ).select("doc_id", "n_tokens", "stopword_ratio", "n_copies", "fp_exact")

@@ -153,3 +153,22 @@ def test_multimodal_decode_and_features_deterministic(spark):
     assert len(frames) == n_frames
     assert frames[0]["frame_idx"] == 0 and frames[0]["ts_ms"] == 0
     assert len({f["frame_sha256"] for f in frames}) == len(frames)
+
+
+def test_corpus_curation_invariants(spark, sf_dir):
+    from msgraphdatapipelines_spark.queries.curation import corpus_curation
+
+    rows = corpus_curation(spark, sf_dir).collect()
+    assert rows, "curation pipeline must keep a non-empty sample"
+    # dedup: one row per fingerprint, representative is the min doc_id copy
+    fps = [r["fp_exact"] for r in rows]
+    assert len(fps) == len(set(fps))
+    for r in rows:
+        # quality gate survived the pipeline
+        assert 30 <= r["n_tokens"] <= 95
+        assert r["stopword_ratio"] >= 0.01
+        assert r["n_copies"] >= 1
+        # deterministic sample predicate holds for every survivor
+        import hashlib
+
+        assert hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[0] < "8"
