@@ -135,6 +135,55 @@ def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     return df.mapInPandas(batches, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("mime", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+    ]
+)
+
+
+def resize_image(df: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Resize media payloads to a target box via Arrow-batched
+    ``mapInPandas`` — the preprocessing step in front of any vision encoder.
+
+    STUB codec (no Pillow in the container): the deterministic fake emits a
+    payload of ``width * height // 64`` bytes generated by an sha256 hash
+    chain over (payload digest | target box | counter) — same convention as
+    the other fake codecs, so sizes and bytes are value-checkable
+    cross-engine.  The Spark contract a real codec drops into is real:
+    payload-in → payload-out inside the Arrow batch, blobs never leave the
+    executors, output schema keeps the media identity + new dimensions.
+    """
+
+    def fake_resize(payload: bytes) -> bytes:
+        src = hashlib.sha256(bytes(payload)).hexdigest()
+        n = width * height // 64
+        out = bytearray()
+        i = 0
+        while len(out) < n:
+            out.extend(hashlib.sha256(f"{src}|{width}x{height}|{i}".encode()).digest())
+            i += 1
+        return bytes(out[:n])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "payload": pdf["payload"].map(fake_resize),
+                    "width": pd.Series([width] * len(pdf), dtype="int64"),
+                    "height": pd.Series([height] * len(pdf), dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(batches, RESIZED_SCHEMA)
+
+
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

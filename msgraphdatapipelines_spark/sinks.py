@@ -170,6 +170,30 @@ def write_rest_batched(
     return sum(counts)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 16,
+    sort_col: str | None = None,
+) -> None:
+    """Persist as a BUCKETED table: co-locates rows by ``hash(bucket_col) %
+    num_buckets`` at write time, so every later equi-join or aggregation on
+    that key skips its shuffle entirely (SortMergeJoin reads both sides
+    pre-partitioned; tests/test_plans pins the 0-Exchange join).
+
+    This is THE amortization play for a 100 TB fact table joined repeatedly
+    on the same key: pay one shuffle at load, never again.  Bucket count
+    should scale with data volume (buckets ≈ total size / target partition
+    size); ``sort_col`` additionally sorts within buckets for merge-join
+    without a per-query sort and better min/max skipping.
+    """
+    w = df.write.mode("overwrite").bucketBy(num_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table, format="parquet")
+
+
 def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "overwrite", **options) -> None:
     """L1 — bulk relational load (reference TVP stored-proc path,
     `Invoke…ps1:310-333`).  JDBC writer batches rows (`batchsize`), the

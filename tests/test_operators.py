@@ -172,3 +172,19 @@ def test_corpus_curation_invariants(spark, sf_dir):
         import hashlib
 
         assert hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[0] < "8"
+
+
+def test_multimodal_resize_contract(spark):
+    docs = spark.createDataFrame(
+        [(1, "payload one"), (2, "payload two")], "doc_id long, text string"
+    )
+    media = M.wrap_text_as_media(docs, "doc_id", "text")
+    out = {r["media_id"]: r for r in M.resize_image(media, 224, 224).collect()}
+    assert set(out) == {1, 2}
+    for r in out.values():
+        assert r["width"] == 224 and r["height"] == 224
+        assert len(r["payload"]) == 224 * 224 // 64
+    # deterministic: same input -> same resized bytes
+    again = {r["media_id"]: r for r in M.resize_image(media, 224, 224).collect()}
+    assert bytes(out[1]["payload"]) == bytes(again[1]["payload"])
+    assert bytes(out[1]["payload"]) != bytes(out[2]["payload"])

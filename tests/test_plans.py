@@ -82,3 +82,65 @@ def test_join_variants_single_plan_four_join_types(spark, sf_dir):
 def test_exact_dedup_single_shuffle(spark, sf_dir):
     df = qd.dedup_exact(spark, sf_dir)
     assert plans.num_exchanges(df) == 1
+
+
+def test_ivf_topk_no_shuffle_before_final_window(spark, sf_dir):
+    """IVF (r2): centroids are literal model state, so list assignment and
+    probing are narrow maps; the broadcast bucket join adds no Exchange.
+    The ONLY shuffle is the final per-query top-k window."""
+    from msgraphdatapipelines_spark.queries import similarity as qs
+
+    df = qs.ann_ivf_topk(spark, sf_dir)
+    assert plans.num_exchanges(df) == 1  # the qid window shuffle
+    assert plans.num_broadcasts(df) >= 1  # query side broadcast into the join
+    # partial top-k heaps run before that shuffle (Spark 4 WindowGroupLimit)
+    assert "WindowGroupLimit" in plans.physical_plan(df)
+
+
+def test_embedding_dedup_shuffles_on_bucket_only(spark, sf_dir):
+    """r2 re-blocking: the self-join key is the LSH bucket (narrow map on
+    both sides).  Plan must show the bucket equi-join and no cartesian."""
+    df = qd.dedup_embedding_cosine(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # bucket equality is an equi-join -> hash/sort-merge join, never a loop
+    assert ("SortMergeJoin" in plan) or ("HashJoin" in plan)
+
+
+def test_corpus_curation_single_shuffle(spark, sf_dir):
+    """Curation composition: quality filter is pre-shuffle, dedup is the one
+    hash aggregation, the sample predicate adds nothing."""
+    from msgraphdatapipelines_spark.queries import curation as qc
+
+    df = qc.corpus_curation(spark, sf_dir)
+    assert plans.num_exchanges(df) == 1
+
+
+def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
+    """Bucketed tables (sinks.write_bucketed): a join on the bucket key
+    reads both sides pre-partitioned — ZERO Exchange in the join plan.
+    The amortization play for repeatedly-joined 100 TB fact tables."""
+    from msgraphdatapipelines_spark import sinks
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sinks.write_bucketed(o, "b_orders", "o_orderkey", num_buckets=4)
+    sinks.write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), "b_lineitem", "o_orderkey", num_buckets=4
+    )
+    try:
+        joined = (
+            spark.table("b_orders")
+            .join(spark.table("b_lineitem"), "o_orderkey")
+            .select("o_orderkey", "o_totalprice", "l_quantity")
+        )
+        # AQE may plan a broadcast at this tiny scale; force the merge path
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            assert plans.num_exchanges(joined) == 0
+            assert joined.count() > 0
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
