@@ -115,6 +115,50 @@ def lang_id(text: Column | str, ws: Column | None = None) -> Column:
     return lang_id_from_scores(lang_scores(text, ws))
 
 
+def tfidf_top_terms(
+    df: "DataFrame",  # noqa: F821 - imported lazily to keep module Column-only
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+) -> "DataFrame":  # noqa: F821
+    """Top-k TF-IDF terms per document — the classic corpus-weighting
+    operator behind keyword extraction and quality-by-informativeness
+    filters.
+
+    tf = in-document term count; idf = ln((N+1)/(df+1)) + 1 (smoothed);
+    weight = tf·idf.  Ties break lexicographically for determinism.
+
+    Scale shape: explode → ONE (doc, term) hash aggregation (map-side
+    partials collapse duplicate terms early); document frequency is a
+    second aggregation over the already-deduplicated (doc, term) pairs —
+    input n_docs·distinct_terms, not raw tokens; the idf join broadcasts
+    (vocabulary ≪ corpus); final top-k is a WindowGroupLimit-prunable
+    ranking window per doc.  No stage touches raw text twice.
+    """
+    from pyspark.sql import DataFrame, Window  # local import: module is else expr-only
+
+    assert isinstance(df, DataFrame)
+    n_docs = df.select(id_col).distinct().count()  # model scalar, like IVF centroids
+    pairs = (
+        df.select(F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("term"))
+        .groupBy("doc", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    docfreq = pairs.groupBy("term").agg(F.count("*").alias("df_"))
+    idf = F.log((F.lit(n_docs) + 1.0) / (F.col("df_") + 1.0)) + 1.0
+    weighted = pairs.join(F.broadcast(docfreq.withColumn("idf", idf)), "term").select(
+        "doc", "term", (F.col("tf") * F.col("idf")).alias("weight")
+    )
+    w = Window.partitionBy("doc").orderBy(F.desc("weight"), F.asc("term"))
+    return (
+        weighted.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("doc").alias(id_col), "term", F.round("weight", 6).alias("weight"), "rank"
+        )
+    )
+
+
 def fingerprint_exact(text: Column | str) -> Column:
     """Exact-dup fingerprint: md5 of the normalized text (lowercase,
     whitespace collapsed).  Two docs with equal fingerprints are duplicates

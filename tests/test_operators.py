@@ -188,3 +188,28 @@ def test_multimodal_resize_contract(spark):
     again = {r["media_id"]: r for r in M.resize_image(media, 224, 224).collect()}
     assert bytes(out[1]["payload"]) == bytes(again[1]["payload"])
     assert bytes(out[1]["payload"]) != bytes(out[2]["payload"])
+
+
+def test_tfidf_top_terms_golden(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark parquet"),
+            (2, "spark shuffle"),
+            (3, "parquet files files files"),
+        ],
+        "doc_id long, text string",
+    )
+    out = X.tfidf_top_terms(docs, "doc_id", "text", k=2).collect()
+    got = {(r["doc_id"], r["rank"]): (r["term"], r["weight"]) for r in out}
+
+    idf = lambda df_: math.log(4 / (df_ + 1)) + 1  # N=3 docs, smoothed
+    # doc 1: spark tf=2 (df=2), parquet tf=1 (df=2)
+    assert got[(1, 1)][0] == "spark"
+    assert math.isclose(got[(1, 1)][1], round(2 * idf(2), 6), abs_tol=1e-6)
+    assert got[(1, 2)][0] == "parquet"
+    # doc 2: shuffle (df=1, rarer) outweighs spark (df=2) at equal tf
+    assert got[(2, 1)][0] == "shuffle"
+    assert math.isclose(got[(2, 1)][1], round(idf(1), 6), abs_tol=1e-6)
+    # doc 3: files tf=3 dominates
+    assert got[(3, 1)][0] == "files"
+    assert math.isclose(got[(3, 1)][1], round(3 * idf(1), 6), abs_tol=1e-6)
