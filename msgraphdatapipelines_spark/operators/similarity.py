@@ -128,6 +128,60 @@ def flip_bit_buckets(bucket: Column, num_planes: int) -> Column:
     return F.array(*variants)
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    id_c: str,
+    vec_c: str,
+    k: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+) -> list[tuple[int, list[float]]]:
+    """Distributed Lloyd k-means over an embedding column — the coarse
+    quantizer trainer for ``ivf_topk`` (pass the result as its
+    ``centroids``).
+
+    Spark shape per iteration: assignment is a NARROW map against the
+    current centroids inlined as literals (same trick as ivf_topk — no
+    join), then ONE hash aggregation computes per-centroid element-wise
+    means as ``dim`` avg() aggregates.  Driver state is only the k×dim
+    centroid matrix (model state).  Empty clusters keep their previous
+    centroid.  Deterministic: lowest-id seeding, fixed iteration count,
+    float64 math.
+
+    The returned ids are 0..k-1 (centroid index), not corpus ids.
+    """
+    cv = F.col(vec_c).cast("array<double>")
+    seed = [
+        [float(x) for x in r["_v"]]
+        for r in corpus.select(F.col(id_c).alias("_id"), cv.alias("_v"))
+        .orderBy("_id")
+        .limit(k)
+        .collect()
+    ]
+    cents: list[list[float]] = seed
+    data = corpus.select(cv.alias("v"))
+    for _ in range(iters):
+        # nearest centroid by squared L2, inline literals, tie -> lowest index
+        entries = []
+        for ci, c in enumerate(cents):
+            arr = F.array(*[F.lit(x) for x in c])
+            d2 = F.aggregate(
+                F.zip_with(F.col("v"), arr, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            entries.append(F.struct(d2.alias("d2"), F.lit(ci).alias("ci")))
+        assigned = data.withColumn("cent", F.sort_array(F.array(*entries))[0]["ci"])
+        means = (
+            assigned.groupBy("cent")
+            .agg(*[F.avg(F.col("v")[i]).alias(f"m{i}") for i in range(dim)])
+            .collect()
+        )
+        new = {r["cent"]: [r[f"m{i}"] for i in range(dim)] for r in means}
+        cents = [new.get(ci, cents[ci]) for ci in range(k)]
+    return [(ci, c) for ci, c in enumerate(cents)]
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -59,3 +59,31 @@ def test_ann_recall_ladder(spark, sf_dir):
     # which is exactly why recall above is monotone, per-query the displacer
     # outranks the displaced pair globally too)
     assert len(multi8) >= len(lsh8)
+
+
+def test_kmeans_trains_and_improves_ivf(spark, sf_dir):
+    """Lloyd iterations must reduce inertia, and trained centroids plug
+    into ivf_topk unchanged (same plan shape, different model state)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def inertia(cents):
+        import math
+        rows = emb.select(F.col("embedding").cast("array<double>").alias("v")).collect()
+        tot = 0.0
+        for r in rows:
+            v = r["v"]
+            tot += min(sum((a - b) ** 2 for a, b in zip(v, c)) for _, c in cents)
+        return tot
+
+    seed = S.kmeans_centroids(emb, "vec_id", "embedding", k=8, iters=0)
+    trained = S.kmeans_centroids(emb, "vec_id", "embedding", k=8, iters=3)
+    assert inertia(trained) < inertia(seed)
+
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    out = S.ivf_topk(
+        q, emb, "vec_id", "vec_id", "embedding", "embedding",
+        k=K, nprobe=2, centroids=trained,
+    )
+    rows = out.collect()
+    assert len(rows) == N_QUERIES * K
+    assert {r["rank"] for r in rows} == set(range(1, K + 1))
