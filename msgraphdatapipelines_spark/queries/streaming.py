@@ -85,7 +85,13 @@ def stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     (readStream → window agg → complete-mode memory sink, r2): every event
     lands in two windows; complete mode keeps all window state, so the
     drained stream equals the batch semantics and the SQL oracle (which
-    assigns each event to both containing windows via unnest)."""
+    assigns each event to both containing windows via unnest).
+
+    Scale note: complete mode is for the bounded oracle drain only — a
+    week-long production stream runs this with ``watermark=`` set (see
+    ST.sliding_counts) and append mode, like stream_tumbling_counts, so
+    closed windows leave state; the late-data drop is covered in
+    tests/test_streaming.py."""
     from . import _harden
 
     _harden(spark)
