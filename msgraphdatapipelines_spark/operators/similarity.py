@@ -64,14 +64,17 @@ def brute_force_topk(
     # per-pair recomputation since sqrt∘seq_dot is deterministic per row
     qv = F.col(vec_q).cast("array<double>")
     cv = F.col(vec_c).cast("array<double>")
+    # zero-norm (all-zero) vectors are dropped: their cosine is 0/0 = NaN,
+    # and both Spark and DuckDB sort NaN ABOVE every double in DESC order,
+    # so one padding artifact would otherwise take rank 1 for every query
     q = F.broadcast(
         queries.select(
             F.col(id_q).alias("qid"), qv.alias("qv"), F.sqrt(seq_dot(qv, qv)).alias("qn")
-        )
+        ).filter(F.col("qn") > 0)
     )
     c = corpus.select(
         F.col(id_c).alias("cid"), cv.alias("cv"), F.sqrt(seq_dot(cv, cv)).alias("cn")
-    )
+    ).filter(F.col("cn") > 0)
     scored = (
         q.crossJoin(c)
         .filter(F.col("qid") != F.col("cid"))
@@ -158,27 +161,40 @@ def kmeans_centroids(
         .limit(k)
         .collect()
     ]
+    if len(seed) < k:
+        raise ValueError(f"k={k} centroids requested but corpus has only {len(seed)} rows")
+    if dim != len(seed[0]):
+        raise ValueError(
+            f"dim={dim} but vectors have {len(seed[0])} elements "
+            "(a too-large dim would silently average NULLs into centroids)"
+        )
     cents: list[list[float]] = seed
     data = corpus.select(cv.alias("v"))
-    for _ in range(iters):
-        # nearest centroid by squared L2, inline literals, tie -> lowest index
-        entries = []
-        for ci, c in enumerate(cents):
-            arr = F.array(*[F.lit(x) for x in c])
-            d2 = F.aggregate(
-                F.zip_with(F.col("v"), arr, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+    if iters > 1:  # iterative trainer: don't re-scan the source per iteration
+        data = data.cache()
+    try:
+        for _ in range(iters):
+            # nearest centroid by squared L2, inline literals, tie -> lowest index
+            entries = []
+            for ci, c in enumerate(cents):
+                arr = F.array(*[F.lit(x) for x in c])
+                d2 = F.aggregate(
+                    F.zip_with(F.col("v"), arr, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                entries.append(F.struct(d2.alias("d2"), F.lit(ci).alias("ci")))
+            assigned = data.withColumn("cent", F.sort_array(F.array(*entries))[0]["ci"])
+            means = (
+                assigned.groupBy("cent")
+                .agg(*[F.avg(F.col("v")[i]).alias(f"m{i}") for i in range(dim)])
+                .collect()
             )
-            entries.append(F.struct(d2.alias("d2"), F.lit(ci).alias("ci")))
-        assigned = data.withColumn("cent", F.sort_array(F.array(*entries))[0]["ci"])
-        means = (
-            assigned.groupBy("cent")
-            .agg(*[F.avg(F.col("v")[i]).alias(f"m{i}") for i in range(dim)])
-            .collect()
-        )
-        new = {r["cent"]: [r[f"m{i}"] for i in range(dim)] for r in means}
-        cents = [new.get(ci, cents[ci]) for ci in range(k)]
+            new = {r["cent"]: [r[f"m{i}"] for i in range(dim)] for r in means}
+            cents = [new.get(ci, cents[ci]) for ci in range(k)]
+    finally:
+        if iters > 1:
+            data.unpersist()
     return [(ci, c) for ci, c in enumerate(cents)]
 
 
@@ -238,13 +254,15 @@ def ivf_topk(
 
     qv = F.col(vec_q).cast("array<double>")
     cv = F.col(vec_c).cast("array<double>")
+    # zero-norm vectors dropped: NaN cosine sorts above all doubles (see
+    # brute_force_topk) and would also corrupt centroid probing
     c = corpus.select(
         F.col(id_c).alias("cid"), cv.alias("cv"), F.sqrt(seq_dot(cv, cv)).alias("cn")
-    )
+    ).filter(F.col("cn") > 0)
     c = c.withColumn("cent", scored_centroids(F.col("cv"), F.col("cn"))[0]["cent"])
     q = queries.select(
         F.col(id_q).alias("qid"), qv.alias("qv"), F.sqrt(seq_dot(qv, qv)).alias("qn")
-    )
+    ).filter(F.col("qn") > 0)
     q = q.withColumn(
         "cent",
         F.explode(
@@ -290,6 +308,7 @@ def lsh_topk(
     qb = hyperplane_bucket(F.col(vec_q), num_planes, dim)
     qv = F.col(vec_q).cast("array<double>")
     cv = F.col(vec_c).cast("array<double>")
+    # zero-norm vectors dropped (NaN cosine — see brute_force_topk)
     q = queries.select(
         F.col(id_q).alias("qid"),
         qv.alias("qv"),
@@ -297,13 +316,13 @@ def lsh_topk(
         (
             F.explode(flip_bit_buckets(qb, num_planes)) if multi_probe else qb
         ).alias("bucket"),
-    )
+    ).filter(F.col("qn") > 0)
     c = corpus.select(
         F.col(id_c).alias("cid"),
         cv.alias("cv"),
         F.sqrt(seq_dot(cv, cv)).alias("cn"),
         hyperplane_bucket(F.col(vec_c), num_planes, dim).alias("bucket"),
-    )
+    ).filter(F.col("cn") > 0)
     scored = (
         F.broadcast(q)
         .join(c, "bucket")

@@ -14,6 +14,8 @@ The synthetic embeddings are random (no true near-dup clusters; best cosines
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import functions as F
 
 from msgraphdatapipelines_spark.operators import similarity as S
@@ -87,3 +89,27 @@ def test_kmeans_trains_and_improves_ivf(spark, sf_dir):
     rows = out.collect()
     assert len(rows) == N_QUERIES * K
     assert {r["rank"] for r in rows} == set(range(1, K + 1))
+
+
+def test_zero_norm_vectors_never_rank(spark):
+    """An all-zero embedding (padding artifact) must not appear in any
+    top-k: its cosine is 0/0 = NaN and NaN sorts above every double in
+    DESC order, so without the norm guard it would take rank 1 everywhere."""
+    vecs = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 0.0]),   # zero-norm artifact
+        (3, [0.5, 0.5]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") == 0)
+    for out in (
+        S.brute_force_topk(q, df, "vec_id", "vec_id", "embedding", "embedding", k=3),
+        S.ivf_topk(q, df, "vec_id", "vec_id", "embedding", "embedding",
+                   k=3, n_centroids=2, nprobe=2),
+        S.lsh_topk(q, df, "vec_id", "vec_id", "embedding", "embedding",
+                   k=3, num_planes=2, dim=2),
+    ):
+        rows = out.collect()
+        assert all(r["cid"] != 2 for r in rows)
+        assert all(not math.isnan(r["score"]) for r in rows)
