@@ -113,3 +113,42 @@ def test_session_window_end_is_last_plus_gap(spark):
     assert len(out) == 2  # 110-minute gap splits the sessions
     assert out[0]["n"] == 2
     assert out[0]["end"] == dt.datetime(2024, 1, 1, 10, 40)  # last + gap
+
+
+def test_sliding_append_mode_with_watermark(spark, tmp_path):
+    """Production sliding mode (watermark + APPEND): windows emit once
+    finalized and leave state — unlike the complete-mode oracle drain the
+    registered query uses.  Events across 3 hours with a 1h watermark:
+    every 2h/1h sliding window that the advancing watermark closes must be
+    emitted exactly once, with the same counts batch mode computes."""
+    d = tmp_path / "ev"
+    d.mkdir()
+    t0 = dt.datetime(2024, 6, 1, 0, 0, 0)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=20 * i), 1, "a") for i in range(12)
+    ]  # 0:00 .. 3:40
+    _write_events(str(d / "events.parquet"), rows)
+
+    ev = ST.read_events_stream(spark, str(d))
+    agg = ST.sliding_counts(ev, window="2 hours", slide="1 hour", watermark="1 hour")
+    result, _ = ST.run_stream_to_memory(agg, output_mode="append")
+    got = {
+        (r["window"]["start"].isoformat(), r["n"]) for r in result.collect()
+    }
+    # batch truth, restricted to windows whose end <= final watermark
+    # (max ts 3:40 - 1h => 2:40; windows ending 1:00 and 2:00 qualify:
+    # [-1,1) and [0,2))
+    batch = (
+        spark.read.parquet(str(d / "events.parquet")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+        .groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    closed = {
+        (r["window"]["start"].isoformat(), r["n"])
+        for r in batch.collect()
+        if r["window"]["end"] <= dt.datetime(2024, 6, 1, 2, 40)
+    }
+    assert got == closed
+    assert len(got) >= 2  # the finalized windows actually emitted
