@@ -34,22 +34,75 @@ def stamp(df: DataFrame, at: _dt.datetime | None = None) -> DataFrame:
     return df.withColumn(LOAD_STAMP, ts)
 
 
-def with_surrogate_key(df: DataFrame, name: str = "ClusterID", contiguous: bool = False) -> DataFrame:
+def with_surrogate_key(
+    df: DataFrame,
+    name: str = "ClusterID",
+    contiguous: bool = False,
+    order_by: str | None = None,
+    num_buckets: int | None = None,
+) -> DataFrame:
     """L5 — surrogate key (reference: int IDENTITY(1,1),
     `Prepare-SQLDatabase.sql:8`).
 
     Default is ``monotonically_increasing_id`` — unique, non-contiguous,
-    shuffle-free (partition-id in the high bits).  ``contiguous=True`` uses
-    zipWithIndex-style global row_number, which serializes on a single-
-    partition window — correct but O(all-data-through-one-task); only for
-    small dimension loads, never the 100 TB fact path.
+    shuffle-free (partition-id in the high bits).
+
+    ``contiguous=True`` assigns dense IDs ``1..n`` with the scale-safe
+    two-phase form (never a global single-partition window):
+
+    1. split rows into order-aligned buckets — quantile cuts of ``order_by``
+       when an ordering key is given, else the partition-id bits of
+       ``monotonically_increasing_id`` (zipWithIndex semantics);
+    2. collect one count per bucket (driver state bounded by bucket count,
+       not data size) and prefix-sum them into offsets;
+    3. ``ClusterID = offset[bucket] + row_number() within bucket``.
+
+    The only wide step is the per-bucket window's hash exchange — parallel
+    across buckets, so the plan contains no ``Exchange SinglePartition`` and
+    survives the 100 TB fact path (pinned in tests/test_plans.py).  With
+    ``order_by`` the bucket is a pure function of the data (deterministic
+    under recomputation); the mono-id fallback assumes a deterministic scan,
+    same as zipWithIndex.  Heavily-skewed ``order_by`` keys collapse ties
+    into one bucket — pick a high-cardinality ordering key.
     """
     if not contiguous:
         return df.withColumn(name, F.monotonically_increasing_id())
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.monotonically_increasing_id())
-    return df.withColumn(name, F.row_number().over(w).cast("long"))
+    ordc, bucketc = "__sk_ord", "__sk_bucket"
+    if order_by is not None:
+        n = num_buckets or df.sparkSession.sparkContext.defaultParallelism
+        cuts = (
+            df.stat.approxQuantile(order_by, [i / n for i in range(1, n)], 0.01)
+            if n > 1
+            else []
+        )
+        bucket = F.lit(0)
+        for c in sorted(set(cuts)):
+            # ties with a cut stay in the lower bucket -> all equal keys share
+            # one bucket, so cross-bucket ordering is total
+            bucket = bucket + F.when(F.col(order_by) > F.lit(c), 1).otherwise(0)
+        keyed = df.withColumn(ordc, F.col(order_by)).withColumn(bucketc, bucket)
+    else:
+        mid = F.monotonically_increasing_id()
+        keyed = df.withColumn(ordc, mid).withColumn(bucketc, F.shiftright(F.col(ordc), 33))
+    counts = {
+        r[bucketc]: r["cnt"]
+        for r in keyed.groupBy(bucketc).agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    if not counts:
+        return df.withColumn(name, F.lit(None).cast("long"))
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    omap = F.create_map(*[F.lit(x) for b, o in offsets.items() for x in (b, o)])
+    w = Window.partitionBy(bucketc).orderBy(ordc)
+    return (
+        keyed.withColumn(
+            name, (omap[F.col(bucketc)] + F.row_number().over(w)).cast("long")
+        ).drop(ordc, bucketc)
+    )
 
 
 def write_full_refresh(df: DataFrame, path: str, sort_by: str | None = None) -> None:
