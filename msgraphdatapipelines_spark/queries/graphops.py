@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import datetime as dt
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -220,22 +220,27 @@ def graph_stamp_and_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     `Prepare-SQLDatabase.sql:110`) with a fixed 'now' for determinism,
     load-time audit stamp (GETDATE() → timeGenerated, `:144`) with a fixed
     test instant, and the IDENTITY surrogate key (`:8`) as contiguous
-    row_number over the business key.  The single-partition window is
-    acceptable only on the retained-snapshot/dimension path — never the raw
-    fact path (see sinks.with_surrogate_key); at the sink, retention becomes
-    partition drops (sinks.expire_old_partitions), not a row filter."""
+    row_number over the business key — assigned with the scale-safe
+    two-phase form (sinks.with_surrogate_key: quantile buckets of the
+    ordering key → per-bucket counts → offset + row_number within bucket).
+    No global single-partition window anywhere in the plan (pinned in
+    tests/test_plans.py::test_stamp_and_key_no_single_partition_exchange);
+    at the sink, retention becomes partition drops
+    (sinks.expire_old_partitions), not a row filter."""
     from . import load_events
 
     ev = load_events(spark, sf_dir)
     keep = F.datediff(F.lit("2024-01-31"), F.to_date("ts")) <= 10
     retained = ev.filter(keep).select("event_id", "user_id", "event_type")
     stamped = sinks.stamp(retained, at=dt.datetime(2024, 6, 1))
-    w = Window.orderBy("event_id")
-    return stamped.select(
+    keyed = sinks.with_surrogate_key(
+        stamped, name="ClusterID", contiguous=True, order_by="event_id"
+    )
+    return keyed.select(
         "event_id",
         "user_id",
         "event_type",
-        F.row_number().over(w).cast("long").alias("ClusterID"),
+        "ClusterID",
         F.date_format(F.col(sinks.LOAD_STAMP), "yyyy-MM-dd HH:mm:ss").alias("timeGenerated_s"),
     )
 

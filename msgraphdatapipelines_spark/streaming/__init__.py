@@ -19,8 +19,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# events.parquet stores ts as TIMESTAMP(NANOS) → LongType under
-# nanosAsLong; the stream converts to a µs timestamp column `ts`.
+# Legacy shape of events.parquet: ts as TIMESTAMP(NANOS) → LongType under
+# nanosAsLong (kept for fixtures that still write ns timestamps).
 EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -44,12 +44,26 @@ def read_events_stream(
     The file source requires a *directory*; ``pathGlobFilter`` narrows it to
     the events file(s).  ``max_files_per_trigger=1`` yields one micro-batch
     per file — how the tests stage late-data sequences.
+
+    The stream schema is probed from the existing files (metadata-only batch
+    read), because the physical ``ts`` encoding varies by fixture vintage:
+    TIMESTAMP(NANOS) arrives as LongType nanos (under nanosAsLong) and is
+    converted to a µs timestamp; TIMESTAMP(MICROS) — with or without
+    timezone — is used directly (NTZ cast to session-UTC timestamp so
+    watermarks/windows apply).  Silently forcing one schema over the other
+    compresses every event time 1000× and corrupts windows.
     """
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA).option("pathGlobFilter", glob)
+    probe = spark.read.option("pathGlobFilter", glob).parquet(directory).schema
+    reader = spark.readStream.schema(probe).option("pathGlobFilter", glob)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.parquet(directory)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = raw.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if not isinstance(ts_type, T.TimestampType):  # e.g. TIMESTAMP_NTZ
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_counts(

@@ -79,6 +79,18 @@ def test_join_variants_single_plan_four_join_types(spark, sf_dir):
     assert n_joins >= 4
 
 
+def test_stamp_and_key_no_single_partition_exchange(spark, sf_dir):
+    """r2 VERDICT item 1: the registered surrogate-key query must use the
+    two-phase contiguous key (quantile buckets → offsets → per-bucket
+    row_number), never a global single-partition window.  All-rows-through-
+    one-task is a scale-killer on any fact table."""
+    df = qg.graph_stamp_and_key(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "Exchange SinglePartition" not in plan
+    # the per-bucket window's hash exchange is the only wide step
+    assert "hashpartitioning(__sk_bucket" in plan
+
+
 def test_exact_dedup_single_shuffle(spark, sf_dir):
     df = qd.dedup_exact(spark, sf_dir)
     assert plans.num_exchanges(df) == 1
