@@ -71,33 +71,36 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     assigned AS (
         SELECT unnest([w0, w1]) AS ws, event_type, value FROM starts
+    ),
+    agg AS (
+        SELECT ws, event_type, count(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM assigned
+        GROUP BY ws, event_type
     )
     SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
-           event_type,
-           count(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-    FROM assigned
-    GROUP BY ws, event_type
+           event_type, n, sum_value
+    FROM agg
+    WHERE ws + INTERVAL 2 HOUR
+          <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
     """,
 )
 def stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding windows (2h length, 1h slide) executed as a REAL stream
-    (readStream → window agg → complete-mode memory sink, r2): every event
-    lands in two windows; complete mode keeps all window state, so the
-    drained stream equals the batch semantics and the SQL oracle (which
-    assigns each event to both containing windows via unnest).
-
-    Scale note: complete mode is for the bounded oracle drain only — a
-    week-long production stream runs this with ``watermark=`` set (see
-    ST.sliding_counts) and append mode, like stream_tumbling_counts, so
-    closed windows leave state; the late-data drop is covered in
-    tests/test_streaming.py."""
+    """Sliding windows (2h length, 1h slide) executed as a REAL stream in
+    PRODUCTION shape (r2 VERDICT item 2): watermark 1h + APPEND mode, like
+    stream_tumbling_counts — a window emits exactly once when the watermark
+    passes its end, then leaves state, so a week-long stream's state stays
+    bounded.  Every event lands in two windows (2h/1h overlap); the oracle
+    assigns each event to both containing windows via unnest and keeps only
+    finalized windows (end ≤ max(ts) − watermark).  The complete-mode drain
+    (all windows retained — unbounded state) is demoted to
+    tests/test_streaming.py::test_sliding_complete_mode_equals_batch."""
     from . import _harden
 
     _harden(spark)
     ev = ST.read_events_stream(spark, sf_dir, glob="events.parquet")
-    agg = ST.sliding_counts(ev, window="2 hours", slide="1 hour")
-    result, _ = ST.run_stream_to_memory(agg, output_mode="complete")
+    agg = ST.sliding_counts(ev, window="2 hours", slide="1 hour", watermark="1 hour")
+    result, _ = ST.run_stream_to_memory(agg, output_mode="append")
     return result.select(
         F.date_format("window.start", TS_FMT).alias("window_start"),
         "event_type",
@@ -159,21 +162,26 @@ def stream_stateful_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_events
     FROM numbered
     GROUP BY user_id, sid
+    HAVING max(ts) + INTERVAL 30 MINUTE
+           <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
     """,
 )
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session windows (30-min gap) per user executed as a REAL stream via
-    the native ``session_window`` state machine (r2): sessions merge across
-    micro-batches; complete mode retains all session state so the drained
-    result equals batch semantics.  The oracle is the classic
-    gaps-and-islands SQL; Spark's session end = last event + gap, mirrored
-    there."""
+    """Session windows (30-min gap) per user executed as a REAL stream in
+    PRODUCTION shape (r2 VERDICT item 2): the native ``session_window``
+    state machine with watermark 1h + APPEND mode — a session emits exactly
+    once when the watermark passes its end (last event + gap), then leaves
+    state, bounding state size on an unbounded stream.  The oracle is the
+    classic gaps-and-islands SQL restricted to finalized sessions
+    (end ≤ max(ts) − watermark).  The complete-mode drain (every session
+    retained forever) is demoted to
+    tests/test_streaming.py::test_session_complete_mode_equals_batch."""
     from . import _harden
 
     _harden(spark)
     ev = ST.read_events_stream(spark, sf_dir, glob="events.parquet")
     result, _ = ST.run_stream_to_memory(
-        ST.session_counts(ev, gap="30 minutes"), output_mode="complete"
+        ST.session_counts(ev, gap="30 minutes", watermark="1 hour"), output_mode="append"
     )
     return result.select(
         "user_id",

@@ -115,6 +115,54 @@ def test_session_window_end_is_last_plus_gap(spark):
     assert out[0]["end"] == dt.datetime(2024, 1, 1, 10, 40)  # last + gap
 
 
+def test_sliding_complete_mode_equals_batch(spark, sf_dir):
+    """Complete-mode sliding drain == batch window agg (the bounded-input
+    oracle mode demoted from the registry in r4 — production is
+    watermark+append, exercised by the registered query)."""
+    ev = ST.read_events_stream(spark, sf_dir, glob="events.parquet")
+    agg = ST.sliding_counts(ev, window="2 hours", slide="1 hour")
+    result, _ = ST.run_stream_to_memory(agg, output_mode="complete")
+    stream = {
+        (r["window"]["start"], r["event_type"]): (r["n"], r["sum_value_dec"])
+        for r in result.collect()
+    }
+    from msgraphdatapipelines_spark.queries import load_events
+
+    batch = {
+        (r["window"]["start"], r["event_type"]): (r["n"], r["sum_value_dec"])
+        for r in load_events(spark, sf_dir)
+        .groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value_dec"),
+        )
+        .collect()
+    }
+    assert stream == batch
+
+
+def test_session_complete_mode_equals_batch(spark, sf_dir):
+    """Complete-mode session drain == batch session_window agg (demoted
+    from the registry in r4; production is watermark+append)."""
+    ev = ST.read_events_stream(spark, sf_dir, glob="events.parquet")
+    result, _ = ST.run_stream_to_memory(
+        ST.session_counts(ev, gap="30 minutes"), output_mode="complete"
+    )
+    stream = {
+        (r["user_id"], r["session_window"]["start"]): r["n_events"] for r in result.collect()
+    }
+    from msgraphdatapipelines_spark.queries import load_events
+
+    batch = {
+        (r["user_id"], r["session_window"]["start"]): r["n_events"]
+        for r in load_events(spark, sf_dir)
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .collect()
+    }
+    assert stream == batch
+
+
 def test_sliding_append_mode_with_watermark(spark, tmp_path):
     """Production sliding mode (watermark + APPEND): windows emit once
     finalized and leave state — unlike the complete-mode oracle drain the
