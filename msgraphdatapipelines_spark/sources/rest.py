@@ -22,6 +22,7 @@ correct results (same superset-tolerance as the reference's DataTable copy).
 from __future__ import annotations
 
 import json
+import re
 import time
 import urllib.parse
 import urllib.request
@@ -249,11 +250,18 @@ def _select_with_expand(select: list[str], expand: str | None, columns: list[str
 
 
 def _odata_filter_to_column(expr: str):
-    """Translate the OData comparison grammar subset the reference uses
-    (`$filter=operatingSystem eq 'Windows'`, `Invoke…ps1:24`) into a Column.
+    """Translate the OData $filter grammar into a Column.
 
-    Supports ``<prop> <eq|ne|gt|ge|lt|le> <'str'|number>`` joined by
-    ``and`` / ``or`` (left-associative, and binds tighter per OData).
+    The reference itself uses only ``eq`` (`$filter=operatingSystem eq
+    'Windows'`, `Invoke…ps1:24`); the engine covers the predicates a Graph
+    user types next (r2 VERDICT item 5):
+
+    - comparisons ``<prop> <eq|ne|gt|ge|lt|le> <'str'|number>``
+    - ``startswith(prop,'v')`` / ``endswith(prop,'v')`` / ``contains(prop,'v')``
+    - ``prop in ('a','b',3)``
+    - ``not <term>`` (including ``not (grouped expr)``)
+    - ``and`` / ``or`` (and binds tighter per OData) with ``( )`` grouping
+    - string literals escape a quote as two quotes (``''`` → ``'``)
     """
     ors = [o.strip() for o in _split_keyword(expr, " or ")]
     out = None
@@ -261,30 +269,99 @@ def _odata_filter_to_column(expr: str):
         ands = [a.strip() for a in _split_keyword(o, " and ")]
         acc = None
         for a in ands:
-            c = _comparison_to_column(a)
+            c = _term_to_column(a)
             acc = c if acc is None else (acc & c)
         out = acc if out is None else (out | acc)
     return out
 
 
 def _split_keyword(s: str, kw: str) -> list[str]:
-    parts, depth, cur, i = [], False, "", 0
+    """Split on a keyword outside quotes AND outside parentheses."""
+    parts, in_str, depth, cur, i = [], False, 0, "", 0
     low = s.lower()
     while i < len(s):
-        if s[i] == "'":
-            depth = not depth
-        if not depth and low.startswith(kw, i):
+        ch = s[i]
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+        if not in_str and depth == 0 and low.startswith(kw, i):
             parts.append(cur)
             cur = ""
             i += len(kw)
             continue
-        cur += s[i]
+        cur += ch
         i += 1
     parts.append(cur)
     return parts
 
 
 _OPS = {"eq": "==", "ne": "!=", "gt": ">", "ge": ">=", "lt": "<", "le": "<="}
+_STR_FNS = ("startswith", "endswith", "contains")
+
+
+def _parse_literal(raw: str):
+    raw = raw.strip()
+    if raw.startswith("'") and raw.endswith("'"):
+        return raw[1:-1].replace("''", "'")
+    return json.loads(raw)
+
+
+def _balanced(s: str) -> bool:
+    in_str, depth = False, 0
+    for ch in s:
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth < 0:
+                    return False
+    return depth == 0 and not in_str
+
+
+def _split_csv(s: str) -> list[str]:
+    parts, in_str, cur = [], False, ""
+    for ch in s:
+        if ch == "'":
+            in_str = not in_str
+        if ch == "," and not in_str:
+            parts.append(cur)
+            cur = ""
+            continue
+        cur += ch
+    parts.append(cur)
+    return [p for p in (x.strip() for x in parts) if p]
+
+
+def _term_to_column(term: str):
+    """One and/or operand: not-prefix, ( group ), string function, in-list,
+    or a plain comparison."""
+    t = term.strip()
+    low = t.lower()
+    if low.startswith("not ") or low.startswith("not("):
+        return ~_term_to_column(t[3:].strip())
+    if t.startswith("(") and t.endswith(")") and _balanced(t[1:-1]):
+        return _odata_filter_to_column(t[1:-1])
+    m = re.match(r"(?is)^(startswith|endswith|contains)\s*\(\s*([\w.]+)\s*,\s*('(?:[^']|'')*')\s*\)$", t)
+    if m:
+        fn, prop, val = m.group(1).lower(), m.group(2), _parse_literal(m.group(3))
+        c = F.col(prop)
+        return {
+            "startswith": c.startswith(val),
+            "endswith": c.endswith(val),
+            "contains": c.contains(val),
+        }[fn]
+    m = re.match(r"(?is)^([\w.]+)\s+in\s+\((.*)\)$", t)
+    if m:
+        vals = [_parse_literal(x) for x in _split_csv(m.group(2))]
+        return F.col(m.group(1)).isin(vals)
+    return _comparison_to_column(t)
 
 
 def _comparison_to_column(comp: str):
@@ -292,7 +369,7 @@ def _comparison_to_column(comp: str):
     if len(toks) != 3 or toks[1].lower() not in _OPS:
         raise ValueError(f"unsupported OData filter term: {comp!r}")
     prop, op, raw = toks[0], toks[1].lower(), toks[2].strip()
-    val = raw[1:-1] if raw.startswith("'") and raw.endswith("'") else json.loads(raw)
+    val = _parse_literal(raw)
     c = F.col(prop)
     return {
         "eq": c == val,
