@@ -200,27 +200,32 @@ def write_rest_batched(
 
     Rows serialize to JSON batches per partition and post via ``poster``
     (injectable: tests collect, production POSTs with auth).  Work happens
-    on executors — the driver never materializes the data; returns the
-    number of batches posted (via a collected per-partition count, bounded
-    by partition count not row count).
-    """
-    import json as _json
+    on executors — the driver never materializes the data.
 
-    def post_partition(rows):
-        batch, n = [], 0
-        for row in rows:
-            batch.append(row.asDict(recursive=True))
+    Serialization is JVM-side (``df.toJSON``: whole-stage StructsToJson),
+    so only compact JSON strings cross the Py4J/worker boundary — never
+    pickled Row objects (r2 VERDICT item 6; at 100 TB the Row-pickle cost
+    of the old ``df.rdd.mapPartitions`` path is real).  The batch count
+    returns via an accumulator (one long per task, not a collected
+    dataset); like any accumulator it can over-count if a task retries —
+    it is operational feedback (L7 spirit), not an exactly-once metric.
+    """
+    acc = df.sparkSession.sparkContext.accumulator(0)
+
+    def post_partition(lines):
+        batch = []
+        for line in lines:
+            batch.append(line)
             if len(batch) >= batch_size:
-                poster(endpoint, _json.dumps(batch, default=str))
-                n += 1
+                poster(endpoint, "[" + ",".join(batch) + "]")
+                acc.add(1)
                 batch = []
         if batch:
-            poster(endpoint, _json.dumps(batch, default=str))
-            n += 1
-        yield n
+            poster(endpoint, "[" + ",".join(batch) + "]")
+            acc.add(1)
 
-    counts = df.rdd.mapPartitions(post_partition).collect()
-    return sum(counts)
+    df.toJSON().foreachPartition(post_partition)
+    return acc.value
 
 
 def write_bucketed(
