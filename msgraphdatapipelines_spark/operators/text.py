@@ -167,11 +167,25 @@ def fingerprint_exact(text: Column | str) -> Column:
     return F.md5(F.regexp_replace(F.lower(F.trim(t)), "\\s+", " "))
 
 
-def fingerprint_minhash1(text: Column | str, k: int = 5) -> Column:
-    """Content fingerprint robust to local edits: the minimum md5 over the
+def fingerprint_minhash1(text: Column | str, k: int = 5, hash_fn: str = "md5") -> Column:
+    """Content fingerprint robust to local edits: the minimum hash over the
     document's character k-shingles (a 1-hash MinHash).  Docs sharing it are
-    near-dup candidates."""
+    near-dup candidates.
+
+    ``hash_fn`` (r2 VERDICT item 4, same switch as operators/dedup._hash_hex):
+    ``"md5"`` — hex string, cross-engine reproducible, the oracle-checked
+    default; ``"xxhash64"`` — JVM 64-bit hash as a bigint, the production
+    mode (one shingle hash per char position per doc is the scan's hot
+    loop, and xxhash64 is severalfold cheaper than md5's hex round-trip).
+    Both are deterministic; bucket equality agrees between modes only in
+    the sense that equal shingle sets ⇒ equal fingerprints (pinned in
+    tests/test_text.py).
+    """
     from ..functions import char_shingles
 
     sh = char_shingles(text, k)
-    return F.array_min(F.transform(sh, lambda s: F.md5(s)))
+    if hash_fn == "md5":
+        return F.array_min(F.transform(sh, lambda s: F.md5(s)))
+    if hash_fn == "xxhash64":
+        return F.array_min(F.transform(sh, lambda s: F.xxhash64(s)))
+    raise ValueError(f"unknown hash fn {hash_fn!r}")

@@ -128,6 +128,39 @@ def test_fingerprint_normalization(spark):
     assert fps[0] == fps[1]
 
 
+def test_fingerprint_minhash1_hash_modes_agree_on_equality(spark):
+    """r2 VERDICT item 4: the xxhash64 production mode must bucket equal
+    shingle sets together exactly like the md5 oracle mode — same-content
+    docs (even reordered shingle-preserving repeats) share a fingerprint in
+    BOTH modes, and distinct-content docs get distinct fingerprints."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "quick brown fox jumps over the lazy dog the"),  # rotation: ~same shingles
+        (4, "a completely different document about spark engines"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = df.select(
+        "doc_id",
+        X.fingerprint_minhash1("text", 5, hash_fn="md5").alias("fp_md5"),
+        X.fingerprint_minhash1("text", 5, hash_fn="xxhash64").alias("fp_xx"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in got}
+    for col in ("fp_md5", "fp_xx"):
+        assert by_id[1][col] == by_id[2][col]  # identical text ⇒ identical fp
+        assert by_id[1][col] != by_id[4][col]  # different content ⇒ different fp
+    # bucket partition {1,2} vs {4} agrees between the modes
+    def buckets(col):
+        m = {}
+        for r in got:
+            m.setdefault(r[col], set()).add(r["doc_id"])
+        return {frozenset(v) for v in m.values() if len(v) > 1}
+
+    assert buckets("fp_md5") == buckets("fp_xx")
+    with pytest.raises(ValueError):
+        X.fingerprint_minhash1("text", 5, hash_fn="sha1")
+
+
 def test_approx_count_distinct_error_bounded(spark, sf_dir):
     """HLL sketch has no cross-engine oracle; bound its error vs exact
     instead (rsd=0.02 → generous 10% assertion band)."""
