@@ -232,22 +232,36 @@ def ivf_topk(
     oracle computing the same left-associated sums.
     """
     if centroids is None:
+        # default centroids come from the NORM-FILTERED corpus (r2 ADVICE):
+        # a zero-norm vector among the lowest ids would yield cn=0 → NaN
+        # cosines, which Spark's ascending sort_array ranks last (its list
+        # silently never probed) while a SQL oracle's ORDER BY DESC ranks
+        # NaN first — a cross-engine divergence, not just a quality bug.
         centroids = [
             (r["_cid"], [float(x) for x in r["_cvec"]])
             for r in corpus.select(
                 F.col(id_c).alias("_cid"), F.col(vec_c).cast("array<double>").alias("_cvec")
             )
+            .withColumn("_cn", F.sqrt(seq_dot(F.col("_cvec"), F.col("_cvec"))))
+            .filter(F.col("_cn") > 0)
             .orderBy("_cid")
             .limit(n_centroids)
             .collect()
         ]
+    # belt-and-braces for caller-supplied centroids: drop zero-norm ones
+    usable = [
+        (cid, cvec, math.sqrt(sum(x * x for x in cvec)))
+        for cid, cvec in centroids
+    ]
+    usable = [t for t in usable if t[2] > 0]
+    if not usable:
+        raise ValueError("ivf_topk: no non-zero-norm centroids available")
 
     def scored_centroids(vec: Column, norm: Column) -> Column:
         """array<struct<neg_score, centroid_id>>, ascending-sorted = best first."""
         entries = []
-        for cid, cvec in centroids:
+        for cid, cvec, cn in usable:
             arr = F.array(*[F.lit(x) for x in cvec])
-            cn = math.sqrt(sum(x * x for x in cvec))
             score = seq_dot(vec, arr) / (norm * F.lit(cn))
             entries.append(F.struct((-score).alias("ns"), F.lit(cid).alias("cent")))
         return F.sort_array(F.array(*entries))

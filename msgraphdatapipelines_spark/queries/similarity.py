@@ -27,6 +27,13 @@ def _cos(a: str, b: str) -> str:
     return f"({_dot(a, b)}) / (sqrt({_dot(a, a)}) * sqrt({_dot(b, b)}))"
 
 
+def _norm_pos(col: str) -> str:
+    """Mirror of the Spark-side zero-norm drop (r2 ADVICE): without it a
+    zero vector in the data would give DuckDB a NaN cosine it ranks first
+    while Spark excludes the row — a data-dependent harness divergence."""
+    return f"sqrt({_dot(col, col)}) > 0"
+
+
 def _bucket_expr(col: str, num_planes: int = 8) -> str:
     """Inline hyperplane bucket — identical ±1 weights and accumulation
     order as operators.similarity.hyperplane_bucket."""
@@ -42,8 +49,10 @@ def _bucket_expr(col: str, num_planes: int = 8) -> str:
 @register(
     "ann_bruteforce_topk",
     oracle=f"""
-    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}),
-    c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+               WHERE vec_id < {N_QUERIES} AND {_norm_pos('embedding')}),
+    c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+          WHERE {_norm_pos('embedding')}),
     scored AS (
         SELECT qid, cid, {_cos('qv', 'cv')} AS score
         FROM q JOIN c ON qid <> cid
@@ -72,14 +81,16 @@ NPROBE = 2
     "ann_ivf_topk",
     oracle=f"""
     WITH cent AS (SELECT vec_id AS cent, embedding AS cvec FROM embeddings
-                  WHERE vec_id < {N_CENTROIDS}),
+                  WHERE {_norm_pos('embedding')}
+                  ORDER BY vec_id LIMIT {N_CENTROIDS}),
     assign AS (
         SELECT cid, cv, cent FROM (
             SELECT e.vec_id AS cid, e.embedding AS cv, cent.cent,
                    row_number() OVER (
                        PARTITION BY e.vec_id
                        ORDER BY {_cos('e.embedding', 'cvec')} DESC, cent.cent) AS rn
-            FROM embeddings e CROSS JOIN cent) t
+            FROM embeddings e CROSS JOIN cent
+            WHERE {_norm_pos('e.embedding')}) t
         WHERE rn = 1
     ),
     qprobe AS (
@@ -88,7 +99,8 @@ NPROBE = 2
                    row_number() OVER (
                        PARTITION BY q.vec_id
                        ORDER BY {_cos('q.embedding', 'cvec')} DESC, cent.cent) AS rn
-            FROM embeddings q CROSS JOIN cent WHERE q.vec_id < {N_QUERIES}) t
+            FROM embeddings q CROSS JOIN cent
+            WHERE q.vec_id < {N_QUERIES} AND {_norm_pos('q.embedding')}) t
         WHERE rn <= {NPROBE}
     ),
     scored AS (
@@ -136,10 +148,11 @@ def _probe_buckets_sql(bexpr: str, num_planes: int = 8) -> str:
     oracle=f"""
     WITH qb AS (SELECT vec_id AS qid, embedding AS qv,
                        {_bucket_expr('embedding')} AS bucket
-                FROM embeddings WHERE vec_id < {N_QUERIES}),
+                FROM embeddings
+                WHERE vec_id < {N_QUERIES} AND {_norm_pos('embedding')}),
     q AS (SELECT qid, qv, unnest({_probe_buckets_sql('bucket')}) AS bucket FROM qb),
     c AS (SELECT vec_id AS cid, embedding AS cv, {_bucket_expr('embedding')} AS bucket
-          FROM embeddings),
+          FROM embeddings WHERE {_norm_pos('embedding')}),
     scored AS (
         SELECT qid, cid, {_cos('qv', 'cv')} AS score
         FROM q JOIN c ON q.bucket = c.bucket AND qid <> cid
@@ -173,9 +186,10 @@ def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_lsh_topk",
     oracle=f"""
     WITH q AS (SELECT vec_id AS qid, embedding AS qv, {_bucket_expr('embedding')} AS bucket
-               FROM embeddings WHERE vec_id < {N_QUERIES}),
+               FROM embeddings
+               WHERE vec_id < {N_QUERIES} AND {_norm_pos('embedding')}),
     c AS (SELECT vec_id AS cid, embedding AS cv, {_bucket_expr('embedding')} AS bucket
-          FROM embeddings),
+          FROM embeddings WHERE {_norm_pos('embedding')}),
     scored AS (
         SELECT qid, cid, {_cos('qv', 'cv')} AS score
         FROM q JOIN c ON q.bucket = c.bucket AND qid <> cid

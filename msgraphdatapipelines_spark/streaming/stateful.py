@@ -75,7 +75,18 @@ def first_seen_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Apply the first-occurrence dedup state machine to a stream keyed by
     (user_id, event_type), with an event-time TTL bounding state size.
     The watermark on ``ts`` drives both late-data semantics and timer
-    firing (EventTimeTimeout requires one)."""
+    firing (EventTimeTimeout requires one).
+
+    Watermark caveat for batch-equality drains (r2 ADVICE): events more
+    than ``watermark`` behind the advancing watermark are dropped BEFORE
+    the state function sees them, so the streamed result equals the batch
+    GROUP-BY-min only when the input arrives in one micro-batch (the
+    registered oracle drain: one file, availableNow) or when ``watermark``
+    is at least the input's event-time span.  A multi-batch, out-of-order
+    replay with a narrow watermark can silently miss the true minimum
+    event_id — that is correct streaming semantics (late data is late),
+    not an engine bug, but oracle drains must account for it.
+    """
     return events.withWatermark("ts", watermark).groupBy(
         "user_id", "event_type"
     ).applyInPandasWithState(
