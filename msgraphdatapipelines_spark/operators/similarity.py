@@ -138,6 +138,7 @@ def kmeans_centroids(
     k: int = 8,
     iters: int = 3,
     dim: int = 64,
+    exact_mean: bool = False,
 ) -> list[tuple[int, list[float]]]:
     """Distributed Lloyd k-means over an embedding column — the coarse
     quantizer trainer for ``ivf_topk`` (pass the result as its
@@ -150,6 +151,18 @@ def kmeans_centroids(
     centroid matrix (model state).  Empty clusters keep their previous
     centroid.  Deterministic: lowest-id seeding, fixed iteration count,
     float64 math.
+
+    ``exact_mean=True`` makes the per-dimension means order-INDEPENDENT:
+    each element is quantized with ``floor(v·1e6)`` (an integer-valued
+    double — exact), so partial sums are exact integers (< 2^53 at any
+    realistic cluster size) and the division is a single deterministic
+    double op.  Trained centroids are then bit-identical across
+    partitionings AND engines — no decimal rounding-mode hazards — which
+    is what lets the driver-graded ann_kmeans_ivf_topk row reproduce the
+    trainer in plain SQL.  The 1e-6 centroid quantization is irrelevant
+    for quantizer quality.  Default ``False`` keeps plain double avg():
+    cheaper, and the ~1-ulp partial-order wobble doesn't matter when the
+    centroids stay engine-side.
 
     The returned ids are 0..k-1 (centroid index), not corpus ids.
     """
@@ -185,11 +198,17 @@ def kmeans_centroids(
                 )
                 entries.append(F.struct(d2.alias("d2"), F.lit(ci).alias("ci")))
             assigned = data.withColumn("cent", F.sort_array(F.array(*entries))[0]["ci"])
-            means = (
-                assigned.groupBy("cent")
-                .agg(*[F.avg(F.col("v")[i]).alias(f"m{i}") for i in range(dim)])
-                .collect()
-            )
+            if exact_mean:
+                aggs = [
+                    (
+                        F.sum(F.floor(F.col("v")[i] * 1e6)).cast("double")
+                        / (F.lit(1e6) * F.count(F.lit(1)))
+                    ).alias(f"m{i}")
+                    for i in range(dim)
+                ]
+            else:
+                aggs = [F.avg(F.col("v")[i]).alias(f"m{i}") for i in range(dim)]
+            means = assigned.groupBy("cent").agg(*aggs).collect()
             new = {r["cent"]: [r[f"m{i}"] for i in range(dim)] for r in means}
             cents = [new.get(ci, cents[ci]) for ci in range(k)]
     finally:

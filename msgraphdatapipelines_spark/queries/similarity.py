@@ -133,6 +133,110 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _l2(a: str, b: str) -> str:
+    """Left-associated squared-L2 sum, mirroring the zip_with/aggregate fold
+    in operators.similarity.kmeans_centroids."""
+    return " + ".join(
+        f"((CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+        f" * (CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE)))"
+        for i in range(1, DIM + 1)
+    )
+
+
+def _kmeans_trained_cte() -> str:
+    """One exact-mean Lloyd step as SQL CTEs (seed → assign0 → means →
+    trained), reproducing kmeans_centroids(iters=1, exact_mean=True)
+    bit-for-bit: floor(v·1e6) quantization makes every partial sum an
+    exact integer, so the mean is order-independent in BOTH engines."""
+    mean_cols = ", ".join(
+        f"CAST(SUM(floor(CAST(embedding[{d}] AS DOUBLE) * 1e6)) AS DOUBLE)"
+        f" / (1e6 * COUNT(*)) AS m{d}"
+        for d in range(1, DIM + 1)
+    )
+    cvec = ", ".join(
+        f"COALESCE(m.m{d}, CAST(seed.sv[{d}] AS DOUBLE))" for d in range(1, DIM + 1)
+    )
+    return f"""
+    seed AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, embedding AS sv
+             FROM embeddings ORDER BY vec_id LIMIT {N_CENTROIDS}),
+    assign0 AS (
+        SELECT vec_id, embedding, ci FROM (
+            SELECT e.vec_id, e.embedding, seed.ci,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_l2('e.embedding', 'sv')} ASC, seed.ci) AS rn
+            FROM embeddings e CROSS JOIN seed) t
+        WHERE rn = 1
+    ),
+    means AS (SELECT ci AS cent, {mean_cols} FROM assign0 GROUP BY ci),
+    trained AS (
+        SELECT seed.ci AS cent, [{cvec}] AS cvec
+        FROM seed LEFT JOIN means m ON seed.ci = m.cent
+    )"""
+
+
+@register(
+    "ann_kmeans_ivf_topk",
+    oracle=f"""
+    WITH {_kmeans_trained_cte()},
+    assign AS (
+        SELECT cid, cv, cent FROM (
+            SELECT e.vec_id AS cid, e.embedding AS cv, trained.cent,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_cos('e.embedding', 'cvec')} DESC, trained.cent) AS rn
+            FROM embeddings e CROSS JOIN trained
+            WHERE {_norm_pos('e.embedding')}) t
+        WHERE rn = 1
+    ),
+    qprobe AS (
+        SELECT qid, qv, cent FROM (
+            SELECT q.vec_id AS qid, q.embedding AS qv, trained.cent,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_cos('q.embedding', 'cvec')} DESC, trained.cent) AS rn
+            FROM embeddings q CROSS JOIN trained
+            WHERE q.vec_id < {N_QUERIES} AND {_norm_pos('q.embedding')}) t
+        WHERE rn <= {NPROBE}
+    ),
+    scored AS (
+        SELECT qid, cid, {_cos('qv', 'cv')} AS score
+        FROM qprobe JOIN assign USING (cent) WHERE qid <> cid
+    )
+    SELECT qid, cid, round(score, 6) AS score, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn
+          FROM scored) t
+    WHERE rn <= {K}
+    """,
+)
+def ann_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full trained-quantizer ANN path (r2 VERDICT item 7): a
+    deterministic one-iteration Lloyd step (lowest-id seeds, exact-mean
+    update) trains the coarse quantizer IN-ENGINE, and its centroids feed
+    ivf_topk — replacing the pytest-only evidence for kmeans_centroids
+    with a driver-graded row.  Spark shape: per Lloyd iter one narrow
+    assignment map + ONE hash agg; the IVF query plan is identical to
+    ann_ivf_topk (centroids are inlined model state).  The oracle replays
+    seed→assign→mean in SQL; exact_mean's floor(v·1e6) quantization is
+    what makes the trained centroids bit-identical cross-engine."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents = S.kmeans_centroids(
+        emb, "vec_id", "embedding", k=N_CENTROIDS, iters=1, dim=DIM, exact_mean=True
+    )
+    return S.ivf_topk(
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        emb,
+        "vec_id",
+        "vec_id",
+        "embedding",
+        "embedding",
+        k=K,
+        n_centroids=N_CENTROIDS,
+        nprobe=NPROBE,
+        centroids=cents,
+    )
+
+
 def _probe_buckets_sql(bexpr: str, num_planes: int = 8) -> str:
     """The bucket + every 1-bit flip, as a SQL list — mirrors
     operators.similarity.flip_bit_buckets."""
