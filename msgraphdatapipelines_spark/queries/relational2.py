@@ -249,6 +249,51 @@ def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "salted_skew_battery",
+    oracle="""
+    WITH dim AS (SELECT DISTINCT l_returnflag, l_returnflag || '_class' AS label
+                 FROM lineitem),
+    agg AS (
+        SELECT l.l_returnflag, d.label,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem l JOIN dim d USING (l_returnflag)
+        GROUP BY l.l_returnflag, d.label
+    ),
+    counts AS (SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, label, sum_qty, n
+    FROM agg JOIN counts USING (l_returnflag)
+    """,
+)
+def salted_skew_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew mitigation as a driver-graded row (r2 VERDICT item 10):
+    ``salted_join`` + ``salted_groupby_count`` over ``l_returnflag`` — a
+    deliberately pathological key (3 distinct values over the whole fact
+    table, so every partition of a naive shuffle is a hot key).  The salt
+    spreads each hot key over 8 (key, salt) shuffle partitions; the oracle
+    is the PLAIN join/group-by — salting must be invisible in results.
+
+    Scale note: this is the manual fallback for skew AQE can't fix
+    (broadcast-ineligible dim, or collect_list-style payload aggs with no
+    map-side combine); operators/skew.py documents the trade."""
+    from ..operators import skew as K
+
+    li = load(spark, sf_dir, "lineitem")
+    dim = li.select("l_returnflag").distinct().withColumn(
+        "label", F.concat(F.col("l_returnflag"), F.lit("_class"))
+    )
+    joined = K.salted_join(
+        li.select("l_returnflag", "l_quantity"), dim, "l_returnflag", "inner", salts=8
+    )
+    agg = joined.groupBy("l_returnflag", "label").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty")
+    )
+    counts = K.salted_groupby_count(li.select("l_returnflag"), "l_returnflag", salts=8)
+    return agg.join(counts, "l_returnflag").select(
+        "l_returnflag", "label", "sum_qty", "n"
+    )
+
+
 @register("approx_distinct_stats", oracle=None)
 def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (HLL count-distinct, t-digest percentile) —
