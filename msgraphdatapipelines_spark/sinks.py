@@ -254,8 +254,14 @@ def write_bucketed(
 
 def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "overwrite", **options) -> None:
     """L1 — bulk relational load (reference TVP stored-proc path,
-    `Invoke…ps1:310-333`).  JDBC writer batches rows (`batchsize`), the
-    Spark analog of the TVP bulk transfer; no SQL server exists in the test
-    environment so this stays a thin, untested-over-network shim.
+    `Invoke…ps1:310-333`).  The JDBC writer batches rows (``batchsize``) —
+    the Spark analog of the TVP bulk transfer — and each executor
+    partition opens its own connection, so the load parallelizes across
+    the cluster (cap with ``numPartitions`` to respect the server).
+
+    Tested end-to-end against in-process Derby (tests/test_sinks.py):
+    overwrite/append modes, batchsize, and long/double/string/timestamp/
+    boolean type mapping.  A networked SQL server only changes the URL and
+    driver options.
     """
     df.write.mode(mode).options(**options).jdbc(url, table)

@@ -78,6 +78,55 @@ def test_row_count_feedback(spark):
     assert sinks.row_count(spark.range(42)) == 42
 
 
+def test_write_jdbc_roundtrip_derby(spark):
+    """L1 end-to-end against in-process Derby (r2 VERDICT item 9): modes,
+    batchsize, and type mapping — the TVP-analog bulk path, minus only the
+    network.  Derby ships in Spark's own classpath (metastore dependency),
+    so no extra install."""
+    from pyspark.sql import types as T
+
+    drv = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    url = "jdbc:derby:memory:sinktest;create=true"
+    rows = [
+        (1, 2.5, "alpha", dt.datetime(2024, 6, 1, 12, 0, 0), True),
+        (2, -0.75, "bravo", dt.datetime(2024, 6, 2, 0, 30, 0), False),
+        (3, None, None, None, None),  # NULLs map to SQL NULL (DBNull analog)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("x", T.DoubleType()),
+            T.StructField("s", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("b", T.BooleanType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    sinks.write_jdbc(df, url, "t_load", mode="overwrite", batchsize="2", **drv)
+
+    def read_back():
+        out = spark.read.format("jdbc").options(url=url, dbtable="t_load", **drv).load()
+        return {r["k"]: r for r in out.collect()}, out.schema
+
+    got, back_schema = read_back()
+    assert len(got) == 3
+    assert got[1]["x"] == 2.5 and got[1]["s"] == "alpha" and got[1]["b"] is True
+    assert got[1]["ts"] == dt.datetime(2024, 6, 1, 12, 0, 0)
+    assert got[3]["x"] is None and got[3]["s"] is None and got[3]["b"] is None
+    # declared-schema round trip (type mapping): long/double/ts/bool survive
+    kinds = {f.name.lower(): f.dataType.simpleString() for f in back_schema.fields}
+    assert kinds["k"] == "bigint" and kinds["x"] == "double"
+    assert kinds["ts"] == "timestamp" and kinds["b"] == "boolean"
+
+    # append mode adds rows; overwrite truncate-and-loads (L2 semantics)
+    sinks.write_jdbc(df.filter("k = 1"), url, "t_load", mode="append", **drv)
+    n = spark.read.format("jdbc").options(url=url, dbtable="t_load", **drv).load().count()
+    assert n == 4
+    sinks.write_jdbc(df.filter("k = 2"), url, "t_load", mode="overwrite", **drv)
+    got, _ = read_back()
+    assert set(got) == {2}
+
+
 def test_upsert_snapshot_scd1(spark):
     existing = spark.createDataFrame(
         [(1, "old-a", 10.0), (2, "old-b", 20.0), (3, "old-c", 30.0)], "id long, v string, x double"
