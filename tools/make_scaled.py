@@ -73,25 +73,18 @@ write(
 """,
 )
 EK = con.execute(f"SELECT max(event_id)+1 FROM {src('events')}").fetchone()[0]
-# events go through pyarrow: the source stores ts as TIMESTAMP(NANOS) and the
-# engine's readers depend on that logical type (nanosAsLong + ts div 1000),
-# but DuckDB's parquet WRITER emits µs regardless of a TIMESTAMP_NS cast —
-# so cast the arrow column back to ns and write with pyarrow.
-import pyarrow as pa  # noqa: E402
-import pyarrow.parquet as pq  # noqa: E402
-
-tbl = con.execute(
+# ts writes as TIMESTAMP(MICROS) — the regenerated driver testdata vintage;
+# the engine's readers (load_events, read_events_stream) probe the physical
+# type and adapt, so the scaled data matches what production reads.
+write(
+    "events",
     f"""
   SELECT event_id + k*{EK} AS event_id,
          ts + to_days(CAST(31*k AS INTEGER)) AS ts,
          user_id, event_type, value, props
   FROM {src('events')}, {REPL}
-"""
-).fetch_arrow_table()
-ts_idx = tbl.schema.get_field_index("ts")
-tbl = tbl.set_column(ts_idx, "ts", tbl.column("ts").cast(pa.timestamp("ns")))
-pq.write_table(tbl, f"{DST}/events.parquet")
-print("events", tbl.num_rows, flush=True)
+""",
+)
 DK = con.execute(f"SELECT max(doc_id)+1 FROM {src('documents')}").fetchone()[0]
 write(
     "documents",
