@@ -220,7 +220,8 @@ def _emb_bucket_sql() -> str:
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
-    WITH e AS (SELECT vec_id, embedding, {_emb_bucket_sql()} AS bucket FROM embeddings)
+    WITH e AS (SELECT vec_id, embedding, {_emb_bucket_sql()} AS bucket FROM embeddings
+               WHERE sqrt({_emb_dot_sql('embedding', 'embedding')}) > 0)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(({_emb_dot_sql('a.embedding', 'b.embedding')})
                  / (sqrt({_emb_dot_sql('a.embedding', 'a.embedding')})
@@ -247,12 +248,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import hyperplane_bucket, seq_dot
 
     v = F.col("embedding").cast("array<double>")
-    # per-row norm + bucket precomputed (narrow map): pair scoring costs one dot
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        v.alias("v"),
-        F.sqrt(seq_dot(v, v)).alias("n"),
-        hyperplane_bucket(F.col("embedding"), num_planes=8, dim=64).alias("bucket"),
+    # per-row norm + bucket precomputed (narrow map): pair scoring costs one
+    # dot; zero-norm vectors dropped on BOTH engine and oracle sides (NaN
+    # comparison semantics differ cross-engine — same guard as the ANN ops)
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            v.alias("v"),
+            F.sqrt(seq_dot(v, v)).alias("n"),
+            hyperplane_bucket(F.col("embedding"), num_planes=8, dim=64).alias("bucket"),
+        )
+        .filter(F.col("n") > 0)
     )
     a = emb.select(
         F.col("vec_id").alias("id_a"), F.col("bucket").alias("ba"),
