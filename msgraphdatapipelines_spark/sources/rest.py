@@ -99,10 +99,13 @@ def build_url(
     select: list[str] | None = None,
     filter: str | None = None,
     expand: str | None = None,
+    orderby: str | None = None,
+    top: int | None = None,
 ) -> str:
     """Append OData query options — P1 ($select) / P2 ($filter) pushdown and
     P3 ($expand, server-side relationship join), mirroring the reference's
-    URL builder (`Invoke…ps1:58-80`)."""
+    URL builder (`Invoke…ps1:58-80`); plus $orderby/$top (server-side sort
+    and result cap — the remaining options a Graph user types)."""
     opts = {}
     if select:
         opts["$select"] = ",".join(select)
@@ -110,6 +113,10 @@ def build_url(
         opts["$filter"] = filter
     if expand:
         opts["$expand"] = expand
+    if orderby:
+        opts["$orderby"] = orderby
+    if top is not None:
+        opts["$top"] = str(top)
     if not opts:
         return base
     sep = "&" if "?" in base else "?"
@@ -177,6 +184,8 @@ def read_odata(
     sleeper: Callable[[float], None] = time.sleep,
     datasource_page_threshold: int = 64,
     expand: str | None = None,
+    orderby: str | None = None,
+    top: int | None = None,
 ) -> DataFrame:
     """Read a full OData collection as a DataFrame.
 
@@ -190,6 +199,11 @@ def read_odata(
     envelope schema (S3), then the ``value`` array explodes to records.
     ``select``/``filter_expr`` are applied as real Column ops — when the
     source honored the OData options they are no-ops Catalyst prunes.
+    ``orderby``/``top`` follow the same contract: emitted as $orderby/$top
+    for the server, re-applied client-side as ``sort().limit()`` — which
+    Catalyst plans as TakeOrderedAndProject, the distributed top-k (no
+    global sort materialization), so a server that ignored the options
+    still yields the right rows at scan cost.
 
     Driver-memory bound: this path materializes every page body in a
     driver-side list before ``createDataFrame`` — fine for reference-scale
@@ -201,7 +215,7 @@ def read_odata(
     ``file_fetcher`` (an injected fetcher can't be shipped through
     DataSource options); custom fetchers keep the driver path.
     """
-    url = build_url(first_url, select, filter_expr, expand)
+    url = build_url(first_url, select, filter_expr, expand, orderby, top)
     if fetcher is file_fetcher and HAS_PYTHON_DATASOURCE:
         probe = fetch_pages(url, fetcher, retry, sleeper, max_pages=datasource_page_threshold)
         last_next = json.loads(probe[-1]).get(NEXT_LINK) if probe else None
@@ -214,12 +228,16 @@ def read_odata(
                 reader = reader.option("filter", filter_expr)
             if expand:  # P3 rides the scale path too (r2 VERDICT item 3)
                 reader = reader.option("expand", expand)
+            if orderby:
+                reader = reader.option("orderby", orderby)
+            if top is not None:
+                reader = reader.option("top", str(top))
             df = reader.load()
             if select:
                 df = df.select(*_select_with_expand(select, expand, df.columns))
             if filter_expr:
                 df = df.filter(_odata_filter_to_column(filter_expr))
-            return df
+            return _apply_orderby_top(df, orderby, top)
         pages = probe
     else:
         pages = fetch_pages(url, fetcher, retry, sleeper)
@@ -234,6 +252,26 @@ def read_odata(
         df = df.select(*_select_with_expand(select, expand, df.columns))
     if filter_expr:
         df = df.filter(_odata_filter_to_column(filter_expr))
+    return _apply_orderby_top(df, orderby, top)
+
+
+def _orderby_to_columns(spec: str) -> list:
+    """OData $orderby grammar: ``prop [asc|desc], prop2 …`` → sort Columns."""
+    cols = []
+    for part in spec.split(","):
+        toks = part.split()
+        if not toks or len(toks) > 2 or (len(toks) == 2 and toks[1].lower() not in ("asc", "desc")):
+            raise ValueError(f"unsupported $orderby term: {part!r}")
+        c = F.col(toks[0])
+        cols.append(c.desc() if len(toks) == 2 and toks[1].lower() == "desc" else c.asc())
+    return cols
+
+
+def _apply_orderby_top(df: DataFrame, orderby: str | None, top: int | None) -> DataFrame:
+    if orderby:
+        df = df.orderBy(*_orderby_to_columns(orderby))
+    if top is not None:
+        df = df.limit(top)
     return df
 
 
@@ -427,11 +465,14 @@ try:  # pragma: no cover - exercised in tests when the API exists
             self.options = options
 
         def partitions(self):
+            top = self.options.get("top")
             url = build_url(
                 self.options["path"],
                 [s for s in self.options.get("select", "").split(",") if s] or None,
                 self.options.get("filter") or None,
                 self.options.get("expand") or None,
+                self.options.get("orderby") or None,
+                int(top) if top else None,
             )
             embed_max = int(self.options.get("embed_max_bytes", str(1 << 20)))
             spill_dir = self.options.get("spill_dir")

@@ -119,6 +119,16 @@ def test_embedding_dedup_shuffles_on_bucket_only(spark, sf_dir):
     assert ("SortMergeJoin" in plan) or ("HashJoin" in plan)
 
 
+def test_salted_join_shuffles_on_key_and_salt(spark, sf_dir):
+    """The salt must reach the exchange: the join's shuffle key is
+    (key, _salt), which is what spreads a hot key over salts partitions."""
+    from msgraphdatapipelines_spark.queries import relational2 as q2
+
+    df = q2.salted_skew_battery(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "_salt" in plan and "hashpartitioning(l_returnflag" in plan
+
+
 def test_corpus_curation_single_shuffle(spark, sf_dir):
     """Curation composition: quality filter is pre-shuffle, dedup is the one
     hash aggregation, the sample predicate adds nothing."""

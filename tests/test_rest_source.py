@@ -252,6 +252,24 @@ def test_expand_survives_datasource_autoswitch(spark, tmp_path):
     assert rows == {(f"g{i}", f"u{i}") for i in range(4)}
 
 
+def test_orderby_top_pushdown_and_client_reapply(spark, pages):
+    """$orderby/$top: emitted in the URL for the server, re-applied
+    client-side as sort().limit() — a TakeOrderedAndProject top-k, so a
+    server that ignored the options (like the file fixture) still returns
+    the right rows."""
+    first, recs = pages
+    url = rest.build_url("https://g/devices", orderby="errorCode desc", top=3)
+    assert ("%24orderby=errorCode+desc" in url) or ("$orderby=errorCode desc" in url)
+    assert "%24top=3" in url or "$top=3" in url
+    df = rest.read_odata(spark, first, SCHEMA, orderby="errorCode desc", top=3)
+    got = [r["errorCode"] for r in df.collect()]
+    assert got == sorted((r["errorCode"] for r in recs), reverse=True)[:3]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
+    with pytest.raises(ValueError):
+        rest._orderby_to_columns("errorCode sideways")
+
+
 def test_token_provider_retries_transient_failures():
     """ADVICE fix: token acquisition retries ANY exception (reference's
     ≤5-try loop around Get-AzAccessToken), not just ThrottledError."""
