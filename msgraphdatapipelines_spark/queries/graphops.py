@@ -267,3 +267,42 @@ def graph_explode_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exploded.select(
         "l_orderkey", F.col("item.part").alias("part"), F.col("item.qty").alias("qty")
     ).filter(F.col("qty") >= 40)
+
+
+@register(
+    "upsert_snapshot_orders",
+    oracle="""
+    WITH base AS (SELECT o_orderkey, o_orderstatus,
+                         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+                  FROM orders),
+    upd AS (SELECT o_orderkey, 'U' AS o_orderstatus, price * 2 AS price
+            FROM base WHERE o_orderkey % 10 = 0)
+    SELECT o_orderkey, o_orderstatus, CAST(price AS DOUBLE) AS price FROM upd
+    UNION ALL
+    SELECT b.o_orderkey, b.o_orderstatus, CAST(b.price AS DOUBLE) AS price
+    FROM base b WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+    """,
+)
+def upsert_snapshot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed SCD1 refresh (r4: promoted from pytest-only to a driver row) —
+    the reference's DELETE+INSERT full refresh generalized to a business-key
+    match (`Prepare-SQLDatabase.sql:104-178`): updates ∪ (existing ⟕anti
+    updates), via sinks.upsert_snapshot.  One key-shuffle anti-join; with
+    the warehouse bucketed on the key (L6) the existing side's shuffle
+    disappears.  A deterministic 10% of orders arrives \"updated\" (status
+    U, price doubled in exact decimal); matched keys replace, history
+    survives."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    upd = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("price") * 2).alias("price"),
+    )
+    merged = sinks.upsert_snapshot(o, upd, ["o_orderkey"])
+    return merged.select(
+        "o_orderkey", "o_orderstatus", F.col("price").cast("double").alias("price")
+    )

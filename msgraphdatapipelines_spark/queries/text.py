@@ -128,3 +128,38 @@ def text_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fp_exact",
         "fp_minhash1",
     )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH pairs AS (
+        SELECT doc_id AS doc, term, count(*) AS tf
+        FROM (SELECT doc_id,
+                     unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS term
+              FROM documents) t
+        GROUP BY doc, term
+    ),
+    docfreq AS (SELECT term, count(*) AS df_ FROM pairs GROUP BY term),
+    n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+    weighted AS (
+        SELECT doc, term,
+               tf * (ln((CAST(nd AS DOUBLE) + 1.0) / (df_ + 1.0)) + 1.0) AS weight
+        FROM pairs JOIN docfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc AS doc_id, term, round(weight, 6) AS weight, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc ORDER BY weight DESC, term) AS rn
+          FROM weighted) t
+    WHERE rn <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (r4: promoted from pytest-only to a
+    driver-graded row).  Scale shape (operators/text.tfidf_top_terms):
+    explode → ONE (doc, term) hash agg with map-side combine; document
+    frequency aggregates the already-deduplicated pairs; the idf join
+    broadcasts (vocabulary ≪ corpus); top-k is a WindowGroupLimit-prunable
+    ranking window.  idf = ln((N+1)/(df+1)) + 1; ties break
+    lexicographically; N (corpus size) is the one model scalar collected."""
+    docs = load(spark, sf_dir, "documents")
+    return X.tfidf_top_terms(docs, "doc_id", "text", k=3)
