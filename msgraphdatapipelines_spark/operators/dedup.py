@@ -86,6 +86,25 @@ def minhash_signatures(
     return df.groupBy(id_col).agg(*aggs)
 
 
+def _band_explode(
+    signatures: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band, band_hash) rows: one per document per LSH band."""
+    rows_per_band = num_hashes // bands
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *[f"mh{b * rows_per_band + r}" for r in range(rows_per_band)])).alias(
+                "bh"
+            ),
+        )
+        for b in range(bands)
+    ]
+    return signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str,
@@ -97,21 +116,13 @@ def lsh_candidate_pairs(
 
     The band array explodes to ``bands`` rows per doc; the self-join is
     keyed on (band_idx, band_hash) so only true bucket collisions shuffle
-    together — the step that makes fuzzy dedup sub-quadratic at scale.
+    together — the step that makes fuzzy dedup sub-quadratic in CORPUS
+    size.  Caveat (100× sweep, PERF.md): output pairs are still Θ(m²) per
+    m-member near-dup cluster — that is the pair formulation's intrinsic
+    output size, not a blocking failure.  For mass-duplication corpora use
+    ``lsh_dedup_representatives``, which never materializes pairs.
     """
-    rows_per_band = num_hashes // bands
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(F.concat_ws("|", *[f"mh{b * rows_per_band + r}" for r in range(rows_per_band)])).alias(
-                "bh"
-            ),
-        )
-        for b in range(bands)
-    ]
-    exploded = signatures.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    exploded = _band_explode(signatures, id_col, num_hashes, bands)
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -123,6 +134,41 @@ def lsh_candidate_pairs(
         )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
+    )
+
+
+def lsh_dedup_representatives(
+    signatures: DataFrame,
+    id_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """O(n) near-dup REPRESENTATIVE selection — the production dedup path
+    for mass-duplication corpora (the standard LLM-corpus MinHashLSH
+    dedup): each doc's representative is the minimum id over every band
+    bucket it belongs to; a doc is kept iff it is its own representative.
+
+    Never materializes candidate pairs, so cost is Θ(n·bands) in ALL
+    duplication regimes — where the pair formulation emits Θ(m²) rows per
+    m-member cluster (measured 220× wall at 100× data on a corpus of
+    100-member clusters, PERF.md).  One min-aggregation per (band, bucket)
+    + one min per doc: two hash shuffles, map-side combinable.
+
+    Approximation contract: single propagation step — docs sharing a
+    bucket with the cluster minimum collapse; a chain a~b~c where a,c
+    share no bucket keeps both a and the b-represented c.  (Exact
+    transitive closure = iterate to fixpoint; one step is the accepted
+    curation trade.)  Output: (id, rep_id, kept).
+    """
+    exploded = _band_explode(signatures, id_col, num_hashes, bands)
+    bucket_min = exploded.groupBy("band", "bh").agg(F.min(id_col).alias("_bmin"))
+    rep = (
+        exploded.join(bucket_min, ["band", "bh"])
+        .groupBy(id_col)
+        .agg(F.min("_bmin").alias("rep_id"))
+    )
+    return rep.select(
+        id_col, "rep_id", (F.col(id_col) == F.col("rep_id")).alias("kept")
     )
 
 

@@ -162,6 +162,53 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_verify(grams, cand, "doc_id", "g", threshold=0.5)
 
 
+def _minhash_representatives_oracle(num_hashes: int = 8, bands: int = 4) -> str:
+    rpb = num_hashes // bands
+    mh_exprs = ",\n           ".join(
+        f"min(md5('{s}|' || g)) AS mh{s}" for s in range(num_hashes)
+    )
+    band_selects = "\n        UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({concat}) AS bh FROM sigs".format(
+            b=b,
+            concat=" || '|' || ".join(f"mh{b * rpb + r}" for r in range(rpb)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH {_GRAMS_SQL},
+    sigs AS (
+        SELECT doc_id,
+           {mh_exprs}
+        FROM grams GROUP BY doc_id
+    ),
+    banded AS (
+        {band_selects}
+    ),
+    bucket_min AS (
+        SELECT band, bh, min(doc_id) AS bmin FROM banded GROUP BY band, bh
+    )
+    SELECT b.doc_id, min(m.bmin) AS rep_id, (b.doc_id = min(m.bmin)) AS kept
+    FROM banded b JOIN bucket_min m ON b.band = m.band AND b.bh = m.bh
+    GROUP BY b.doc_id
+    """
+
+
+@register("dedup_minhash_representatives", oracle=_minhash_representatives_oracle())
+def dedup_minhash_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O(n) near-dup representative selection (r4, found by the 100× sweep):
+    the pair-emitting dedup_minhash_lsh is output-bound Θ(m²) per m-member
+    cluster — 220× wall at 100× data on a 100-replica corpus — so the
+    production path for mass-duplication corpora selects one representative
+    per approximate cluster WITHOUT materializing pairs: per-(band, bucket)
+    min id, then per-doc min over its buckets; keep iff own representative.
+    Two map-combinable hash shuffles regardless of duplication regime
+    (operators.dedup.lsh_dedup_representatives; 100× measurement in
+    PERF.md)."""
+    grams = _doc_grams(spark, sf_dir)
+    sigs = D.minhash_signatures(grams, "doc_id", "g", num_hashes=8, hash_fn="md5")
+    return D.lsh_dedup_representatives(sigs, "doc_id", num_hashes=8, bands=4)
+
+
 def _simhash_oracle(num_bits: int = 16) -> str:
     sums = ",\n           ".join(
         f"sum(CASE WHEN (strpos('0123456789abcdef', substr(md5(tok), {b + 1}, 1)) - 1) % 2 = 1"
