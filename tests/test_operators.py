@@ -128,6 +128,27 @@ def test_fingerprint_normalization(spark):
     assert fps[0] == fps[1]
 
 
+def test_lsh_dedup_representatives_semantics(spark):
+    """Representative selection: docs with identical signatures collapse to
+    the min id; a distinct-signature doc keeps itself; output is one row
+    per doc with kept == (id == rep_id)."""
+    rows = [
+        (10, "a", "a", "b", "b"),  # cluster {10, 11}: identical signatures
+        (11, "a", "a", "b", "b"),
+        (30, "x", "y", "z", "w"),  # loner
+    ]
+    sigs = spark.createDataFrame(
+        rows, "doc_id long, mh0 string, mh1 string, mh2 string, mh3 string"
+    )
+    out = {r["doc_id"]: r for r in D.lsh_dedup_representatives(
+        sigs, "doc_id", num_hashes=4, bands=2
+    ).collect()}
+    assert len(out) == 3
+    assert out[10]["rep_id"] == 10 and out[10]["kept"] is True
+    assert out[11]["rep_id"] == 10 and out[11]["kept"] is False
+    assert out[30]["rep_id"] == 30 and out[30]["kept"] is True
+
+
 def test_fingerprint_minhash1_hash_modes_agree_on_equality(spark):
     """r2 VERDICT item 4: the xxhash64 production mode must bucket equal
     shingle sets together exactly like the md5 oracle mode — same-content
