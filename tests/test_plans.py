@@ -119,6 +119,28 @@ def test_embedding_dedup_shuffles_on_bucket_only(spark, sf_dir):
     assert ("SortMergeJoin" in plan) or ("HashJoin" in plan)
 
 
+def test_kmeans_ivf_single_shuffle(spark, sf_dir):
+    """Trained-quantizer IVF (r4): centroids come from the Lloyd step as
+    literal model state, so the query plan must keep the ivf_topk shape —
+    the ONLY exchange is the final per-query top-k window."""
+    from msgraphdatapipelines_spark.queries import similarity as qs
+
+    df = qs.ann_kmeans_ivf_topk(spark, sf_dir)
+    assert plans.num_exchanges(df) == 1
+    assert plans.num_broadcasts(df) >= 1
+    assert "WindowGroupLimit" in plans.physical_plan(df)
+
+
+def test_minhash_representatives_no_pair_join(spark, sf_dir):
+    """The O(n) representative pass must never build candidate pairs: no
+    cartesian/nested-loop, and only the three hash aggregations' exchanges
+    (signatures by doc, bucket-min by (band,bh), final per-doc min)."""
+    df = qd.dedup_minhash_representatives(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plans.num_exchanges(df) <= 4
+
+
 def test_salted_join_shuffles_on_key_and_salt(spark, sf_dir):
     """The salt must reach the exchange: the join's shuffle key is
     (key, _salt), which is what spreads a hot key over salts partitions."""
