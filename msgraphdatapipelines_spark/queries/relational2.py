@@ -82,24 +82,25 @@ def asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def range_join_events_after_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Range join — events in the 7-day window after each order, blocked on
-    the user equi-key so Spark plans a hash join with the range as a post-
-    filter (the scalable shape: pure range joins need bucketized time keys,
-    documented in PERF.md)."""
-    o = load(spark, sf_dir, "orders")
-    e = load_events(spark, sf_dir)
-    cond = (
-        (e.user_id == o.o_custkey)
-        & (e.ts >= o.o_orderdate)
-        & (e.ts < F.col("o_orderdate") + F.expr("INTERVAL 7 DAY"))
+    """Range join — events in the 7-day window after each order, via
+    TIME-BUCKETED blocking (r4; operators/rangejoin.py): the join key is
+    (user, 7-day bucket) with the order probing the two buckets its window
+    can span, so the join enumerates only temporally-local pairs.  The r4
+    100× sweep showed the previous user-only blocking enumerating the full
+    per-user orders×events cross product before the range filter — with a
+    bounded user population that grows quadratically in history length;
+    bucketing makes cost follow events-per-window.  Results are identical
+    (range re-applied post-match); the oracle stays the naive SQL."""
+    from ..operators.rangejoin import bucketed_interval_join
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    e = load_events(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    joined = bucketed_interval_join(
+        o, e, "o_custkey", "user_id", "o_orderdate", "ts", window_days=7, how="left"
     )
-    return (
-        o.join(e, cond, "left")
-        .groupBy("o_orderkey")
-        .agg(
-            F.count("event_id").alias("n_events_week"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
-        )
+    return joined.groupBy("o_orderkey").agg(
+        F.count("event_id").alias("n_events_week"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
     )
 
 
