@@ -319,6 +319,56 @@ def ivf_topk(
     )
 
 
+def embedding_dedup_representatives(
+    corpus: DataFrame,
+    id_c: str,
+    vec_c: str,
+    threshold: float = 0.4,
+    num_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """O(n) embedding near-dup representative selection — the
+    no-pair-materialization counterpart of ``dedup.lsh_dedup_representatives``
+    for the vector family (r4, from the 100× sweep: the pair-emitting
+    ``dedup_embedding_cosine`` output is Θ(m²) per m-replica cluster).
+
+    Each vector is compared against ONE candidate — its LSH bucket's
+    minimum-id vector — and collapses into it when cosine ≥ threshold.
+    The bucket-min table has at most 2^planes rows, so the join is a
+    BROADCAST: the whole pass is a narrow bucket map + one broadcast join
+    + one cosine per row; the only shuffle is the tiny bucket-min
+    aggregation.  Single-step approximation: a near-dup of a non-min
+    bucket member (but not of the min) survives — the accepted curation
+    trade, same contract as the MinHash representative pass.
+
+    Zero-norm vectors keep themselves (NaN cosine never collapses).
+    Output: (id, rep_id, cosine_to_rep, kept).
+    """
+    v = F.col(vec_c).cast("array<double>")
+    emb = corpus.select(
+        F.col(id_c).alias("_id"),
+        v.alias("_v"),
+        F.sqrt(seq_dot(v, v)).alias("_n"),
+        hyperplane_bucket(F.col(vec_c), num_planes, dim).alias("_b"),
+    )
+    mins = emb.groupBy("_b").agg(
+        F.min_by(F.struct(F.col("_id").alias("mid"), F.col("_v").alias("mv"), F.col("_n").alias("mn")), F.col("_id")).alias("m")
+    )
+    joined = emb.join(F.broadcast(mins), "_b").select(
+        "_id", "_v", "_n", F.col("m.mid").alias("_mid"), F.col("m.mv").alias("_mv"), F.col("m.mn").alias("_mn")
+    )
+    cos = seq_dot(F.col("_v"), F.col("_mv")) / (F.col("_n") * F.col("_mn"))
+    # explicit NaN guard: Spark AND DuckDB order NaN above every double, so
+    # a bare `cos >= threshold` would collapse zero-norm vectors into reps
+    is_dup = (F.col("_id") != F.col("_mid")) & ~F.isnan(cos) & (cos >= threshold)
+    return joined.select(
+        F.col("_id").alias(id_c),
+        F.when(is_dup, F.col("_mid")).otherwise(F.col("_id")).alias("rep_id"),
+        F.round(cos, 6).alias("cosine_to_rep"),
+        (~is_dup).alias("kept"),
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -323,3 +323,42 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_cos") >= 0.4)
         .select("id_a", "id_b", F.round("_cos", 6).alias("cosine"))
     )
+
+
+@register(
+    "dedup_embedding_representatives",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding, {_emb_bucket_sql()} AS bucket FROM embeddings),
+    m AS (SELECT bucket, vec_id AS mid, embedding AS memb
+          FROM (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn
+                FROM e) t
+          WHERE rn = 1),
+    j AS (
+        SELECT e.vec_id, m.mid,
+               ({_emb_dot_sql('e.embedding', 'memb')})
+               / (sqrt({_emb_dot_sql('e.embedding', 'e.embedding')})
+                  * sqrt({_emb_dot_sql('memb', 'memb')})) AS cos
+        FROM e JOIN m USING (bucket)
+    )
+    SELECT vec_id,
+           CASE WHEN vec_id <> mid AND NOT isnan(cos) AND cos >= 0.4
+                THEN mid ELSE vec_id END AS rep_id,
+           round(cos, 6) AS cosine_to_rep,
+           NOT (vec_id <> mid AND NOT isnan(cos) AND cos >= 0.4) AS kept
+    FROM j
+    """,
+)
+def dedup_embedding_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O(n) embedding near-dup representative selection (r4 — the
+    no-pair-materialization counterpart of dedup_minhash_representatives
+    for the vector family): each vector collapses into its LSH bucket's
+    min-id vector when cosine ≥ 0.4.  The bucket-min table is ≤ 2^planes
+    rows, so the join BROADCASTS — narrow bucket map + broadcast join +
+    one cosine per row; the only shuffle is the tiny bucket-min agg.
+    Single-step approximation contract and 100× rationale in PERF.md."""
+    from ..operators.similarity import embedding_dedup_representatives
+
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_dedup_representatives(
+        emb, "vec_id", "embedding", threshold=0.4, num_planes=8, dim=64
+    )
