@@ -1,0 +1,87 @@
+"""Ordered prefix sums and token-budget document packing.
+
+Sequence packing — filling fixed token-budget bins with documents in a
+deterministic order — is a staple of LLM training-data pipelines.  The
+natural formulation is a running total over a global ordering, which
+naively plans as a single-partition window (every row through one task:
+the same scale-killer the surrogate key had, see sinks.with_surrogate_key).
+
+``running_total`` generalizes the two-phase fix to arbitrary SUMs:
+
+1. split rows into order-aligned buckets by quantile cuts of the ordering
+   key (ties share a bucket, so cross-bucket ordering is total);
+2. collect ONE partial sum per bucket (driver state bounded by bucket
+   count) and prefix-sum them into bucket offsets;
+3. running = offset[bucket] + windowed sum within the bucket.
+
+The only wide step is the per-bucket window's hash exchange — parallel
+across buckets, no ``Exchange SinglePartition`` (pinned in
+tests/test_plans.py).  Integer-valued columns make every partial sum
+exact, so the result is deterministic under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def running_total(
+    df: DataFrame,
+    order_by: str,
+    value_col: str,
+    name: str = "running",
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Inclusive running SUM of ``value_col`` over the global ``order_by``
+    ordering, without a single-partition window.  ``order_by`` should be
+    high-cardinality (heavily-tied keys collapse buckets)."""
+    bucketc = "__rt_bucket"
+    n = num_buckets or df.sparkSession.sparkContext.defaultParallelism
+    cuts = (
+        df.stat.approxQuantile(order_by, [i / n for i in range(1, n)], 0.01)
+        if n > 1
+        else []
+    )
+    bucket = F.lit(0)
+    for c in sorted(set(cuts)):
+        bucket = bucket + F.when(F.col(order_by) > F.lit(c), 1).otherwise(0)
+    keyed = df.withColumn(bucketc, bucket)
+    totals = {
+        r[bucketc]: r["s"]
+        for r in keyed.groupBy(bucketc).agg(F.sum(value_col).alias("s")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(totals):
+        offsets[b] = acc
+        acc += totals[b] or 0
+    omap = F.create_map(*[F.lit(x) for b, o in offsets.items() for x in (b, o)])
+    w = Window.partitionBy(bucketc).orderBy(order_by).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return keyed.withColumn(
+        name, (omap[F.col(bucketc)] + F.sum(value_col).over(w)).cast("long")
+    ).drop(bucketc)
+
+
+def pack_into_bins(
+    df: DataFrame,
+    order_by: str,
+    tokens_col: str,
+    budget: int,
+    bin_col: str = "bin_id",
+    running_col: str = "running_tokens",
+) -> DataFrame:
+    """Greedy token-budget packing in ``order_by`` order: document d goes to
+    bin ``floor(exclusive_prefix_sum(tokens) / budget)`` — the streaming
+    greedy assignment (a bin may overflow by at most one document, the
+    standard training-data packing contract; oversized documents still get
+    a bin).  Integer arithmetic throughout — deterministic and
+    oracle-reproducible."""
+    run = running_total(df, order_by, tokens_col, name=running_col)
+    excl = F.col(running_col) - F.col(tokens_col)
+    # exact integer floor-div: (x - x % b) / b divides an exact multiple, so
+    # the double quotient is the integer itself (a plain x/b double division
+    # can round k + (b-1)/b up to k+1 once prefix sums pass ~2^40)
+    b = F.lit(int(budget))
+    return run.withColumn(bin_col, ((excl - (excl % b)) / b).cast("long"))

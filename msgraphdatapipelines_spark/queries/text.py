@@ -163,3 +163,40 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexicographically; N (corpus size) is the one model scalar collected."""
     docs = load(spark, sf_dir, "documents")
     return X.tfidf_top_terms(docs, "doc_id", "text", k=3)
+
+
+@register(
+    "pack_token_bins",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS running
+        FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST(running AS BIGINT) AS running_tokens,
+           CAST((running - n_tokens) // 2000 AS BIGINT) AS bin_id
+    FROM r
+    """,
+)
+def pack_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget document packing (r4) — the LLM training-data staple:
+    greedy assignment of documents, in deterministic doc_id order, to
+    2000-token bins via an EXCLUSIVE prefix sum of whitespace token counts.
+    The running total uses the scale-safe two-phase form
+    (operators/pack.running_total: quantile buckets → one partial sum per
+    bucket → offset + windowed sum within bucket), so the plan has no
+    single-partition window — the oracle is the naive global-window SQL."""
+    from ..operators.pack import pack_into_bins
+
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select("doc_id", X.token_count("text").alias("n_tokens"))
+    return pack_into_bins(t, "doc_id", "n_tokens", budget=2000)

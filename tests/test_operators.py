@@ -128,6 +128,22 @@ def test_fingerprint_normalization(spark):
     assert fps[0] == fps[1]
 
 
+def test_pack_into_bins_greedy_contract(spark):
+    """Greedy packing: bins fill in order; a bin overflows by at most one
+    document; every doc gets a bin; running totals are exact."""
+    from msgraphdatapipelines_spark.operators.pack import pack_into_bins
+
+    rows = [(i, n) for i, n in enumerate([30, 40, 50, 60, 25, 100, 5, 5])]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long").repartition(4)
+    out = sorted(
+        pack_into_bins(df, "doc_id", "n_tokens", budget=100).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    # exclusive prefix sums: 0,30,70,120,180,205,305,310 -> bins 0,0,0,1,1,2,3,3
+    assert [r["bin_id"] for r in out] == [0, 0, 0, 1, 1, 2, 3, 3]
+    assert [r["running_tokens"] for r in out] == [30, 70, 120, 180, 205, 305, 310, 315]
+
+
 def test_lsh_dedup_representatives_semantics(spark):
     """Representative selection: docs with identical signatures collapse to
     the min id; a distinct-signature doc keeps itself; output is one row

@@ -119,6 +119,17 @@ def test_embedding_dedup_shuffles_on_bucket_only(spark, sf_dir):
     assert ("SortMergeJoin" in plan) or ("HashJoin" in plan)
 
 
+def test_pack_token_bins_no_single_partition_exchange(spark, sf_dir):
+    """Token packing's prefix sum must use the two-phase bucketed form —
+    a global-window cumsum (Exchange SinglePartition) is the scale-killer."""
+    from msgraphdatapipelines_spark.queries import text as qt
+
+    df = qt.pack_token_bins(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "Exchange SinglePartition" not in plan
+    assert "hashpartitioning(__rt_bucket" in plan
+
+
 def test_kmeans_ivf_single_shuffle(spark, sf_dir):
     """Trained-quantizer IVF (r4): centroids come from the Lloyd step as
     literal model state, so the query plan must keep the ivf_topk shape —
