@@ -189,3 +189,64 @@ def fingerprint_minhash1(text: Column | str, k: int = 5, hash_fn: str = "md5") -
     if hash_fn == "xxhash64":
         return F.array_min(F.transform(sh, lambda s: F.xxhash64(s)))
     raise ValueError(f"unknown hash fn {hash_fn!r}")
+
+
+# Portable PII patterns: identical semantics under Java regex (Spark) and
+# RE2 (DuckDB) — no lookarounds, no backrefs, ASCII classes only.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "phone": (r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b", "<PHONE>"),
+    "ssn": (r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+}
+
+
+def pii_scrub(text: Column | str) -> dict[str, Column]:
+    """PII redaction + per-kind match counts — the curation scrub pass.
+
+    Pure Column expressions (regexp_replace / regexp_extract_all), one
+    scan; replacement order is the fixed dict order so nested matches
+    (an SSN inside an already-replaced span) behave identically in any
+    engine running the same order.
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    out: dict[str, Column] = {}
+    scrubbed = t
+    for kind, (pat, repl) in PII_PATTERNS.items():
+        out[f"n_{kind}"] = F.size(F.regexp_extract_all(t, F.lit(pat), 0)).cast("long")
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    out["scrubbed"] = scrubbed
+    return out
+
+
+def chunk_text(
+    df: "DataFrame",  # noqa: F821
+    id_col: str,
+    text_col: str,
+    size: int = 200,
+    stride: int = 150,
+) -> "DataFrame":  # noqa: F821
+    """Overlapping fixed-size character chunking (RAG/window prep): chunk i
+    covers ``[i·stride, i·stride + size)``; ``n_chunks =
+    max((len-1) div stride + 1, 1)`` so every character is covered and an
+    empty document still yields one (empty) chunk.
+
+    The chunk array builds per-row (sequence + transform + substr — pure
+    codegen, same pattern as char_shingles) and ``posexplode`` fans out
+    rows; the explode is the only row-count change, no shuffle.  Integer
+    ``div`` keeps the chunk count exact in both engines.
+    """
+    from pyspark.sql import DataFrame  # local import: module is else expr-only
+
+    assert isinstance(df, DataFrame)
+    t = F.col(text_col)
+    n = F.greatest(F.expr(f"(length({text_col}) - 1) div {stride}") + 1, F.lit(1))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n - 1), lambda i: t.substr(i * stride + 1, F.lit(size))
+    )
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_chunks"),
+        F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
+    ).select(
+        id_col, F.col("chunk_idx").cast("long").alias("chunk_idx"), "chunk_text", "n_chunks"
+    )

@@ -200,3 +200,64 @@ def pack_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     t = docs.select("doc_id", X.token_count("text").alias("n_tokens"))
     return pack_into_bins(t, "doc_id", "n_tokens", budget=2000)
+
+
+def _pii_oracle() -> str:
+    counts = ",\n           ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{kind}"
+        for kind, (pat, _) in X.PII_PATTERNS.items()
+    )
+    scrub = "text"
+    for _, (pat, repl) in X.PII_PATTERNS.items():
+        scrub = f"regexp_replace({scrub}, '{pat}', '{repl}', 'g')"
+    return f"""
+    SELECT doc_id,
+           {counts},
+           {scrub} AS scrubbed
+    FROM documents
+    """
+
+
+@register("pii_scrub_battery", oracle=_pii_oracle())
+def pii_scrub_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (r4) — email/phone/SSN patterns replaced with
+    typed placeholders plus per-kind match counts, in one scan of pure
+    Column expressions (operators/text.pii_scrub).  Patterns are written
+    for identical semantics under Java regex (Spark) and RE2 (DuckDB):
+    no lookarounds/backrefs, ASCII classes only; replacement order is
+    fixed so the engines compose the same rewrites."""
+    docs = load(spark, sf_dir, "documents")
+    cols = X.pii_scrub("text")
+    return docs.select(
+        "doc_id",
+        *[cols[f"n_{k}"].alias(f"n_{k}") for k in X.PII_PATTERNS],
+        cols["scrubbed"].alias("scrubbed"),
+    )
+
+
+@register(
+    "chunk_documents",
+    oracle="""
+    WITH n AS (
+        SELECT doc_id, text,
+               greatest((length(text) - 1) // 150 + 1, 1) AS n_chunks
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(i - 1 AS BIGINT) AS chunk_idx,
+           substr(text, (i - 1) * 150 + 1, 200) AS chunk_text,
+           CAST(n_chunks AS BIGINT) AS n_chunks
+    FROM (SELECT doc_id, text, n_chunks,
+                 unnest(generate_series(1, n_chunks)) AS i
+          FROM n)
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size chunking (r4) — RAG/window prep: 200-char
+    chunks at 150-char stride (50-char overlap), every character covered,
+    empty docs yield one empty chunk.  The chunk array builds per row
+    (sequence+transform+substr, pure codegen) and posexplode fans out —
+    the only row-count change in the plan, no shuffle
+    (operators/text.chunk_text)."""
+    docs = load(spark, sf_dir, "documents")
+    return X.chunk_text(docs, "doc_id", "text", size=200, stride=150)
