@@ -362,3 +362,74 @@ def dedup_embedding_representatives(spark: SparkSession, sf_dir: str) -> DataFra
     return embedding_dedup_representatives(
         emb, "vec_id", "embedding", threshold=0.4, num_planes=8, dim=64
     )
+
+
+@register(
+    "contamination_check",
+    oracle=f"""
+    WITH {_GRAMS_SQL},
+    split AS (
+        SELECT doc_id,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '3' AS is_eval
+        FROM documents
+    ),
+    eg AS (SELECT g, grams.doc_id FROM grams JOIN split USING (doc_id) WHERE is_eval),
+    tg AS (SELECT DISTINCT g FROM grams JOIN split USING (doc_id) WHERE NOT is_eval),
+    hits AS (
+        SELECT eg.doc_id, count(*) AS n_shared_grams
+        FROM eg JOIN tg USING (g)
+        GROUP BY eg.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id)
+    SELECT s.doc_id,
+           coalesce(h.n_shared_grams, 0) AS n_shared_grams,
+           z.n_grams,
+           round(CAST(coalesce(h.n_shared_grams, 0) AS DOUBLE) / z.n_grams, 6)
+               AS contamination_ratio,
+           coalesce(h.n_shared_grams, 0) > 0 AS contaminated
+    FROM split s
+    JOIN sizes z USING (doc_id)
+    LEFT JOIN hits h USING (doc_id)
+    WHERE s.is_eval
+    """,
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination check (r4) — the decontamination staple of
+    LLM data pipelines: split the corpus deterministically (md5(doc_id)
+    prefix → ~19% eval), then flag every eval document sharing any word
+    3-gram with the train side, with the shared-gram ratio as the
+    contamination score.
+
+    Scale shape: grams explode once; the train side deduplicates to
+    DISTINCT grams (one hash agg — the vocabulary, ≪ corpus) before the
+    membership equi-join keyed on the gram; counts aggregate per eval doc.
+    No all-pairs anything: cost is gram-frequency-bound, like the LSH
+    band join.  On real pipelines the train side's distinct-gram table is
+    the reusable artifact (build once, broadcast if it fits)."""
+    grams = _doc_grams(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    split = docs.select(
+        "doc_id",
+        (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "3").alias("is_eval"),
+    )
+    g = grams.join(split, "doc_id")
+    eg = g.filter(F.col("is_eval")).select("doc_id", "g")
+    tg = g.filter(~F.col("is_eval")).select("g").distinct()
+    hits = eg.join(tg, "g").groupBy("doc_id").agg(F.count("*").alias("n_shared_grams"))
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    return (
+        split.filter(F.col("is_eval"))
+        .join(sizes, "doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_shared_grams"), F.lit(0)).alias("n_shared_grams"),
+            "n_grams",
+            F.round(
+                F.coalesce(F.col("n_shared_grams"), F.lit(0)).cast("double")
+                / F.col("n_grams"),
+                6,
+            ).alias("contamination_ratio"),
+            (F.coalesce(F.col("n_shared_grams"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
