@@ -63,6 +63,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_ngram_jaccard",
+    demoted=True,  # quadratic verify baseline; LSH row covers jaccard_verify
     oracle=f"""
     WITH {_GRAMS_SQL},
     sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),

@@ -18,6 +18,7 @@ from . import load, register
 
 @register(
     "multimodal_binary_meta",
+    demoted=True,  # decode_features covers the Arrow path; meta battery pytest-golden
     oracle="""
     SELECT doc_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -32,6 +32,7 @@ TS_FMT = "yyyy-MM-dd HH:mm:ss"
 # ---------------------------------------------------------------------------
 @register(
     "latest_event_per_user",
+    demoted=True,  # argmax covered by graph_argmax_lines; plan test pins max_by
     oracle="""
     SELECT user_id, event_id,
            strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
@@ -253,6 +254,7 @@ def count_distinct_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rollup_lineitem",
+    demoted=True,  # cube_orders covers the grouping-sets machinery
     oracle="""
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -329,6 +331,7 @@ def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "customer_running_spend",
+    demoted=True,  # running-sum window also driver-graded via pack_token_bins
     oracle="""
     SELECT o_custkey, o_orderkey,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
@@ -357,6 +360,7 @@ def customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "global_top10_orders",
+    demoted=True,  # TakeOrderedAndProject also exercised by q3 + $top pushdown
     oracle="""
     SELECT o_orderkey, o_totalprice
     FROM orders

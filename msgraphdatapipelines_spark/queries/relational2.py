@@ -229,6 +229,7 @@ def array_set_ops_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "deterministic_sample",
+    demoted=True,  # md5-prefix sampling also inside corpus_curation + contamination split
     oracle="""
     SELECT count(*) AS n_sampled,
            count(DISTINCT o_custkey) AS n_cust,

@@ -79,6 +79,7 @@ NPROBE = 2
 
 @register(
     "ann_ivf_topk",
+    demoted=True,  # ann_kmeans_ivf_topk drives the same ivf_topk operator
     oracle=f"""
     WITH cent AS (SELECT vec_id AS cent, embedding AS cvec FROM embeddings
                   WHERE {_norm_pos('embedding')}
@@ -288,6 +289,7 @@ def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_lsh_topk",
+    demoted=True,  # multiprobe row supersets the single-probe path
     oracle=f"""
     WITH q AS (SELECT vec_id AS qid, embedding AS qv, {_bucket_expr('embedding')} AS bucket
                FROM embeddings

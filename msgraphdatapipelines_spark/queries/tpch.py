@@ -100,6 +100,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "posexplode_tokens",
+    demoted=True,  # posexplode driver-graded via chunk_documents
     oracle="""
     WITH words AS (
         SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
