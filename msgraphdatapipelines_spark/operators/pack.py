@@ -32,21 +32,43 @@ def running_total(
     value_col: str,
     name: str = "running",
     num_buckets: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Inclusive running SUM of ``value_col`` over the global ``order_by``
-    ordering, without a single-partition window.  ``order_by`` should be
-    high-cardinality (heavily-tied keys collapse buckets)."""
+    ordering, without a single-partition window.
+
+    ``order_by`` must be a NUMERIC column (the quantile-cut bucketing runs
+    ``approxQuantile``, which rejects strings/dates) and should be
+    high-cardinality: heavily-tied keys collapse buckets, and rows tied on
+    ``order_by`` within a bucket receive an arbitrary-but-valid relative
+    order in the running sum (any total order extending the key order).
+    Use a unique numeric key (id, epoch micros) for full determinism.
+
+    ``materialize=True`` pins the input once (eager ``localCheckpoint``)
+    so the quantile job, the per-bucket sums, and the final window read
+    one materialization instead of re-executing the upstream plan three
+    times — same single-scan contract as ``sinks.with_surrogate_key``.
+    """
+    num_types = ("int", "bigint", "smallint", "tinyint", "float", "double", "decimal")
+    ord_type = dict(df.dtypes)[order_by]
+    if not ord_type.startswith(num_types):
+        raise TypeError(
+            f"running_total: order_by column {order_by!r} has type {ord_type}; "
+            "only numeric ordering keys are supported (quantile bucketing). "
+            "Map the key to a number first (e.g. epoch micros, xxhash64)."
+        )
     bucketc = "__rt_bucket"
+    src = df.localCheckpoint(eager=True) if materialize else df
     n = num_buckets or df.sparkSession.sparkContext.defaultParallelism
     cuts = (
-        df.stat.approxQuantile(order_by, [i / n for i in range(1, n)], 0.01)
+        src.stat.approxQuantile(order_by, [i / n for i in range(1, n)], 0.01)
         if n > 1
         else []
     )
     bucket = F.lit(0)
     for c in sorted(set(cuts)):
         bucket = bucket + F.when(F.col(order_by) > F.lit(c), 1).otherwise(0)
-    keyed = df.withColumn(bucketc, bucket)
+    keyed = src.withColumn(bucketc, bucket)
     totals = {
         r[bucketc]: r["s"]
         for r in keyed.groupBy(bucketc).agg(F.sum(value_col).alias("s")).collect()

@@ -40,6 +40,7 @@ def with_surrogate_key(
     contiguous: bool = False,
     order_by: str | None = None,
     num_buckets: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """L5 — surrogate key (reference: int IDENTITY(1,1),
     `Prepare-SQLDatabase.sql:8`).
@@ -59,21 +60,34 @@ def with_surrogate_key(
 
     The only wide step is the per-bucket window's hash exchange — parallel
     across buckets, so the plan contains no ``Exchange SinglePartition`` and
-    survives the 100 TB fact path (pinned in tests/test_plans.py).  With
-    ``order_by`` the bucket is a pure function of the data (deterministic
-    under recomputation); the mono-id fallback assumes a deterministic scan,
-    same as zipWithIndex.  Heavily-skewed ``order_by`` keys collapse ties
-    into one bucket — pick a high-cardinality ordering key.
+    survives the 100 TB fact path (pinned in tests/test_plans.py).
+    Heavily-skewed ``order_by`` keys collapse ties into one bucket — pick a
+    high-cardinality ordering key.
+
+    ``materialize=True`` (default) pins the input once via an eager
+    ``localCheckpoint`` before the three consumers run (quantile cuts,
+    bucket counts, final window), so the upstream plan — scan, decode,
+    filters — executes ONCE instead of three times (r4 VERDICT item 1),
+    and both key modes become immune to recomputation nondeterminism
+    (blocks are pinned; lineage is truncated).  Storage is executor
+    memory-and-disk and is reclaimed when the frame is garbage-collected.
+    Set ``materialize=False`` when the input is too large to pin relative
+    to re-scanning it (e.g. a raw 100 TB scan with cheap decode): the
+    two-phase shape is unchanged, the upstream plan just re-executes per
+    phase, and with ``order_by`` the bucket stays a pure function of the
+    data; the mono-id fallback then assumes a deterministic scan, same as
+    zipWithIndex.
     """
     if not contiguous:
         return df.withColumn(name, F.monotonically_increasing_id())
     from pyspark.sql import Window
 
+    src = df.localCheckpoint(eager=True) if materialize else df
     ordc, bucketc = "__sk_ord", "__sk_bucket"
     if order_by is not None:
         n = num_buckets or df.sparkSession.sparkContext.defaultParallelism
         cuts = (
-            df.stat.approxQuantile(order_by, [i / n for i in range(1, n)], 0.01)
+            src.stat.approxQuantile(order_by, [i / n for i in range(1, n)], 0.01)
             if n > 1
             else []
         )
@@ -82,10 +96,10 @@ def with_surrogate_key(
             # ties with a cut stay in the lower bucket -> all equal keys share
             # one bucket, so cross-bucket ordering is total
             bucket = bucket + F.when(F.col(order_by) > F.lit(c), 1).otherwise(0)
-        keyed = df.withColumn(ordc, F.col(order_by)).withColumn(bucketc, bucket)
+        keyed = src.withColumn(ordc, F.col(order_by)).withColumn(bucketc, bucket)
     else:
         mid = F.monotonically_increasing_id()
-        keyed = df.withColumn(ordc, mid).withColumn(bucketc, F.shiftright(F.col(ordc), 33))
+        keyed = src.withColumn(ordc, mid).withColumn(bucketc, F.shiftright(F.col(ordc), 33))
     counts = {
         r[bucketc]: r["cnt"]
         for r in keyed.groupBy(bucketc).agg(F.count(F.lit(1)).alias("cnt")).collect()

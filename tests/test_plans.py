@@ -91,6 +91,17 @@ def test_stamp_and_key_no_single_partition_exchange(spark, sf_dir):
     assert "hashpartitioning(__sk_bucket" in plan
 
 
+def test_stamp_and_key_reads_source_once(spark, sf_dir):
+    """r4 VERDICT item 1: the two-phase key pins its input via an eager
+    localCheckpoint, so quantile cuts, bucket counts, and the final window
+    all read ONE materialization — the final plan scans the pinned blocks
+    (ExistingRDD), never the parquet source a second time."""
+    df = qg.graph_stamp_and_key(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "ExistingRDD" in plan
+    assert "FileScan" not in plan and "Scan parquet" not in plan
+
+
 def test_exact_dedup_single_shuffle(spark, sf_dir):
     df = qd.dedup_exact(spark, sf_dir)
     assert plans.num_exchanges(df) == 1
