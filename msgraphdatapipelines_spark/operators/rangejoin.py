@@ -38,7 +38,8 @@ def bucketed_interval_join(
     left_start: str,
     right_ts: str,
     window_days: int,
-    how: str = "left",
+    how: str = "inner",
+    left_id: str | None = None,
 ) -> DataFrame:
     """Join ``right`` rows whose ``right_ts`` falls in
     ``[left_start, left_start + window_days)`` for the matching key.
@@ -47,17 +48,38 @@ def bucketed_interval_join(
     its two probe buckets (window length == bucket size ⇒ a window spans at
     most two consecutive buckets); the join is a plain equi-join on
     (key, bucket) with the exact range re-applied.  Each matching right row
-    satisfies the range in exactly ONE of the two probes, so no
-    deduplication is needed; with ``how='left'`` an unmatched left row
-    surfaces once per probe bucket — aggregate on the left key afterwards
-    (counts of right columns ignore the NULL rows) or drop duplicates.
+    satisfies the range in exactly ONE of the two probes, so matched output
+    needs no deduplication.
+
+    ``how='inner'`` (default) is the cheap path.  ``how='left'`` is
+    naive-left-join EQUIVALENT (r4 ADVICE: the old per-probe left join
+    emitted an unmatched left row once per probe bucket): matched rows come
+    from the inner probe join, and left rows with no match in EITHER probe
+    are restored exactly once via an anti-join on a per-row id, with typed
+    NULL right columns.  The id is ``left_id`` when given (any unique left
+    column — recommended, fully deterministic); otherwise a
+    ``monotonically_increasing_id``, which is consistent across the two
+    plan branches only under deterministic scans (same caveat as
+    zipWithIndex).  The left path adds two shuffles over inner (matched-id
+    distinct + anti-join) — both on ids, not payloads.
 
     Output: all left columns + all right columns (right NULL when
-    unmatched), plus no helper columns.
+    unmatched), no helper columns.  Left and right column names must be
+    disjoint (rename before joining, as with any Spark self-ish join).
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"bucketed_interval_join: how={how!r} (use 'inner' or 'left')")
+    lid = "_rj_lid"
+    l0 = left
+    if how == "left":
+        l0 = (
+            left.withColumn(lid, F.col(left_id))
+            if left_id
+            else left.withColumn(lid, F.monotonically_increasing_id())
+        )
     start = F.col(left_start)
     b0 = _bucket_of(start, window_days)
-    l = left.withColumn(_BUCKET, F.explode(F.array(b0, b0 + 1)))
+    l = l0.withColumn(_BUCKET, F.explode(F.array(b0, b0 + 1)))
     r = right.withColumn(_BUCKET, _bucket_of(F.col(right_ts), window_days))
     ts = F.col(right_ts)
     rng = (ts >= start.cast("timestamp")) & (
@@ -66,5 +88,12 @@ def bucketed_interval_join(
     cond = (F.col(f"l.{left_key}") == F.col(f"r.{right_key}")) & (
         F.col(f"l.{_BUCKET}") == F.col(f"r.{_BUCKET}")
     )
-    joined = l.alias("l").join(r.alias("r"), cond & rng, how)
-    return joined.select("l.*", *[f"r.{c}" for c in right.columns]).drop(_BUCKET)
+    inner = l.alias("l").join(r.alias("r"), cond & rng, "inner")
+    matched = inner.select("l.*", *[f"r.{c}" for c in right.columns]).drop(_BUCKET)
+    if how == "inner":
+        return matched
+    null_right = [F.lit(None).cast(f.dataType).alias(f.name) for f in right.schema.fields]
+    unmatched = l0.join(
+        inner.select(F.col(f"l.{lid}").alias(lid)).distinct(), lid, "left_anti"
+    ).select("*", *null_right)
+    return matched.unionByName(unmatched).drop(lid)

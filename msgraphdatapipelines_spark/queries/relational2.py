@@ -96,7 +96,8 @@ def range_join_events_after_order(spark: SparkSession, sf_dir: str) -> DataFrame
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
     e = load_events(spark, sf_dir).select("user_id", "ts", "event_id", "value")
     joined = bucketed_interval_join(
-        o, e, "o_custkey", "user_id", "o_orderdate", "ts", window_days=7, how="left"
+        o, e, "o_custkey", "user_id", "o_orderdate", "ts",
+        window_days=7, how="left", left_id="o_orderkey",
     )
     return joined.groupBy("o_orderkey").agg(
         F.count("event_id").alias("n_events_week"),

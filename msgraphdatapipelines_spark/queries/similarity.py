@@ -180,23 +180,31 @@ def _kmeans_trained_cte() -> str:
     "ann_kmeans_ivf_topk",
     oracle=f"""
     WITH {_kmeans_trained_cte()},
+    trained_nz AS MATERIALIZED (
+        -- mirror of ivf_topk's zero-norm centroid drop (r4 ADVICE): if the
+        -- Lloyd step ever yields a zero-norm centroid (zero seed with an
+        -- empty cluster), both engines must probe the same centroid set.
+        -- MATERIALIZED: 8 rows; stops DuckDB re-inlining the whole trainer
+        -- expression tree into both consumers (memory blow-up at 32 threads)
+        SELECT cent, cvec FROM trained WHERE {_norm_pos('cvec')}
+    ),
     assign AS (
         SELECT cid, cv, cent FROM (
-            SELECT e.vec_id AS cid, e.embedding AS cv, trained.cent,
+            SELECT e.vec_id AS cid, e.embedding AS cv, trained_nz.cent,
                    row_number() OVER (
                        PARTITION BY e.vec_id
-                       ORDER BY {_cos('e.embedding', 'cvec')} DESC, trained.cent) AS rn
-            FROM embeddings e CROSS JOIN trained
+                       ORDER BY {_cos('e.embedding', 'cvec')} DESC, trained_nz.cent) AS rn
+            FROM embeddings e CROSS JOIN trained_nz
             WHERE {_norm_pos('e.embedding')}) t
         WHERE rn = 1
     ),
     qprobe AS (
         SELECT qid, qv, cent FROM (
-            SELECT q.vec_id AS qid, q.embedding AS qv, trained.cent,
+            SELECT q.vec_id AS qid, q.embedding AS qv, trained_nz.cent,
                    row_number() OVER (
                        PARTITION BY q.vec_id
-                       ORDER BY {_cos('q.embedding', 'cvec')} DESC, trained.cent) AS rn
-            FROM embeddings q CROSS JOIN trained
+                       ORDER BY {_cos('q.embedding', 'cvec')} DESC, trained_nz.cent) AS rn
+            FROM embeddings q CROSS JOIN trained_nz
             WHERE q.vec_id < {N_QUERIES} AND {_norm_pos('q.embedding')}) t
         WHERE rn <= {NPROBE}
     ),
@@ -219,8 +227,19 @@ def ann_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment map + ONE hash agg; the IVF query plan is identical to
     ann_ivf_topk (centroids are inlined model state).  The oracle replays
     seed→assign→mean in SQL; exact_mean's floor(v·1e6) quantization is
-    what makes the trained centroids bit-identical cross-engine."""
-    emb = load(spark, sf_dir, "embeddings")
+    what makes the trained centroids bit-identical cross-engine.
+
+    The embedding table is pinned ONCE (eager localCheckpoint, with the
+    float→double cast folded in) before its four consumers run — seed
+    collect, Lloyd assignment agg, and the IVF plan's corpus + query
+    branches (r4 VERDICT item 3: previously each re-scanned parquet and
+    re-cast the vectors).  Pinning the casted vectors is the right trade
+    even at billion-vector scale: the trainer + probe pipeline reads the
+    corpus O(iters) times, and executor memory-and-disk holds what one
+    scan would otherwise re-decode per consumer."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).localCheckpoint(eager=True)
     cents = S.kmeans_centroids(
         emb, "vec_id", "embedding", k=N_CENTROIDS, iters=1, dim=DIM, exact_mean=True
     )

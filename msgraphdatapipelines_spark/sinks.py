@@ -216,20 +216,25 @@ def write_rest_batched(
     (injectable: tests collect, production POSTs with auth).  Work happens
     on executors — the driver never materializes the data.
 
-    Serialization is JVM-side (``df.toJSON``: whole-stage StructsToJson),
-    so only compact JSON strings cross the Py4J/worker boundary — never
-    pickled Row objects (r2 VERDICT item 6; at 100 TB the Row-pickle cost
-    of the old ``df.rdd.mapPartitions`` path is real).  The batch count
-    returns via an accumulator (one long per task, not a collected
-    dataset); like any accumulator it can over-count if a task retries —
-    it is operational feedback (L7 spirit), not an exactly-once metric.
+    Serialization is JVM-side (``to_json`` over ``struct(*)``: whole-stage
+    StructsToJson), so only compact JSON strings cross the Py4J/worker
+    boundary — never pickled Row objects (r2 VERDICT item 6; at 100 TB the
+    Row-pickle cost of the old ``df.rdd.mapPartitions`` path is real).
+    ``ignoreNullFields=false`` keeps null-valued fields as explicit JSON
+    nulls (r4 ADVICE: the ``df.toJSON()`` default silently DROPPED null
+    keys from the posted payload); timestamps serialize as ISO-8601 —
+    the Spark JSON contract, pinned in tests/test_auth_and_rest_sink.
+    The batch count returns via an accumulator (one long per task, not a
+    collected dataset); like any accumulator it can over-count if a task
+    retries — it is operational feedback (L7 spirit), not an exactly-once
+    metric.
     """
     acc = df.sparkSession.sparkContext.accumulator(0)
 
-    def post_partition(lines):
+    def post_partition(rows):
         batch = []
-        for line in lines:
-            batch.append(line)
+        for row in rows:
+            batch.append(row["__json"])
             if len(batch) >= batch_size:
                 poster(endpoint, "[" + ",".join(batch) + "]")
                 acc.add(1)
@@ -238,7 +243,12 @@ def write_rest_batched(
             poster(endpoint, "[" + ",".join(batch) + "]")
             acc.add(1)
 
-    df.toJSON().foreachPartition(post_partition)
+    json_df = df.select(
+        F.to_json(
+            F.struct(*[F.col(c) for c in df.columns]), {"ignoreNullFields": "false"}
+        ).alias("__json")
+    )
+    json_df.foreachPartition(post_partition)
     return acc.value
 
 

@@ -232,12 +232,7 @@ def read_odata(
                 reader = reader.option("orderby", orderby)
             if top is not None:
                 reader = reader.option("top", str(top))
-            df = reader.load()
-            if select:
-                df = df.select(*_select_with_expand(select, expand, df.columns))
-            if filter_expr:
-                df = df.filter(_odata_filter_to_column(filter_expr))
-            return _apply_orderby_top(df, orderby, top)
+            return _apply_client_side(reader.load(), select, filter_expr, expand, orderby, top)
         pages = probe
     else:
         pages = fetch_pages(url, fetcher, retry, sleeper)
@@ -248,11 +243,30 @@ def read_odata(
         .select(F.explode(F.from_json("body", envelope).getField(VALUE)).alias("rec"))
         .select("rec.*")
     )
-    if select:
-        df = df.select(*_select_with_expand(select, expand, df.columns))
+    return _apply_client_side(df, select, filter_expr, expand, orderby, top)
+
+
+def _apply_client_side(
+    df: DataFrame,
+    select: list[str] | None,
+    filter_expr: str | None,
+    expand: str | None,
+    orderby: str | None,
+    top: int | None,
+) -> DataFrame:
+    """Re-apply the OData options client-side in OData's own evaluation
+    order — $filter → $orderby/$top → $select — so a request ordering (or
+    filtering) by a property outside $select works exactly as it does
+    server-side (r4 ADVICE: sorting after the projection raised
+    AnalysisException for that legal combination).  The orderby column
+    lives only below the projection; Catalyst prunes it from the scan
+    output after the TakeOrderedAndProject."""
     if filter_expr:
         df = df.filter(_odata_filter_to_column(filter_expr))
-    return _apply_orderby_top(df, orderby, top)
+    df = _apply_orderby_top(df, orderby, top)
+    if select:
+        df = df.select(*_select_with_expand(select, expand, df.columns))
+    return df
 
 
 def _orderby_to_columns(spec: str) -> list:

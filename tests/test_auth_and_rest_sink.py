@@ -61,6 +61,33 @@ def test_write_rest_batched_posts_all_rows(spark, tmp_path):
     assert sorted(seen) == list(range(1050))
 
 
+def test_write_rest_batched_keeps_null_fields(spark, tmp_path):
+    """r4 ADVICE: null-valued fields must post as explicit JSON nulls —
+    the df.toJSON() default (ignoreNullFields=true) silently dropped the
+    key from the payload, changing the posted record shape."""
+    import pyspark.sql.functions as F
+
+    outdir = str(tmp_path / "posts_null")
+    os.makedirs(outdir)
+
+    def poster(endpoint: str, body: str) -> None:
+        with open(f"{outdir}/{uuid.uuid4().hex}.json", "w") as f:
+            f.write(body)
+
+    df = (
+        spark.range(4)
+        .withColumnRenamed("id", "k")
+        .withColumn("label", F.when(F.col("k") % 2 == 0, F.lit("even")))
+        .coalesce(1)
+    )
+    sinks.write_rest_batched(df, "https://logs.example/ingest", poster, batch_size=10)
+    (fn,) = os.listdir(outdir)
+    records = json.load(open(f"{outdir}/{fn}"))
+    by_k = {r["k"]: r for r in records}
+    assert by_k[1]["label"] is None and "label" in by_k[1]  # key present, null value
+    assert by_k[0]["label"] == "even"
+
+
 def test_build_url_expand():
     url = rest.build_url("https://g/devices", select=["id"], expand="members")
     assert "%24expand=members" in url or "$expand=members" in url

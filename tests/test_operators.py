@@ -283,3 +283,58 @@ def test_tfidf_top_terms_golden(spark):
     # doc 3: files tf=3 dominates
     assert got[(3, 1)][0] == "files"
     assert math.isclose(got[(3, 1)][1], round(3 * idf(1), 6), abs_tol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# bucketed_interval_join (operators.rangejoin) — left-join contract (r4 ADVICE)
+# ---------------------------------------------------------------------------
+
+
+def _rj_frames(spark):
+    left = spark.createDataFrame(
+        [(1, 100, "2024-01-01"), (2, 100, "2024-01-20"), (3, 200, "2024-01-01")],
+        "lid long, key long, start string",
+    ).withColumn("start", F.to_date("start"))
+    right = spark.createDataFrame(
+        [(10, 100, "2024-01-02 00:00:00"), (11, 100, "2024-01-06 23:00:00"),
+         (12, 100, "2024-01-08 00:00:00"), (13, 300, "2024-01-02 00:00:00")],
+        "rid long, rkey long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    return left, right
+
+
+def test_bucketed_interval_join_inner(spark):
+    from msgraphdatapipelines_spark.operators.rangejoin import bucketed_interval_join
+
+    left, right = _rj_frames(spark)
+    got = bucketed_interval_join(left, right, "key", "rkey", "start", "ts", 7).collect()
+    assert sorted((r["lid"], r["rid"]) for r in got) == [(1, 10), (1, 11)]
+
+
+def test_bucketed_interval_join_left_matches_naive(spark):
+    """how='left' must equal the naive left range join: matched rows carry
+    no extra NULL sibling, fully-unmatched left rows appear EXACTLY once
+    (the old per-probe left join emitted them once per probe bucket)."""
+    from msgraphdatapipelines_spark.operators.rangejoin import bucketed_interval_join
+
+    left, right = _rj_frames(spark)
+    got = bucketed_interval_join(
+        left, right, "key", "rkey", "start", "ts", 7, how="left", left_id="lid"
+    ).collect()
+    pairs = sorted((r["lid"], r["rid"]) for r in got)
+    # naive: lid=1 matches rids 10,11; lid=2 (window 01-20..01-27) and
+    # lid=3 (key 200) are unmatched -> exactly one NULL row each
+    assert pairs == [(1, 10), (1, 11), (2, None), (3, None)]
+    # mono-id fallback (no left_id) gives the same multiset
+    got2 = bucketed_interval_join(
+        left, right, "key", "rkey", "start", "ts", 7, how="left"
+    ).collect()
+    assert sorted((r["lid"], r["rid"]) for r in got2) == pairs
+
+
+def test_bucketed_interval_join_rejects_other_how(spark):
+    from msgraphdatapipelines_spark.operators.rangejoin import bucketed_interval_join
+
+    left, right = _rj_frames(spark)
+    with pytest.raises(ValueError, match="inner.*left|left.*inner|how="):
+        bucketed_interval_join(left, right, "key", "rkey", "start", "ts", 7, how="right")

@@ -270,6 +270,28 @@ def test_orderby_top_pushdown_and_client_reapply(spark, pages):
         rest._orderby_to_columns("errorCode sideways")
 
 
+def test_orderby_outside_select_sorts_then_projects(spark, pages):
+    """r4 ADVICE: $orderby by a property NOT in $select is legal OData —
+    the client-side re-apply must sort before projecting (the old
+    select-first order raised AnalysisException)."""
+    first, _ = pages
+    df = rest.read_odata(
+        spark, first, SCHEMA, select=["id"], orderby="errorCode desc", top=2
+    )
+    assert df.columns == ["id"]
+    assert [r["id"] for r in df.collect()] == ["r8", "r7"]
+
+
+def test_filter_outside_select(spark, pages):
+    """Same evaluation-order contract for $filter on an unprojected prop."""
+    first, _ = pages
+    df = rest.read_odata(
+        spark, first, SCHEMA, select=["id"], filter_expr="errorCode ge 7"
+    )
+    assert df.columns == ["id"]
+    assert sorted(r["id"] for r in df.collect()) == ["r7", "r8"]
+
+
 def test_token_provider_retries_transient_failures():
     """ADVICE fix: token acquisition retries ANY exception (reference's
     ≤5-try loop around Get-AzAccessToken), not just ThrottledError."""
