@@ -271,6 +271,7 @@ def graph_explode_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "upsert_snapshot_orders",
+    demoted=True,  # delta_sync_orders supersets this (upsert = delta w/o deletes)
     oracle="""
     WITH base AS (SELECT o_orderkey, o_orderstatus,
                          CAST(o_totalprice AS DECIMAL(18,2)) AS price
@@ -284,7 +285,9 @@ def graph_explode_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def upsert_snapshot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Keyed SCD1 refresh (r4: promoted from pytest-only to a driver row) —
+    """Keyed SCD1 refresh (r4 driver row; r5: demoted to the pytest oracle
+    gate — delta_sync_orders drives the same anti-join+union shape PLUS
+    tombstone deletes, so the driver slot goes to the superset) —
     the reference's DELETE+INSERT full refresh generalized to a business-key
     match (`Prepare-SQLDatabase.sql:104-178`): updates ∪ (existing ⟕anti
     updates), via sinks.upsert_snapshot.  One key-shuffle anti-join; with
@@ -303,6 +306,73 @@ def upsert_snapshot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("price") * 2).alias("price"),
     )
     merged = sinks.upsert_snapshot(o, upd, ["o_orderkey"])
+    return merged.select(
+        "o_orderkey", "o_orderstatus", F.col("price").cast("double").alias("price")
+    )
+
+
+@register(
+    "delta_sync_orders",
+    oracle="""
+    WITH base AS (SELECT o_orderkey, o_orderstatus,
+                         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+                  FROM orders),
+    upd AS (SELECT o_orderkey, 'U' AS o_orderstatus, price * 2 AS price
+            FROM base WHERE o_orderkey % 10 = 0 AND o_orderkey % 13 <> 0),
+    ins AS (SELECT -o_orderkey AS o_orderkey, 'N' AS o_orderstatus, price
+            FROM base WHERE o_orderkey % 17 = 0),
+    del AS (SELECT o_orderkey FROM base WHERE o_orderkey % 13 = 0),
+    touched AS (SELECT o_orderkey FROM upd
+                UNION ALL SELECT o_orderkey FROM ins
+                UNION ALL SELECT o_orderkey FROM del)
+    SELECT o_orderkey, o_orderstatus, CAST(price AS DOUBLE) AS price FROM upd
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, CAST(price AS DOUBLE) AS price FROM ins
+    UNION ALL
+    SELECT b.o_orderkey, b.o_orderstatus, CAST(b.price AS DOUBLE) AS price
+    FROM base b WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM touched)
+    """,
+)
+def delta_sync_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-query incremental sync (r4 VERDICT item 2): apply one Graph
+    delta batch — updates, NEW entities, and ``@removed`` tombstones — over
+    a keyed snapshot via ``sinks.apply_delta``.  The reference re-extracts
+    the WHOLE collection every run (`Invoke…ps1:170-194` snapshot loop);
+    delta sync is that loop with change tracking: cost follows the change
+    set, not the collection.  Plan: ONE anti-join on the key (tombstones
+    ride the same join the upserts need — a delete costs only its key) +
+    union; the same shape as upsert_snapshot.  Batch composition is
+    deterministic from orders: 10%-ers update (status U, price ×2),
+    17%-ers insert as new negative keys, 13%-ers delete (update∩delete
+    resolved to delete, disjoint by construction).  The REST side of the
+    story — @odata.deltaLink walk, resume-token persistence, tombstone
+    parsing — is pytest-covered on fixture pages
+    (tests/test_rest_source.py::test_delta_*)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    upd = o.filter((F.col("o_orderkey") % 10 == 0) & (F.col("o_orderkey") % 13 != 0)).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("price") * 2).alias("price"),
+        F.lit(False).alias("_removed"),
+    )
+    ins = o.filter(F.col("o_orderkey") % 17 == 0).select(
+        (-F.col("o_orderkey")).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.col("price"),
+        F.lit(False).alias("_removed"),
+    )
+    tomb = o.filter(F.col("o_orderkey") % 13 == 0).select(
+        "o_orderkey",
+        F.lit(None).cast("string").alias("o_orderstatus"),  # Graph tombstones carry only id
+        F.lit(None).cast("decimal(19,2)").alias("price"),
+        F.lit(True).alias("_removed"),
+    )
+    delta = upd.unionByName(ins).unionByName(tomb)
+    merged = sinks.apply_delta(o, delta, ["o_orderkey"])
     return merged.select(
         "o_orderkey", "o_orderstatus", F.col("price").cast("double").alias("price")
     )

@@ -203,6 +203,29 @@ def upsert_snapshot(existing: DataFrame, updates: DataFrame, keys: list[str]) ->
     return updates.unionByName(survivors)
 
 
+def apply_delta(
+    snapshot: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    removed_col: str = "_removed",
+) -> DataFrame:
+    """Apply one delta-query batch (``sources.rest.read_odata_delta``) to a
+    keyed snapshot: additions and updates replace matching keys, tombstone
+    rows (``removed_col`` true) delete them, untouched history survives.
+
+    upserts ∪ (snapshot ⟕anti ALL delta keys) — the tombstones ride the
+    same single anti-join that the upserts already needed, so a delete
+    costs nothing beyond its key: one key-shuffle of both sides total,
+    the same plan shape as ``upsert_snapshot`` (with the warehouse
+    bucketed on the key, the snapshot side's shuffle disappears).  This
+    is the reference's DELETE+INSERT full refresh
+    (`Prepare-SQLDatabase.sql:104-178`) reduced to changed keys only.
+    """
+    upserts = delta.filter(~F.col(removed_col)).drop(removed_col)
+    survivors = snapshot.join(delta.select(*keys), keys, "left_anti")
+    return upserts.unionByName(survivors)
+
+
 def write_rest_batched(
     df: DataFrame,
     endpoint: str,

@@ -34,6 +34,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 NEXT_LINK = "@odata.nextLink"
+DELTA_LINK = "@odata.deltaLink"
+REMOVED = "@removed"
 VALUE = "value"
 
 
@@ -267,6 +269,105 @@ def _apply_client_side(
     if select:
         df = df.select(*_select_with_expand(select, expand, df.columns))
     return df
+
+
+def fetch_delta_pages(
+    first_url: str,
+    fetcher: Callable[[str], str] = file_fetcher,
+    retry: RetryPolicy | None = None,
+    sleeper: Callable[[float], None] = time.sleep,
+    max_pages: int = 100_000,
+) -> tuple[list[str], str | None]:
+    """Walk a delta-query cursor chain: like ``fetch_pages`` but the final
+    page carries ``@odata.deltaLink`` — the resume token for the NEXT sync
+    round — instead of a nextLink.  Returns (page bodies, delta link)."""
+    retry = retry or RetryPolicy()
+    pages: list[str] = []
+    url: str | None = first_url
+    delta_link: str | None = None
+    while url and len(pages) < max_pages:
+        body = retry.run(lambda u=url: fetcher(u), sleeper)
+        pages.append(body)
+        doc = json.loads(body)
+        delta_link = doc.get(DELTA_LINK, delta_link)
+        url = doc.get(NEXT_LINK)
+    return pages, delta_link
+
+
+def load_delta_state(state_path: str) -> str | None:
+    """Read the persisted deltaLink from a prior sync round (None = no
+    prior state → caller starts a full initial sync)."""
+    import os
+
+    if not os.path.exists(state_path):
+        return None
+    with open(state_path, encoding="utf-8") as f:
+        link = f.read().strip()
+    return link or None
+
+
+def save_delta_state(state_path: str, delta_link: str) -> None:
+    """Persist the deltaLink for the next sync round (atomic rename so a
+    crash mid-write never truncates the resume token).  The path must be
+    driver-visible durable storage on a real cluster."""
+    import os
+
+    tmp = f"{state_path}.tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(delta_link)
+    os.replace(tmp, state_path)
+
+
+def read_odata_delta(
+    spark: SparkSession,
+    first_url: str,
+    schema: T.StructType,
+    state_path: str | None = None,
+    fetcher: Callable[[str], str] = file_fetcher,
+    retry: RetryPolicy | None = None,
+    sleeper: Callable[[float], None] = time.sleep,
+    removed_col: str = "_removed",
+) -> tuple[DataFrame, str | None]:
+    """Graph delta-query incremental ingest (S2 generalized; r4 VERDICT
+    item 2): the first call walks the full collection from ``first_url``
+    (the ``/delta`` endpoint); every later call resumes from the persisted
+    ``@odata.deltaLink`` and receives ONLY changed entities — additions and
+    updates as plain records, deletions as ``{"id": …, "@removed":
+    {"reason": …}}`` tombstones (the reference re-snapshots the whole
+    collection each run, `Invoke…ps1:170-194`; delta sync is what that
+    loop becomes when the API offers change tracking).
+
+    Returns ``(DataFrame, new_delta_link)``: the frame is ``schema`` plus a
+    boolean ``removed_col`` marking tombstones (their other fields are the
+    NULLs Graph sends — feed the batch to ``sinks.apply_delta``).  When
+    ``state_path`` is given, the resume token is loaded before the walk
+    and the new one persisted after it (atomic), so a crashed run re-syncs
+    the same window instead of losing it.
+
+    Parsing runs on executors exactly like ``read_odata`` — page bodies
+    parallelize, ``from_json`` decodes against the envelope schema extended
+    with the ``@removed`` marker; the cursor walk stays driver-side (the
+    link chain is sequential by protocol).
+    """
+    start_url = (load_delta_state(state_path) if state_path else None) or first_url
+    pages, delta_link = fetch_delta_pages(start_url, fetcher, retry, sleeper)
+    if state_path and delta_link:
+        save_delta_state(state_path, delta_link)
+    rec_schema = T.StructType(
+        list(schema.fields)
+        + [T.StructField(REMOVED, T.StructType([T.StructField("reason", T.StringType())]))]
+    )
+    envelope = T.StructType([T.StructField(VALUE, T.ArrayType(rec_schema))])
+    df = (
+        spark.createDataFrame([(p,) for p in pages], "body string")
+        .repartition(max(1, min(len(pages), spark.sparkContext.defaultParallelism)))
+        .select(F.explode(F.from_json("body", envelope).getField(VALUE)).alias("rec"))
+        .select(
+            *[F.col(f"rec.{f.name}") for f in schema.fields],
+            F.col("rec.`@removed`").isNotNull().alias(removed_col),
+        )
+    )
+    return df, delta_link
 
 
 def _orderby_to_columns(spec: str) -> list:
