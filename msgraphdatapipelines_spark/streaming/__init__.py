@@ -107,6 +107,56 @@ def session_counts(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    interval: str = "1 hour",
+    watermark: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream interval join: right rows within
+    ``[left_ts, left_ts + interval]`` for the matching key.
+
+    Both sides get the watermark, and the join condition carries the
+    event-time bound — the two ingredients Structured Streaming needs to
+    BOUND JOIN STATE: a buffered left row can stop waiting once the
+    watermark passes ``left_ts + interval``, a right row once it can no
+    longer fall in any live window.  Without the time bound the engine
+    must buffer both streams forever (it rejects the plan in append
+    mode); with it, state follows events-per-interval — the only shape
+    that survives an unbounded stream.  Inner matches emit as soon as
+    both rows have arrived (no finalization wait; outer joins would emit
+    NULL rows only at watermark).  Column names must be disjoint across
+    the two inputs (rename before joining, as with any self-join).
+    """
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (F.col(left_key) == F.col(right_key))
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {interval}"))
+    )
+    return l.join(r, cond, how)
+
+
+def dedup_within_watermark(
+    events: DataFrame, keys: list[str], ts_col: str = "ts", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming first-occurrence dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps one state entry per key and
+    evicts it once the watermark passes the first-seen event time plus the
+    delay — the production contract for at-least-once sources (retries
+    land within the delay; a 'duplicate' older than the watermark is by
+    then a new record).  Plain ``dropDuplicates(keys)`` on a stream would
+    grow state forever (one entry per key, never evicted unless the event
+    time is part of the key)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def run_stream_to_memory(
     agg: DataFrame,
     output_mode: str = "append",

@@ -200,3 +200,87 @@ def test_sliding_append_mode_with_watermark(spark, tmp_path):
     }
     assert got == closed
     assert len(got) >= 2  # the finalized windows actually emitted
+
+
+def test_interval_join_matches_across_batches_then_evicts(spark, tmp_path):
+    """Stream-stream interval join state machine: a purchase buffered in
+    batch 1 still matches a click arriving in batch 2 (state live), but
+    once the watermark passes purchase_ts + interval the buffered row is
+    evicted and an even-later click for it emits nothing."""
+    d = tmp_path / "ssj_in"
+    d.mkdir()
+    base = "2024-01-01 "
+    _write_events(str(d / "a1.parquet"),
+                  [(1, base + "10:00:00", 1, "purchase"), (2, base + "10:10:00", 1, "click")])
+
+    def side(event_type, prefix):
+        s = ST.read_events_stream(spark, str(d), glob="*.parquet")
+        return s.filter(F.col("event_type") == event_type).select(
+            F.col("user_id").alias(f"{prefix}_user"),
+            F.col("event_id").alias(f"{prefix}_eid"),
+            F.col("ts").alias(f"{prefix}_ts"),
+        )
+
+    joined = ST.interval_join(
+        side("purchase", "p"), side("click", "c"),
+        "p_user", "c_user", "p_ts", "c_ts", interval="1 hour", watermark="1 hour",
+    )
+    q = (
+        joined.writeStream.outputMode("append").format("memory")
+        .queryName("ssj_test").start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1: same-batch match (1,2); wm -> 9:10
+        # batch 2: cross-batch click for the buffered purchase, plus
+        # 14:00 rows on BOTH sides (the global watermark is the min over
+        # the two trackers) -> wm becomes 13:00 > 10:00+1h: purchase evicted
+        _write_events(str(d / "b2.parquet"),
+                      [(3, base + "10:40:00", 1, "click"),
+                       (4, base + "14:00:00", 2, "purchase"),
+                       (7, base + "14:00:00", 3, "click")])
+        q.processAllAvailable()
+        # batch 3: a click for the now-evicted purchase emits nothing
+        _write_events(str(d / "c3.parquet"),
+                      [(5, base + "10:30:00", 1, "click"),
+                       (6, base + "15:00:00", 3, "purchase")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    pairs = sorted((r["p_eid"], r["c_eid"]) for r in spark.table("ssj_test").collect())
+    assert (1, 2) in pairs          # same-batch match
+    assert (1, 3) in pairs          # cross-batch match: purchase state was live
+    assert (1, 5) not in pairs      # evicted: click arrived after state cleanup
+    assert pairs == [(1, 2), (1, 3)]
+
+
+def test_dedup_within_watermark_re_emits_after_eviction(spark, tmp_path):
+    """dropDuplicatesWithinWatermark contract: duplicates within the delay
+    are dropped; once the watermark evicts the key's state, the same key
+    seen again is a NEW record (re-emitted) — bounded state, by design."""
+    d = tmp_path / "dedup_in"
+    d.mkdir()
+    base = "2024-01-01 "
+    _write_events(str(d / "a1.parquet"), [(1, base + "10:00:00", 1, "click")])
+
+    ev = ST.read_events_stream(spark, str(d), glob="*.parquet")
+    deduped = ST.dedup_within_watermark(
+        ev.select("user_id", "event_type", "ts", "event_id"),
+        ["user_id", "event_type"], watermark="10 minutes",
+    )
+    q = (
+        deduped.writeStream.outputMode("append").format("memory")
+        .queryName("dedup_test").start()
+    )
+    try:
+        q.processAllAvailable()  # emits event 1; wm -> 09:50
+        _write_events(str(d / "b2.parquet"),
+                      [(2, base + "10:05:00", 1, "click"),   # dup within delay -> dropped
+                       (3, base + "11:00:00", 9, "click")])  # advances wm to 10:50 -> evicts key 1
+        q.processAllAvailable()
+        _write_events(str(d / "c3.parquet"), [(4, base + "12:00:00", 1, "click")])
+        q.processAllAvailable()  # state evicted -> same key re-emits
+    finally:
+        q.stop()
+    eids = sorted(r["event_id"] for r in spark.table("dedup_test").collect())
+    assert 2 not in eids            # in-delay duplicate dropped
+    assert {1, 4} <= set(eids)      # first occurrence + post-eviction re-emit
