@@ -110,6 +110,7 @@ def lsh_candidate_pairs(
     id_col: str,
     num_hashes: int = 8,
     bands: int = 4,
+    max_pairs_per_doc: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band of their signature become a
     candidate pair (id_a < id_b, distinct).
@@ -121,11 +122,22 @@ def lsh_candidate_pairs(
     m-member near-dup cluster — that is the pair formulation's intrinsic
     output size, not a blocking failure.  For mass-duplication corpora use
     ``lsh_dedup_representatives``, which never materializes pairs.
+
+    ``max_pairs_per_doc`` (r4 VERDICT item 5) is the audit-mode guard for
+    that regime: each ``id_a`` keeps only its ``max_pairs_per_doc``
+    LOWEST-id partners (deterministic truncation — rank by ``id_b`` within
+    ``id_a``), bounding the output and the downstream Jaccard-verify
+    fan-out to Θ(n·cap) instead of Θ(m²) per cluster.  Spark 4 plans the
+    rank filter as WindowGroupLimit — a per-partition top-cap heap BEFORE
+    the window shuffle, so the bound applies map-side too.  The cap drops
+    real candidates in clusters larger than the cap (by construction);
+    audit sampling tolerates that, full dedup should use the
+    representative pass instead.
     """
     exploded = _band_explode(signatures, id_col, num_hashes, bands)
     a = exploded.alias("a")
     b = exploded.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col(f"a.band") == F.col(f"b.band"))
@@ -135,6 +147,16 @@ def lsh_candidate_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
+    if max_pairs_per_doc is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("id_a").orderBy("id_b")
+        pairs = (
+            pairs.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_pairs_per_doc)
+            .drop("_rn")
+        )
+    return pairs
 
 
 def lsh_dedup_representatives(

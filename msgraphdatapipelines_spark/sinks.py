@@ -312,3 +312,45 @@ def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "overwrite", **o
     driver options.
     """
     df.write.mode(mode).options(**options).jdbc(url, table)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 8,
+    **options,
+) -> DataFrame:
+    """S7's relational half — partitioned JDBC read (the reverse of L1;
+    the reference only writes to SQL, but a pipeline that loads a
+    warehouse usually also needs to read one back).
+
+    Without ``partition_column`` the whole table arrives through ONE
+    connection on one executor — fine for dimension-sized lookups, a
+    non-starter for a fact table.  With it, Spark issues
+    ``num_partitions`` range-partitioned queries (``WHERE col >= lo AND
+    col < hi``) in parallel, one connection per task — the standard
+    scale shape for relational ingest.  ``lower_bound``/``upper_bound``
+    bound the stride arithmetic only (rows outside still arrive, in the
+    edge partitions); pick them as the column's actual min/max, and a
+    roughly uniform ``partition_column`` (a surrogate key) to avoid one
+    hot partition doing all the IO.  Catalyst pushes filters and column
+    pruning into the per-partition queries where the JDBC dialect
+    allows.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("read_jdbc: partition_column requires lower_bound and upper_bound")
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()

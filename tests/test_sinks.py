@@ -139,3 +139,40 @@ def test_upsert_snapshot_scd1(spark):
     assert got[2]["v"] == "NEW-b"  # matched key replaced
     assert got[1]["v"] == "old-a"  # unmatched history preserved
     assert got[4]["v"] == "NEW-d"  # new key inserted
+
+
+def test_read_jdbc_partitioned_roundtrip_derby(spark):
+    """S7 read side (r4 VERDICT item 6): write a keyed table through L1,
+    read it back with a range-partitioned JDBC scan — numPartitions > 1
+    (parallel per-range queries), all rows intact, pushed filter works."""
+    from pyspark.sql import functions as F
+
+    drv = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    url = "jdbc:derby:memory:readtest;create=true"
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).cast("double").alias("v")
+    )
+    sinks.write_jdbc(df, url, "t_read", mode="overwrite", **drv)
+    back = sinks.read_jdbc(
+        spark, url, "t_read",
+        partition_column="k", lower_bound=0, upper_bound=100, num_partitions=4, **drv,
+    )
+    assert back.rdd.getNumPartitions() == 4  # the partitioned read plan
+    assert back.count() == 100
+    assert sorted(r["k"] for r in back.collect()) == list(range(100))
+    # rows OUTSIDE the stride bounds still arrive via the edge partitions
+    narrow = sinks.read_jdbc(
+        spark, url, "t_read",
+        partition_column="k", lower_bound=40, upper_bound=60, num_partitions=3, **drv,
+    )
+    assert narrow.count() == 100
+    # filter pushdown reaches the per-partition queries
+    filtered = back.filter(F.col("k") >= 90)
+    assert filtered.count() == 10
+    # unpartitioned path: single-connection read, same data
+    single = sinks.read_jdbc(spark, url, "t_read", **drv)
+    assert single.rdd.getNumPartitions() == 1 and single.count() == 100
+    import pytest
+
+    with pytest.raises(ValueError, match="lower_bound"):
+        sinks.read_jdbc(spark, url, "t_read", partition_column="k", **drv)
