@@ -75,11 +75,44 @@ def _fake_dims(digest: bytes) -> tuple[int, int]:
     return 320 + digest[0] % 8 * 160, 240 + digest[1] % 8 * 120
 
 
-def decode_image_meta(df: DataFrame) -> DataFrame:
-    """Decode image metadata from payload bytes via Arrow-batched
-    ``mapInPandas`` (real plumbing; decode itself stubbed — see module doc).
-    """
+def pillow_available() -> bool:
+    """True when a real image codec (Pillow) is importable in this runtime."""
     try:  # pragma: no cover - container has no Pillow
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _resolve_backend(backend: str) -> str:
+    """``auto`` → pillow when importable, else fake; explicit choices are
+    validated (asking for pillow without the wheel is an error, not a
+    silent downgrade — a silent fake in a real pipeline would emit
+    hash-derived dimensions as if they were measurements)."""
+    if backend == "auto":
+        return "pillow" if pillow_available() else "fake"
+    if backend == "pillow" and not pillow_available():
+        raise ImportError("backend='pillow' requested but Pillow is not importable")
+    if backend not in ("pillow", "fake"):
+        raise ValueError(f"unknown media backend {backend!r} (use 'auto'|'pillow'|'fake')")
+    return backend
+
+
+def decode_image_meta(df: DataFrame, backend: str = "auto") -> DataFrame:
+    """Decode image metadata from payload bytes via Arrow-batched
+    ``mapInPandas``.
+
+    ``backend='pillow'`` parses real image headers (raises on non-image
+    payloads — the real-codec contract); ``'fake'`` derives deterministic
+    dimensions from the payload hash (the sandbox stand-in, also what the
+    oracle-checked queries pin since their fixtures are text payloads);
+    ``'auto'`` picks pillow when importable.  Both backends share the
+    schema, Arrow batch shape, and partitioning — swapping is a pure
+    function replacement (r4 VERDICT item 8: contract pytest runs the
+    same assertions over both, skipping pillow cleanly when absent).
+    """
+    if _resolve_backend(backend) == "pillow":  # pragma: no cover - no Pillow wheel
         import io
 
         from PIL import Image
@@ -88,7 +121,7 @@ def decode_image_meta(df: DataFrame) -> DataFrame:
             w, h = Image.open(io.BytesIO(payload)).size
             return w, h, "pillow"
 
-    except ImportError:
+    else:
 
         def dims(payload: bytes) -> tuple[int, int, str]:
             d = hashlib.sha256(payload).digest()
@@ -146,15 +179,17 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
-def resize_image(df: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+def resize_image(
+    df: DataFrame, width: int = 224, height: int = 224, backend: str = "auto"
+) -> DataFrame:
     """Resize media payloads to a target box via Arrow-batched
     ``mapInPandas`` — the preprocessing step in front of any vision encoder.
 
-    STUB codec (no Pillow in the container): the deterministic fake emits a
-    payload of ``width * height // 64`` bytes generated by an sha256 hash
-    chain over (payload digest | target box | counter) — same convention as
-    the other fake codecs, so sizes and bytes are value-checkable
-    cross-engine.  The Spark contract a real codec drops into is real:
+    ``backend='pillow'`` really decodes, resizes (bilinear), and re-encodes
+    as PNG; ``'fake'`` emits a payload of ``width * height // 64`` bytes
+    from an sha256 hash chain over (payload digest | target box | counter)
+    — deterministic, value-checkable cross-engine; ``'auto'`` picks pillow
+    when importable.  The Spark contract is identical either way:
     payload-in → payload-out inside the Arrow batch, blobs never leave the
     executors, output schema keeps the media identity + new dimensions.
     """
@@ -169,13 +204,27 @@ def resize_image(df: DataFrame, width: int = 224, height: int = 224) -> DataFram
             i += 1
         return bytes(out[:n])
 
+    if _resolve_backend(backend) == "pillow":  # pragma: no cover - no Pillow wheel
+        import io
+
+        from PIL import Image
+
+        def do_resize(payload: bytes) -> bytes:
+            img = Image.open(io.BytesIO(bytes(payload)))
+            buf = io.BytesIO()
+            img.resize((width, height)).save(buf, format="PNG")
+            return buf.getvalue()
+
+    else:
+        do_resize = fake_resize
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "mime": pdf["mime"],
-                    "payload": pdf["payload"].map(fake_resize),
+                    "payload": pdf["payload"].map(do_resize),
                     "width": pd.Series([width] * len(pdf), dtype="int64"),
                     "height": pd.Series([height] * len(pdf), dtype="int64"),
                 }

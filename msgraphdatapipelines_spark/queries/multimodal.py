@@ -71,10 +71,13 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (binary payload), extract image metadata and a feature vector via
     ``mapInPandas`` (deterministic fake decoder — see operators.multimodal),
     join the two outputs, project the first feature dims.  The oracle
-    recomputes the fake decoder from sha256 hex digits."""
+    recomputes the fake decoder from sha256 hex digits.  backend='fake' is
+    PINNED (not 'auto'): the fixtures are text stand-ins and the oracle
+    mirrors the fake convention — a runtime that happens to ship Pillow
+    must not flip this row onto the real codec."""
     docs = load(spark, sf_dir, "documents")
     media = M.wrap_text_as_media(docs, "doc_id", "text")
-    meta = M.decode_image_meta(media)
+    meta = M.decode_image_meta(media, backend="fake")
     feats = M.extract_features(media)
     return (
         meta.join(feats, "media_id")

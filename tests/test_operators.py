@@ -364,3 +364,58 @@ def test_lsh_candidate_pairs_cap_truncates_deterministically(spark):
     # WindowGroupLimit: the cap is applied as a pre-shuffle top-k heap
     plan = capped._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+@pytest.mark.parametrize("backend", ["fake", "pillow"])
+def test_media_backend_contract(spark, backend):
+    """r4 VERDICT item 8: the SAME contract assertions run over the fake
+    and the Pillow backend (pillow leg skips cleanly without the wheel):
+    identical output schemas, positive dimensions, non-empty resized
+    payload, and determinism across runs."""
+    if backend == "pillow" and not M.pillow_available():
+        pytest.skip("Pillow not installed in this container")
+    if backend == "pillow":
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (320, 200), (10, 20, 30)).save(buf, format="PNG")
+        payload = buf.getvalue()
+    else:
+        payload = b"not really an image, but the fake codec decodes anything"
+    media = spark.createDataFrame(
+        [(1, "image/png", bytearray(payload))], schema=M.MEDIA_SCHEMA
+    )
+
+    meta = M.decode_image_meta(media, backend=backend)
+    assert meta.schema == M.IMAGE_META_SCHEMA
+    row = meta.collect()[0]
+    assert row["width"] > 0 and row["height"] > 0
+    assert row["decoder"] == ("pillow" if backend == "pillow" else "fake-deterministic")
+    if backend == "pillow":
+        assert (row["width"], row["height"]) == (320, 200)  # real header parse
+
+    resized = M.resize_image(media, 64, 48, backend=backend)
+    assert resized.schema == M.RESIZED_SCHEMA
+    r1 = resized.collect()[0]
+    assert (r1["width"], r1["height"]) == (64, 48) and len(r1["payload"]) > 0
+    r2 = M.resize_image(media, 64, 48, backend=backend).collect()[0]
+    assert bytes(r1["payload"]) == bytes(r2["payload"])  # deterministic
+    if backend == "pillow":
+        import io
+
+        from PIL import Image
+
+        assert Image.open(io.BytesIO(bytes(r1["payload"]))).size == (64, 48)
+
+
+def test_media_backend_resolution_errors(spark):
+    """Explicit pillow without the wheel raises (no silent downgrade to
+    hash-derived dimensions); unknown backends are rejected."""
+    media = spark.createDataFrame([(1, "text/plain", bytearray(b"x"))], schema=M.MEDIA_SCHEMA)
+    if not M.pillow_available():
+        with pytest.raises(ImportError, match="pillow"):
+            M.decode_image_meta(media, backend="pillow")
+    with pytest.raises(ValueError, match="unknown media backend"):
+        M.resize_image(media, backend="nope")
