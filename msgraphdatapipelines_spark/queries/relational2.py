@@ -297,16 +297,47 @@ def salted_skew_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_distinct_stats", oracle=None)
+@register(
+    "approx_distinct_stats",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_cust,
+           TRUE AS hll_within_5pct,
+           TRUE AS median_within_1pct
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
 def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate aggregates (HLL count-distinct, t-digest percentile) —
-    the one-pass sketches that replace exact distinct/percentile at 100 TB.
-    No oracle: sketch outputs are engine-specific (FIXTURES.md §C); the
-    driver records the rows-only check.  pytest bounds the HLL error vs the
-    exact count instead."""
+    """Approximate aggregates (HLL count-distinct, quantile sketch) — the
+    one-pass sketches that replace exact distinct/percentile at 100 TB.
+
+    Raw sketch values are engine-specific (FIXTURES.md §C) and can never
+    hash-match a DuckDB oracle, so the GRADED row emits what IS
+    cross-engine checkable (r5 VERDICT item 2): the exact per-group
+    distinct count plus ``within_tolerance`` booleans computed in-engine
+    from sketch-vs-exact — the oracle reproduces the exact count and
+    asserts the booleans are literally TRUE, so an out-of-band sketch
+    flips a boolean and fails the hash match.  The raw sketch values stay
+    error-bounded in pytest (tests/test_operators.py HLL bound)."""
     o = load(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
+    agg = o.groupBy("o_orderstatus").agg(
         F.approx_count_distinct("o_custkey", 0.02).alias("approx_cust"),
         F.countDistinct("o_custkey").alias("exact_cust"),
-        F.percentile_approx("o_totalprice", 0.5, 1000).alias("approx_median_price"),
+        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)).alias(
+            "approx_median_price"
+        ),
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact_median_price"),
+    )
+    return agg.select(
+        "o_orderstatus",
+        "exact_cust",
+        (
+            F.abs(F.col("approx_cust") - F.col("exact_cust"))
+            <= 0.05 * F.col("exact_cust")
+        ).alias("hll_within_5pct"),
+        (
+            F.abs(F.col("approx_median_price") - F.col("exact_median_price"))
+            <= 0.01 * F.col("exact_median_price")
+        ).alias("median_within_1pct"),
     )
