@@ -156,8 +156,30 @@ def test_datasource_fetches_each_page_once(pages, monkeypatch):
         raise AssertionError(f"executor re-fetched {url}")
 
     monkeypatch.setattr(rest, "file_fetcher", refuses)
-    rows = [r for p in parts for r in reader.read(p)]
-    assert len(rows) == 9
+    out = [r for p in parts for r in reader.read(p)]
+    assert _total_rows(out) == 9
+
+
+def _total_rows(yielded: list) -> int:
+    """Count records whether the reader yielded Arrow batches (the fast
+    path) or per-row tuples (the coercion fallback)."""
+    return sum(getattr(r, "num_rows", None) or 1 for r in yielded)
+
+
+def test_datasource_read_yields_arrow_batches(pages):
+    """r5 VERDICT item 4: the DataSource read path must hand Spark ONE
+    pyarrow.RecordBatch per page — no per-row Python tuples in ingest."""
+    import pyarrow as pa
+
+    first, _ = pages
+    if not rest.HAS_PYTHON_DATASOURCE:
+        pytest.skip("Python DataSource API unavailable")
+    reader = rest.ODataReader(SCHEMA, {"path": first})
+    parts = reader.partitions()
+    out = [r for p in parts for r in reader.read(p)]
+    assert len(out) == 3 and all(isinstance(b, pa.RecordBatch) for b in out)
+    assert sum(b.num_rows for b in out) == 9
+    assert out[0].schema.names == [f.name for f in SCHEMA.fields]
 
 
 def test_datasource_spills_oversized_pages(pages, monkeypatch, tmp_path):
@@ -174,8 +196,8 @@ def test_datasource_spills_oversized_pages(pages, monkeypatch, tmp_path):
     monkeypatch.setattr(
         rest, "file_fetcher", lambda u: (_ for _ in ()).throw(AssertionError("re-fetch"))
     )
-    rows = [r for p in parts for r in reader.read(p)]
-    assert len(rows) == 9
+    out = [r for p in parts for r in reader.read(p)]
+    assert _total_rows(out) == 9
 
 
 def test_read_odata_autoswitches_to_datasource(spark, tmp_path):
@@ -402,7 +424,7 @@ def delta_pages(tmp_path):
     return str(p0), str(p2)
 
 
-def test_delta_initial_sync_persists_resume_token(spark, delta_pages, tmp_path):
+def test_delta_initial_sync_returns_resume_token(spark, delta_pages, tmp_path):
     first, second = delta_pages
     state = str(tmp_path / "state" / "orders.deltalink")
     import os
@@ -411,7 +433,13 @@ def test_delta_initial_sync_persists_resume_token(spark, delta_pages, tmp_path):
     df, link = rest.read_odata_delta(spark, first, SCHEMA, state_path=state)
     assert sorted(r["id"] for r in df.collect()) == ["a", "b", "c"]
     assert all(not r["_removed"] for r in df.collect())
-    assert link == second and rest.load_delta_state(state) == second
+    assert link == second
+    # r5 ADVICE: the read itself must NOT advance the resume token — a crash
+    # between read and apply must re-sync the same window.  The caller
+    # commits only after the batch is durably applied.
+    assert rest.load_delta_state(state) is None
+    rest.save_delta_state(state, link)
+    assert rest.load_delta_state(state) == second
 
 
 def test_delta_resume_parses_tombstones_and_applies(spark, delta_pages, tmp_path):
@@ -422,8 +450,9 @@ def test_delta_resume_parses_tombstones_and_applies(spark, delta_pages, tmp_path
 
     first, second = delta_pages
     state = str(tmp_path / "orders.deltalink")
-    snap, _ = rest.read_odata_delta(spark, first, SCHEMA, state_path=state)
+    snap, link0 = rest.read_odata_delta(spark, first, SCHEMA, state_path=state)
     snapshot = snap.drop("_removed")
+    rest.save_delta_state(state, link0)  # commit after the batch is applied
 
     fetched = []
 
@@ -435,7 +464,8 @@ def test_delta_resume_parses_tombstones_and_applies(spark, delta_pages, tmp_path
         spark, first, SCHEMA, state_path=state, fetcher=counting_fetcher
     )
     assert fetched == [second]  # resumed from the token, not first_url
-    assert link == second + "?round=3" and rest.load_delta_state(state) == link
+    assert link == second + "?round=3"
+    assert rest.load_delta_state(state) == second  # not yet committed
     rows = {r["id"]: r for r in delta.collect()}
     assert rows["a"]["_removed"] is True and rows["a"]["operatingSystem"] is None
     assert rows["b"]["_removed"] is False and rows["b"]["osVersion"] == "15.0"
@@ -444,3 +474,45 @@ def test_delta_resume_parses_tombstones_and_applies(spark, delta_pages, tmp_path
     assert sorted(final) == ["b", "c", "d"]  # a deleted, d added
     assert final["b"]["osVersion"] == "15.0"  # updated
     assert final["c"]["osVersion"] == "11.0"  # untouched history survives
+    rest.save_delta_state(state, link)
+    assert rest.load_delta_state(state) == link
+
+
+def test_delta_initial_sync_autoswitches_to_datasource(spark, tmp_path):
+    """r5 VERDICT item 3: an initial delta sync walks the FULL collection
+    (the reference's whole-snapshot loop) — past the page threshold it must
+    route through the DataSource (one page per partition, no driver-side
+    page list), tombstones must survive the scale path, and the deltaLink
+    from the final page must still come back."""
+    if not rest.HAS_PYTHON_DATASOURCE:
+        pytest.skip("Python DataSource API unavailable")
+    paths = [tmp_path / f"big{i}.json" for i in range(5)]
+    for i, p in enumerate(paths):
+        body = {
+            "value": [
+                {"id": f"r{i}", "operatingSystem": "Windows", "osVersion": "11", "errorCode": i}
+            ]
+        }
+        if i == 2:  # a tombstone mid-collection must ride the scale path too
+            body["value"].append({"id": "gone", "@removed": {"reason": "deleted"}})
+        if i < 4:
+            body["@odata.nextLink"] = str(paths[i + 1])
+        else:
+            body["@odata.deltaLink"] = str(paths[4]) + "?token=next"
+        p.write_text(json.dumps(body))
+    df, link = rest.read_odata_delta(
+        spark, str(paths[0]), SCHEMA, datasource_page_threshold=2
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchScan odata" in plan  # the scale path, not driver materialization
+    rows = {r["id"]: r for r in df.collect()}
+    assert sorted(rows) == ["gone", "r0", "r1", "r2", "r3", "r4"]
+    assert rows["gone"]["_removed"] is True and rows["gone"]["osVersion"] is None
+    assert all(not rows[f"r{i}"]["_removed"] for i in range(5))
+    assert link == str(paths[4]) + "?token=next"
+    # below the threshold: stays on the driver path
+    df2, link2 = rest.read_odata_delta(
+        spark, str(paths[0]), SCHEMA, datasource_page_threshold=10
+    )
+    assert "BatchScan odata" not in df2._jdf.queryExecution().executedPlan().toString()
+    assert df2.count() == 6 and link2 == link
