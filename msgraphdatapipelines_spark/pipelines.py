@@ -40,11 +40,28 @@ class RunResult:
     error: str | None = None
 
 
-def run_all(spark: SparkSession, pipelines: list[Pipeline]) -> list[RunResult]:
-    """Run each pipeline; per-entity failure isolation (S5 error-skip,
-    `Invoke…ps1:150-162` / `Export…ps1:204-208`) — log and continue."""
-    results = []
-    for p in pipelines:
+def run_all(
+    spark: SparkSession, pipelines: list[Pipeline], max_concurrent: int = 4
+) -> list[RunResult]:
+    """Run the pipelines; per-entity failure isolation (S5 error-skip,
+    `Invoke…ps1:150-162` / `Export…ps1:204-208`) — log and continue.
+
+    Entities are independent DataFrame lineages, so they submit from a
+    small thread pool (r5 VERDICT item 5): Spark's scheduler interleaves
+    the resulting jobs across the cluster, collapsing N small entities'
+    wall clock toward max instead of sum — the reference runs its
+    endpoints strictly sequentially (`Export…ps1`'s foreach).  Threads
+    only *submit* jobs and block on actions; the pool size caps driver-side
+    concurrency, not cluster parallelism.  Each entity's exception is
+    caught in its own thread, so one failing entity never blocks or kills
+    the others (same isolation contract as the sequential form).  Results
+    come back in registry order regardless of completion order.
+    ``max_concurrent=1`` restores strictly sequential execution (e.g. when
+    sinks contend on an external store).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    def run_one(p: Pipeline) -> RunResult:
         t0 = time.monotonic()
         try:
             df = p.transform(p.source(spark))
@@ -53,8 +70,12 @@ def run_all(spark: SparkSession, pipelines: list[Pipeline]) -> list[RunResult]:
                 p.sink(df)
             else:
                 rows = df.count()
-            results.append(RunResult(p.name, True, rows, time.monotonic() - t0))
+            return RunResult(p.name, True, rows, time.monotonic() - t0)
         except Exception as e:  # noqa: BLE001 — entity isolation is the contract
             log.exception("pipeline %s failed", p.name)
-            results.append(RunResult(p.name, False, None, time.monotonic() - t0, str(e)))
-    return results
+            return RunResult(p.name, False, None, time.monotonic() - t0, str(e))
+
+    if max_concurrent <= 1 or len(pipelines) <= 1:
+        return [run_one(p) for p in pipelines]
+    with ThreadPoolExecutor(max_workers=min(max_concurrent, len(pipelines))) as pool:
+        return list(pool.map(run_one, pipelines))
