@@ -57,11 +57,17 @@ def bucketed_interval_join(
     from the inner probe join, and left rows with no match in EITHER probe
     are restored exactly once via an anti-join on a per-row id, with typed
     NULL right columns.  The id is ``left_id`` when given (any unique left
-    column — recommended, fully deterministic); otherwise a
-    ``monotonically_increasing_id``, which is consistent across the two
-    plan branches only under deterministic scans (same caveat as
-    zipWithIndex).  The left path adds two shuffles over inner (matched-id
-    distinct + anti-join) — both on ids, not payloads.
+    column — recommended: fully deterministic and adds no materialization);
+    otherwise a ``monotonically_increasing_id`` assigned AFTER pinning the
+    left side with an eager ``localCheckpoint`` (r5 ADVICE: the probe join
+    and the anti-join are two separate plan branches — without the pin, a
+    nondeterministic upstream plan recomputes different ids per branch and
+    silently drops or duplicates unmatched rows; with it, both branches
+    read the same pinned blocks).  The pin costs one materialization of
+    the left side and is not fault-tolerant to executor loss (see
+    ``sinks.with_surrogate_key`` for the same trade) — pass ``left_id`` on
+    large or long-running jobs.  The left path adds two shuffles over
+    inner (matched-id distinct + anti-join) — both on ids, not payloads.
 
     Output: all left columns + all right columns (right NULL when
     unmatched), no helper columns.  Left and right column names must be
@@ -72,11 +78,14 @@ def bucketed_interval_join(
     lid = "_rj_lid"
     l0 = left
     if how == "left":
-        l0 = (
-            left.withColumn(lid, F.col(left_id))
-            if left_id
-            else left.withColumn(lid, F.monotonically_increasing_id())
-        )
+        if left_id:
+            l0 = left.withColumn(lid, F.col(left_id))
+        else:
+            # pin BEFORE branching: both the probe join and the anti-join
+            # must see identical mono-ids (r5 ADVICE)
+            l0 = left.withColumn(lid, F.monotonically_increasing_id()).localCheckpoint(
+                eager=True
+            )
     start = F.col(left_start)
     b0 = _bucket_of(start, window_days)
     l = l0.withColumn(_BUCKET, F.explode(F.array(b0, b0 + 1)))
