@@ -216,10 +216,23 @@ def stream_stateful_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = ST.read_events_stream(spark, sf_dir, glob="events.parquet")
     # availableNow drain + event-time TTL: wall-clock (ProcessingTime)
     # timers would keep the engine in state-cleanup micro-batches forever,
-    # so no drain could ever terminate (r2 livelock caught by the sweep)
-    result, _ = ST.run_stream_to_memory(
-        first_seen_dedup(ev), output_mode="update", available_now=True
-    )
+    # so no drain could ever terminate (r2 livelock caught by the sweep).
+    # No-data micro-batches OFF for this drain (r5 VERDICT item 7): in
+    # update mode every emission happens in the data batch, and the TTL
+    # timers (last_ts + 6h) sit far beyond the drain's final watermark
+    # (max_ts − 1h), so the post-watermark no-data batch only re-runs the
+    # 32-partition stateful stage to do nothing — it was ~40% of the
+    # query's wall clock.  Window queries (append mode) NEED that batch to
+    # flush finalized windows, hence per-query scoping with restore.
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        result, _ = ST.run_stream_to_memory(
+            first_seen_dedup(ev), output_mode="update", available_now=True
+        )
+    finally:
+        spark.conf.set(key, prev)
     return result
 
 
