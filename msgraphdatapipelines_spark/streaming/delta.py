@@ -1,0 +1,86 @@
+"""Continuous incremental sync — delta-query rounds driven by a stream.
+
+The reference's scheduled-rerun model (`Invoke-GraphDataPipelineToAzureSQL
+Database.ps1` is a timer-triggered runbook re-snapshotting the collection)
+composed from the delta primitives (r5 VERDICT item 8): each micro-batch
+pulls ONE delta round (``sources.rest.read_odata_delta``), folds it into
+the keyed parquet snapshot (``sinks.apply_delta``), and only THEN commits
+the resume token (``save_delta_state``) — the crash-safe ordering the
+commit protocol demands: a crash anywhere before the save re-syncs the
+same change window on restart; a crash after it finds the window already
+applied.  Deletes, updates and inserts all ride the one anti-join
+``apply_delta`` plans.
+
+The trigger stream carries no data — it is the SCHEDULE (a tick file per
+sync round here; a rate-source tick or any other trigger in production).
+All heavy work — page parse, key shuffle, snapshot rewrite — runs as
+ordinary batch Spark jobs inside ``foreachBatch``, so the 100 TB design
+notes of the underlying operators apply unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from .. import sinks
+from ..sources import rest
+
+
+def delta_sync_stream(
+    spark: SparkSession,
+    tick_dir: str,
+    first_url: str,
+    schema: T.StructType,
+    state_path: str,
+    snapshot_path: str,
+    keys: list[str],
+    fetcher: Callable[[str], str] = rest.file_fetcher,
+    removed_col: str = "_removed",
+) -> StreamingQuery:
+    """Start the sync stream: one delta round per micro-batch.
+
+    ``tick_dir`` is watched as a file stream (one tick file = one round,
+    ``maxFilesPerTrigger=1`` keeps rounds sequential).  Each round:
+
+    1. ``read_odata_delta`` — resumes from ``state_path`` (first round =
+       full initial sync, auto-routing through the DataSource past the
+       page threshold);
+    2. ``apply_delta`` onto the parquet snapshot at ``snapshot_path``
+       (bootstrap: empty snapshot with the declared schema).  The merged
+       frame is pinned (eager localCheckpoint) before the overwrite so
+       the read of the old snapshot completes before its directory is
+       replaced;
+    3. ``save_delta_state`` — ONLY after the write succeeded (commit
+       protocol; see ``rest.save_delta_state``).
+
+    Returns the started ``StreamingQuery``; callers drain with
+    ``processAllAvailable()`` (tests) or leave it running on a trigger
+    cadence (production).  A round that throws fails the stream — the
+    token was not advanced, so the restarted stream replays that round.
+    """
+
+    def sync(_batch_df, _batch_id: int) -> None:
+        delta, link = rest.read_odata_delta(
+            spark, first_url, schema, state_path=state_path,
+            fetcher=fetcher, removed_col=removed_col,
+        )
+        try:
+            snapshot = spark.read.parquet(snapshot_path)
+        except Exception:  # noqa: BLE001 — first round: no snapshot yet
+            snapshot = spark.createDataFrame([], schema)
+        merged = sinks.apply_delta(snapshot, delta, keys, removed_col=removed_col)
+        # pin before overwriting the directory the plan reads from
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(snapshot_path)
+        if link:
+            rest.save_delta_state(state_path, link)
+
+    return (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .text(tick_dir)
+        .writeStream.foreachBatch(sync)
+        .start()
+    )
