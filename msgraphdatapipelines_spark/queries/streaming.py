@@ -158,7 +158,10 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchases, clicks, "user_id", "c_user_id", "p_ts", "c_ts",
         interval="1 hour", watermark="1 hour",
     )
-    result, _ = ST.run_stream_to_memory(joined, output_mode="append")
+    # inner join: matches emit in the data batch; the no-data batch would
+    # only evict state the drain is about to discard (r6, PERF.md)
+    with ST.skip_no_data_batches(spark):
+        result, _ = ST.run_stream_to_memory(joined, output_mode="append")
     return result.select(
         "p_event_id",
         "c_event_id",
@@ -217,22 +220,13 @@ def stream_stateful_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     # availableNow drain + event-time TTL: wall-clock (ProcessingTime)
     # timers would keep the engine in state-cleanup micro-batches forever,
     # so no drain could ever terminate (r2 livelock caught by the sweep).
-    # No-data micro-batches OFF for this drain (r5 VERDICT item 7): in
-    # update mode every emission happens in the data batch, and the TTL
-    # timers (last_ts + 6h) sit far beyond the drain's final watermark
-    # (max_ts − 1h), so the post-watermark no-data batch only re-runs the
-    # 32-partition stateful stage to do nothing — it was ~40% of the
-    # query's wall clock.  Window queries (append mode) NEED that batch to
-    # flush finalized windows, hence per-query scoping with restore.
-    key = "spark.sql.streaming.noDataMicroBatches.enabled"
-    prev = spark.conf.get(key, "true")
-    spark.conf.set(key, "false")
-    try:
+    # No-data batch skipped (r5 VERDICT item 7): update mode emits in the
+    # data batch and the TTL timers (last_ts + 6h) sit beyond the drain's
+    # final watermark — see ST.skip_no_data_batches for the contract.
+    with ST.skip_no_data_batches(spark):
         result, _ = ST.run_stream_to_memory(
             first_seen_dedup(ev), output_mode="update", available_now=True
         )
-    finally:
-        spark.conf.set(key, prev)
     return result
 
 

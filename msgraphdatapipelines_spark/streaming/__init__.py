@@ -13,11 +13,35 @@ the same hash-shuffle as batch groupBy; the watermark bounds state size
 
 from __future__ import annotations
 
+import contextlib
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+@contextlib.contextmanager
+def skip_no_data_batches(spark: SparkSession):
+    """Scope ``spark.sql.streaming.noDataMicroBatches.enabled=false`` to a
+    drain (restored on exit).
+
+    The post-watermark no-data micro-batch exists to FLUSH results that
+    only finalize when the watermark advances — append-mode window aggs
+    need it or their last windows never emit.  Operators whose every
+    emission happens in the data batch — update-mode stateful maps whose
+    timers lie beyond the drain's final watermark, inner stream-stream
+    joins (matches emit on arrival; the no-data batch only evicts state)
+    — pay the full stateful-stage machinery again for nothing: measured
+    ~40% of `stream_stateful_first_seen` and `stream_stream_interval_join`
+    wall clock (PERF.md r6).  Never wrap an append-mode windowed agg."""
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 # Legacy shape of events.parquet: ts as TIMESTAMP(NANOS) → LongType under
 # nanosAsLong (kept for fixtures that still write ns timestamps).
