@@ -101,7 +101,8 @@ def with_surrogate_key(
     src = df.localCheckpoint(eager=True) if materialize else df
     ordc, bucketc, cntc, offc = "__sk_ord", "__sk_bucket", "__sk_cnt", "__sk_off"
     if order_by is not None:
-        n = num_buckets or df.sparkSession.sparkContext.defaultParallelism
+        # src-everywhere: every phase reads the pinned frame's session/state
+        n = num_buckets or src.sparkSession.sparkContext.defaultParallelism
         oc = F.col(order_by).cast("double")
         lo, hi, total = src.agg(F.min(oc), F.max(oc), F.count(F.lit(1))).first()
         if not total:
