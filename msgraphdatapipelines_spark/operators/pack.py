@@ -8,10 +8,13 @@ the same scale-killer the surrogate key had, see sinks.with_surrogate_key).
 
 ``running_total`` generalizes the two-phase fix to arbitrary SUMs:
 
-1. split rows into order-aligned buckets by quantile cuts of the ordering
-   key (ties share a bucket, so cross-bucket ordering is total);
-2. collect ONE partial sum per bucket (driver state bounded by bucket
-   count) and prefix-sum them into bucket offsets;
+1. split rows into order-aligned buckets — fixed-width value ranges of
+   the ordering key from ONE min/max/count aggregation (ties share a
+   bucket, so cross-bucket ordering is total; r6, matching
+   ``with_surrogate_key``);
+2. per-bucket partial sums → exclusive prefix-sum offsets, computed
+   INSIDE the final plan (n-row aggregate → ``coalesce(1)`` window →
+   broadcast join back — no driver collect, no extra job);
 3. running = offset[bucket] + windowed sum within the bucket.
 
 The only wide step is the per-bucket window's hash exchange — parallel
@@ -37,53 +40,56 @@ def running_total(
     """Inclusive running SUM of ``value_col`` over the global ``order_by``
     ordering, without a single-partition window.
 
-    ``order_by`` must be a NUMERIC column (the quantile-cut bucketing runs
-    ``approxQuantile``, which rejects strings/dates) and should be
-    high-cardinality: heavily-tied keys collapse buckets, and rows tied on
+    ``order_by`` must be a NUMERIC column (fixed-width value-range
+    bucketing) and should be high-cardinality and reasonably spread:
+    heavily-tied or value-skewed keys collapse buckets, and rows tied on
     ``order_by`` within a bucket receive an arbitrary-but-valid relative
     order in the running sum (any total order extending the key order).
     Use a unique numeric key (id, epoch micros) for full determinism.
 
     ``materialize=True`` pins the input once (eager ``localCheckpoint``)
-    so the quantile job, the per-bucket sums, and the final window read
-    one materialization instead of re-executing the upstream plan three
-    times — same single-scan contract as ``sinks.with_surrogate_key``.
+    so the min/max job and the final plan read one materialization
+    instead of re-executing the upstream plan — same single-scan contract
+    (and the same executor-loss caveat) as ``sinks.with_surrogate_key``.
     """
     num_types = ("int", "bigint", "smallint", "tinyint", "float", "double", "decimal")
     ord_type = dict(df.dtypes)[order_by]
     if not ord_type.startswith(num_types):
         raise TypeError(
             f"running_total: order_by column {order_by!r} has type {ord_type}; "
-            "only numeric ordering keys are supported (quantile bucketing). "
+            "only numeric ordering keys are supported (value-range bucketing). "
             "Map the key to a number first (e.g. epoch micros, xxhash64)."
         )
-    bucketc = "__rt_bucket"
+    bucketc, sumc, offc = "__rt_bucket", "__rt_sum", "__rt_off"
     src = df.localCheckpoint(eager=True) if materialize else df
-    n = num_buckets or df.sparkSession.sparkContext.defaultParallelism
-    cuts = (
-        src.stat.approxQuantile(order_by, [i / n for i in range(1, n)], 0.01)
-        if n > 1
-        else []
-    )
-    bucket = F.lit(0)
-    for c in sorted(set(cuts)):
-        bucket = bucket + F.when(F.col(order_by) > F.lit(c), 1).otherwise(0)
+    n = num_buckets or src.sparkSession.sparkContext.defaultParallelism
+    oc = F.col(order_by).cast("double")
+    lo, hi, total = src.agg(F.min(oc), F.max(oc), F.count(F.lit(1))).first()
+    if not total:
+        return df.withColumn(name, F.lit(None).cast("long"))
+    if lo is None or hi is None or hi == lo or n <= 1:
+        bucket = F.lit(0)
+    else:
+        width = (hi - lo) / n
+        bucket = F.coalesce(
+            F.least(F.floor((oc - F.lit(lo)) / F.lit(width)), F.lit(n - 1)), F.lit(0)
+        ).cast("int")
     keyed = src.withColumn(bucketc, bucket)
-    totals = {
-        r[bucketc]: r["s"]
-        for r in keyed.groupBy(bucketc).agg(F.sum(value_col).alias("s")).collect()
-    }
-    offsets, acc = {}, 0
-    for b in sorted(totals):
-        offsets[b] = acc
-        acc += totals[b] or 0
-    omap = F.create_map(*[F.lit(x) for b, o in offsets.items() for x in (b, o)])
+    sums = keyed.groupBy(bucketc).agg(F.sum(value_col).alias(sumc))
+    woff = Window.orderBy(bucketc).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        sums.coalesce(1)  # n-bucket rows: single partition satisfies the
+        .withColumn(offc, F.coalesce(F.sum(sumc).over(woff), F.lit(0)))  # window, no Exchange SinglePartition
+        .drop(sumc)
+    )
     w = Window.partitionBy(bucketc).orderBy(order_by).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    return keyed.withColumn(
-        name, (omap[F.col(bucketc)] + F.sum(value_col).over(w)).cast("long")
-    ).drop(bucketc)
+    return (
+        keyed.join(F.broadcast(offsets), bucketc)
+        .withColumn(name, (F.col(offc) + F.sum(value_col).over(w)).cast("long"))
+        .drop(bucketc, offc)
+    )
 
 
 def pack_into_bins(
