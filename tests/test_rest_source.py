@@ -583,3 +583,40 @@ def test_delta_sync_stream_failed_round_does_not_advance_token(
     finally:
         q.stop()
     assert rest.load_delta_state(state) is None  # token never advanced
+
+
+def test_delta_scale_path_single_fetch_with_spill_dir(spark, tmp_path, monkeypatch):
+    """With a spill_dir, the >threshold delta sync fetches every page
+    exactly ONCE: the deltaLink discovery walk spills bodies, and the
+    DataSource reads the manifest instead of re-walking the chain."""
+    if not rest.HAS_PYTHON_DATASOURCE:
+        pytest.skip("Python DataSource API unavailable")
+    paths = [tmp_path / f"pg{i}.json" for i in range(5)]
+    for i, p in enumerate(paths):
+        body = {"value": [{"id": f"r{i}", "operatingSystem": "linux",
+                           "osVersion": "6", "errorCode": i}]}
+        if i < 4:
+            body["@odata.nextLink"] = str(paths[i + 1])
+        else:
+            body["@odata.deltaLink"] = "tok-final"
+        p.write_text(json.dumps(body))
+    spill = tmp_path / "spill"
+    spill.mkdir()
+    calls: list[str] = []
+    real = rest.file_fetcher
+
+    def counting(url: str) -> str:
+        calls.append(url.split("?", 1)[0])
+        return real(url)
+
+    monkeypatch.setattr(rest, "file_fetcher", counting)
+    # pass the fetcher explicitly too: the `fetcher is file_fetcher` scale
+    # gate compares against the (patched) module global
+    df, link = rest.read_odata_delta(
+        spark, str(paths[0]), SCHEMA, fetcher=counting,
+        datasource_page_threshold=2, spill_dir=str(spill),
+    )
+    assert link == "tok-final"
+    assert sorted(r["id"] for r in df.collect()) == [f"r{i}" for i in range(5)]
+    # one fetch per page, monkeypatched across driver AND DataSource code
+    assert sorted(calls) == sorted(str(p) for p in paths)
