@@ -1,0 +1,113 @@
+"""Deterministic sampling / data-mixing operators (north-star extension).
+
+Training-data pipelines rarely train on the raw corpus mix: the standard
+recipe reweights domains (sources, languages) with a TEMPERATURE on their
+sizes — share_d ∝ n_d^alpha, alpha<1 upweighting low-resource domains
+(the multilingual-sampling scheme popularized by mBERT/XLM-R and the
+domain-mixture step of corpus curation).  The reference has no sampling
+operator (SURVEY.md §2.5 charter extension); the deterministic-hash keep
+rule generalizes corpus_curation's md5-prefix sample.
+
+Everything here is DETERMINISTIC (no rand()): the keep decision hashes
+the row id, so a re-run — or a different engine computing the same
+expression (the DuckDB oracle) — selects byte-identical rows.  That
+run-to-run stability is itself the operational requirement at 100 TB:
+sampling must be reproducible across retries, backfills, and engines.
+
+Scale shape: domain rates come from ONE tiny aggregation (|domains| rows)
+that broadcast-joins back onto the corpus; the keep predicate is a narrow
+per-row map.  Cost = one scan + one broadcast join, zero fact-side
+shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX = "0123456789abcdef"
+
+
+def md5_uniform(col: Column | str) -> Column:
+    """Deterministic uniform-[0,1) draw from the first 8 hex digits of
+    ``md5(col)``.
+
+    Each hex digit contributes ``digit * 16^-i`` — every term is an exact
+    binary fraction (lsb 2^-32), so the sum is EXACT in IEEE double and
+    bit-identical in any engine with md5 + strpos arithmetic (the DuckDB
+    oracle builds the same expression; see queries/curation.py).  Granularity
+    2^-32 ≈ 2.3e-10 — far finer than any practical sampling rate.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.md5(c.cast("string"))
+    terms = [
+        (F.instr(F.lit(_HEX), F.substring(h, i + 1, 1)) - F.lit(1)).cast("double")
+        * F.lit(16.0 ** -(i + 1))
+        for i in range(8)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def md5_uniform_sql(expr: str) -> str:
+    """DuckDB twin of :func:`md5_uniform` — identical term-by-term
+    expression so both engines draw the same exact double."""
+    terms = [
+        f"(strpos('{_HEX}', substr(md5(CAST({expr} AS VARCHAR)), {i + 1}, 1)) - 1)"
+        f" * {16.0 ** -(i + 1)!r}"
+        for i in range(8)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    target_total: int,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-weighted mixture sampling: domain d receives a target
+    share ∝ n_d^alpha (alpha=0.5 → sqrt — the cross-engine-exact choice;
+    sqrt is correctly rounded in IEEE, pow is not guaranteed to be), and
+    each row is kept iff its deterministic md5 draw falls below the
+    domain's keep rate
+
+        rate_d = min(1, target_total · n_d^alpha / Σ_e n_e^alpha / n_d)
+
+    rounded to 6 decimals (absorbs the cross-engine last-bit drift of the
+    Σ over domains, whose accumulation order is engine-specific).  Rates
+    above 1 clamp — an over-asked small domain contributes all its rows —
+    so the realized total can undershoot ``target_total``; iterate on the
+    target or redistribute externally if exact totals matter.
+
+    Output: the kept rows of ``df`` plus ``n_domain`` (domain size) and
+    ``rate`` (the applied keep rate).  One tiny domain-count aggregation →
+    broadcast join → narrow filter; the corpus is scanned once and never
+    shuffled.
+    """
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("n_domain"))
+    w = F.sqrt(F.col("n_domain").cast("double")) if alpha == 0.5 else F.pow(
+        F.col("n_domain").cast("double"), F.lit(float(alpha))
+    )
+    weighted = counts.select(domain_col, "n_domain", w.alias("_w"))
+    tot = weighted.agg(F.sum("_w").alias("_tw"))
+    rate = F.round(
+        F.least(
+            F.lit(1.0),
+            F.lit(float(target_total))
+            * F.col("_w")
+            / F.col("_tw")
+            / F.col("n_domain").cast("double"),
+        ),
+        6,
+    )
+    rates = weighted.crossJoin(F.broadcast(tot)).select(
+        domain_col, "n_domain", rate.alias("rate")
+    )
+    return (
+        df.join(F.broadcast(rates), domain_col)
+        .filter(md5_uniform(F.col(id_col)) < F.col("rate"))
+    )

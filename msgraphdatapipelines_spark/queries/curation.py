@@ -82,3 +82,46 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deduped.filter(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8"
     ).select("doc_id", "n_tokens", "stopword_ratio", "n_copies", "fp_exact")
+
+
+def _mixture_oracle(target_total: int = 400) -> str:
+    from ..operators.sampling import md5_uniform_sql
+
+    return f"""
+    WITH counts AS (SELECT lang, count(*) AS n_domain FROM documents GROUP BY lang),
+    tot AS (SELECT sum(sqrt(CAST(n_domain AS DOUBLE))) AS tw FROM counts),
+    rates AS (
+        SELECT lang, n_domain,
+               round(least(1.0,
+                           CAST({target_total} AS DOUBLE)
+                           * sqrt(CAST(n_domain AS DOUBLE)) / tw
+                           / CAST(n_domain AS DOUBLE)), 6) AS rate
+        FROM counts, tot
+    )
+    SELECT d.doc_id, d.lang, r.n_domain, r.rate
+    FROM documents d JOIN rates r USING (lang)
+    WHERE {md5_uniform_sql('d.doc_id')} < r.rate
+    """
+
+
+@register("mixture_sample_temperature", oracle=_mixture_oracle())
+def mixture_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted domain mixture sampling (r6) — the
+    training-mix staple (operators.sampling.temperature_mixture_sample):
+    language d's target share ∝ n_d^0.5, so low-resource languages are
+    upweighted relative to their corpus share; each row keeps iff its
+    deterministic md5 uniform draw < the domain rate (clamped at 1 —
+    exercised here: the sub-400-doc languages clamp at sf0.01 while 'en'
+    samples at ~its temperature share).
+
+    Scale shape: ONE |langs|-row aggregation → broadcast joins → narrow
+    per-row predicate; the corpus is scanned once, never shuffled.
+    Determinism (identical keep set on re-run and cross-engine) is the
+    100 TB operational requirement — no rand() anywhere."""
+    from ..operators.sampling import temperature_mixture_sample
+
+    docs = load(spark, sf_dir, "documents")
+    out = temperature_mixture_sample(
+        docs, domain_col="lang", id_col="doc_id", target_total=400, alpha=0.5
+    )
+    return out.select("doc_id", "lang", "n_domain", "rate")

@@ -106,7 +106,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle(num_hashes: int = 8, bands: int = 4, threshold: float = 0.5) -> str:
+def _lsh_verify_ctes(num_hashes: int = 8, bands: int = 4) -> str:
+    """Shared oracle CTE chain: grams → minhash sigs → LSH bands →
+    candidate pairs → exact Jaccard, ending in a ``verified`` CTE with
+    (id_a, id_b, jaccard) — reused by the pair query AND the
+    connected-components closure on top of it."""
     rpb = num_hashes // bands
     mh_exprs = ",\n           ".join(
         f"min(md5('{s}|' || g)) AS mh{s}" for s in range(num_hashes)
@@ -118,8 +122,7 @@ def _minhash_oracle(num_hashes: int = 8, bands: int = 4, threshold: float = 0.5)
         )
         for b in range(bands)
     )
-    return f"""
-    WITH {_GRAMS_SQL},
+    return f"""{_GRAMS_SQL},
     sigs AS (
         SELECT doc_id,
            {mh_exprs}
@@ -140,13 +143,22 @@ def _minhash_oracle(num_hashes: int = 8, bands: int = 4, threshold: float = 0.5)
         JOIN grams ga ON ga.doc_id = c.id_a
         JOIN grams gb ON gb.doc_id = c.id_b AND gb.g = ga.g
         GROUP BY 1, 2
-    )
-    SELECT id_a, id_b,
-           round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = id_a
-    JOIN sizes sb ON sb.doc_id = id_b
-    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= {threshold}
+    ),
+    verified AS (
+        SELECT id_a, id_b,
+               CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+    )"""
+
+
+def _minhash_oracle(num_hashes: int = 8, bands: int = 4, threshold: float = 0.5) -> str:
+    return f"""
+    WITH {_lsh_verify_ctes(num_hashes, bands)}
+    SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+    FROM verified
+    WHERE jaccard >= {threshold}
     """
 
 
@@ -208,6 +220,62 @@ def dedup_minhash_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
     grams = _doc_grams(spark, sf_dir)
     sigs = D.minhash_signatures(grams, "doc_id", "g", num_hashes=8, hash_fn="md5")
     return D.lsh_dedup_representatives(sigs, "doc_id", num_hashes=8, bands=4)
+
+
+def _connected_components_oracle(threshold: float = 0.5) -> str:
+    """Transitive closure over the verified LSH pair graph via a recursive
+    CTE: ``reach(id, lab)`` holds every (node, label-that-reaches-it) pair;
+    the component id is the MIN reachable label (= min node id of the
+    component, since near-dup edges are symmetric)."""
+    return f"""
+    WITH RECURSIVE {_lsh_verify_ctes()},
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM verified WHERE jaccard >= {threshold}
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM verified WHERE jaccard >= {threshold}
+    ),
+    reach(id, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    comp AS (SELECT id AS doc_id, min(lab) AS component FROM reach GROUP BY id)
+    SELECT doc_id, component,
+           CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_n,
+           (doc_id = component) AS kept
+    FROM comp
+    """
+
+
+@register("dedup_connected_components", oracle=_connected_components_oracle())
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT near-dup clustering (r6): transitive closure of the verified
+    MinHash-LSH pair graph via iterative min-label propagation
+    (operators.dedup.connected_components) — cluster = connected component,
+    component id = min doc_id, kept iff own representative.
+
+    Closes the single-step approximation the representative passes document
+    (a chain a~b~c with no shared a,c bucket stays two clusters there;
+    here it converges to one).  Scale shape: per round one edge⋈label join
+    + one min-agg, both keyed on the doc id; rounds ≤ component diameter
+    (near-dup graphs: 1-3); lineage truncated per round with eager
+    localCheckpoint.  The oracle reproduces the closure with a recursive
+    CTE — fully SQL-expressible, value-hash-checked."""
+    grams = _doc_grams(spark, sf_dir)
+    sigs = D.minhash_signatures(grams, "doc_id", "g", num_hashes=8, hash_fn="md5")
+    cand = D.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=4)
+    verified = D.jaccard_verify(grams, cand, "doc_id", "g", threshold=0.5)
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    comp = D.connected_components(
+        docs, verified.select("id_a", "id_b"), id_col="doc_id"
+    )
+    w = Window.partitionBy("component")
+    return comp.select(
+        "doc_id",
+        "component",
+        F.count("*").over(w).cast("long").alias("cluster_n"),
+        (F.col("doc_id") == F.col("component")).alias("kept"),
+    )
 
 
 def _simhash_oracle(num_bits: int = 16) -> str:

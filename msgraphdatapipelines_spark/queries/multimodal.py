@@ -98,6 +98,10 @@ _EVERY_N = 4
 
 @register(
     "multimodal_frame_sample",
+    # r6: demoted to the pytest oracle gate (identical DuckDB comparison) to
+    # free a driver row for mixture_sample_temperature — the multimodal
+    # family stays driver-graded via multimodal_decode_features.
+    demoted=True,
     oracle=f"""
     WITH hashed AS (
         SELECT doc_id, sha256(text) AS h,

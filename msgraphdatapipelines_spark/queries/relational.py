@@ -486,6 +486,10 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "date_functions",
+    # r6: demoted to the pytest oracle gate (identical DuckDB comparison) to
+    # free a driver row for dedup_connected_components — the scalar-function
+    # family stays driver-graded via scalar_functions + json_extraction.
+    demoted=True,
     oracle="""
     SELECT o_orderkey,
            CAST(year(o_orderdate) AS BIGINT) AS yr,

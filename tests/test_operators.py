@@ -431,3 +431,100 @@ def test_media_backend_resolution_errors(spark):
             M.decode_image_meta(media, backend="pillow")
     with pytest.raises(ValueError, match="unknown media backend"):
         M.resize_image(media, backend="nope")
+
+
+# ---------------------------------------------------------------- r6: exact clustering
+
+
+def test_connected_components_chain_star_singleton(spark):
+    """Chain 1-2-3 collapses to one component (the case the single-step
+    representative pass documents as kept-apart), star 10-{11,12,13} to
+    another, 20 stays a singleton."""
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 12, 13, 20)], "id long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (10, 12), (10, 13)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["component"] for r in D.connected_components(nodes, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10, 20: 20}
+
+
+def test_connected_components_long_chain_converges(spark, tmp_path):
+    """A 12-node chain needs ~11 propagation rounds — converges (labels are
+    exact min), and the reliable-checkpoint path agrees with the local one."""
+    n = 12
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+    got = {
+        r["id"]: r["component"] for r in D.connected_components(nodes, edges).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    got_rel = {
+        r["id"]: r["component"]
+        for r in D.connected_components(nodes, edges, checkpoint="reliable").collect()
+    }
+    assert got_rel == got
+
+
+def test_connected_components_max_iters_raises(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    edges = spark.createDataFrame([(i, i + 1) for i in range(5)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(nodes, edges, max_iters=2)
+
+
+def test_connected_components_ignores_foreign_edge_endpoints(spark):
+    """Edges may reference ids outside the node universe (e.g. docs dropped
+    by an upstream filter) — they propagate labels but are not returned."""
+    nodes = spark.createDataFrame([(1,), (2,)], "id long")
+    edges = spark.createDataFrame([(1, 99), (99, 2)], "id_a long, id_b long")
+    got = {r["id"]: r["component"] for r in D.connected_components(nodes, edges).collect()}
+    assert got == {1: 1, 2: 1}  # transitively connected THROUGH the foreign node
+
+
+# ---------------------------------------------------------------- r6: mixture sampling
+
+
+def test_temperature_mixture_sample_rates_and_clamp(spark):
+    """Skewed two-domain corpus: alpha=0.5 upweights the small domain;
+    over-asked small domains clamp at rate 1.0 (all rows kept)."""
+    from msgraphdatapipelines_spark.operators.sampling import temperature_mixture_sample
+
+    rows = [(i, "big") for i in range(400)] + [(1000 + i, "small") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, dom string")
+    out = temperature_mixture_sample(df, "dom", "doc_id", target_total=100, alpha=0.5)
+    rates = {r["dom"]: r["rate"] for r in out.select("dom", "rate").distinct().collect()}
+    # w_big=20, w_small=2, tw=22 → rate_big = 100*(20/22)/400 ≈ 0.227;
+    # rate_small = 100*(2/22)/4 = 2.27 → clamps to 1.0
+    assert rates["small"] == 1.0
+    assert abs(rates["big"] - 100 * (20 / 22) / 400) < 1e-6
+    kept = out.groupBy("dom").count().collect()
+    kept = {r["dom"]: r["count"] for r in kept}
+    assert kept["small"] == 4  # clamped domain keeps everything
+    assert 50 < kept["big"] < 140  # ~91 expected at rate .227
+
+
+def test_temperature_mixture_sample_deterministic(spark):
+    """Re-running selects the byte-identical row set (no rand())."""
+    from msgraphdatapipelines_spark.operators.sampling import temperature_mixture_sample
+
+    rows = [(i, f"d{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, dom string")
+    a = sorted(
+        r["doc_id"]
+        for r in temperature_mixture_sample(df, "dom", "doc_id", 150).collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in temperature_mixture_sample(df, "dom", "doc_id", 150).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_md5_uniform_range_and_mean(spark):
+    from msgraphdatapipelines_spark.operators.sampling import md5_uniform
+
+    df = spark.range(2000).select(md5_uniform(F.col("id")).alias("u"))
+    stats = df.agg(F.min("u"), F.max("u"), F.avg("u")).collect()[0]
+    assert 0.0 <= stats[0] and stats[1] < 1.0
+    assert abs(stats[2] - 0.5) < 0.02  # uniform mean
