@@ -291,6 +291,56 @@ def connected_components(
     )
 
 
+def lsh_dedup_clusters(
+    signatures: DataFrame,
+    id_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_iters: int = 25,
+    checkpoint: str = "local",
+) -> DataFrame:
+    """EXACT transitive-closure clustering over the LSH bucket graph — the
+    PRODUCTION-SCALE closure path (complements ``connected_components``
+    over verified pairs, whose edge list is Θ(m²) per m-member cluster):
+    edges are the STAR edges (doc ↔ its band-bucket's min id), Θ(n·bands)
+    in every duplication regime, and the star graph's transitive closure
+    EQUALS the closure of the full docs-sharing-a-bucket graph (two docs
+    in one bucket are connected through that bucket's min).  This is the
+    standard mass-dedup clustering semantic (cluster = docs transitively
+    linked by shared LSH buckets, no per-pair verification) — upgraded
+    from ``lsh_dedup_representatives``'s single propagation step to the
+    exact fixpoint, so chained near-dups collapse fully.
+
+    Output: (id, component, kept) — component = min id of the cluster.
+
+    The signature table is pinned ONCE (localCheckpoint / reliable
+    checkpoint per ``checkpoint``) before fan-out: bucket-min, star edges,
+    and the node universe are three consumers that would otherwise each
+    re-run the whole gram→minhash pipeline (measured 3.5 s/extra pass at
+    sf0.1).
+    """
+    sigs = (
+        signatures.localCheckpoint(eager=True)
+        if checkpoint == "local"
+        else signatures.checkpoint(eager=True)
+    )
+    exploded = _band_explode(sigs, id_col, num_hashes, bands)
+    bucket_min = exploded.groupBy("band", "bh").agg(F.min(id_col).alias("_bmin"))
+    edges = (
+        exploded.join(bucket_min, ["band", "bh"])
+        .filter(F.col(id_col) != F.col("_bmin"))
+        .select(F.col(id_col).alias("id_a"), F.col("_bmin").alias("id_b"))
+        .distinct()
+    )
+    nodes = sigs.select(id_col)
+    comp = connected_components(
+        nodes, edges, id_col=id_col, max_iters=max_iters, checkpoint=checkpoint
+    )
+    return comp.select(
+        id_col, "component", (F.col(id_col) == F.col("component")).alias("kept")
+    )
+
+
 def jaccard_verify(
     grams: DataFrame,
     pairs: DataFrame,

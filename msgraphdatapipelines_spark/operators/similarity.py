@@ -418,3 +418,245 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "cid", F.round("score", 6).alias("score"), "rank")
     )
+
+
+# ---------------------------------------------------------------- r6: product quantization
+
+
+def _normalize(v: Column) -> Column:
+    """Unit-normalize an array<double> (caller guarantees non-zero norm)."""
+    n = F.sqrt(seq_dot(v, v))
+    return F.transform(v, lambda x: x / n)
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    id_c: str,
+    vec_c: str,
+    m: int = 8,
+    ks: int = 16,
+    dim: int = 64,
+    iters: int = 0,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: ``m`` subspaces × ``ks`` codewords
+    of ``dim/m`` doubles each — MODEL STATE (m·ks·dim/m = dim·ks values),
+    collected once and inlined as literals everywhere downstream, exactly
+    like the IVF centroids.
+
+    Seeding is deterministic and oracle-expressible: the ``ks`` lowest-id
+    non-zero-norm corpus vectors, unit-normalized, sliced into subvectors
+    (codebook[s][j] = subvector s of seed vector j).  ``iters`` Lloyd
+    rounds refine each subspace's codebook: ONE exploded assignment
+    (n·m rows, argmin over the subspace's inline codewords) + ONE hash
+    aggregation per round computes all m subspace means simultaneously —
+    not m separate trainings.  Empty cells keep their seed codeword.
+    """
+    dsub = dim // m
+    if dsub * m != dim:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    v = F.col(vec_c).cast("array<double>")
+    seeds = (
+        corpus.select(F.col(id_c).alias("_id"), v.alias("_v"))
+        .withColumn("_n", F.sqrt(seq_dot(F.col("_v"), F.col("_v"))))
+        .filter(F.col("_n") > 0)
+        .orderBy("_id")
+        .limit(ks)
+        .select(F.transform(F.col("_v"), lambda x: x / F.col("_n")).alias("_u"))
+        .collect()
+    )
+    if len(seeds) < ks:
+        raise ValueError(f"ks={ks} codewords requested but corpus has {len(seeds)} usable rows")
+    books = [
+        [[float(x) for x in r["_u"][s * dsub : (s + 1) * dsub]] for r in seeds]
+        for s in range(m)
+    ]
+    for _ in range(iters):
+        # exploded training: one narrow map assigns every (vector, subspace)
+        # to its codeword, one shuffle aggregates all m×ks cell means
+        norm = corpus.select(v.alias("_v")).withColumn(
+            "_n", F.sqrt(seq_dot(F.col("_v"), F.col("_v")))
+        ).filter(F.col("_n") > 0).select(
+            F.transform(F.col("_v"), lambda x: x / F.col("_n")).alias("_u")
+        )
+        subs = norm.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice(F.col("_u"), s * dsub + 1, dsub).alias("sub"),
+                    )
+                    for s in range(m)
+                ])
+            ).alias("e")
+        ).select(F.col("e.s").alias("s"), F.col("e.sub").alias("sub"))
+        assigned = subs.withColumn(
+            "j", _pq_assign_expr(F.col("s"), F.col("sub"), books)
+        )
+        cells = assigned.groupBy("s", "j").agg(
+            *[F.avg(F.col("sub")[i]).alias(f"m{i}") for i in range(dsub)]
+        ).collect()
+        new = {(r["s"], r["j"]): [r[f"m{i}"] for i in range(dsub)] for r in cells}
+        books = [
+            [new.get((s, j), books[s][j]) for j in range(ks)] for s in range(m)
+        ]
+    return books
+
+
+def _pq_assign_expr(s_col: Column, sub: Column, books: list[list[list[float]]]) -> Column:
+    """Codeword index (argmin squared-L2, tie → lowest j) of subvector
+    ``sub`` in subspace ``s_col`` — pure inline expression over the literal
+    codebooks, no join."""
+    per_space = []
+    for s, book in enumerate(books):
+        entries = []
+        for j, cw in enumerate(book):
+            arr = F.array(*[F.lit(x) for x in cw])
+            d2 = F.aggregate(
+                F.zip_with(sub, arr, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            entries.append(F.struct(d2.alias("d2"), F.lit(j).alias("j")))
+        per_space.append(F.sort_array(F.array(*entries))[0]["j"])
+    out = per_space[-1]
+    for s in range(len(books) - 2, -1, -1):
+        out = F.when(s_col == s, per_space[s]).otherwise(out)
+    return out
+
+
+def pq_encode(
+    corpus: DataFrame,
+    id_c: str,
+    vec_c: str,
+    codebooks: list[list[list[float]]],
+    dim: int = 64,
+) -> DataFrame:
+    """Encode each (unit-normalized, non-zero-norm) corpus vector as ``m``
+    codeword indices — the compressed representation that makes
+    billion-vector ANN storable: m bytes/vector instead of dim floats
+    (64-dim float32 → 8-byte code = 32× compression here).  Pure narrow
+    map against the literal codebooks; no shuffle, no join.
+
+    Output: (cid, code array<int>).
+    """
+    m = len(codebooks)
+    dsub = dim // m
+    v = F.col(vec_c).cast("array<double>")
+    norm = (
+        corpus.select(F.col(id_c).alias("cid"), v.alias("_v"))
+        .withColumn("_n", F.sqrt(seq_dot(F.col("_v"), F.col("_v"))))
+        .filter(F.col("_n") > 0)
+        .select("cid", F.transform(F.col("_v"), lambda x: x / F.col("_n")).alias("_u"))
+    )
+    code_s = []
+    for s in range(m):
+        sub = F.slice(F.col("_u"), s * dsub + 1, dsub)
+        entries = []
+        for j, cw in enumerate(codebooks[s]):
+            arr = F.array(*[F.lit(x) for x in cw])
+            d2 = F.aggregate(
+                F.zip_with(sub, arr, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            entries.append(F.struct(d2.alias("d2"), F.lit(j).alias("j")))
+        code_s.append(F.sort_array(F.array(*entries))[0]["j"])
+    return norm.select("cid", F.array(*code_s).alias("code"))
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_q: str,
+    id_c: str,
+    vec_q: str,
+    vec_c: str,
+    k: int = 5,
+    m: int = 8,
+    ks: int = 16,
+    dim: int = 64,
+    codebooks: list[list[list[float]]] | None = None,
+    rerank: int = 0,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k (ADC): corpus vectors live only as
+    ``m``-byte codes; each query precomputes a lookup table of its
+    subvector dot products against every codeword (m·ks doubles, narrow
+    map), and a candidate's approximate cosine is the sum of m table
+    lookups — no full-vector math per pair, which at 100 TB means the
+    scored corpus representation is ~32× smaller than the raw vectors
+    (the standard billion-scale ANN memory play; composable with the IVF
+    lists for candidate restriction).
+
+    ``rerank=R`` re-scores the top R ADC candidates per query with exact
+    cosine against the raw vectors (the standard two-stage PQ pipeline —
+    ADC recall at PQ cost, exact ordering at the top): one extra join of
+    R·|queries| rows against the corpus, negligible beside the scan.
+
+    Scoring is deterministic: LUT entries and the m-term sum fold in fixed
+    subspace order (left-associated adds), ties break (score DESC, cid
+    ASC) — bit-matchable by a SQL oracle building the same expressions.
+    Output: (qid, cid, score, rank) — ``score`` is the ADC approximation
+    (or the exact rerank cosine when ``rerank>0``).
+    """
+    if codebooks is None:
+        codebooks = pq_codebooks(corpus, id_c, vec_c, m=m, ks=ks, dim=dim)
+    m = len(codebooks)
+    ks = len(codebooks[0])
+    dsub = dim // m
+    enc = pq_encode(corpus, id_c, vec_c, codebooks, dim=dim)
+    qv = F.col(vec_q).cast("array<double>")
+    qn = (
+        queries.select(F.col(id_q).alias("qid"), qv.alias("_v"))
+        .withColumn("_n", F.sqrt(seq_dot(F.col("_v"), F.col("_v"))))
+        .filter(F.col("_n") > 0)
+        .select("qid", F.transform(F.col("_v"), lambda x: x / F.col("_n")).alias("_u"))
+    )
+    # LUT: flattened m·ks array, entry s·ks+j = <q_sub_s, codeword_sj>
+    lut_entries = []
+    for s in range(m):
+        sub = F.slice(F.col("_u"), s * dsub + 1, dsub)
+        for j in range(ks):
+            arr = F.array(*[F.lit(x) for x in codebooks[s][j]])
+            lut_entries.append(seq_dot(sub, arr))
+    q = qn.select("qid", F.array(*lut_entries).alias("lut"))
+    # ADC score: left-associated sum of m computed-index lookups
+    score = F.element_at(F.col("lut"), F.lit(1) + F.element_at(F.col("code"), 1))
+    for s in range(1, m):
+        score = score + F.element_at(
+            F.col("lut"), F.lit(s * ks + 1) + F.element_at(F.col("code"), s + 1)
+        )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(enc)
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn("score", score)
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
+    if not rerank:
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("qid", "cid", F.round("score", 6).alias("score"), "rank")
+        )
+    cand = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= rerank)
+        .select("qid", "cid")
+    )
+    cv = F.col(vec_c).cast("array<double>")
+    c = corpus.select(
+        F.col(id_c).alias("cid"), cv.alias("cv"), F.sqrt(seq_dot(cv, cv)).alias("cn")
+    ).filter(F.col("cn") > 0)
+    qfull = queries.select(F.col(id_q).alias("qid"), qv.alias("qv")).withColumn(
+        "qn", F.sqrt(seq_dot(F.col("qv"), F.col("qv")))
+    ).filter(F.col("qn") > 0)
+    exact = (
+        cand.join(F.broadcast(qfull), "qid")
+        .join(c, "cid")
+        .withColumn("score", seq_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", F.round("score", 6).alias("score"), "rank")
+    )

@@ -31,10 +31,20 @@ grams AS (
 """
 
 
-def _doc_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One row per (doc_id, distinct word-3gram)."""
+def _doc_grams(spark: SparkSession, sf_dir: str, pin: bool = False) -> DataFrame:
+    """One row per (doc_id, distinct word-3gram).
+
+    ``pin=True`` eagerly localCheckpoints the exploded gram table — for
+    queries whose plan consumes it MULTIPLE times (minhash sigs + the
+    ga/gb verify joins + sizes = 4 scans in the LSH pair pipeline), each
+    consumer otherwise re-runs the parquet scan + split + explode
+    (measured ~10% of the pair query at sf0.1, 3 of 4 full gram passes at
+    100×).  Single-consumer queries (the representative pass) skip the pin
+    — materializing n·grams rows costs more than one streaming pass.
+    """
     docs = load(spark, sf_dir, "documents")
-    return docs.select("doc_id", F.explode(D.word_ngrams("text", 3)).alias("g"))
+    grams = docs.select("doc_id", F.explode(D.word_ngrams("text", 3)).alias("g"))
+    return grams.localCheckpoint(eager=True) if pin else grams
 
 
 @register(
@@ -85,7 +95,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection join only meets docs sharing a gram, so cost is driven by
     gram frequency, not n² (the exact-verification building block that
     LSH narrows further)."""
-    grams = _doc_grams(spark, sf_dir)
+    grams = _doc_grams(spark, sf_dir, pin=True)
     ga = grams.select(F.col("doc_id").alias("id_a"), "g")
     gb = grams.select(F.col("doc_id").alias("id_b"), "g")
     pairs = (
@@ -169,7 +179,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs come only from band-bucket collisions; the expensive gram join runs
     on candidates, not all pairs.  md5-seeded hashes keep the oracle
     bit-identical."""
-    grams = _doc_grams(spark, sf_dir)
+    grams = _doc_grams(spark, sf_dir, pin=True)
     sigs = D.minhash_signatures(grams, "doc_id", "g", num_hashes=8, hash_fn="md5")
     cand = D.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=4)
     return D.jaccard_verify(grams, cand, "doc_id", "g", threshold=0.5)
@@ -260,8 +270,16 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     + one min-agg, both keyed on the doc id; rounds ≤ component diameter
     (near-dup graphs: 1-3); lineage truncated per round with eager
     localCheckpoint.  The oracle reproduces the closure with a recursive
-    CTE — fully SQL-expressible, value-hash-checked."""
-    grams = _doc_grams(spark, sf_dir)
+    CTE — fully SQL-expressible, value-hash-checked.
+
+    Cost contract (100× sweep, PERF.md): the EDGE LIST here is the
+    verified pair set — Θ(m²) per m-member cluster, so this row is
+    output-bound on mass-duplication corpora (117× wall at 100× on the
+    100-replica corpus), same class as dedup_minhash_lsh; it is the
+    AUDIT/exact-threshold formulation.  Production closure at scale is
+    dedup_lsh_clusters (star edges, Θ(n·bands) in every regime, provably
+    identical components to the bucket-sharing graph)."""
+    grams = _doc_grams(spark, sf_dir, pin=True)
     sigs = D.minhash_signatures(grams, "doc_id", "g", num_hashes=8, hash_fn="md5")
     cand = D.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=4)
     verified = D.jaccard_verify(grams, cand, "doc_id", "g", threshold=0.5)
@@ -276,6 +294,67 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).cast("long").alias("cluster_n"),
         (F.col("doc_id") == F.col("component")).alias("kept"),
     )
+
+
+def _lsh_clusters_oracle(num_hashes: int = 8, bands: int = 4) -> str:
+    """Recursive closure over the STAR edges (doc ↔ bucket min) — the
+    linear-edge production clustering path."""
+    rpb = num_hashes // bands
+    mh_exprs = ",\n           ".join(
+        f"min(md5('{s}|' || g)) AS mh{s}" for s in range(num_hashes)
+    )
+    band_selects = "\n        UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({concat}) AS bh FROM sigs".format(
+            b=b,
+            concat=" || '|' || ".join(f"mh{b * rpb + r}" for r in range(rpb)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH RECURSIVE {_GRAMS_SQL},
+    sigs AS (
+        SELECT doc_id,
+           {mh_exprs}
+        FROM grams GROUP BY doc_id
+    ),
+    banded AS (
+        {band_selects}
+    ),
+    bucket_min AS (
+        SELECT band, bh, min(doc_id) AS bmin FROM banded GROUP BY band, bh
+    ),
+    star AS (
+        SELECT DISTINCT b.doc_id AS id_a, m.bmin AS id_b
+        FROM banded b JOIN bucket_min m ON b.band = m.band AND b.bh = m.bh
+        WHERE b.doc_id <> m.bmin
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM star
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM star
+    ),
+    reach(id, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id AS doc_id, min(lab) AS component, (id = min(lab)) AS kept
+    FROM reach GROUP BY id
+    """
+
+
+@register("dedup_lsh_clusters", demoted=True, oracle=_lsh_clusters_oracle())
+def dedup_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-scale exact clustering (r6): transitive closure over the
+    LSH bucket STAR graph (operators.dedup.lsh_dedup_clusters) — Θ(n·bands)
+    edges in every duplication regime, versus the verified-pair closure's
+    Θ(m²) per cluster (driver-graded dedup_connected_components documents
+    that cost).  Same fixpoint semantics: chained bucket-sharing docs
+    collapse into one cluster.  Demoted-oracle row (recursive CTE over the
+    star edges); the verified-pair closure carries the driver grade."""
+    grams = _doc_grams(spark, sf_dir)
+    sigs = D.minhash_signatures(grams, "doc_id", "g", num_hashes=8, hash_fn="md5")
+    return D.lsh_dedup_clusters(sigs, "doc_id", num_hashes=8, bands=4)
 
 
 def _simhash_oracle(num_bits: int = 16) -> str:
@@ -475,7 +554,7 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     No all-pairs anything: cost is gram-frequency-bound, like the LSH
     band join.  On real pipelines the train side's distinct-gram table is
     the reusable artifact (build once, broadcast if it fits)."""
-    grams = _doc_grams(spark, sf_dir)
+    grams = _doc_grams(spark, sf_dir, pin=True)
     docs = load(spark, sf_dir, "documents")
     split = docs.select(
         "doc_id",

@@ -342,3 +342,85 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_planes=8,
         dim=DIM,
     )
+
+
+def _pq_oracle(m: int = 8, ks: int = 16, k: int = 5) -> str:
+    """DuckDB replay of the full PQ pipeline (seed codebooks): normalize →
+    seed codebooks from the ks lowest-id vectors → per-subspace argmin
+    encoding → per-query LUT → ADC score as m computed-index list lookups.
+    Every float expression mirrors the Spark operator's accumulation order
+    (left-associated sums, same tie-breaks), so values hash-match."""
+    dsub = DIM // m
+    d2 = " + ".join(
+        f"((c.u[b.s*{dsub}+{i}] - b.cw[{i}]) * (c.u[b.s*{dsub}+{i}] - b.cw[{i}]))"
+        for i in range(1, dsub + 1)
+    )
+    lutdot = " + ".join(
+        f"(q.u[b.s*{dsub}+{i}] * b.cw[{i}])" for i in range(1, dsub + 1)
+    )
+    score = " + ".join(f"l.lut[{s}*{ks} + e.code[{s + 1}] + 1]" for s in range(m))
+    subs = ", ".join(str(s) for s in range(m))
+    return f"""
+    WITH un AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) / n) AS u
+        FROM (SELECT vec_id, embedding, sqrt({_dot('embedding', 'embedding')}) AS n
+              FROM embeddings) t
+        WHERE n > 0
+    ),
+    seeds AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS j, u
+        FROM (SELECT vec_id, u FROM un ORDER BY vec_id LIMIT {ks})
+    ),
+    cbsub AS (
+        SELECT s, j, u[s*{dsub}+1 : s*{dsub}+{dsub}] AS cw
+        FROM seeds CROSS JOIN (SELECT unnest([{subs}]) AS s)
+    ),
+    enc AS (
+        SELECT vec_id, list(j ORDER BY s) AS code
+        FROM (
+            SELECT c.vec_id, b.s, b.j,
+                   row_number() OVER (PARTITION BY c.vec_id, b.s
+                                      ORDER BY {d2}, b.j) AS rn
+            FROM un c CROSS JOIN cbsub b
+        )
+        WHERE rn = 1
+        GROUP BY vec_id
+    ),
+    lut AS (
+        SELECT qid, list(v ORDER BY s, j) AS lut
+        FROM (
+            SELECT q.vec_id AS qid, b.s, b.j, {lutdot} AS v
+            FROM un q CROSS JOIN cbsub b
+            WHERE q.vec_id < {N_QUERIES}
+        )
+        GROUP BY qid
+    ),
+    scored AS (
+        SELECT l.qid, e.vec_id AS cid, {score} AS score
+        FROM lut l CROSS JOIN enc e
+        WHERE l.qid <> e.vec_id
+    )
+    SELECT qid, cid, round(score, 6) AS score, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                       ORDER BY score DESC, cid) AS rn
+          FROM scored)
+    WHERE rn <= {k}
+    """
+
+
+@register("ann_pq_topk", demoted=True, oracle=_pq_oracle())
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (r6) — the memory-compression ANN
+    scale path (operators.similarity.pq_topk): the corpus lives as m=8
+    codeword indices per vector (~32× smaller than raw float32), queries
+    precompute an m×ks lookup table, and a candidate's approximate cosine
+    is m computed-index lookups — no per-pair vector math.  Seed codebooks
+    here (deterministic, SQL-replayable); production trains them with
+    pq_codebooks(iters=N) and adds exact rerank (recall ladder in
+    tests/test_similarity.py).  Demoted-oracle row: the pipeline is fully
+    SQL-expressible but redundant with the driver-graded ANN family."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.pq_topk(
+        emb.filter(F.col("vec_id") < N_QUERIES), emb,
+        "vec_id", "vec_id", "embedding", "embedding", k=K,
+    )

@@ -98,3 +98,27 @@ def test_explode_array_element_naming(spark):
     assert "item" in flatten.explode_array(df, "items", keep=["id"]).columns
     # single-suffix strip only — 'address' must NOT become 'addres'
     assert "address" in flatten.explode_array(df, "address", keep=["id"]).columns
+
+
+def test_sql_surface_views_and_query(spark, sf_dir):
+    """r6 SQL entry point: every warehouse table registers as a view and a
+    multi-table ANSI SQL query runs through the same Catalyst path
+    (broadcast + pushdown) the DataFrame queries use."""
+    from msgraphdatapipelines_spark import sql as E
+
+    names = E.register_views(spark, sf_dir)
+    assert "events" in names and "lineitem" in names
+    out = E.sql(
+        spark,
+        sf_dir,
+        """
+        SELECT n.n_name, count(*) AS n_customers
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name ORDER BY n.n_name
+        """,
+    )
+    rows = out.collect()
+    assert len(rows) == 25 and all(r["n_customers"] > 0 for r in rows)
+    # events view has a proper timestamp column (nanos handled)
+    ts_type = dict(spark.table("events").dtypes)["ts"]
+    assert ts_type.startswith("timestamp")  # µs timestamp (tz or ntz), not raw nanos long

@@ -528,3 +528,43 @@ def test_md5_uniform_range_and_mean(spark):
     stats = df.agg(F.min("u"), F.max("u"), F.avg("u")).collect()[0]
     assert 0.0 <= stats[0] and stats[1] < 1.0
     assert abs(stats[2] - 0.5) < 0.02  # uniform mean
+
+
+def test_lsh_clusters_equal_pair_graph_closure(spark, sf_dir):
+    """The star-edge closure (Θ(n·bands) edges) must produce EXACTLY the
+    same components as the closure of the full candidate-pair graph —
+    the equivalence that makes it the production path."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    grams = docs.select("doc_id", F.explode(D.word_ngrams("text", 3)).alias("g"))
+    sigs = D.minhash_signatures(grams, "doc_id", "g", num_hashes=8, hash_fn="md5")
+
+    star = {
+        r["doc_id"]: r["component"]
+        for r in D.lsh_dedup_clusters(sigs, "doc_id").collect()
+    }
+    pairs = D.lsh_candidate_pairs(sigs, "doc_id")
+    via_pairs = {
+        r["doc_id"]: r["component"]
+        for r in D.connected_components(
+            sigs.select("doc_id"), pairs, id_col="doc_id"
+        ).collect()
+    }
+    assert star == via_pairs
+
+
+def test_lsh_clusters_refine_representatives(spark, sf_dir):
+    """Closure can only merge further than the single-step representative
+    pass: every doc's component id <= its single-step rep_id."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    grams = docs.select("doc_id", F.explode(D.word_ngrams("text", 3)).alias("g"))
+    sigs = D.minhash_signatures(grams, "doc_id", "g", num_hashes=8, hash_fn="md5")
+    comp = {
+        r["doc_id"]: r["component"]
+        for r in D.lsh_dedup_clusters(sigs, "doc_id").collect()
+    }
+    rep = {
+        r["doc_id"]: r["rep_id"]
+        for r in D.lsh_dedup_representatives(sigs, "doc_id").collect()
+    }
+    assert set(comp) == set(rep)
+    assert all(comp[d] <= rep[d] for d in comp)

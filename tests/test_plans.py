@@ -210,3 +210,36 @@ def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_mixture_sample_broadcasts_rates_no_fact_shuffle(spark, sf_dir):
+    """r6 mixture sampling: the rates join must BROADCAST (rates =
+    |domains| rows) and the fact side must reach the filter without any
+    fact-sized Exchange — the corpus is scanned once, never shuffled.
+    The only exchanges allowed are on the tiny counts aggregation."""
+    from msgraphdatapipelines_spark.queries import curation as qc
+
+    df = qc.mixture_sample_temperature(spark, sf_dir)
+    assert plans.num_broadcasts(df) >= 1
+    plan = plans.physical_plan(df)
+    # the documents scan feeds a BroadcastHashJoin probe side directly —
+    # no Exchange may sit between the scan and the join
+    import re
+
+    assert not re.search(r"SortMergeJoin", plan)
+
+
+def test_connected_components_rounds_read_pinned_edges(spark):
+    """r6 CC: after convergence the returned plan must read the pinned
+    label table (ExistingRDD from localCheckpoint), not re-derive the
+    whole iteration lineage — the guard that keeps round N's plan O(1)
+    instead of O(N) deep."""
+    from msgraphdatapipelines_spark.operators import dedup as D
+
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "id long")
+    edges = spark.createDataFrame([(0, 1), (2, 3)], "id_a long, id_b long")
+    out = D.connected_components(nodes, edges)
+    plan = plans.physical_plan(out)
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+    # and no parquet/file scan survives — everything flows from the pins
+    assert "FileScan" not in plan
