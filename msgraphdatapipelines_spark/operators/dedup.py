@@ -341,6 +341,74 @@ def lsh_dedup_clusters(
     )
 
 
+def lsh_incremental_assign(
+    new_signatures: DataFrame,
+    bucket_reps: DataFrame | None,
+    id_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental near-dup assignment — dedup a NEW batch against the
+    persisted cluster state of everything seen so far, without touching
+    old documents (the incremental-crawl flow: the corpus grows batch by
+    batch and re-clustering from scratch at every refresh is the thing
+    that doesn't scale).
+
+    State is the ``(band, bh, rep_id)`` bucket→representative table — the
+    natural reusable artifact of the LSH representative pass (≤ corpus
+    band-rows, shrinks to #distinct buckets).  A new doc collapses into
+    the minimum existing representative over its buckets; docs hitting no
+    known bucket cluster among THEMSELVES via the single-step bucket-min
+    rule (same contract as ``lsh_dedup_representatives``).
+
+    Returns ``(assignments, updated_bucket_reps)``:
+    - assignments: (id, rep_id, is_new_cluster) for the new batch only;
+    - updated_bucket_reps: the merged state to persist for the next batch
+      (old reps win over new ids on shared buckets — min-id total order
+      stays stable across batches as long as ids are monotone).
+
+    Scale shape per batch: one band explode (narrow), one left equi-join
+    against state keyed on the bucket, two min-aggregations — all keyed
+    on bucket or id, no pairs, state O(buckets).  ``bucket_reps=None``
+    bootstraps from an empty state (first batch).
+    """
+    exploded = _band_explode(new_signatures, id_col, num_hashes, bands)
+    if bucket_reps is None:
+        spark = new_signatures.sparkSession
+        bucket_reps = spark.createDataFrame(
+            [], "band int, bh string, rep_id long"
+        )
+    joined = exploded.join(bucket_reps, ["band", "bh"], "left")
+    # min over existing reps (nulls ignored); fall back to in-batch
+    # bucket-min for docs with no known bucket
+    batch_min = exploded.groupBy("band", "bh").agg(F.min(id_col).alias("_bmin"))
+    with_batch = joined.join(batch_min, ["band", "bh"])
+    per_doc = with_batch.groupBy(id_col).agg(
+        F.min("rep_id").alias("_known"), F.min("_bmin").alias("_batch")
+    )
+    assignments = per_doc.select(
+        id_col,
+        F.coalesce(F.col("_known"), F.col("_batch")).alias("rep_id"),
+        F.col("_known").isNull().alias("is_new_cluster"),
+    )
+    # state update: each bucket's rep = min(existing rep, min assigned rep
+    # of this batch's members) — old reps always ≤ new ids under monotone
+    # id assignment, so existing cluster identities never change
+    new_bucket_reps = (
+        exploded.join(
+            assignments.select(id_col, F.col("rep_id").alias("_arep")), id_col
+        )
+        .groupBy("band", "bh")
+        .agg(F.min("_arep").alias("rep_id"))
+    )
+    updated = (
+        bucket_reps.unionByName(new_bucket_reps)
+        .groupBy("band", "bh")
+        .agg(F.min("rep_id").alias("rep_id"))
+    )
+    return assignments, updated
+
+
 def jaccard_verify(
     grams: DataFrame,
     pairs: DataFrame,

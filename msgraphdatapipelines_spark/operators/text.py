@@ -250,3 +250,55 @@ def chunk_text(
     ).select(
         id_col, F.col("chunk_idx").cast("long").alias("chunk_idx"), "chunk_text", "n_chunks"
     )
+
+
+def repetition_signals(text: Column | str, ws: Column | None = None) -> dict[str, Column]:
+    """Repetition quality signals (the Gopher/MassiveText-style heuristics
+    used to drop boilerplate and degenerate generations from training
+    corpora): token- and n-gram-level duplication ratios plus the most
+    frequent token's mass.  All pure per-row codegen (split + higher-order
+    array functions) — a single corpus scan scores everything, no shuffle.
+
+    - ``dup_token_ratio``   = 1 − |distinct tokens| / |tokens|
+    - ``top_token_ratio``   = occurrences of the most frequent token / |tokens|
+    - ``dup_2gram_ratio``   = 1 − |distinct 2-grams| / |2-grams|
+    - ``dup_3gram_ratio``   = 1 − |distinct 3-grams| / |3-grams|
+
+    High values mean the document repeats itself; typical curation drops
+    docs with dup_3gram_ratio or top_token_ratio above a corpus-tuned cut.
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    w = ws if ws is not None else tokens(t)
+    n = F.greatest(F.size(w), F.lit(1))
+
+    def _ngrams(k: int) -> Column:
+        cnt = F.greatest(F.size(w) - F.lit(k - 1), F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(1), cnt), lambda i: F.array_join(F.slice(w, i, k), " ")
+        )
+
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(w),
+            lambda tok: F.size(F.filter(w, lambda x: x == tok)),
+        )
+    )
+    g2, g3 = _ngrams(2), _ngrams(3)
+    return {
+        "dup_token_ratio": F.round(
+            F.lit(1.0) - F.size(F.array_distinct(w)).cast("double") / n, 6
+        ),
+        "top_token_ratio": F.round(
+            F.coalesce(top, F.lit(0)).cast("double") / n, 6
+        ),
+        "dup_2gram_ratio": F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(g2)).cast("double") / F.greatest(F.size(g2), F.lit(1)),
+            6,
+        ),
+        "dup_3gram_ratio": F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(g3)).cast("double") / F.greatest(F.size(g3), F.lit(1)),
+            6,
+        ),
+    }

@@ -261,3 +261,52 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/text.chunk_text)."""
     docs = load(spark, sf_dir, "documents")
     return X.chunk_text(docs, "doc_id", "text", size=200, stride=150)
+
+
+@register(
+    "text_repetition_battery",
+    demoted=True,  # text family driver-graded via text_battery
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, ws,
+               list_transform(generate_series(1, greatest(len(ws) - 1, 1)),
+                              i -> array_to_string(ws[i:i+1], ' ')) AS g2,
+               list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                              i -> array_to_string(ws[i:i+2], ' ')) AS g3
+        FROM w
+    )
+    SELECT doc_id,
+           round(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE)
+                       / greatest(len(ws), 1), 6) AS dup_token_ratio,
+           round(CAST(coalesce(list_max(list_transform(list_distinct(ws),
+                      t -> len(list_filter(ws, x -> x = t)))), 0) AS DOUBLE)
+                 / greatest(len(ws), 1), 6) AS top_token_ratio,
+           round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)
+                       / greatest(len(g2), 1), 6) AS dup_2gram_ratio,
+           round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)
+                       / greatest(len(g3), 1), 6) AS dup_3gram_ratio
+    FROM g
+    """,
+)
+def text_repetition_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (r6,
+    operators.text.repetition_signals): token/2-gram/3-gram duplication
+    ratios + most-frequent-token mass, all per-row higher-order array
+    expressions over ONE corpus scan — the boilerplate/degenerate-text
+    filter of LLM curation pipelines.  Demoted-oracle row (text family
+    stays driver-graded via text_battery)."""
+    docs = load(spark, sf_dir, "documents")
+    from ..operators.text import repetition_signals, tokens
+
+    sig = repetition_signals("text", ws=tokens("text"))
+    return docs.select(
+        "doc_id",
+        sig["dup_token_ratio"].alias("dup_token_ratio"),
+        sig["top_token_ratio"].alias("top_token_ratio"),
+        sig["dup_2gram_ratio"].alias("dup_2gram_ratio"),
+        sig["dup_3gram_ratio"].alias("dup_3gram_ratio"),
+    )

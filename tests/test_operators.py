@@ -568,3 +568,74 @@ def test_lsh_clusters_refine_representatives(spark, sf_dir):
     }
     assert set(comp) == set(rep)
     assert all(comp[d] <= rep[d] for d in comp)
+
+
+def test_repetition_signals_hand_values(spark):
+    """'a a a b' → dup_token_ratio=0.5 (2 distinct/4), top_token_ratio=0.75,
+    2-grams [a a, a a, a b] → dup_2gram=1-2/3, 3-grams [a a a, a a b] →
+    dup_3gram=0; a degenerate doc scores high, a clean doc scores 0."""
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "w x y z")], "doc_id long, text string"
+    )
+    sig = X.repetition_signals("text")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            sig["dup_token_ratio"].alias("dt"),
+            sig["top_token_ratio"].alias("tt"),
+            sig["dup_2gram_ratio"].alias("d2"),
+            sig["dup_3gram_ratio"].alias("d3"),
+        ).collect()
+    }
+    assert out[1]["dt"] == 0.5 and out[1]["tt"] == 0.75
+    assert math.isclose(out[1]["d2"], 1 - 2 / 3, abs_tol=1e-6)
+    assert out[1]["d3"] == 0.0
+    assert out[2]["dt"] == 0.0 and out[2]["tt"] == 0.25
+    assert out[2]["d2"] == 0.0 and out[2]["d3"] == 0.0
+
+
+def test_lsh_incremental_assign_two_batches(spark):
+    """Batch 1 bootstraps clusters; batch 2's near-dups (same signatures)
+    collapse into batch-1 reps WITHOUT reprocessing batch 1; genuinely new
+    content founds a new cluster; state stays min-id stable."""
+    schema = "doc_id long, mh0 string, mh1 string, mh2 string, mh3 string"
+    b1 = spark.createDataFrame(
+        [(10, "a", "a", "b", "b"), (11, "a", "a", "b", "b"), (12, "x", "x", "y", "y")],
+        schema,
+    )
+    a1, state1 = D.lsh_incremental_assign(b1, None, "doc_id", num_hashes=4, bands=2)
+    got1 = {r["doc_id"]: r for r in a1.collect()}
+    assert got1[10]["rep_id"] == 10 and got1[10]["is_new_cluster"]
+    assert got1[11]["rep_id"] == 10 and got1[11]["is_new_cluster"]  # in-batch collapse
+    assert got1[12]["rep_id"] == 12
+
+    b2 = spark.createDataFrame(
+        [(20, "a", "a", "b", "b"),   # dup of cluster 10
+         (21, "p", "p", "q", "q"),   # brand new
+         (22, "p", "p", "q", "q")],  # in-batch dup of 21
+        schema,
+    )
+    a2, state2 = D.lsh_incremental_assign(b2, state1, "doc_id", num_hashes=4, bands=2)
+    got2 = {r["doc_id"]: r for r in a2.collect()}
+    assert got2[20]["rep_id"] == 10 and not got2[20]["is_new_cluster"]
+    assert got2[21]["rep_id"] == 21 and got2[21]["is_new_cluster"]
+    assert got2[22]["rep_id"] == 21
+    # state keeps old cluster identity and registers the new one
+    reps = {r["rep_id"] for r in state2.collect()}
+    assert 10 in reps and 21 in reps and 20 not in reps
+
+
+def test_lsh_incremental_matches_batch_representatives(spark, sf_dir):
+    """Feeding the whole corpus as ONE batch must reproduce the one-shot
+    representative pass exactly (same single-step contract)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    grams = docs.select("doc_id", F.explode(D.word_ngrams("text", 3)).alias("g"))
+    sigs = D.minhash_signatures(grams, "doc_id", "g", num_hashes=8, hash_fn="md5")
+    one_shot = {
+        r["doc_id"]: r["rep_id"]
+        for r in D.lsh_dedup_representatives(sigs, "doc_id").collect()
+    }
+    incr, _ = D.lsh_incremental_assign(sigs, None, "doc_id")
+    got = {r["doc_id"]: r["rep_id"] for r in incr.collect()}
+    assert got == one_shot
