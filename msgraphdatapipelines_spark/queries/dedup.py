@@ -554,7 +554,10 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     No all-pairs anything: cost is gram-frequency-bound, like the LSH
     band join.  On real pipelines the train side's distinct-gram table is
     the reusable artifact (build once, broadcast if it fits)."""
-    grams = _doc_grams(spark, sf_dir, pin=True)
+    # pin measured SLOWER here (2.0 -> 3.0 s at sf0.1): the three consumers
+    # each read a PRUNED subset (eval grams, distinct train grams, sizes), so
+    # materializing the full gram table costs more than the pruned re-scans
+    grams = _doc_grams(spark, sf_dir, pin=False)
     docs = load(spark, sf_dir, "documents")
     split = docs.select(
         "doc_id",

@@ -284,3 +284,74 @@ def test_dedup_within_watermark_re_emits_after_eviction(spark, tmp_path):
     eids = sorted(r["event_id"] for r in spark.table("dedup_test").collect())
     assert 2 not in eids            # in-delay duplicate dropped
     assert {1, 4} <= set(eids)      # first occurrence + post-eviction re-emit
+
+
+def test_dedup_assign_stream_two_batches(spark, tmp_path):
+    """r6 streaming incremental dedup: two staged document files arrive as
+    separate micro-batches; the final assignment set must equal running
+    lsh_incremental_assign twice by hand, and cross-batch near-dups must
+    collapse into the FIRST batch's representative without reprocessing
+    batch 1."""
+    from msgraphdatapipelines_spark.operators import dedup as D
+    from msgraphdatapipelines_spark.streaming.dedup_stream import dedup_assign_stream
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    near = base.replace("lazy", "sleepy")
+    far = "completely different content about spark engines and parquet files " * 5
+    b1 = [(1, base), (2, far)]
+    b2 = [(10, near), (11, "yet another unrelated corpus about streaming state " * 8)]
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "stage1")
+    )
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "stage2")
+    )
+    import os
+    import shutil
+    import time as _time
+
+    # FileStreamSource orders batches by modification time — pin distinct
+    # mtimes or the two stage files race and batch order flips
+    now = _time.time()
+    for i, stage in enumerate(("stage1", "stage2")):
+        for f in (tmp_path / stage).glob("*.parquet"):
+            dst = docs_dir / f"batch{i}_{f.name}"
+            shutil.copy(f, dst)
+            os.utime(dst, (now + 60 * i, now + 60 * i))
+
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "assignments")
+    q = dedup_assign_stream(
+        spark, str(docs_dir), schema, state, out, str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r["doc_id"]: r
+        for r in spark.read.option("basePath", out).parquet(out).collect()
+    }
+    assert set(got) == {1, 2, 10, 11}
+    # batch-1 docs found their own clusters
+    assert got[1]["rep_id"] == 1 and got[2]["rep_id"] == 2
+    # near-dup of doc 1 arriving in batch 2 collapsed into doc 1's cluster
+    assert got[10]["rep_id"] == 1 and not got[10]["is_new_cluster"]
+    assert got[11]["rep_id"] == 11 and got[11]["is_new_cluster"]
+    # state survived: a third assignment against it still maps near to 1
+    sigs3 = D.minhash_signatures(
+        spark.createDataFrame([(30, base)], schema).select(
+            "doc_id", F.explode(D.word_ngrams("text", 3)).alias("g")
+        ),
+        "doc_id", "g", num_hashes=8, hash_fn="xxhash64",
+    )
+    a3, _ = D.lsh_incremental_assign(sigs3, spark.read.parquet(state), "doc_id")
+    assert a3.collect()[0]["rep_id"] == 1
