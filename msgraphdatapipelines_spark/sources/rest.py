@@ -40,7 +40,17 @@ VALUE = "value"
 
 
 class ThrottledError(Exception):
-    """HTTP 429 — retry after a pause (reference: 30 s sleep, ≤5 tries)."""
+    """HTTP 429 — retry after a pause (reference: 30 s sleep, ≤5 tries).
+
+    ``retry_after`` carries the server's Retry-After header (seconds) when
+    present — Graph's throttling contract says to honor it rather than
+    sleep a fixed interval (the reference ignores the header; we use it
+    when offered and fall back to the policy's fixed sleep otherwise).
+    """
+
+    def __init__(self, url: str, retry_after: float | None = None):
+        super().__init__(url)
+        self.retry_after = retry_after
 
 
 @dataclass
@@ -58,16 +68,24 @@ class RetryPolicy:
     backoff: float = 1.0  # reference sleeps a constant 30 s; >1 = exponential
     retry_on: tuple[type[Exception], ...] = (ThrottledError,)
 
+    max_retry_after_s: float = 300.0  # cap a hostile/garbled Retry-After
+
     def run(self, fn: Callable[[], str], sleeper: Callable[[float], None] = time.sleep) -> str:
         delay = self.sleep_s
         for attempt in range(self.max_retries + 1):
             try:
                 return fn()
-            except self.retry_on:
+            except self.retry_on as e:
                 if attempt == self.max_retries:
                     raise
-                sleeper(delay)
-                delay *= self.backoff
+                # honor the server's Retry-After when the exception carries
+                # one (Graph throttling contract); else the policy interval
+                hinted = getattr(e, "retry_after", None)
+                if hinted is not None:
+                    sleeper(min(float(hinted), self.max_retry_after_s))
+                else:
+                    sleeper(delay)
+                    delay *= self.backoff
         raise AssertionError("unreachable")
 
 
@@ -92,7 +110,12 @@ def http_fetcher(url: str, token: str | None = None, timeout: float = 60.0) -> s
             return resp.read().decode("utf-8")
     except urllib.error.HTTPError as e:  # pragma: no cover - needs live server
         if e.code == 429:
-            raise ThrottledError(url) from e
+            ra = e.headers.get("Retry-After") if e.headers else None
+            try:
+                retry_after = float(ra) if ra is not None else None
+            except ValueError:
+                retry_after = None  # HTTP-date form (rare) → policy default
+            raise ThrottledError(url, retry_after=retry_after) from e
         raise
 
 

@@ -620,3 +620,25 @@ def test_delta_scale_path_single_fetch_with_spill_dir(spark, tmp_path, monkeypat
     assert sorted(r["id"] for r in df.collect()) == [f"r{i}" for i in range(5)]
     # one fetch per page, monkeypatched across driver AND DataSource code
     assert sorted(calls) == sorted(str(p) for p in paths)
+
+
+def test_429_honors_retry_after_hint():
+    """r6: a ThrottledError carrying the server's Retry-After sleeps that
+    many seconds (capped) instead of the fixed policy interval; hint-less
+    throttles keep the reference's fixed-sleep behavior."""
+    sleeps: list[float] = []
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise rest.ThrottledError("u", retry_after=7.5)
+        if calls["n"] == 2:
+            raise rest.ThrottledError("u")  # no hint → policy sleep
+        if calls["n"] == 3:
+            raise rest.ThrottledError("u", retry_after=9999.0)  # hostile → cap
+        return "ok"
+
+    policy = rest.RetryPolicy(max_retries=5, sleep_s=30.0, max_retry_after_s=300.0)
+    assert policy.run(flaky, sleeper=sleeps.append) == "ok"
+    assert sleeps == [7.5, 30.0, 300.0]
