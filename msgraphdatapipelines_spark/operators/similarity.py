@@ -660,3 +660,142 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "cid", F.round("score", 6).alias("score"), "rank")
     )
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_q: str,
+    id_c: str,
+    vec_q: str,
+    vec_c: str,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    ks: int = 16,
+    dim: int = 64,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    rerank: int = 0,
+) -> DataFrame:
+    """IVF + PQ — the composed billion-scale ANN shape: the coarse
+    quantizer (IVF centroids) restricts each query to its ``nprobe``
+    nearest inverted lists (~nprobe/n_centroids of the corpus), and within
+    those lists candidates are scored from their ``m``-byte PQ codes via
+    the query's lookup table — so the hot path touches neither the full
+    corpus nor any full vector: candidate set pruned by IVF, per-candidate
+    cost collapsed by PQ.  Both models are literal state (centroids
+    k×dim, codebooks dim×ks); corpus-side list assignment and encoding
+    are one narrow map, the probe join is the same broadcast equi-join as
+    ``ivf_topk``, and ``rerank=R`` optionally re-scores the top R with
+    exact cosine (two-stage pipeline, same contract as ``pq_topk``).
+
+    At 100 TB this is the layout you would persist: parquet of
+    (cent, code) — a ~32× smaller, pruned, scannable index.
+    """
+    if centroids is None:
+        centroids = [
+            (r["_cid"], [float(x) for x in r["_cvec"]])
+            for r in corpus.select(
+                F.col(id_c).alias("_cid"), F.col(vec_c).cast("array<double>").alias("_cvec")
+            )
+            .withColumn("_cn", F.sqrt(seq_dot(F.col("_cvec"), F.col("_cvec"))))
+            .filter(F.col("_cn") > 0)
+            .orderBy("_cid")
+            .limit(n_centroids)
+            .collect()
+        ]
+    if codebooks is None:
+        codebooks = pq_codebooks(corpus, id_c, vec_c, m=m, ks=ks, dim=dim)
+    m = len(codebooks)
+    ks = len(codebooks[0])
+    dsub = dim // m
+    usable = [
+        (cid, cvec, math.sqrt(sum(x * x for x in cvec))) for cid, cvec in centroids
+    ]
+    usable = [t for t in usable if t[2] > 0]
+    if not usable:
+        raise ValueError("ivf_pq_topk: no non-zero-norm centroids available")
+
+    def scored_centroids(vec: Column, norm: Column) -> Column:
+        entries = []
+        for cid, cvec, cn in usable:
+            arr = F.array(*[F.lit(x) for x in cvec])
+            score = seq_dot(vec, arr) / (norm * F.lit(cn))
+            entries.append(F.struct((-score).alias("ns"), F.lit(cid).alias("cent")))
+        return F.sort_array(F.array(*entries))
+
+    cv = F.col(vec_c).cast("array<double>")
+    # corpus index: (cid, cent, code) — ONE narrow map; at scale this is
+    # the persisted artifact, rebuilt only when the models retrain
+    c = corpus.select(
+        F.col(id_c).alias("cid"), cv.alias("_cv"),
+        F.sqrt(seq_dot(cv, cv)).alias("_cn"),
+    ).filter(F.col("_cn") > 0)
+    c = c.withColumn("cent", scored_centroids(F.col("_cv"), F.col("_cn"))[0]["cent"])
+    enc = pq_encode(c.select("cid", F.col("_cv").alias("v")), "cid", "v", codebooks, dim=dim)
+    indexed = c.select("cid", "cent").join(enc, "cid")
+
+    qv = F.col(vec_q).cast("array<double>")
+    qn = (
+        queries.select(F.col(id_q).alias("qid"), qv.alias("_v"))
+        .withColumn("_n", F.sqrt(seq_dot(F.col("_v"), F.col("_v"))))
+        .filter(F.col("_n") > 0)
+    )
+    lut_entries = []
+    unit = F.transform(F.col("_v"), lambda x: x / F.col("_n"))
+    for s in range(m):
+        sub = F.slice(unit, s * dsub + 1, dsub)
+        for j in range(ks):
+            arr = F.array(*[F.lit(x) for x in codebooks[s][j]])
+            lut_entries.append(seq_dot(sub, arr))
+    q = qn.withColumn(
+        "cent",
+        F.explode(
+            F.transform(
+                F.slice(scored_centroids(F.col("_v"), F.col("_n")), 1, nprobe),
+                lambda s: s["cent"],
+            )
+        ),
+    ).select("qid", "cent", F.array(*lut_entries).alias("lut"))
+
+    score = F.element_at(F.col("lut"), F.lit(1) + F.element_at(F.col("code"), 1))
+    for s in range(1, m):
+        score = score + F.element_at(
+            F.col("lut"), F.lit(s * ks + 1) + F.element_at(F.col("code"), s + 1)
+        )
+    scored = (
+        F.broadcast(q)
+        .join(indexed, "cent")
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn("score", score)
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
+    if not rerank:
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("qid", "cid", F.round("score", 6).alias("score"), "rank")
+        )
+    cand = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= rerank)
+        .select("qid", "cid")
+    )
+    cfull = corpus.select(
+        F.col(id_c).alias("cid"), cv.alias("cv"), F.sqrt(seq_dot(cv, cv)).alias("cn")
+    ).filter(F.col("cn") > 0)
+    qfull = queries.select(F.col(id_q).alias("qid"), qv.alias("qv")).withColumn(
+        "qn", F.sqrt(seq_dot(F.col("qv"), F.col("qv")))
+    ).filter(F.col("qn") > 0)
+    exact = (
+        cand.join(F.broadcast(qfull), "qid")
+        .join(cfull, "cid")
+        .withColumn("score", seq_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", F.round("score", 6).alias("score"), "rank")
+    )

@@ -639,3 +639,43 @@ def test_lsh_incremental_matches_batch_representatives(spark, sf_dir):
     incr, _ = D.lsh_incremental_assign(sigs, None, "doc_id")
     got = {r["doc_id"]: r["rep_id"] for r in incr.collect()}
     assert got == one_shot
+
+
+def test_connected_components_matches_union_find_property(spark):
+    """Property check: on a batch of pseudo-random graphs (dense, sparse,
+    chains, self-loops, multi-edges), the distributed min-label fixpoint
+    must equal a reference union-find."""
+    import random
+
+    rng = random.Random(42)
+    for trial in range(6):
+        n = rng.randint(1, 14)
+        n_edges = rng.randint(0, 20)
+        edge_list = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(n_edges)
+        ]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edge_list:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {i: find(i) for i in range(n)}
+
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        edges = (
+            spark.createDataFrame(edge_list, "id_a long, id_b long")
+            if edge_list
+            else spark.createDataFrame([], "id_a long, id_b long")
+        )
+        got = {
+            r["id"]: r["component"]
+            for r in D.connected_components(nodes, edges).collect()
+        }
+        assert got == expected, f"trial {trial}: {edge_list}"

@@ -171,3 +171,33 @@ def test_pq_training_reduces_quantization_error(spark, sf_dir):
     seed_err = qerr(S.pq_codebooks(emb, "vec_id", "embedding", iters=0))
     trained_err = qerr(S.pq_codebooks(emb, "vec_id", "embedding", iters=2))
     assert trained_err <= seed_err * 1.0001
+
+
+def test_ivf_pq_composed_prunes_and_recalls(spark, sf_dir):
+    """r6 IVF+PQ: candidates come only from probed lists (⊆ the pure-ADC
+    result universe), exact rerank recovers recall, and every returned
+    neighbor is a real corpus vector."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    args = (q, emb, "vec_id", "vec_id", "embedding", "embedding")
+
+    exact = _pairs(S.brute_force_topk(*args, k=K))
+    composed = _pairs(S.ivf_pq_topk(*args, k=K, n_centroids=8, nprobe=2))
+    composed_rr = _pairs(S.ivf_pq_topk(*args, k=K, n_centroids=8, nprobe=2, rerank=50))
+    full_probe = _pairs(S.ivf_pq_topk(*args, k=K, n_centroids=8, nprobe=8, rerank=50))
+
+    # widening the probe set can only help (nprobe=8 == scan all lists ==
+    # pure PQ-ADC + rerank universe)
+    assert _recall(full_probe, exact) >= _recall(composed_rr, exact)
+    assert _recall(composed_rr, exact) >= 0.3  # pruned 2/8 lists floor
+    # rerank re-scores with exact cosine: any returned pair that brute
+    # force also ranked must carry the identical score
+    bf_scores = {
+        (r["qid"], r["cid"]): r["score"]
+        for r in S.brute_force_topk(*args, k=K).collect()
+    }
+    for r in S.ivf_pq_topk(*args, k=K, nprobe=2, rerank=50).collect():
+        key = (r["qid"], r["cid"])
+        if key in bf_scores:
+            assert abs(bf_scores[key] - r["score"]) < 1e-9
+    assert len(composed) <= N_QUERIES * K
