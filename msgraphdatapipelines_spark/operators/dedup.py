@@ -235,6 +235,11 @@ def connected_components(
     Pathological long-chain graphs (diameter ≫ rounds) would want the
     large-star/small-star variant (doubles label reach per round); near-dup
     graphs never need it, so ``max_iters`` exhaustion raises instead.
+    Skew: a giant cluster makes its representative a hot join key (every
+    member's edge row carries it) — the per-round join is a plain
+    sort-merge/hash equi-join, so AQE's skew-join split
+    (``spark.sql.adaptive.skewJoin.enabled``, on in this engine's session)
+    handles the hot partitions without a manual salt.
 
     ``nodes`` supplies the universe (singletons = their own component);
     edges referencing ids outside ``nodes`` still propagate labels but only
