@@ -34,13 +34,20 @@ grams AS (
 def _doc_grams(spark: SparkSession, sf_dir: str, pin: bool = False) -> DataFrame:
     """One row per (doc_id, distinct word-3gram).
 
-    ``pin=True`` eagerly localCheckpoints the exploded gram table — for
-    queries whose plan consumes it MULTIPLE times (minhash sigs + the
-    ga/gb verify joins + sizes = 4 scans in the LSH pair pipeline), each
-    consumer otherwise re-runs the parquet scan + split + explode
-    (measured ~10% of the pair query at sf0.1, 3 of 4 full gram passes at
-    100×).  Single-consumer queries (the representative pass) skip the pin
-    — materializing n·grams rows costs more than one streaming pass.
+    ``pin=True`` eagerly localCheckpoints the exploded gram table.  r6
+    finding: DON'T, in single-action queries — it A/B'd ~10% faster warm
+    at sf0.1 for the 4-consumer pair pipeline, but at 100× the pinned
+    variant ran >40 min where the unpinned pipeline finishes in ~8 —
+    a checkpointed input is an ExistingRDD with NO column pruning, NO
+    stats, and the source's partitioning frozen, so the verify join loses
+    its planned shape exactly when the table is big.  Within ONE action
+    Catalyst/Spark already avoid the worst duplication (identical
+    aggregation subtrees reuse exchanges), and parquet re-scans are cheap
+    relative to materializing n·grams wide string rows.  Pinning small
+    MULTI-JOB intermediates is still right (lsh_dedup_clusters pins its
+    signature table: 186 → 93 s at 100×) — the lever is table size ×
+    job count, not consumer count alone.  Kept as an explicit flag so the
+    finding stays executable.
     """
     docs = load(spark, sf_dir, "documents")
     grams = docs.select("doc_id", F.explode(D.word_ngrams("text", 3)).alias("g"))
@@ -95,7 +102,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection join only meets docs sharing a gram, so cost is driven by
     gram frequency, not n² (the exact-verification building block that
     LSH narrows further)."""
-    grams = _doc_grams(spark, sf_dir, pin=True)
+    grams = _doc_grams(spark, sf_dir)
     ga = grams.select(F.col("doc_id").alias("id_a"), "g")
     gb = grams.select(F.col("doc_id").alias("id_b"), "g")
     pairs = (
@@ -179,7 +186,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs come only from band-bucket collisions; the expensive gram join runs
     on candidates, not all pairs.  md5-seeded hashes keep the oracle
     bit-identical."""
-    grams = _doc_grams(spark, sf_dir, pin=True)
+    grams = _doc_grams(spark, sf_dir)
     sigs = D.minhash_signatures(grams, "doc_id", "g", num_hashes=8, hash_fn="md5")
     cand = D.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=4)
     return D.jaccard_verify(grams, cand, "doc_id", "g", threshold=0.5)
@@ -279,7 +286,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     AUDIT/exact-threshold formulation.  Production closure at scale is
     dedup_lsh_clusters (star edges, Θ(n·bands) in every regime, provably
     identical components to the bucket-sharing graph)."""
-    grams = _doc_grams(spark, sf_dir, pin=True)
+    grams = _doc_grams(spark, sf_dir)
     sigs = D.minhash_signatures(grams, "doc_id", "g", num_hashes=8, hash_fn="md5")
     cand = D.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=4)
     verified = D.jaccard_verify(grams, cand, "doc_id", "g", threshold=0.5)

@@ -370,3 +370,69 @@ def read_jdbc(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def zorder_key(
+    df: DataFrame, cols: list[str], bits: int = 8
+) -> tuple[DataFrame, "Column"]:
+    """Z-order (Morton) interleave key for multi-column data skipping.
+
+    Parquet min/max stats prune files only when the FILE LAYOUT clusters
+    the filtered column — a linear ``sort_by(a)`` gives file-level locality
+    on ``a`` and none on ``b``.  Interleaving the bits of fixed-width
+    bucket ranks of BOTH columns gives every file a small bounding box in
+    (a, b) space, so predicates on either column (or a box on both) skip
+    most files — the standard lakehouse Z-ORDER layout, built here from
+    plain Column expressions.
+
+    Bucket ranks come from one global min/max aggregation per call (same
+    fixed-width trick as the surrogate key): rank = floor((x-lo)/(hi-lo) ·
+    2^bits), clamped to 2^bits−1.  NULLs rank 0.  The returned key column
+    is ``interleave(rank_0, rank_1, …)`` — pure codegen (shift/or), no
+    UDF.  Returns (df_with_ranks, key_column); writers order by the key.
+    """
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in cols:
+        aggs += [F.min(F.col(c).cast("double")).alias(f"_lo_{c}"),
+                 F.max(F.col(c).cast("double")).alias(f"_hi_{c}")]
+    bounds = df.agg(*aggs).collect()[0]  # 2·|cols| scalars — model state
+    n = 1 << bits
+    ranks = []
+    for c in cols:
+        lo, hi = bounds[f"_lo_{c}"], bounds[f"_hi_{c}"]
+        span = (hi - lo) or 1.0
+        r = F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * n)
+        ranks.append(
+            F.least(F.greatest(F.coalesce(r, F.lit(0)), F.lit(0)), F.lit(n - 1)).cast("long")
+        )
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, r in enumerate(ranks):
+            bit = F.shiftright(r, b).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, b * len(cols) + i))
+    return df, key
+
+
+def write_zordered(
+    df: DataFrame, path: str, cols: list[str], bits: int = 8, num_files: int | None = None
+) -> None:
+    """Write parquet Z-ordered on ``cols``: range-partition on the Morton
+    key (files = contiguous key ranges = small bounding boxes), sort
+    within partitions, drop the helper column.  One extra range shuffle at
+    write time buys file skipping on every future scan filtering any of
+    ``cols`` — the classic write-once/read-many trade of a 100 TB
+    warehouse table.  ``num_files`` caps output files (defaults to the
+    current partition count).
+    """
+    d, key = zorder_key(df, cols, bits)
+    d = d.withColumn("_zkey", key)
+    parts = num_files or d.rdd.getNumPartitions()
+    (
+        d.repartitionByRange(parts, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

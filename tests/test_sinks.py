@@ -176,3 +176,59 @@ def test_read_jdbc_partitioned_roundtrip_derby(spark):
 
     with pytest.raises(ValueError, match="lower_bound"):
         sinks.read_jdbc(spark, url, "t_read", partition_column="k", **drv)
+
+
+def test_zorder_layout_shrinks_per_file_bounding_boxes(spark, tmp_path):
+    """r6 Z-order: against a linear sort on column a, the Morton layout
+    must shrink the average per-file bounding-box AREA over (a, b) — the
+    property parquet min/max skipping feeds on — and round-trip the data."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from msgraphdatapipelines_spark import sinks
+
+    n = 20_000
+    df = spark.range(n).select(
+        (F.col("id") % 200).cast("long").alias("a"),
+        F.floor(F.col("id") / 200).cast("long").alias("b"),
+        F.col("id").alias("payload"),
+    )
+    z_path, lin_path = str(tmp_path / "z"), str(tmp_path / "lin")
+    sinks.write_zordered(df, z_path, ["a", "b"], num_files=16)
+    (
+        df.repartitionByRange(16, "a").sortWithinPartitions("a")
+        .write.mode("overwrite").parquet(lin_path)
+    )
+
+    def file_ranges(path):
+        import glob
+
+        out = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            t = pq.read_table(f, columns=["a", "b"])
+            a, b = t.column("a").to_pylist(), t.column("b").to_pylist()
+            if a:
+                out.append(((min(a), max(a)), (min(b), max(b))))
+        return out
+
+    z_r, lin_r = file_ranges(z_path), file_ranges(lin_path)
+    # box AREA is layout-invariant (≈ rows/file); the skipping win is the
+    # per-file range of the NON-LEADING column: linear spans all of b in
+    # every file (b-point filters skip nothing), z-order bounds b too
+    avg_b = lambda rs: sum(hi - lo + 1 for _, (lo, hi) in rs) / len(rs)
+    assert avg_b(z_r) * 1.5 < avg_b(lin_r), (avg_b(z_r), avg_b(lin_r))
+    # and a b-point filter must actually skip files under z-order
+    probe = 50
+    z_hits = sum(1 for _, (lo, hi) in z_r if lo <= probe <= hi)
+    lin_hits = sum(1 for _, (lo, hi) in lin_r if lo <= probe <= hi)
+    assert z_hits * 2 <= lin_hits, (z_hits, lin_hits)
+    # the leading column stays clustered enough that a-filters skip too —
+    # on AVERAGE: a file whose Morton range straddles a high interleave
+    # bit legitimately spans a wide a-range, so per-file bounds flake with
+    # range-boundary sampling
+    avg_a = sum(hi - lo + 1 for (lo, hi), _ in z_r) / len(z_r)
+    assert avg_a <= 150, avg_a
+    # data round-trips
+    assert spark.read.parquet(z_path).count() == n
+    got = spark.read.parquet(z_path).agg(F.sum("payload")).collect()[0][0]
+    assert got == n * (n - 1) // 2
