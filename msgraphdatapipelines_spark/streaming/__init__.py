@@ -34,7 +34,11 @@ def skip_no_data_batches(spark: SparkSession):
     joins (matches emit on arrival; the no-data batch only evicts state)
     — pay the full stateful-stage machinery again for nothing: measured
     ~40% of `stream_stateful_first_seen` and `stream_stream_interval_join`
-    wall clock (PERF.md r6).  Never wrap an append-mode windowed agg."""
+    wall clock (PERF.md r6).  Never wrap an append-mode windowed agg, and
+    never an OUTER stream-stream join — its null-padded rows for
+    unmatched state emit exactly in the watermark flush batch
+    (test_interval_join_left_outer_emits_nulls_at_watermark pins that
+    emission path)."""
     key = "spark.sql.streaming.noDataMicroBatches.enabled"
     prev = spark.conf.get(key, "true")
     spark.conf.set(key, "false")

@@ -355,3 +355,51 @@ def test_dedup_assign_stream_two_batches(spark, tmp_path):
     )
     a3, _ = D.lsh_incremental_assign(sigs3, spark.read.parquet(state), "doc_id")
     assert a3.collect()[0]["rep_id"] == 1
+
+
+def test_interval_join_left_outer_emits_nulls_at_watermark(spark, tmp_path):
+    """r6: LEFT OUTER stream-stream interval join — an unmatched left row
+    cannot emit eagerly (a match might still arrive); it emits WITH NULLS
+    only once the watermark proves no match can come.  Matched rows emit
+    like the inner join; the no-data flush batch must stay ENABLED for
+    this mode (the null emission rides it)."""
+    d = tmp_path / "ssoj_in"
+    d.mkdir()
+    base = "2024-01-01 "
+    # purchase 1 will match; purchase 2 never gets a click
+    _write_events(str(d / "a1.parquet"),
+                  [(1, base + "10:00:00", 1, "purchase"),
+                   (2, base + "10:05:00", 2, "purchase"),
+                   (3, base + "10:10:00", 1, "click")])
+
+    def side(event_type, prefix):
+        s = ST.read_events_stream(spark, str(d), glob="*.parquet")
+        return s.filter(F.col("event_type") == event_type).select(
+            F.col("user_id").alias(f"{prefix}_user"),
+            F.col("event_id").alias(f"{prefix}_eid"),
+            F.col("ts").alias(f"{prefix}_ts"),
+        )
+
+    joined = ST.interval_join(
+        side("purchase", "p"), side("click", "c"),
+        "p_user", "c_user", "p_ts", "c_ts",
+        interval="1 hour", watermark="1 hour", how="left_outer",
+    )
+    q = (
+        joined.writeStream.outputMode("append").format("memory")
+        .queryName("ssoj_test").start()
+    )
+    try:
+        q.processAllAvailable()
+        # advance the watermark far past 10:05 + 1h on BOTH sides so the
+        # unmatched purchase finalizes
+        _write_events(str(d / "b2.parquet"),
+                      [(8, base + "14:00:00", 5, "purchase"),
+                       (9, base + "14:00:00", 6, "click")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r["p_eid"]: r for r in spark.table("ssoj_test").collect()}
+    assert rows[1]["c_eid"] == 3          # matched pair emitted normally
+    assert 2 in rows                      # unmatched left row DID emit...
+    assert rows[2]["c_eid"] is None       # ...with a NULL right side
