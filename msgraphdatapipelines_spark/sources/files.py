@@ -41,3 +41,21 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Raw binary-file scan (`binaryFile` format): one row per file with
+    (path, modificationTime, length, content binary) — the ingest edge of
+    the multimodal family (operators/multimodal consumes the opaque
+    ``content`` column via Arrow mapInPandas).  Files are read
+    executor-side, split-parallel across files; blobs never transit the
+    driver.  At 100 TB prefer consolidating small files into parquet with
+    a binary column first (this reader is the tool that does it) — the
+    parquet layout gets column pruning and row-group parallelism the raw
+    files can't."""
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    return r.load(path)

@@ -122,3 +122,27 @@ def test_sql_surface_views_and_query(spark, sf_dir):
     # events view has a proper timestamp column (nanos handled)
     ts_type = dict(spark.table("events").dtypes)["ts"]
     assert ts_type.startswith("timestamp")  # µs timestamp (tz or ntz), not raw nanos long
+
+
+def test_read_binary_files_feeds_multimodal(spark, tmp_path):
+    """r6: binaryFile ingest — blobs arrive as an opaque binary column and
+    flow straight into the multimodal metadata operator."""
+    from msgraphdatapipelines_spark.operators import multimodal as M
+    from msgraphdatapipelines_spark.sources import files as FS
+
+    blobs = {"a.bin": b"\x89PNG\r\n" + b"x" * 100, "b.bin": b"RIFFxxxxWAVE" + b"y" * 50}
+    for name, data in blobs.items():
+        (tmp_path / name).write_bytes(data)
+    df = FS.read_binary_files(spark, str(tmp_path), glob="*.bin")
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == set(blobs)
+    assert bytes(rows["a.bin"]["content"]) == blobs["a.bin"]
+    assert rows["b.bin"]["length"] == len(blobs["b.bin"])
+    # bridge into the media-record contract and decode (fake backend)
+    media = df.select(
+        F.xxhash64("path").alias("media_id"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.col("content").alias("payload"),
+    )
+    meta = {r["n_bytes"] for r in M.decode_image_meta(media, backend="fake").collect()}
+    assert meta == {len(b) for b in blobs.values()}
