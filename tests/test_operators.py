@@ -696,3 +696,19 @@ def test_unigram_logprob_semantics(spark, sf_dir):
     assert all(r["n_oov"] >= 0 for r in rows)
     scores = sorted(r["mean_neg_logprob"] for r in rows)
     assert scores[0] < scores[-1]  # the filter actually separates docs
+
+
+def test_array_set_counts_relational_equals_array_native(spark, sf_dir):
+    """The scale-path relational twin (two codegen HashAggregates, no
+    collect_set buffers) must reproduce the array-native registry row
+    exactly — same contract as the dedup family's production/audit split."""
+    from msgraphdatapipelines_spark.queries.relational2 import (
+        array_set_counts_relational,
+        array_set_ops_per_order,
+    )
+
+    nat = {r["l_orderkey"]: (r["n_union"], r["n_common"])
+           for r in array_set_ops_per_order(spark, sf_dir).collect()}
+    rel = {r["l_orderkey"]: (r["n_union"], r["n_common"])
+           for r in array_set_counts_relational(spark, sf_dir).collect()}
+    assert nat == rel and len(nat) > 0
