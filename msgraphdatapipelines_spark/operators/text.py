@@ -302,3 +302,96 @@ def repetition_signals(text: Column | str, ws: Column | None = None) -> dict[str
             6,
         ),
     }
+
+
+def segment_windows(text: Column | str, width: int = 8, ws: Column | None = None) -> Column:
+    """Disjoint ``width``-token segments of a document, each re-joined with
+    single spaces (the trailing segment may be shorter).
+
+    This is the unit of corpus-level boilerplate removal (see
+    ``strip_frequent_segments``): published training-data pipelines dedup
+    repeated *lines*; this corpus has no line structure, so fixed token
+    windows play the same role deterministically.  ``n_segments =
+    (n_tokens + width - 1) div width`` — integer ``div`` keeps the count
+    exact in both engines, and a document with no tokens yields an empty
+    array (``sequence`` is guarded: Spark's default step is −1 when
+    start > stop, which would silently produce ``[0, -1]``).
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    w = ws if ws is not None else tokens(t)
+    # integer-exact ceil(n_tokens / width): (n + width-1) div width
+    n_seg = ((F.size(w) + F.lit(width - 1)) / F.lit(width)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.array_join(F.slice(w, i * width + 1, width), " "),
+    )
+    return F.when(F.size(w) > 0, segs).otherwise(F.array().cast("array<string>"))
+
+
+def strip_frequent_segments(
+    df: "DataFrame",  # noqa: F821
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 8,
+    min_docs: int = 3,
+    max_frequent: int = 100_000,
+) -> "DataFrame":  # noqa: F821
+    """Corpus-wide boilerplate removal: drop every ``width``-token segment
+    that occurs in ≥ ``min_docs`` DISTINCT documents, rebuild each document
+    from its surviving segments in original order.
+
+    The line-dedup step of public corpus pipelines (CCNet §4.1 "we
+    deduplicate paragraphs"; Lee et al. 2022 exact-substring dedup;
+    reference analog: the conform/clean stage of
+    `Invoke-GraphDataPipelineToAzureSQLDatabase.ps1:131-168`, which strips
+    repeated envelope noise before load) expressed for Spark scale:
+
+    1. one scan → per-doc segment arrays (pure codegen, see
+       ``segment_windows``);
+    2. ONE shuffle: explode → groupBy(segment) → count_distinct(doc) —
+       map-side partial aggregation collapses each partition's repeats
+       before the exchange;
+    3. the frequent set is inherently TINY relative to the corpus (a
+       segment must recur across ≥min_docs docs; Zipf guarantees the tail
+       is unique), so it folds to a single sorted array row, bounded by
+       ``max_frequent`` (highest-document-count segments first,
+       lexicographic tiebreak → deterministic under truncation) and
+       broadcast to every executor;
+    4. rebuild = per-row ``filter(segments, s -> !array_contains(...))``
+       against the broadcast array — order-preserving, zero additional
+       shuffle, no object-hash re-aggregation of exploded rows.
+
+    At 100 TB the only data-sized exchange is step 2's segment-hash
+    shuffle; the broadcast is ``O(max_frequent)`` regardless of corpus
+    size.  A frequent set overflowing ``max_frequent`` drops the
+    LEAST-frequent candidates first (documented, deterministic) — raise the
+    cap or ``min_docs`` if the audit row shows truncation.
+
+    Output: ``id_col, clean_text, n_segments, n_dropped`` — one row per
+    input document (documents that were pure boilerplate come back with an
+    empty ``clean_text``, preserving corpus accounting).
+    """
+    from pyspark.sql import DataFrame  # local import: module is else expr-only
+
+    assert isinstance(df, DataFrame)
+    ws = tokens(text_col)
+    base = df.select(F.col(id_col), segment_windows(text_col, width=width, ws=ws).alias("segs"))
+    frequent = (
+        base.select(F.col(id_col), F.explode("segs").alias("seg"))
+        .groupBy("seg")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .orderBy(F.col("n_docs").desc(), F.col("seg"))
+        .limit(max_frequent)
+        .agg(F.sort_array(F.collect_list("seg")).alias("freq_segs"))
+    )
+    joined = base.crossJoin(F.broadcast(frequent))
+    clean = F.filter(
+        F.col("segs"), lambda s: ~F.array_contains(F.coalesce(F.col("freq_segs"), F.array()), s)
+    )
+    return joined.select(
+        F.col(id_col),
+        F.array_join(clean, " ").alias("clean_text"),
+        F.size("segs").cast("long").alias("n_segments"),
+        (F.size("segs") - F.size(clean)).cast("long").alias("n_dropped"),
+    )

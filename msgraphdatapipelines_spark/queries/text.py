@@ -407,3 +407,55 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_neg_logprob"),
         )
     )
+
+
+_BL_W, _BL_MIN_DOCS = 4, 3
+
+
+@register(
+    "strip_boilerplate_segments",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_WS} AS ws FROM documents
+    ),
+    segd AS (
+        SELECT doc_id,
+               CASE WHEN len(ws) > 0 THEN
+                   list_transform(
+                       generate_series(0, CAST((len(ws) + {_BL_W - 1}) // {_BL_W} AS INT) - 1),
+                       i -> array_to_string(
+                           list_slice(ws, i * {_BL_W} + 1, i * {_BL_W} + {_BL_W}), ' '))
+               ELSE CAST([] AS VARCHAR[]) END AS segs
+        FROM toks
+    ),
+    ex AS (SELECT doc_id, unnest(segs) AS seg FROM segd),
+    freq AS (
+        SELECT seg FROM ex GROUP BY seg
+        HAVING count(DISTINCT doc_id) >= {_BL_MIN_DOCS}
+        ORDER BY count(DISTINCT doc_id) DESC, seg
+        LIMIT 100000
+    ),
+    fl AS (SELECT coalesce(list(seg ORDER BY seg), CAST([] AS VARCHAR[])) AS fs FROM freq)
+    SELECT doc_id,
+           -- DuckDB array_to_string(empty) is NULL; Spark array_join(empty) is ''
+           coalesce(array_to_string(list_filter(segs, s -> NOT list_contains(fs, s)), ' '), '')
+               AS clean_text,
+           CAST(len(segs) AS BIGINT) AS n_segments,
+           CAST(len(segs) - len(list_filter(segs, s -> NOT list_contains(fs, s))) AS BIGINT)
+               AS n_dropped
+    FROM segd, fl
+    """,
+    demoted=True,  # text family already holds graded rows text_battery/pii/chunk
+)
+def strip_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide boilerplate removal (the line/paragraph-dedup stage of
+    public corpus pipelines — CCNet §4.1, Lee et al. 2022 — over token
+    windows since this corpus has no line structure): drop every 4-token
+    segment occurring in ≥3 distinct documents, rebuild documents in
+    order.  One segment-hash shuffle + an O(max_frequent) broadcast; the
+    rebuild is per-row codegen (operators.text.strip_frequent_segments —
+    scale notes there)."""
+    docs = load(spark, sf_dir, "documents")
+    return X.strip_frequent_segments(
+        docs, id_col="doc_id", text_col="text", width=_BL_W, min_docs=_BL_MIN_DOCS
+    )

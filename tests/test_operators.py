@@ -712,3 +712,36 @@ def test_array_set_counts_relational_equals_array_native(spark, sf_dir):
     rel = {r["l_orderkey"]: (r["n_union"], r["n_common"])
            for r in array_set_counts_relational(spark, sf_dir).collect()}
     assert nat == rel and len(nat) > 0
+
+
+def test_strip_frequent_segments_semantics_and_plan(spark):
+    """Boilerplate segments (≥min_docs distinct docs) are dropped, doc order
+    is preserved, pure-boilerplate docs come back empty (not NULL), and the
+    rebuild side adds NO exchange beyond the frequency aggregation — the
+    frequent set reaches the filter as a broadcast."""
+    from msgraphdatapipelines_spark.operators.text import strip_frequent_segments
+
+    bp = "a b"  # the 2-token boilerplate segment, shared by 3 docs
+    df = spark.createDataFrame(
+        [
+            (1, f"{bp} x1 y1 {bp} z1 w1"),
+            (2, f"{bp} x2 y2"),
+            (3, f"q3 r3 {bp}"),
+            (4, "u4 v4 s4 t4"),
+            (5, bp),  # pure boilerplate
+        ],
+        "doc_id long, text string",
+    )
+    out = strip_frequent_segments(df, width=2, min_docs=3)
+    got = {r["doc_id"]: (r["clean_text"], r["n_segments"], r["n_dropped"]) for r in out.collect()}
+    assert got[1] == ("x1 y1 z1 w1", 4, 2)  # order preserved around both drops
+    assert got[2] == ("x2 y2", 2, 1)
+    assert got[3] == ("q3 r3", 2, 1)
+    assert got[4] == ("u4 v4 s4 t4", 2, 0)  # unique segments untouched
+    assert got[5] == ("", 1, 1)  # fully-boilerplate doc: empty string, row kept
+
+    # after execution AQE prints final + "== Initial Plan ==" — count the final only
+    plan = out._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    # data-sized exchanges: only the segment-frequency count_distinct pair
+    assert plan.count("Exchange hashpartitioning") <= 2
