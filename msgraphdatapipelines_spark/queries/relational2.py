@@ -374,3 +374,53 @@ def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.01 * F.col("exact_median_price")
         ).alias("median_within_1pct"),
     )
+
+
+_PROFILE_COLS = {
+    # column -> (spark renderer, duckdb min/max render template)
+    "o_orderkey": (None, "CAST({x} AS VARCHAR)"),
+    "o_custkey": (None, "CAST({x} AS VARCHAR)"),
+    "o_orderstatus": (None, "CAST({x} AS VARCHAR)"),
+    "o_totalprice": ("decimal", "CAST(CAST({x} AS DECIMAL(18,2)) AS VARCHAR)"),
+    "o_orderdate": ("ts", "strftime({x}, '%Y-%m-%d %H:%M:%S')"),
+    "o_orderpriority": (None, "CAST({x} AS VARCHAR)"),
+}
+
+
+def _profile_oracle() -> str:
+    aggs, rows = ["CAST(count(*) AS BIGINT) AS n_rows"], []
+    for c, (_, tpl) in _PROFILE_COLS.items():
+        aggs += [
+            f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_{c}",
+            f"CAST(count(DISTINCT {c}) AS BIGINT) AS nd_{c}",
+            tpl.format(x=f"min({c})") + f" AS mn_{c}",
+            tpl.format(x=f"max({c})") + f" AS mx_{c}",
+        ]
+        rows.append(
+            f"SELECT '{c}' AS column_name, n_rows, nn_{c} AS n_nulls,"
+            f" nd_{c} AS n_distinct, mn_{c} AS min_value, mx_{c} AS max_value FROM a"
+        )
+    return "WITH a AS (SELECT " + ", ".join(aggs) + " FROM orders) " + " UNION ALL ".join(rows)
+
+
+@register(
+    "profile_orders",
+    oracle=_profile_oracle(),
+    demoted=True,  # stats family already holds graded rows exact_moments/approx_distinct
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiling of ``orders`` (operators.profile): per
+    column NULL count, exact distinct count, min/max rendered with pinned
+    deterministic formats (decimal(18,2) for the double, explicit timestamp
+    pattern).  Exact multi-column distinct = Catalyst Expand, one shuffle;
+    the ``exact_distinct=False`` mode is the 100 TB default (no Expand) —
+    its error bound is pytest-pinned, the graded contract stays exact."""
+    from ..operators.profile import profile_columns
+
+    renderers = {
+        "o_totalprice": lambda c: c.cast("decimal(18,2)").cast("string"),
+        "o_orderdate": lambda c: F.date_format(c, TS_FMT),
+    }
+    return profile_columns(
+        load(spark, sf_dir, "orders"), cols=list(_PROFILE_COLS), renderers=renderers
+    )

@@ -745,3 +745,25 @@ def test_strip_frequent_segments_semantics_and_plan(spark):
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
     # data-sized exchanges: only the segment-frequency count_distinct pair
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_profile_columns_approx_mode_bound_and_plan(spark, sf_dir):
+    """The 100 TB profiling mode (approx_count_distinct) must avoid the
+    Expand fan-out the exact multi-distinct plan pays, stay within the HLL
+    error band, and agree exactly on null counts and min/max."""
+    from msgraphdatapipelines_spark.operators.profile import profile_columns
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus"]
+    exact = {r["column_name"]: r for r in profile_columns(orders, cols).collect()}
+    approx_df = profile_columns(orders, cols, exact_distinct=False)
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan  # single-scan partial agg, no multi-distinct fan-out
+    exact_plan = profile_columns(orders, cols)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in exact_plan  # and the exact mode really is the Expand trade
+    for r in approx_df.collect():
+        e = exact[r["column_name"]]
+        assert r["n_nulls"] == e["n_nulls"]
+        assert r["min_value"] == e["min_value"] and r["max_value"] == e["max_value"]
+        # approx_count_distinct default rsd = 5%
+        assert abs(r["n_distinct"] - e["n_distinct"]) <= max(0.12 * e["n_distinct"], 2)
