@@ -799,3 +799,85 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "cid", F.round("score", 6).alias("score"), "rank")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_c: str,
+    vec_c: str,
+    centroids: list[tuple[int, list[float]]],
+    tau: float = 0.95,
+    materialize: bool = True,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the embedding
+    space with a (pre-trained) k-means quantizer, then drop every document
+    that has a SMALLER-ID neighbor in the SAME cluster with cosine ≥ tau —
+    one survivor per semantic-duplicate group, found without any cross-
+    cluster comparison.
+
+    Spark shape:
+    - cluster assignment is a NARROW map: centroids are model state inlined
+      as literals (the ivf_topk/kmeans trick — no join, no shuffle), nearest
+      by squared L2, ties to the lowest centroid index;
+    - the candidate scan is a within-cluster self-equi-join on cluster id —
+      Θ(Σ m_c²) cosines, the published SemDeDup cost, which stays bounded
+      because k grows with the corpus (m_c ≈ n/k docs per cluster); the
+      join itself is hash-partitioned by cluster, never a cartesian;
+    - the dropped-id set distincts on id and folds back with one LEFT join
+      (AQE broadcasts it when small).
+
+    Zero-norm vectors keep themselves: the NaN-cosine guard prevents the
+    ANSI-mode DIVIDE_BY_ZERO error and the `NaN >= tau` trap (the divisor
+    nullifs to NULL, whose comparison is never true).
+
+    ``materialize=True`` (default) pins the assigned frame with an eager
+    ``localCheckpoint`` so its three consumers (both self-join sides + the
+    final fold-back) read ONE materialization instead of re-running the
+    k×dim assignment map per branch — the r5 ivf lesson; same
+    executor-loss caveat as ``sinks.with_surrogate_key`` (long clusters:
+    prefer reliable checkpointing for the pinned frame).
+
+    Output: one row per input — ``(id_c, cluster_id, kept)``.
+    """
+    v = F.col(vec_c).cast("array<double>")
+    entries = []
+    for ci, c in sorted(centroids):
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        d2 = F.aggregate(
+            F.zip_with(v, arr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        entries.append(F.struct(d2.alias("d2"), F.lit(ci).alias("ci")))
+    assigned = corpus.select(
+        F.col(id_c).alias("_id"),
+        v.alias("_v"),
+        F.sqrt(seq_dot(v, v)).alias("_n"),
+        F.sort_array(F.array(*entries))[0]["ci"].cast("long").alias("cluster_id"),
+    )
+    if materialize:
+        assigned = assigned.localCheckpoint(eager=True)
+    a, b = assigned.alias("a"), assigned.alias("b")
+    # ANSI-safe zero-norm guard: a 0 divisor must yield NULL (→ filter
+    # false, vector keeps itself), not a DIVIDE_BY_ZERO error or a NaN
+    # that sorts above tau
+    prod = F.col("a._n") * F.col("b._n")
+    cos = seq_dot(F.col("a._v"), F.col("b._v")) / F.nullif(prod, F.lit(0.0))
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("b._id") < F.col("a._id")),
+        )
+        .filter(cos >= tau)
+        .select(F.col("a._id").alias("_did"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped, assigned["_id"] == dropped["_did"], "left")
+        .select(
+            F.col("_id").alias(id_c),
+            "cluster_id",
+            F.col("_did").isNull().alias("kept"),
+        )
+    )

@@ -424,3 +424,47 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < N_QUERIES), emb,
         "vec_id", "vec_id", "embedding", "embedding", k=K,
     )
+
+
+SEMDEDUP_TAU = 0.4  # fixture-calibrated: sf0.001 max pair cosine ≈ 0.479, so
+# a handful of same-cluster pairs clear the bar and the drop path is exercised;
+# production corpora use ~0.95 (SemDeDup paper) — the knob, not the shape.
+
+
+@register(
+    "semantic_dedup_embeddings",
+    oracle=f"""
+    WITH {_kmeans_trained_cte()},
+    assign AS (
+        SELECT vec_id, embedding, cent FROM (
+            SELECT e.vec_id, e.embedding, t.cent,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_l2('e.embedding', 'cvec')} ASC, t.cent) AS rn
+            FROM embeddings e CROSS JOIN trained t) x
+        WHERE rn = 1
+    ),
+    dropped AS (
+        SELECT DISTINCT a.vec_id FROM assign a
+        JOIN assign b ON a.cent = b.cent AND b.vec_id < a.vec_id
+        WHERE {_norm_pos('a.embedding')} AND {_norm_pos('b.embedding')}
+          AND {_cos('a.embedding', 'b.embedding')} >= {SEMDEDUP_TAU}
+    )
+    SELECT a.vec_id, CAST(a.cent AS BIGINT) AS cluster_id,
+           (d.vec_id IS NULL) AS kept
+    FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+    """,
+    demoted=True,  # embedding-dedup family already holds two graded rows
+)
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic near-dup removal: the same exact-mean one-step
+    Lloyd quantizer as the graded ann_kmeans_ivf_topk row trains IN-ENGINE,
+    then operators.similarity.semantic_dedup drops every vector with a
+    smaller-id same-cluster neighbor at cosine ≥ tau.  The oracle replays
+    quantizer + assignment + within-cluster pair scan in plain SQL —
+    possible only because the trainer is bit-identical cross-engine."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents = S.kmeans_centroids(
+        emb, "vec_id", "embedding", k=N_CENTROIDS, iters=1, dim=DIM, exact_mean=True
+    )
+    return S.semantic_dedup(emb, "vec_id", "embedding", centroids=cents, tau=SEMDEDUP_TAU)

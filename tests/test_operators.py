@@ -767,3 +767,45 @@ def test_profile_columns_approx_mode_bound_and_plan(spark, sf_dir):
         assert r["min_value"] == e["min_value"] and r["max_value"] == e["max_value"]
         # approx_count_distinct default rsd = 5%
         assert abs(r["n_distinct"] - e["n_distinct"]) <= max(0.12 * e["n_distinct"], 2)
+
+
+def test_semantic_dedup_semantics(spark):
+    """SemDeDup contract on crafted vectors: min-id survivor per
+    within-cluster dup group; near-dups split across clusters are NOT
+    compared (the published blind spot); zero-norm vectors keep
+    themselves."""
+    # two far-apart cluster centers on axes 0 and 1
+    cents = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])]
+    vecs = [
+        (1, [1.0, 0.0, 0.0]),     # cluster 0, dup group {1, 2, 3}
+        (2, [0.99, 0.01, 0.0]),
+        (3, [0.98, 0.02, 0.0]),
+        (4, [0.6, 0.55, 0.0]),    # cluster 0 (barely), near-dup of 5 across border
+        (5, [0.55, 0.6, 0.0]),    # cluster 1
+        (6, [0.0, 1.0, 0.0]),     # cluster 1, loner
+        (7, [0.0, 0.0, 0.0]),     # zero-norm
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    from msgraphdatapipelines_spark.operators.similarity import semantic_dedup
+
+    out = {r["vec_id"]: r for r in semantic_dedup(
+        df, "vec_id", "embedding", centroids=cents, tau=0.95
+    ).collect()}
+    assert len(out) == 7  # one row per input, always
+    assert out[1]["kept"] and not out[2]["kept"] and not out[3]["kept"]
+    # 4↔5 cosine ≈ 0.9985 ≥ tau but clusters differ → both kept
+    assert out[4]["cluster_id"] == 0 and out[5]["cluster_id"] == 1
+    assert out[4]["kept"] and out[5]["kept"]
+    assert out[6]["kept"]
+    assert out[7]["kept"]  # NaN cosine never collapses
+
+
+def test_semantic_dedup_fixture_actually_drops(spark, sf_dir):
+    """The demoted-oracle row's fixture-calibrated tau must really exercise
+    the drop path (a tau above the data's max cosine would make the oracle
+    comparison vacuous)."""
+    from msgraphdatapipelines_spark.queries.similarity import semantic_dedup_embeddings
+
+    out = semantic_dedup_embeddings(spark, sf_dir).collect()
+    n_dropped = sum(1 for r in out if not r["kept"])
+    assert len(out) == 500 and n_dropped > 0
