@@ -424,3 +424,66 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(
         load(spark, sf_dir, "orders"), cols=list(_PROFILE_COLS), renderers=renderers
     )
+
+
+_SESSION_GAP_US = 4 * 3600 * 1_000_000  # 4h, fixture-calibrated (median gap ~7.7h)
+
+
+@register(
+    "sessionize_events",
+    oracle=f"""
+    WITH o AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, ts_us,
+               CASE WHEN prev_us IS NULL OR ts_us - prev_us > {_SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM o
+    ),
+    numbered AS (
+        SELECT user_id, ts_us,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts_us) AS start_us, max(ts_us) AS end_us,
+           round(CAST(max(ts_us) - min(ts_us) AS DOUBLE) / 1e6, 6) AS duration_s
+    FROM numbered GROUP BY user_id, session_id
+    """,
+    demoted=True,  # window family holds graded rows window_rank_battery/asof/top_orders
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization — the gap-based session operator (the batch twin
+    of the streaming session-window row): per user, a >4h silence starts a
+    new session; sessions number 1..n per user via a running sum over ONE
+    user-partitioned sort window.  The follow-up per-session aggregation
+    re-uses that partitioning (group keys ⊇ window keys → Catalyst plans NO
+    second exchange), so the whole operator costs a single sort-shuffle at
+    any scale.  Ties (equal ts) order by event_id and always co-session
+    (gap 0)."""
+    ev = load_events(spark, sf_dir)
+    # parquet may surface ts as TIMESTAMP_NTZ; unix_micros wants TIMESTAMP —
+    # the cast interprets in the session zone, pinned UTC (= DuckDB epoch_us)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(us).over(w)
+    is_new = F.when(prev.isNull() | ((us - prev) > _SESSION_GAP_US), 1).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = ev.select(
+        "user_id",
+        us.alias("ts_us"),
+        F.sum(is_new).over(run).cast("long").alias("session_id"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+        F.round((F.max("ts_us") - F.min("ts_us")).cast("double") / 1e6, 6).alias("duration_s"),
+    )

@@ -809,3 +809,20 @@ def test_semantic_dedup_fixture_actually_drops(spark, sf_dir):
     out = semantic_dedup_embeddings(spark, sf_dir).collect()
     n_dropped = sum(1 for r in out if not r["kept"])
     assert len(out) == 500 and n_dropped > 0
+
+
+def test_sessionize_events_single_shuffle_plan(spark, sf_dir):
+    """The per-session aggregation's group keys are a superset of the
+    window's partition key, so Catalyst must reuse the user_id exchange —
+    the whole operator costs ONE data-sized shuffle."""
+    from msgraphdatapipelines_spark.queries.relational2 import sessionize_events
+
+    df = sessionize_events(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") == 1
+    rows = df.collect()
+    users = {r["user_id"] for r in rows}
+    assert len(rows) > len(users)  # the gap really splits users into sessions
+    for u in users:  # session ids are 1..n dense per user
+        sids = sorted(r["session_id"] for r in rows if r["user_id"] == u)
+        assert sids == list(range(1, len(sids) + 1))
