@@ -111,3 +111,55 @@ def temperature_mixture_sample(
         df.join(F.broadcast(rates), domain_col)
         .filter(md5_uniform(F.col(id_col)) < F.col("rate"))
     )
+
+
+def stratified_take_exact(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    counts: dict[str, int],
+    default_n: int = 0,
+) -> DataFrame:
+    """EXACT-count stratified sampling: take exactly ``counts[stratum]``
+    rows per stratum (all rows if the stratum is smaller), chosen by the
+    smallest deterministic md5 draws — the "exactly 10k eval docs per
+    language" primitive that the rate-based ``temperature_mixture_sample``
+    cannot guarantee (its realized totals are binomial).
+
+    Determinism: rows rank by ``(md5_uniform(id), id)`` within their
+    stratum, so re-runs, backfills, and the DuckDB oracle select
+    byte-identical rows; adding rows to a stratum only perturbs the
+    selection where the new draws land inside the top-n (bounded churn,
+    the property sliced-conventional random sampling lacks).
+
+    Spark shape: ONE sort-shuffle keyed on the stratum.  Catalyst plans
+    rank-then-filter as WindowGroupLimit: each map task keeps only its
+    per-stratum top-n BEFORE the exchange, so the shuffle moves
+    O(strata · n) rows, not the corpus — the same pre-shuffle heap that
+    bounds the LSH pair audit.  Strata missing from ``counts`` get
+    ``default_n`` (0 → dropped entirely).
+
+    Output: the selected rows plus ``draw`` (the uniform) and
+    ``stratum_rank`` (1-based rank within the stratum).
+    """
+    n_for = F.coalesce(
+        *(
+            [F.create_map(*[F.lit(x) for kv in counts.items() for x in kv])[F.col(stratum_col)]]
+            if counts
+            else []
+        ),
+        F.lit(default_n),
+    )
+    from pyspark.sql import Window
+
+    draw = md5_uniform(id_col)
+    w = Window.partitionBy(stratum_col).orderBy(draw.asc(), F.col(id_col).asc())
+    # the per-stratum bound is an expression, which InferWindowGroupLimit
+    # cannot use — the extra LITERAL max-n conjunct is what turns the plan
+    # into the pre-shuffle heap; the expression conjunct then trims exactly
+    max_n = max([*counts.values(), default_n]) if counts else default_n
+    return (
+        df.withColumn("draw", draw)  # exact binary fraction — bit-identical cross-engine, no rounding needed
+        .withColumn("stratum_rank", F.row_number().over(w).cast("long"))
+        .filter((F.col("stratum_rank") <= F.lit(max_n)) & (F.col("stratum_rank") <= n_for))
+    )

@@ -125,3 +125,46 @@ def mixture_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, domain_col="lang", id_col="doc_id", target_total=400, alpha=0.5
     )
     return out.select("doc_id", "lang", "n_domain", "rate")
+
+
+_STRATA_N = {"en": 50, "de": 30, "zh": 100, "fr": 0}  # es absent -> default 10
+_STRATA_DEFAULT = 10
+
+
+def _stratified_oracle() -> str:
+    from ..operators.sampling import md5_uniform_sql
+
+    u = md5_uniform_sql("doc_id")
+    cases = " ".join(f"WHEN '{k}' THEN {v}" for k, v in _STRATA_N.items())
+    return f"""
+    WITH ranked AS (
+        SELECT *, {u} AS draw,
+               row_number() OVER (PARTITION BY lang ORDER BY {u} ASC, doc_id ASC)
+                   AS stratum_rank
+        FROM documents
+    )
+    SELECT doc_id, text, lang, source, n_chars, draw,
+           CAST(stratum_rank AS BIGINT) AS stratum_rank
+    FROM ranked
+    WHERE stratum_rank <= (CASE lang {cases} ELSE {_STRATA_DEFAULT} END)
+    """
+
+
+@register(
+    "stratified_sample_exact",
+    oracle=_stratified_oracle(),
+    demoted=True,  # sampling family holds the graded mixture_sample_temperature row
+)
+def stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-stratum sampling (operators.sampling.stratified_take_exact):
+    exactly n_lang documents per language by smallest deterministic md5
+    draw — zh over-asks (100 > |zh|, whole stratum survives), fr takes 0,
+    es falls to the default.  One stratum-keyed sort-shuffle planned as
+    WindowGroupLimit (pre-shuffle top-n heap); the oracle replays the
+    identical draw expression so both engines pick byte-identical rows."""
+    from ..operators.sampling import stratified_take_exact
+
+    docs = load(spark, sf_dir, "documents")
+    return stratified_take_exact(
+        docs, "lang", "doc_id", counts=_STRATA_N, default_n=_STRATA_DEFAULT
+    )

@@ -826,3 +826,26 @@ def test_sessionize_events_single_shuffle_plan(spark, sf_dir):
     for u in users:  # session ids are 1..n dense per user
         sids = sorted(r["session_id"] for r in rows if r["user_id"] == u)
         assert sids == list(range(1, len(sids) + 1))
+
+
+def test_stratified_take_exact_counts_and_plan(spark, sf_dir):
+    """Exact stratum counts: capped strata return exactly n, over-asked
+    strata return whole stratum, zero-count strata vanish; the rank filter
+    plans as WindowGroupLimit (pre-shuffle per-stratum top-n heap)."""
+    from msgraphdatapipelines_spark.queries.curation import (
+        _STRATA_DEFAULT,
+        _STRATA_N,
+        stratified_sample_exact,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sizes = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    out = stratified_sample_exact(spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert "WindowGroupLimit" in plan
+    got = {r["lang"]: 0 for r in out.select("lang").distinct().collect()}
+    for r in out.collect():
+        got[r["lang"]] += 1
+    for lang, size in sizes.items():
+        want = min(_STRATA_N.get(lang, _STRATA_DEFAULT), size)
+        assert got.get(lang, 0) == want, (lang, got.get(lang), want)
