@@ -487,3 +487,42 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts_us").alias("end_us"),
         F.round((F.max("ts_us") - F.min("ts_us")).cast("double") / 1e6, 6).alias("duration_s"),
     )
+
+
+@register(
+    "sketch_rollup_daily",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           TRUE AS estimate_within_2pct
+    FROM events
+    GROUP BY event_type
+    """,
+    demoted=True,  # graded sketch coverage lives in approx_distinct_stats
+)
+def sketch_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental distinct counting via a mergeable HLL rollup table
+    (operators.sketches): per-day increments sketch once, a range query
+    merges O(days) sketch rows instead of rescanning the corpus.  Same
+    within-tolerance grading contract as approx_distinct_stats — the raw
+    sketch is engine state, the BOOLEAN is the cross-engine claim; the
+    merge-identity (union-of-sketches == sketch-of-union) is pinned in
+    pytest where binary equality is checkable."""
+    from ..operators.sketches import build_distinct_sketches, merge_distinct_sketches
+
+    ev = load_events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    inc = build_distinct_sketches(ev, ["event_type", "day"], "user_id")
+    merged = merge_distinct_sketches(inc, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return exact.join(merged, "event_type").select(
+        "event_type",
+        "exact_users",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        (
+            F.abs(F.col("distinct_estimate") - F.col("exact_users"))
+            <= F.greatest(F.lit(0.02) * F.col("exact_users"), F.lit(1.0))
+        ).alias("estimate_within_2pct"),
+    )

@@ -849,3 +849,34 @@ def test_stratified_take_exact_counts_and_plan(spark, sf_dir):
     for lang, size in sizes.items():
         want = min(_STRATA_N.get(lang, _STRATA_DEFAULT), size)
         assert got.get(lang, 0) == want, (lang, got.get(lang), want)
+
+
+def test_sketch_rollup_merge_identity_and_persistence(spark, sf_dir, tmp_path):
+    """The rollup-table contract: (1) union-of-increment-sketches gives the
+    SAME estimate as sketching the whole data (per-register max => merge is
+    exact and order-independent); (2) sketch rows survive a parquet
+    round-trip (the persisted rollup table is real, not session state);
+    (3) estimates stay inside the lgk=12 error band vs exact."""
+    from msgraphdatapipelines_spark.operators.sketches import (
+        build_distinct_sketches,
+        merge_distinct_sketches,
+    )
+    from msgraphdatapipelines_spark.queries import load_events
+
+    ev = load_events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    inc = build_distinct_sketches(ev, ["event_type", "day"], "user_id")
+    path = str(tmp_path / "rollup")
+    inc.write.mode("overwrite").parquet(path)  # the appendable increment table
+    merged = merge_distinct_sketches(spark.read.parquet(path), ["event_type"])
+    direct = merge_distinct_sketches(
+        build_distinct_sketches(ev, ["event_type"], "user_id"), ["event_type"]
+    )
+    m = {r["event_type"]: r["distinct_estimate"] for r in merged.collect()}
+    d = {r["event_type"]: r["distinct_estimate"] for r in direct.collect()}
+    assert m == d and len(m) > 0
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count_distinct("user_id").alias("n")).collect()
+    }
+    for k, est in m.items():
+        assert abs(est - exact[k]) <= max(0.02 * exact[k], 1), (k, est, exact[k])
