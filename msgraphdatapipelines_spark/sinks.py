@@ -436,3 +436,56 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Small-file compaction — the table-maintenance pass every streaming /
+    incremental sink eventually needs (micro-batch appends and per-delta
+    loads leave thousands of KB-sized part files; at 100 TB the resulting
+    task-per-file scheduling and NameNode/listing pressure dominate scan
+    cost long before the data does).
+
+    Sizes the output from the ACTUAL on-disk bytes: lists the directory
+    through the Hadoop FileSystem API, sums part-file sizes, and rewrites
+    into ``ceil(total / target_file_bytes)`` files via an explicit
+    round-robin ``repartition(n)`` (honored exactly — AQE does not
+    override explicit repartition counts).  Writes to ``out_path`` and
+    leaves the source intact: swapping is the caller's transaction (an
+    atomic rename / metastore pointer flip), because a same-directory
+    rewrite cannot be made crash-safe from inside the job.
+
+    Hive-partitioned layouts: compact per partition directory (pass each
+    partition's path), preserving pruning.
+
+    Returns ``{"in_files", "in_bytes", "out_files"}``.
+    """
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    in_files = in_bytes = 0
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if f.isFile() and not name.startswith("_") and not name.startswith("."):
+            in_files += 1
+            in_bytes += f.getLen()
+    n_out = max(1, -(-in_bytes // target_file_bytes))  # ceil
+    df = spark.read.parquet(path)
+    df.repartition(n_out).write.mode("overwrite").parquet(out_path)
+    opath = jvm.org.apache.hadoop.fs.Path(out_path)
+    ofs = opath.getFileSystem(jsc.hadoopConfiguration())
+    out_files = 0
+    oit = ofs.listFiles(opath, True)
+    while oit.hasNext():
+        f = oit.next()
+        name = f.getPath().getName()
+        if f.isFile() and not name.startswith("_") and not name.startswith("."):
+            out_files += 1
+    return {"in_files": in_files, "in_bytes": in_bytes, "out_files": out_files}

@@ -232,3 +232,26 @@ def test_zorder_layout_shrinks_per_file_bounding_boxes(spark, tmp_path):
     assert spark.read.parquet(z_path).count() == n
     got = spark.read.parquet(z_path).agg(F.sum("payload")).collect()[0][0]
     assert got == n * (n - 1) // 2
+
+
+def test_compact_parquet_sizes_from_disk_bytes(spark, sf_dir, tmp_path):
+    """Compaction reads real on-disk sizes: a 40-file fragmentation of
+    orders rewrites into ceil(bytes/target) files with identical rows and
+    the source left untouched."""
+    from msgraphdatapipelines_spark.sinks import compact_parquet
+
+    src = str(tmp_path / "frag")
+    out = str(tmp_path / "compact")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders.repartition(40).write.parquet(src)
+
+    stats = compact_parquet(spark, src, out, target_file_bytes=64 * 1024)
+    assert stats["in_files"] == 40
+    want_files = max(1, -(-stats["in_bytes"] // (64 * 1024)))
+    assert stats["out_files"] == want_files and 1 < want_files < 40
+    a = sorted(r["o_orderkey"] for r in spark.read.parquet(src).collect())
+    b = sorted(r["o_orderkey"] for r in spark.read.parquet(out).collect())
+    assert a == b
+    # single-file degenerate case still works
+    stats2 = compact_parquet(spark, src, str(tmp_path / "one"), target_file_bytes=1 << 40)
+    assert stats2["out_files"] == 1
