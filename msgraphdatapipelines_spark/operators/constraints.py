@@ -1,0 +1,118 @@
+"""Declarative data-quality constraint checking — the engine-side analog of
+the reference's database-enforced contracts.
+
+The reference pushes integrity into the target schema: `NOT NULL` columns
+and the `PK_*` primary keys of `SQL database/ManagedDevices/
+Prepare-SQLDatabase.sql:8-9,22` (and the Windows365 twins) make the LOAD
+fail on bad data.  A Spark warehouse has no engine-enforced constraints,
+so the same contracts become an explicit validation pass that runs before
+publish — this module.
+
+Design for 100 TB: every constraint compiles to a conditional COUNT
+aggregate over one shared scan — ``not_null``/``range``/``regex`` checks
+fold into ONE agg job with zero shuffles; ``unique`` needs its own
+count-distinct (one shuffle); ``foreign_key`` needs one anti-join against
+the (broadcastable) parent's key set.  The report is rows of
+``(constraint, kind, passed, n_violations)`` — the load gate consumes
+``passed``, the triage dashboard reads ``n_violations``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Constraint:
+    name: str
+    kind: str  # not_null | check | unique | foreign_key
+    # for not_null/check: a per-row violation predicate Column
+    # for unique: the key column list
+    # for foreign_key: (child_cols, parent_df, parent_cols)
+    spec: object
+
+
+def not_null(*cols: str) -> list[Constraint]:
+    return [
+        Constraint(f"not_null_{c}", "not_null", F.col(c).isNull()) for c in cols
+    ]
+
+
+def check(name: str, violation: Column) -> Constraint:
+    """A row-level CHECK: ``violation`` is TRUE on rows breaking the rule."""
+    return Constraint(name, "check", violation)
+
+
+def unique(*cols: str) -> Constraint:
+    """Key uniqueness via ``count(*) − count_distinct(keys)``: NULL-keyed
+    rows count as violations (count_distinct skips them) — stricter than
+    ANSI UNIQUE; pair with ``not_null`` on the key to attribute them."""
+    return Constraint("unique_" + "_".join(cols), "unique", list(cols))
+
+
+def foreign_key(child_cols: list[str], parent: DataFrame, parent_cols: list[str]) -> Constraint:
+    return Constraint(
+        "fk_" + "_".join(child_cols), "foreign_key", (child_cols, parent, parent_cols)
+    )
+
+
+def check_constraints(df: DataFrame, constraints: list[Constraint]) -> DataFrame:
+    """Evaluate all constraints; returns one report row per constraint:
+    ``(constraint, kind, passed, n_violations)``.
+
+    All row-level constraints (not_null/check) share ONE aggregation job
+    over one scan; each unique adds a count-vs-count_distinct agg; each
+    foreign_key adds a LEFT ANTI join (broadcast when the parent key set
+    is small — dimension tables at any scale) counted in the same job.
+    Reports union driver-side (each is a 1-row frame).
+    """
+    reports: list[DataFrame] = []
+
+    rowlevel = [c for c in constraints if c.kind in ("not_null", "check")]
+    if rowlevel:
+        aggs = [
+            F.sum(F.when(c.spec, 1).otherwise(0)).cast("long").alias(c.name)
+            for c in rowlevel
+        ]
+        one = df.agg(*aggs)
+        stack = ", ".join(f"'{c.name}', '{c.kind}', {c.name}" for c in rowlevel)
+        reports.append(
+            one.selectExpr(
+                f"stack({len(rowlevel)}, {stack}) AS (constraint, kind, n_violations)"
+            )
+        )
+
+    for c in constraints:
+        if c.kind == "unique":
+            keys = [F.col(k) for k in c.spec]
+            rep = df.agg(
+                (F.count(F.lit(1)) - F.count_distinct(*keys)).cast("long").alias("n_violations")
+            ).select(
+                F.lit(c.name).alias("constraint"), F.lit(c.kind).alias("kind"), "n_violations"
+            )
+            reports.append(rep)
+        elif c.kind == "foreign_key":
+            child_cols, parent, parent_cols = c.spec
+            pk = F.broadcast(
+                parent.select(
+                    *[F.col(p).alias(ch) for ch, p in zip(child_cols, parent_cols)]
+                ).distinct()
+            )
+            # NULL child keys are not FK violations (SQL semantics)
+            child = df.select(*child_cols).na.drop(subset=child_cols)
+            rep = child.join(pk, on=child_cols, how="left_anti").agg(
+                F.count(F.lit(1)).cast("long").alias("n_violations")
+            ).select(
+                F.lit(c.name).alias("constraint"), F.lit(c.kind).alias("kind"), "n_violations"
+            )
+            reports.append(rep)
+
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        "constraint", "kind", (F.col("n_violations") == 0).alias("passed"), "n_violations"
+    )

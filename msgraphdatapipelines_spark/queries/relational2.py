@@ -526,3 +526,60 @@ def sketch_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.greatest(F.lit(0.02) * F.col("exact_users"), F.lit(1.0))
         ).alias("estimate_within_2pct"),
     )
+
+
+@register(
+    "constraint_check_orders",
+    oracle="""
+    SELECT 'not_null_o_orderkey' AS constraint, 'not_null' AS kind,
+           CAST(count(*) FILTER (o_orderkey IS NULL) AS BIGINT) AS n_violations,
+           count(*) FILTER (o_orderkey IS NULL) = 0 AS passed FROM orders
+    UNION ALL
+    SELECT 'not_null_o_custkey', 'not_null',
+           CAST(count(*) FILTER (o_custkey IS NULL) AS BIGINT),
+           count(*) FILTER (o_custkey IS NULL) = 0 FROM orders
+    UNION ALL
+    SELECT 'positive_totalprice', 'check',
+           CAST(count(*) FILTER (NOT (o_totalprice > 0)) AS BIGINT),
+           count(*) FILTER (NOT (o_totalprice > 0)) = 0 FROM orders
+    UNION ALL
+    SELECT 'status_domain', 'check',
+           CAST(count(*) FILTER (o_orderstatus NOT IN ('O','F','P')) AS BIGINT),
+           count(*) FILTER (o_orderstatus NOT IN ('O','F','P')) = 0 FROM orders
+    UNION ALL
+    SELECT 'unique_o_orderkey', 'unique',
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+           count(*) = count(DISTINCT o_orderkey) FROM orders
+    UNION ALL
+    SELECT 'fk_o_custkey', 'foreign_key',
+           CAST(count(*) AS BIGINT), count(*) = 0 FROM (
+        SELECT o.o_custkey FROM orders o
+        LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL)
+    """,
+    demoted=True,  # engine-side validation pass; load-path rows stay graded
+)
+def constraint_check_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's database-enforced contracts (NOT NULL columns + the
+    PK of `Prepare-SQLDatabase.sql:8-9,22`) as an explicit pre-publish
+    validation pass (operators.constraints): all row-level checks share
+    ONE aggregation over one scan, uniqueness is one count-distinct agg,
+    the FK check is one broadcast anti-join against the customer dim."""
+    from ..operators.constraints import (
+        check,
+        check_constraints,
+        foreign_key,
+        not_null,
+        unique,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    cons = [
+        *not_null("o_orderkey", "o_custkey"),
+        check("positive_totalprice", ~(F.col("o_totalprice") > 0)),
+        check("status_domain", ~F.col("o_orderstatus").isin("O", "F", "P")),
+        unique("o_orderkey"),
+        foreign_key(["o_custkey"], customer, ["c_custkey"]),
+    ]
+    return check_constraints(orders, cons)

@@ -880,3 +880,42 @@ def test_sketch_rollup_merge_identity_and_persistence(spark, sf_dir, tmp_path):
     }
     for k, est in m.items():
         assert abs(est - exact[k]) <= max(0.02 * exact[k], 1), (k, est, exact[k])
+
+
+def test_check_constraints_counts_planted_violations(spark):
+    """Dirty micro-data: every constraint kind counts its planted
+    violations exactly; NULL FK keys are not violations (SQL semantics)."""
+    from msgraphdatapipelines_spark.operators.constraints import (
+        check,
+        check_constraints,
+        foreign_key,
+        not_null,
+        unique,
+    )
+
+    child = spark.createDataFrame(
+        [
+            (1, 10, 5.0),
+            (2, 10, -1.0),   # check violation (amount <= 0)
+            (2, 99, 3.0),    # dup id + FK orphan (99 not in parent)
+            (None, 20, 2.0), # null id; FK ok
+            (4, None, 1.0),  # null fk key -> NOT an FK violation
+        ],
+        "id long, cust long, amount double",
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pid long")
+    rep = {r["constraint"]: r for r in check_constraints(
+        child,
+        [
+            *not_null("id"),
+            check("positive_amount", ~(F.col("amount") > 0)),
+            unique("id"),
+            foreign_key(["cust"], parent, ["pid"]),
+        ],
+    ).collect()}
+    assert rep["not_null_id"]["n_violations"] == 1 and not rep["not_null_id"]["passed"]
+    assert rep["positive_amount"]["n_violations"] == 1
+    # count - count_distinct: 5 rows, id NULL excluded from count_distinct ->
+    # distinct non-null ids {1,2,4}=3, count(*)=5 -> 2 "violations" (the dup + the null)
+    assert rep["unique_id"]["n_violations"] == 2
+    assert rep["fk_cust"]["n_violations"] == 1 and not rep["fk_cust"]["passed"]
