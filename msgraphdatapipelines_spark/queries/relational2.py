@@ -583,3 +583,39 @@ def constraint_check_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         foreign_key(["o_custkey"], customer, ["c_custkey"]),
     ]
     return check_constraints(orders, cons)
+
+
+@register(
+    "trailing_window_events",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_7d,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_7d
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+                 RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+    """,
+    demoted=True,  # window family graded via window_rank_battery/top_orders
+)
+def trailing_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame — the trailing-7-day aggregate per event
+    (`RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW` over epoch seconds),
+    the capability ROWS frames can't express when event spacing is
+    irregular.  One user-keyed sort-shuffle, state = the in-frame slice.
+    Equal-timestamp peers are IN frame together (RANGE semantics) in both
+    engines.  Sum folds in decimal then casts — double accumulation order
+    over the frame would differ cross-engine."""
+    ev = load_events(spark, sf_dir)
+    sec = F.unix_micros(F.col("ts").cast("timestamp")).cast("double") / 1e6
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-604800, Window.currentRow)
+    )
+    val = F.col("value").cast("decimal(18,6)")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_7d"),
+        F.sum(val).over(w).cast("double").alias("sum_7d"),
+    )
