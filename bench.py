@@ -21,7 +21,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from msgraphdatapipelines_spark.queries import REGISTRY, _ensure_loaded
+from msgraphdatapipelines_spark.queries import DEMOTED, REGISTRY, _ensure_loaded
 from msgraphdatapipelines_spark.session import get_spark
 
 RUNS = int(os.environ.get("BENCH_RUNS", "3"))
@@ -39,8 +39,14 @@ def main() -> None:
     skip = {s for s in os.environ.get("BENCH_SKIP", "").split(",") if s}
     only = {s for s in os.environ.get("BENCH_ONLY", "").split(",") if s}
 
+    # ad-hoc measurement of pytest-gated rows (sweeps / PERF.md evidence);
+    # the driver's plain invocation still times the graded registry only
+    rows = dict(REGISTRY)
+    if os.environ.get("BENCH_INCLUDE_DEMOTED"):
+        rows.update(DEMOTED)
+
     timings: dict[str, float] = {}
-    for name, q in REGISTRY.items():
+    for name, q in rows.items():
         if name in skip or (only and name not in only):
             continue
         # warm-up (plan compile, file listing, code cache)
