@@ -335,6 +335,7 @@ def strip_frequent_segments(
     width: int = 8,
     min_docs: int = 3,
     max_frequent: int = 100_000,
+    rebuild: str = "auto",
 ) -> "DataFrame":  # noqa: F821
     """Corpus-wide boilerplate removal: drop every ``width``-token segment
     that occurs in ≥ ``min_docs`` DISTINCT documents, rebuild each document
@@ -350,22 +351,25 @@ def strip_frequent_segments(
        ``segment_windows``);
     2. ONE shuffle: explode → groupBy(segment) → count_distinct(doc) —
        map-side partial aggregation collapses each partition's repeats
-       before the exchange;
-    3. the frequent set is inherently TINY relative to the corpus (a
-       segment must recur across ≥min_docs docs; Zipf guarantees the tail
-       is unique), so it folds to a single sorted array row, bounded by
-       ``max_frequent`` (highest-document-count segments first,
-       lexicographic tiebreak → deterministic under truncation) and
-       broadcast to every executor;
-    4. rebuild = per-row ``filter(segments, s -> !array_contains(...))``
-       against the broadcast array — order-preserving, zero additional
-       shuffle, no object-hash re-aggregation of exploded rows.
+       before the exchange; the frequent set is bounded by ``max_frequent``
+       (highest-document-count segments first, lexicographic tiebreak →
+       deterministic under truncation);
+    3. rebuild, two identical-output modes chosen by ``rebuild``:
 
-    At 100 TB the only data-sized exchange is step 2's segment-hash
-    shuffle; the broadcast is ``O(max_frequent)`` regardless of corpus
-    size.  A frequent set overflowing ``max_frequent`` drops the
-    LEAST-frequent candidates first (documented, deterministic) — raise the
-    cap or ``min_docs`` if the audit row shows truncation.
+       - ``'array'``: fold the frequent set to ONE sorted broadcast array
+         and drop per row with ``filter(segs, s -> !array_contains(…))`` —
+         zero extra shuffle, but each segment pays an O(|frequent|) linear
+         probe (literal arrays have no hash lookup).  Right when the
+         frequent set is genuinely small (clean corpora, tight caps).
+       - ``'join'``: posexplode → broadcast HASH join against the frequent
+         table (O(1) probes) → re-aggregate per doc ordered by position.
+         One extra doc-keyed shuffle + a per-doc-bounded collect_list, but
+         rebuild cost is corpus-linear REGARDLESS of |frequent| — the 100×
+         sweep caught the array mode at 78k frequent segments × 6M probes
+         (duplication-heavy corpora make the frequent set corpus-sized; see
+         PERF.md r6).
+       - ``'auto'`` (default): ``'array'`` iff ``max_frequent ≤ 4096``
+         (the cap bounds the probe), else ``'join'``.
 
     Output: ``id_col, clean_text, n_segments, n_dropped`` — one row per
     input document (documents that were pure boilerplate come back with an
@@ -374,6 +378,8 @@ def strip_frequent_segments(
     from pyspark.sql import DataFrame  # local import: module is else expr-only
 
     assert isinstance(df, DataFrame)
+    if rebuild == "auto":
+        rebuild = "array" if max_frequent <= 4096 else "join"
     ws = tokens(text_col)
     base = df.select(F.col(id_col), segment_windows(text_col, width=width, ws=ws).alias("segs"))
     frequent = (
@@ -383,15 +389,38 @@ def strip_frequent_segments(
         .where(F.col("n_docs") >= min_docs)
         .orderBy(F.col("n_docs").desc(), F.col("seg"))
         .limit(max_frequent)
-        .agg(F.sort_array(F.collect_list("seg")).alias("freq_segs"))
     )
-    joined = base.crossJoin(F.broadcast(frequent))
-    clean = F.filter(
-        F.col("segs"), lambda s: ~F.array_contains(F.coalesce(F.col("freq_segs"), F.array()), s)
-    )
-    return joined.select(
+    if rebuild == "array":
+        folded = frequent.agg(F.sort_array(F.collect_list("seg")).alias("freq_segs"))
+        joined = base.crossJoin(F.broadcast(folded))
+        clean = F.filter(
+            F.col("segs"),
+            lambda s: ~F.array_contains(F.coalesce(F.col("freq_segs"), F.array()), s),
+        )
+        return joined.select(
+            F.col(id_col),
+            F.array_join(clean, " ").alias("clean_text"),
+            F.size("segs").cast("long").alias("n_segments"),
+            (F.size("segs") - F.size(clean)).cast("long").alias("n_dropped"),
+        )
+    if rebuild != "join":
+        raise ValueError(f"rebuild must be 'auto'|'array'|'join', got {rebuild!r}")
+    ex = base.select(
         F.col(id_col),
-        F.array_join(clean, " ").alias("clean_text"),
-        F.size("segs").cast("long").alias("n_segments"),
-        (F.size("segs") - F.size(clean)).cast("long").alias("n_dropped"),
+        F.size("segs").alias("_n_segs"),
+        F.posexplode_outer("segs").alias("_pos", "seg"),  # _outer keeps 0-segment docs
+    )
+    marked = ex.join(
+        F.broadcast(frequent.select("seg", F.lit(1).alias("_f"))), "seg", "left"
+    )
+    kept = F.when(F.col("_f").isNull() & F.col("seg").isNotNull(),
+                  F.struct(F.col("_pos"), F.col("seg")))
+    return marked.groupBy(id_col).agg(
+        F.array_join(
+            # collect_list skips NULLs; array_sort on (pos, seg) restores order
+            F.transform(F.array_sort(F.collect_list(kept)), lambda x: x["seg"]),
+            " ",
+        ).alias("clean_text"),
+        F.max("_n_segs").cast("long").alias("n_segments"),
+        F.sum(F.when(F.col("_f") == 1, 1).otherwise(0)).cast("long").alias("n_dropped"),
     )

@@ -732,19 +732,36 @@ def test_strip_frequent_segments_semantics_and_plan(spark):
         ],
         "doc_id long, text string",
     )
-    out = strip_frequent_segments(df, width=2, min_docs=3)
-    got = {r["doc_id"]: (r["clean_text"], r["n_segments"], r["n_dropped"]) for r in out.collect()}
-    assert got[1] == ("x1 y1 z1 w1", 4, 2)  # order preserved around both drops
-    assert got[2] == ("x2 y2", 2, 1)
-    assert got[3] == ("q3 r3", 2, 1)
-    assert got[4] == ("u4 v4 s4 t4", 2, 0)  # unique segments untouched
-    assert got[5] == ("", 1, 1)  # fully-boilerplate doc: empty string, row kept
-
-    # after execution AQE prints final + "== Initial Plan ==" — count the final only
-    plan = out._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
-    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
-    # data-sized exchanges: only the segment-frequency count_distinct pair
-    assert plan.count("Exchange hashpartitioning") <= 2
+    want = {
+        1: ("x1 y1 z1 w1", 4, 2),  # order preserved around both drops
+        2: ("x2 y2", 2, 1),
+        3: ("q3 r3", 2, 1),
+        4: ("u4 v4 s4 t4", 2, 0),  # unique segments untouched
+        5: ("", 1, 1),  # fully-boilerplate doc: empty string, row kept
+    }
+    for mode in ("array", "join"):  # identical output from both rebuild modes
+        out = strip_frequent_segments(df, width=2, min_docs=3, rebuild=mode)
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_segments"], r["n_dropped"])
+            for r in out.collect()
+        }
+        assert got == want, mode
+        # after execution AQE prints final + "== Initial Plan ==" — final only
+        plan = out._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+        assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+        if mode == "array":
+            # data-sized exchanges: only the segment-frequency count_distinct pair
+            assert plan.count("Exchange hashpartitioning") <= 2
+        else:
+            # the O(1)-probe mode pays one extra doc-keyed re-agg exchange,
+            # and probes via a broadcast HASH join, never array_contains
+            assert "BroadcastHashJoin" in plan
+            assert plan.count("Exchange hashpartitioning") <= 3
+    # auto mode: small caps take the array path, large caps the join path
+    small = strip_frequent_segments(df, width=2, min_docs=3, max_frequent=100)
+    assert "array_contains" in small._jdf.queryExecution().executedPlan().toString()
+    big = strip_frequent_segments(df, width=2, min_docs=3, max_frequent=100_000)
+    assert "array_contains" not in big._jdf.queryExecution().executedPlan().toString()
 
 
 def test_profile_columns_approx_mode_bound_and_plan(spark, sf_dir):
