@@ -822,7 +822,13 @@ def semantic_dedup(
     - the candidate scan is a within-cluster self-equi-join on cluster id —
       Θ(Σ m_c²) cosines, the published SemDeDup cost, which stays bounded
       because k grows with the corpus (m_c ≈ n/k docs per cluster); the
-      join itself is hash-partitioned by cluster, never a cartesian;
+      join itself is hash-partitioned by cluster, never a cartesian.
+      NOTE the k∝n contract is the operator's scale requirement: a fixed
+      small k at a 100× corpus turns the pair scan into Θ(n²/k) — the
+      algorithm's documented behavior under a mis-sized k.  Inline-literal
+      assignment compiles comfortably to a few hundred centroids; beyond
+      that, route assignment through the IVF bucketing machinery
+      (``ivf_topk``'s centroid table) instead of literal expansion;
     - the dropped-id set distincts on id and folds back with one LEFT join
       (AQE broadcasts it when small).
 
