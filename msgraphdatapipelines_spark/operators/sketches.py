@@ -58,3 +58,59 @@ def merge_distinct_sketches(
         .alias("distinct_estimate"),
         F.sum("n_rows").alias("n_rows"),
     )
+
+
+def build_quantile_sketches(
+    df: DataFrame,
+    part_cols: list[str],
+    value_col: str,
+    k: int = 2048,
+) -> DataFrame:
+    """One KLL quantile sketch row per ``part_cols`` group over a DOUBLE
+    ``value_col`` — the percentile counterpart of
+    :func:`build_distinct_sketches` (same rollup-table pattern: persist the
+    increment's sketch, never rescan).  ``k=2048`` ≈ 0.6% normalized rank
+    error.  Output: ``part_cols…, qsketch binary, n_rows``.
+    """
+    return df.groupBy(*part_cols).agg(
+        F.kll_sketch_agg_double(F.col(value_col).cast("double"), F.lit(k)).alias("qsketch"),
+        F.count(value_col).alias("n_rows"),
+    )
+
+
+def merge_quantile_sketches(
+    sketches: DataFrame,
+    group_cols: list[str],
+    quantiles: list[float],
+) -> DataFrame:
+    """Merge KLL sketch rows down to ``group_cols`` and estimate
+    ``quantiles``.
+
+    Spark exposes KLL merge as a BINARY function (no union aggregate), so
+    the rows fold: ``sort_array(collect_list(sketch))`` → ``aggregate``
+    with ``kll_sketch_merge_double`` — O(increments) per group, which is
+    rollup-table cardinality (days × dims), never data.  The sort fixes
+    the fold order so re-runs merge identically.  Unlike HLL, a merged
+    KLL is only rank-error-equivalent (not register-identical) to the
+    direct sketch — pin estimates against exact ranks, not binary
+    equality.  Output: ``group_cols…, q_estimates array<double>, n_rows``.
+    """
+    return (
+        sketches.groupBy(*group_cols)
+        .agg(
+            F.sort_array(F.collect_list("qsketch")).alias("_sks"),
+            F.sum("n_rows").alias("n_rows"),
+        )
+        .select(
+            *group_cols,
+            F.kll_sketch_get_quantile_double(
+                F.aggregate(
+                    F.slice("_sks", 2, 2_000_000_000),
+                    F.element_at("_sks", 1),
+                    lambda a, x: F.kll_sketch_merge_double(a, x),
+                ),
+                F.array(*[F.lit(float(q)) for q in quantiles]),
+            ).alias("q_estimates"),
+            "n_rows",
+        )
+    )

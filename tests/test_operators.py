@@ -936,3 +936,33 @@ def test_check_constraints_counts_planted_violations(spark):
     # distinct non-null ids {1,2,4}=3, count(*)=5 -> 2 "violations" (the dup + the null)
     assert rep["unique_id"]["n_violations"] == 2
     assert rep["fk_cust"]["n_violations"] == 1 and not rep["fk_cust"]["passed"]
+
+
+def test_quantile_sketch_rollup_within_rank_error(spark, sf_dir):
+    """KLL rollup contract: per-day increment sketches merged per group
+    estimate quantiles within the k=2048 rank-error band of the exact
+    values; the sorted fold makes re-merges deterministic."""
+    from msgraphdatapipelines_spark.operators.sketches import (
+        build_quantile_sketches,
+        merge_quantile_sketches,
+    )
+    from msgraphdatapipelines_spark.queries import load_events
+
+    ev = load_events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    inc = build_quantile_sketches(ev, ["event_type", "day"], "value")
+    qs = [0.5, 0.9]
+    merged = merge_quantile_sketches(inc, ["event_type"], qs)
+    m = {r["event_type"]: r["q_estimates"] for r in merged.collect()}
+    m2 = {r["event_type"]: r["q_estimates"] for r in merged.collect()}
+    assert m == m2  # deterministic re-merge
+    vals = {}
+    for r in ev.select("event_type", F.col("value").cast("double").alias("v")).collect():
+        vals.setdefault(r["event_type"], []).append(r["v"])
+    for et, ests in m.items():
+        xs = sorted(vals[et])
+        for q, est in zip(qs, ests):
+            # rank of the estimate must be within ~1.5% of the target rank
+            import bisect
+
+            rank = bisect.bisect_right(xs, est) / len(xs)
+            assert abs(rank - q) <= 0.015 + 2.0 / len(xs), (et, q, est, rank)
