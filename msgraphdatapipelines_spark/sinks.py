@@ -489,3 +489,80 @@ def compact_parquet(
         if f.isFile() and not name.startswith("_") and not name.startswith("."):
             out_files += 1
     return {"in_files": in_files, "in_bytes": in_bytes, "out_files": out_files}
+
+
+def _fs_for(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()), p, jvm
+
+
+def snapshot_versions(spark: SparkSession, root: str) -> list[int]:
+    """Sorted list of snapshot versions present under ``root`` (``v=N``
+    directories)."""
+    fs, p, _ = _fs_for(spark, root)
+    if not fs.exists(p):
+        return []
+    out = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("v="):
+            try:
+                out.append(int(name[2:]))
+            except ValueError:
+                pass
+    return sorted(out)
+
+
+def write_snapshot(df: DataFrame, root: str, keep_last: int | None = None) -> int:
+    """Versioned full refresh — the reference's drop-and-reload
+    (`Invoke-GraphDataPipelineToAzureSQLDatabase.ps1` truncate+insert;
+    SURVEY.md L2) upgraded with HISTORY: every publish writes a NEW
+    ``v=N`` directory and then flips the ``_LATEST`` pointer file, so
+
+    - readers never see a half-written table (they resolve the pointer,
+      which only ever names a fully-committed version — the pointer flip
+      is a tiny file replace, the closest a plain filesystem gets to the
+      metastore pointer swap; NOT transactional against concurrent
+      writers, single-publisher assumed);
+    - the previous snapshot stays queryable (``read_snapshot(version=…)``)
+      for audit/rollback — the time-travel primitive table formats
+      provide, at directory granularity;
+    - ``keep_last`` expires old versions AFTER the flip (never the one
+      just published), bounding storage like the reference's
+      @MaxInventoryAge retention bounds history.
+
+    Returns the new version number.
+    """
+    spark = df.sparkSession
+    versions = snapshot_versions(spark, root)
+    new_v = (versions[-1] + 1) if versions else 1
+    df.write.mode("overwrite").parquet(f"{root}/v={new_v}")
+    fs, _, jvm = _fs_for(spark, root)
+    latest = jvm.org.apache.hadoop.fs.Path(f"{root}/_LATEST")
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{root}/_LATEST.tmp")
+    out = fs.create(tmp, True)
+    out.write(str(new_v).encode("ascii"))
+    out.close()
+    if fs.exists(latest):
+        fs.delete(latest, False)
+    fs.rename(tmp, latest)
+    if keep_last is not None:
+        for v in snapshot_versions(spark, root)[:-keep_last]:
+            if v != new_v:
+                fs.delete(jvm.org.apache.hadoop.fs.Path(f"{root}/v={v}"), True)
+    return new_v
+
+
+def read_snapshot(spark: SparkSession, root: str, version: int | None = None) -> DataFrame:
+    """Read a snapshot table: the ``_LATEST``-pointed version by default,
+    or an explicit historical ``version``."""
+    if version is None:
+        fs, _, jvm = _fs_for(spark, root)
+        latest = jvm.org.apache.hadoop.fs.Path(f"{root}/_LATEST")
+        stream = fs.open(latest)
+        try:
+            version = int(bytes(stream.readAllBytes()).decode("ascii").strip())
+        finally:
+            stream.close()
+    return spark.read.parquet(f"{root}/v={version}")

@@ -255,3 +255,27 @@ def test_compact_parquet_sizes_from_disk_bytes(spark, sf_dir, tmp_path):
     # single-file degenerate case still works
     stats2 = compact_parquet(spark, src, str(tmp_path / "one"), target_file_bytes=1 << 40)
     assert stats2["out_files"] == 1
+
+
+def test_snapshot_versioning_flow(spark, tmp_path):
+    """Versioned full refresh: publish v1, v2 -> _LATEST reads v2, v1 stays
+    queryable; keep_last expires the oldest but never the just-published;
+    a fresh root starts at v1."""
+    from msgraphdatapipelines_spark.sinks import (
+        read_snapshot,
+        snapshot_versions,
+        write_snapshot,
+    )
+
+    root = str(tmp_path / "snap")
+    d1 = spark.createDataFrame([(1, "a")], "id long, s string")
+    d2 = spark.createDataFrame([(2, "b"), (3, "c")], "id long, s string")
+    assert write_snapshot(d1, root) == 1
+    assert write_snapshot(d2, root) == 2
+    assert snapshot_versions(spark, root) == [1, 2]
+    assert read_snapshot(spark, root).count() == 2  # pointer -> v2
+    assert [r["s"] for r in read_snapshot(spark, root, version=1).collect()] == ["a"]
+    d3 = spark.createDataFrame([(4, "d")], "id long, s string")
+    assert write_snapshot(d3, root, keep_last=2) == 3
+    assert snapshot_versions(spark, root) == [2, 3]
+    assert [r["s"] for r in read_snapshot(spark, root).collect()] == ["d"]
