@@ -966,3 +966,23 @@ def test_quantile_sketch_rollup_within_rank_error(spark, sf_dir):
 
             rank = bisect.bisect_right(xs, est) / len(xs)
             assert abs(rank - q) <= 0.015 + 2.0 / len(xs), (et, q, est, rank)
+
+
+def test_pseudonymize_keys_preserves_joins_and_nulls(spark):
+    """Same salt+value -> same token across tables (joins survive);
+    different salt re-keys; NULLs stay NULL."""
+    from msgraphdatapipelines_spark.operators.project import pseudonymize_keys
+
+    orders = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, None)], "oid long, cust long"
+    )
+    cust = spark.createDataFrame([(10, "x"), (20, "y")], "cust long, name string")
+    po = pseudonymize_keys(orders, ["cust"], salt="s1")
+    pc = pseudonymize_keys(cust, ["cust"], salt="s1")
+    joined = po.join(pc, "cust")
+    assert joined.count() == 2  # joinability preserved
+    assert po.filter(F.col("cust").isNull()).count() == 1  # NULL stays NULL
+    tok1 = {r["oid"]: r["cust"] for r in po.collect()}
+    tok2 = {r["oid"]: r["cust"] for r in pseudonymize_keys(orders, ["cust"], "s2").collect()}
+    assert tok1[1] != tok2[1] and tok1[1] is not None  # salt rotation re-keys
+    assert all(v is None or len(v) == 32 for v in tok1.values())
