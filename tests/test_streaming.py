@@ -403,3 +403,79 @@ def test_interval_join_left_outer_emits_nulls_at_watermark(spark, tmp_path):
     assert rows[1]["c_eid"] == 3          # matched pair emitted normally
     assert 2 in rows                      # unmatched left row DID emit...
     assert rows[2]["c_eid"] is None       # ...with a NULL right side
+
+
+def test_sketch_rollup_stream_matches_batch_answer(spark, tmp_path):
+    """Streaming sketch rollup: two staged event files arrive as separate
+    micro-batches appending sketch rows; the merged rollup estimate equals
+    the one-shot batch sketch over the union (merge identity), and
+    replaying a batch id overwrites instead of double-counting."""
+    from pyspark.sql import types as T
+
+    from msgraphdatapipelines_spark.operators.sketches import (
+        build_distinct_sketches,
+        merge_distinct_sketches,
+    )
+    from msgraphdatapipelines_spark.streaming.sketch_stream import sketch_rollup_stream
+
+    schema = T.StructType(
+        [T.StructField("event_type", T.StringType()), T.StructField("user_id", T.LongType())]
+    )
+    b1 = [("click", i % 50) for i in range(500)] + [("view", i % 30) for i in range(300)]
+    b2 = [("click", 40 + i % 60) for i in range(400)] + [("view", i % 10) for i in range(100)]
+
+    ev_dir = tmp_path / "ev"
+    ev_dir.mkdir()
+    import os
+    import shutil
+    import time as _time
+
+    now = _time.time()
+    for i, batch in enumerate((b1, b2)):
+        stage = tmp_path / f"stage{i}"
+        spark.createDataFrame(batch, schema).coalesce(1).write.mode("overwrite").parquet(
+            str(stage)
+        )
+        for f in stage.glob("*.parquet"):
+            dst = ev_dir / f"batch{i}_{f.name}"
+            shutil.copy(f, dst)
+            os.utime(dst, (now + 60 * i, now + 60 * i))
+
+    rollup = str(tmp_path / "rollup")
+    q = sketch_rollup_stream(
+        spark, str(ev_dir), schema, rollup, str(tmp_path / "ckpt"),
+        part_cols=["event_type"], value_col="user_id",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rolled = spark.read.option("basePath", rollup).parquet(rollup)
+    assert {r["batch_id"] for r in rolled.select("batch_id").distinct().collect()} == {0, 1}
+    merged = {
+        r["event_type"]: (r["distinct_estimate"], r["n_rows"])
+        for r in merge_distinct_sketches(rolled, ["event_type"]).collect()
+    }
+    union = spark.createDataFrame(b1 + b2, schema)
+    direct = {
+        r["event_type"]: (r["distinct_estimate"], r["n_rows"])
+        for r in merge_distinct_sketches(
+            build_distinct_sketches(union, ["event_type"], "user_id"), ["event_type"]
+        ).collect()
+    }
+    assert merged == direct  # merge identity across the stream boundary
+    # exact at this cardinality: click = |0..99| = 100, view = |0..29| = 30
+    assert merged["click"][0] == 100 and merged["view"][0] == 30
+    # replay idempotence: re-writing batch 0's rows must not double-count
+    inc0 = build_distinct_sketches(
+        spark.createDataFrame(b1, schema), ["event_type"], "user_id"
+    )
+    inc0.write.mode("overwrite").parquet(f"{rollup}/batch_id=0")
+    again = {
+        r["event_type"]: (r["distinct_estimate"], r["n_rows"])
+        for r in merge_distinct_sketches(
+            spark.read.option("basePath", rollup).parquet(rollup), ["event_type"]
+        ).collect()
+    }
+    assert again == merged
