@@ -826,9 +826,12 @@ def semantic_dedup(
       NOTE the k∝n contract is the operator's scale requirement: a fixed
       small k at a 100× corpus turns the pair scan into Θ(n²/k) — the
       algorithm's documented behavior under a mis-sized k.  Inline-literal
-      assignment compiles comfortably to a few hundred centroids; beyond
-      that, route assignment through the IVF bucketing machinery
-      (``ivf_topk``'s centroid table) instead of literal expansion;
+      assignment is measured-good to k≈64 (100× sweep: 64 s train +
+      421 s pair scan over 200k vectors); k=256 destabilized the local
+      driver during expression compilation (PERF.md late-r6) — beyond
+      ~64-128 centroids, route assignment through the IVF bucketing
+      machinery (``ivf_topk``'s centroid table) instead of literal
+      expansion;
     - the dropped-id set distincts on id and folds back with one LEFT join
       (AQE broadcasts it when small).
 
