@@ -32,6 +32,11 @@ def bench(sf_dir: str, only: str | None) -> dict[str, float]:
         BENCH_RUNS="1",
         BENCH_SKIP=",".join(QUADRATIC),
     )
+    # SWEEP_INCLUDE_DEMOTED=1 sweeps the pytest-gated rows too (PERF.md
+    # late-r6 protocol); the graded-only default is unchanged
+    if os.environ.get("SWEEP_INCLUDE_DEMOTED"):
+        env["BENCH_INCLUDE_DEMOTED"] = "1"
+    
     if only:
         env["BENCH_ONLY"] = only
     out = subprocess.run(
