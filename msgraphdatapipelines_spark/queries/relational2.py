@@ -619,3 +619,61 @@ def trailing_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("long").alias("n_7d"),
         F.sum(val).over(w).cast("double").alias("sum_7d"),
     )
+
+
+@register(
+    "map_functions_battery",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id, event_type
+    ),
+    e AS (
+        SELECT user_id,
+               list({'k': event_type, 'v': n} ORDER BY event_type) AS es
+        FROM c GROUP BY user_id
+    )
+    SELECT user_id,
+           array_to_string(list_transform(es, x -> x.k), ',') AS type_keys,
+           CAST(len(es) AS BIGINT) AS n_types,
+           array_to_string(
+               list_transform(list_filter(es, x -> x.v >= 3), x -> x.k), ',')
+               AS frequent_types,
+           CAST(list_sum(list_transform(es, x -> x.v * 2)) AS BIGINT) AS doubled_total,
+           CAST(coalesce(list_filter(es, x -> x.k = 'click')[1].v, 0) AS BIGINT)
+               AS click_count
+    FROM e
+    """,
+    demoted=True,  # scalar/array families graded via scalar_functions/array_set_ops
+)
+def map_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column function family — map_from_entries / map_keys /
+    map_filter / transform_values / map_values / element_at over a map
+    built IN-ENGINE (per-user event_type→count via sorted collect_list;
+    deterministic entry order makes map_keys cross-engine stable).  The
+    oracle replays the same semantics over DuckDB entry LISTS — the
+    capability under test is Spark's map expression surface; outputs are
+    scalars/CSV strings so the comparison never hashes engine-specific
+    map renderings."""
+    ev = load_events(spark, sf_dir)
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").cast("long").alias("n"))
+    entries = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct(F.col("event_type").alias("k"), F.col("n").alias("v"))))
+        ).alias("m")
+    )
+    m = F.col("m")
+    return entries.select(
+        "user_id",
+        F.array_join(F.map_keys(m), ",").alias("type_keys"),
+        F.size(m).cast("long").alias("n_types"),
+        F.array_join(
+            F.map_keys(F.map_filter(m, lambda k, v: v >= 3)), ","
+        ).alias("frequent_types"),
+        F.aggregate(
+            F.map_values(F.transform_values(m, lambda k, v: v * 2)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("doubled_total"),
+        F.coalesce(F.element_at(m, "click"), F.lit(0)).cast("long").alias("click_count"),
+    )
