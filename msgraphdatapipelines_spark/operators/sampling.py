@@ -163,3 +163,65 @@ def stratified_take_exact(
         .withColumn("stratum_rank", F.row_number().over(w).cast("long"))
         .filter((F.col("stratum_rank") <= F.lit(max_n)) & (F.col("stratum_rank") <= n_for))
     )
+
+
+def shuffle_deterministic(
+    df: DataFrame,
+    id_col: str,
+    seed: int = 0,
+    num_buckets: int | None = None,
+    name: str = "shuffle_pos",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: assign every row a
+    dense position ``1..n`` in a pseudo-random order that is a pure
+    function of ``(id, seed)`` — the "shuffle the corpus before epoch k"
+    step of a training-data pipeline, reproducible across re-runs,
+    backfills, engines, and cluster sizes (unlike ``ORDER BY rand()``,
+    whose order changes with partitioning and retries).
+
+    Order key: ``u = md5_uniform(id:seed)`` (exact binary fraction —
+    bit-identical cross-engine), tie-broken by the full md5 hex then the
+    id, so the order is total even at u's 2^-32 granularity.  A new seed
+    is a completely new permutation.
+
+    Scale shape — this is ``with_surrogate_key(contiguous=True)`` with the
+    min/max job DELETED: because u is uniform on [0,1) by construction,
+    fixed-width buckets ``floor(u·B)`` are balanced a priori, so no bounds
+    aggregation, no ``approxQuantile``, and no range-exchange sampling pass
+    (what ``repartitionByRange`` + ``row_number`` would cost).  Per-bucket
+    counts → broadcast prefix-sum offsets + per-bucket ``row_number`` —
+    the plan's only wide steps are one hash exchange on the bucket and the
+    in-plan count aggregation; no ``Exchange SinglePartition``, no global
+    sort.  The upstream plan is consumed by both the counts branch and the
+    probe branch; since bucket and u are pure functions of the data this
+    double-execution is recompute-safe (pin upstream yourself if its scan
+    is nondeterministic or expensive — see ``with_surrogate_key``'s
+    ``materialize`` discussion in sinks.py).
+
+    Training consumers then ``repartitionByRange(name)`` +
+    ``sortWithinPartitions(name)`` at write time to lay files out in
+    shuffle order, or range-read ``[lo, hi)`` position slices for
+    curriculum windows.
+    """
+    n = num_buckets or df.sparkSession.sparkContext.defaultParallelism
+    from pyspark.sql import Window
+
+    sid = F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))
+    h = F.md5(sid)
+    u = md5_uniform(sid)
+    bucketc, cntc, offc = "__sh_bucket", "__sh_cnt", "__sh_off"
+    bucket = F.least(F.floor(u * F.lit(float(n))), F.lit(n - 1)).cast("int")
+    keyed = df.withColumn(bucketc, bucket)
+    counts = keyed.groupBy(bucketc).agg(F.count(F.lit(1)).alias(cntc))
+    woff = Window.orderBy(bucketc).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        counts.coalesce(1)  # B rows; already 1 partition → no Exchange SinglePartition
+        .withColumn(offc, F.coalesce(F.sum(cntc).over(woff), F.lit(0)))
+        .drop(cntc)
+    )
+    w = Window.partitionBy(bucketc).orderBy(u.asc(), h.asc(), F.col(id_col).asc())
+    return (
+        keyed.join(F.broadcast(offsets), bucketc)
+        .withColumn(name, (F.col(offc) + F.row_number().over(w)).cast("long"))
+        .drop(bucketc, offc)
+    )

@@ -168,3 +168,38 @@ def stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_take_exact(
         docs, "lang", "doc_id", counts=_STRATA_N, default_n=_STRATA_DEFAULT
     )
+
+
+def _shuffle_oracle() -> str:
+    from ..operators.sampling import md5_uniform_sql
+
+    sid = "CAST(doc_id AS VARCHAR) || ':7'"
+    u = md5_uniform_sql(sid)
+    return f"""
+    SELECT doc_id, lang,
+           CAST(row_number() OVER (ORDER BY {u} ASC, md5({sid}) ASC, doc_id ASC)
+                AS BIGINT) AS shuffle_pos
+    FROM documents
+    """
+
+
+@register(
+    "shuffle_training_order",
+    oracle=_shuffle_oracle(),
+    demoted=True,  # sampling family holds the graded mixture_sample_temperature row
+)
+def shuffle_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle
+    (operators.sampling.shuffle_deterministic, seed=7): every document
+    gets a dense position 1..n in a pseudo-random order that is a pure
+    function of (doc_id, seed) — the epoch-shuffle step of a training
+    pipeline, byte-identical across engines and re-runs.  No global sort:
+    uniform md5 draws make fixed-width buckets balanced a priori, so the
+    plan is per-bucket row_number + broadcast prefix-sum offsets (one hash
+    exchange; no range-partitioning sampling pass, no Exchange
+    SinglePartition — pinned in tests/test_plans.py).  The oracle replays
+    the identical draw expression through a plain global window."""
+    from ..operators.sampling import shuffle_deterministic
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return shuffle_deterministic(docs, "doc_id", seed=7, num_buckets=8)

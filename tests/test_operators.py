@@ -986,3 +986,32 @@ def test_pseudonymize_keys_preserves_joins_and_nulls(spark):
     tok2 = {r["oid"]: r["cust"] for r in pseudonymize_keys(orders, ["cust"], "s2").collect()}
     assert tok1[1] != tok2[1] and tok1[1] is not None  # salt rotation re-keys
     assert all(v is None or len(v) == 32 for v in tok1.values())
+
+
+def test_shuffle_deterministic_is_a_permutation(spark):
+    """Positions are exactly 1..n; a re-run reproduces the identical order;
+    a different seed yields a different permutation (epoch re-shuffle)."""
+    from msgraphdatapipelines_spark.operators.sampling import shuffle_deterministic
+
+    df = spark.range(0, 997).withColumnRenamed("id", "k")
+    out = shuffle_deterministic(df, "k", seed=1, num_buckets=8)
+    rows = {r["k"]: r["shuffle_pos"] for r in out.collect()}
+    assert sorted(rows.values()) == list(range(1, 998))
+    again = {
+        r["k"]: r["shuffle_pos"]
+        for r in shuffle_deterministic(df, "k", seed=1, num_buckets=8).collect()
+    }
+    assert again == rows
+    other = {
+        r["k"]: r["shuffle_pos"]
+        for r in shuffle_deterministic(df, "k", seed=2, num_buckets=8).collect()
+    }
+    assert sorted(other.values()) == list(range(1, 998))
+    assert other != rows
+    # bucket-count invariance: the permutation is a pure function of
+    # (id, seed), not of the bucketing used to compute it
+    wide = {
+        r["k"]: r["shuffle_pos"]
+        for r in shuffle_deterministic(df, "k", seed=1, num_buckets=32).collect()
+    }
+    assert wide == rows

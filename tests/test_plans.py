@@ -243,3 +243,60 @@ def test_connected_components_rounds_read_pinned_edges(spark):
     assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
     # and no parquet/file scan survives — everything flows from the pins
     assert "FileScan" not in plan
+
+
+def test_shuffle_training_order_no_global_sort(spark, sf_dir):
+    """Deterministic epoch shuffle must NOT plan as a global range sort:
+    uniform draws make fixed-width buckets balanced a priori, so the plan
+    is bucket-window + broadcast prefix-sum offsets — no RangePartitioning
+    (and its sampling pass), no Exchange SinglePartition."""
+    from msgraphdatapipelines_spark.queries import curation as qc
+
+    df = qc.shuffle_training_order(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "RangePartitioning" not in plan
+    assert "SinglePartition" not in plan
+    assert plans.num_exchanges(df) == 2  # bucket-count agg + per-bucket window
+    assert plans.num_broadcasts(df) >= 1  # prefix-sum offsets join
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """Runtime-filter posture pin: a selective dim-side predicate on a
+    shuffle join injects a bloom-filter semi-filter (`might_contain`) onto
+    the FACT side, pruning shuffle input before the exchange.  On a real
+    cluster this engages automatically (applicationSideScanSizeThreshold
+    defaults to 10 GB — i.e. exactly the 100 TB fact scans this engine
+    targets); at test scale we lower the thresholds to prove the machinery
+    fires.  Confs are restored so sibling tests keep the session posture.
+    """
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+            "l_orderkey", "l_quantity", "o_orderpriority"
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
