@@ -283,3 +283,63 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("session_window.end", TS_FMT).alias("session_end"),
         "n_events",
     )
+
+
+@register(
+    "stream_static_enrich",
+    demoted=True,  # streaming family holds four graded rows already
+    oracle="""
+    WITH joined AS (
+        SELECT e.ts, e.value, c.c_mktsegment
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    ),
+    w AS (
+        SELECT to_timestamp(floor(epoch(ts) / 3600) * 3600) AS ws,
+               c_mktsegment, value
+        FROM joined
+    ),
+    agg AS (
+        SELECT ws, c_mktsegment, count(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM w GROUP BY ws, c_mktsegment
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           c_mktsegment, n, sum_value
+    FROM agg
+    WHERE ws + INTERVAL 1 HOUR
+          <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment (streaming.enrich_with_static): the event
+    stream joins the static customer dimension per micro-batch (broadcast
+    — zero stream-side shuffle, zero join state), then a watermarked
+    tumbling aggregation rolls the enriched stream up per market segment.
+    Append emits exactly the finalized windows, which the batch oracle
+    (plain join + window filter) reproduces.  The stateless dim join adds
+    no eviction machinery — the scale contrast to the interval join row."""
+    from . import _harden, load
+
+    _harden(spark)
+    ev = ST.read_events_stream(spark, sf_dir, glob="events.parquet")
+    dim = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    enriched = ST.enrich_with_static(
+        ev, dim, ev.user_id == dim.c_custkey, how="inner"
+    )
+    agg = (
+        enriched.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value_dec"),
+        )
+    )
+    result, _ = ST.run_stream_to_memory(agg, output_mode="append")
+    return result.select(
+        F.date_format("window.start", TS_FMT).alias("window_start"),
+        "c_mktsegment",
+        "n",
+        F.col("sum_value_dec").cast("double").alias("sum_value"),
+    )

@@ -225,3 +225,35 @@ def run_stream_to_memory(
         q.stop()
     spark = agg.sparkSession
     return spark.table(name), name
+
+
+def enrich_with_static(
+    stream: DataFrame,
+    dim: DataFrame,
+    on,
+    how: str = "inner",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join — the standard "decorate the event
+    stream with a dimension table" step (the streaming analog of the
+    reference's $expand relationship join, SURVEY.md P3).
+
+    Structured Streaming RE-EXECUTES the static side per micro-batch, and
+    the join is stateless: no watermark, no join state, nothing to evict —
+    unlike a stream-stream join, this adds zero stateful machinery.
+    Caveat on dim freshness: with a plain file-source dim the file listing
+    is cached at plan time, so NEW dim files are not picked up mid-query —
+    a slowly-changing dim needs a re-listing source (a table format or a
+    JDBC dim, whose per-batch re-execution re-reads) or a query restart;
+    per-batch re-execution alone does not imply per-batch re-listing.
+
+    ``broadcast_dim=True`` hints the dim side: each micro-batch plans a
+    BroadcastHashJoin, so the stream side never shuffles — at 100 TB/day
+    the per-batch cost is the dim scan (cache the dim or keep it compact)
+    plus a narrow probe.  Only stream-side-preserving joins are legal
+    (inner / left_outer / left_semi / left_anti with the stream on the
+    left); a right/full outer against a static side would need the
+    engine to re-emit history and is rejected by Spark itself.
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, on, how)

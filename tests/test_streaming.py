@@ -479,3 +479,36 @@ def test_sketch_rollup_stream_matches_batch_answer(spark, tmp_path):
         ).collect()
     }
     assert again == merged
+
+
+def test_stream_static_enrich_stateless_two_batches(spark, tmp_path):
+    """Stream-static join is stateless: every batch's events enrich and
+    emit in that batch (append mode, no watermark, no join state), and the
+    dim side carries the broadcast hint so the stream side never shuffles."""
+    d = tmp_path / "enrich_in"
+    d.mkdir()
+    base = "2024-01-01 "
+    _write_events(str(d / "a_b1.parquet"), [(1, base + "10:00:00", 1, "x")])
+    dim = spark.createDataFrame([(1, "SEG_A"), (2, "SEG_B")], "k long, seg string")
+    ev = ST.read_events_stream(spark, str(d), glob="*.parquet")
+    joined = ST.enrich_with_static(ev, dim, ev.user_id == dim.k, how="inner")
+    # a streaming plan only optimizes inside start(); the broadcast hint is
+    # visible on the analyzed plan (ResolvedHint strategy=broadcast)
+    assert "broadcast" in joined._jdf.queryExecution().analyzed().toString().lower()
+    q = (
+        joined.select("event_id", "seg")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enrich_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = {tuple(r) for r in spark.sql("SELECT * FROM enrich_test").collect()}
+        assert got1 == {(1, "SEG_A")}
+        _write_events(str(d / "b_b2.parquet"), [(2, base + "11:00:00", 2, "y")])
+        q.processAllAvailable()
+        got2 = {tuple(r) for r in spark.sql("SELECT * FROM enrich_test").collect()}
+        assert got2 == {(1, "SEG_A"), (2, "SEG_B")}
+    finally:
+        q.stop()
