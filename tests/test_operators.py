@@ -1015,3 +1015,67 @@ def test_shuffle_deterministic_is_a_permutation(spark):
         for r in shuffle_deterministic(df, "k", seed=1, num_buckets=32).collect()
     }
     assert wide == rows
+
+
+def test_udtf_split_sentences_matches_declarative_twin(spark, sf_dir):
+    """The Spark-4 UDTF rung of the custom-operator ladder: lateral
+    split_sentences(text) emits the same rows as the posexplode Column
+    twin — proving the table-function boundary works; the Column form
+    remains the production path where expressible."""
+    from pyspark.sql import functions as F
+
+    from msgraphdatapipelines_spark.functions.tablefuncs import register_table_functions
+
+    register_table_functions(spark)
+    # fixture docs carry no sentence punctuation (fanout 1); the crafted
+    # rows exercise real variable fanout incl. empty-after-split and NULL
+    crafted = spark.createDataFrame(
+        [
+            (90001, "One. Two here!  Three, yes?   "),
+            (90002, "No terminal punctuation means one sentence"),
+            (90003, None),
+        ],
+        "doc_id long, text string",
+    )
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(50)
+        .unionByName(crafted)
+    )
+    docs.createOrReplaceTempView("udtf_docs")
+    got = {
+        (r["doc_id"], r["sent_id"], r["sentence"], r["n_tokens"])
+        for r in spark.sql(
+            "SELECT d.doc_id, s.sent_id, s.sentence, s.n_tokens "
+            "FROM udtf_docs d, LATERAL split_sentences(d.text) s"
+        ).collect()
+    }
+    twin = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.trim(F.col("text")), r"(?<=[.!?])\s+")).alias("pos", "p"),
+        )
+        .select("doc_id", F.trim(F.col("p")).alias("p"), "pos")
+        .filter(F.col("p") != "")
+        .withColumn(
+            "sent_id",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+                    "doc_id"
+                ).orderBy("pos")
+            ),
+        )
+        .select(
+            "doc_id",
+            "sent_id",
+            F.col("p").alias("sentence"),
+            F.size(F.split(F.col("p"), r"\s+")).alias("n_tokens"),
+        )
+    )
+    want = {
+        (r["doc_id"], r["sent_id"], r["sentence"], r["n_tokens"]) for r in twin.collect()
+    }
+    assert got == want
+    assert len(got) == 54  # 50 one-sentence docs + 3 crafted + 1, NULL emits 0
+    assert (90001, 3, "Three, yes?", 2) in got
