@@ -512,3 +512,39 @@ def test_stream_static_enrich_stateless_two_batches(spark, tmp_path):
         assert got2 == {(1, "SEG_A"), (2, "SEG_B")}
     finally:
         q.stop()
+
+
+def test_foreachbatch_checkpoint_restart_resumes_offsets(spark, tmp_path):
+    """Operational pin for every foreachBatch sink in streaming/ (delta
+    sync, dedup stream, sketch rollup): a query restarted with the SAME
+    checkpointLocation resumes from the committed source offsets — batch 0
+    is not re-delivered, new files arrive as the next batch id.  This is
+    the exactly-once foundation the batch-id-keyed OVERWRITE outputs
+    compose with (replay only happens after a crash INSIDE a batch,
+    and then idempotently)."""
+    src = tmp_path / "restart_src"
+    src.mkdir()
+    ck = str(tmp_path / "restart_ck")
+    _write_events(str(src / "a.parquet"), [(1, "2024-01-01 10:00:00", 1, "x")])
+    seen = []
+
+    def sink(df, bid):
+        seen.append((bid, sorted(r["event_id"] for r in df.collect())))
+
+    def start():
+        ev = ST.read_events_stream(spark, str(src), glob="*.parquet")
+        return ev.writeStream.option("checkpointLocation", ck).foreachBatch(sink).start()
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert seen == [(0, [1])]
+    _write_events(str(src / "b.parquet"), [(2, "2024-01-01 11:00:00", 2, "y")])
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert seen == [(0, [1]), (1, [2])]  # offsets committed: batch 0 not re-run
