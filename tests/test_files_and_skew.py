@@ -146,3 +146,46 @@ def test_read_binary_files_feeds_multimodal(spark, tmp_path):
     )
     meta = {r["n_bytes"] for r in M.decode_image_meta(media, backend="fake").collect()}
     assert meta == {len(b) for b in blobs.values()}
+
+
+def test_read_parquet_evolved_schemas(spark, tmp_path):
+    """Schema-evolution read postures: mergeSchema unions evolving footers
+    (added column NULL where absent) but refuses type changes; the
+    explicit-schema form reads every file through the declared contract —
+    missing column NULL, extra column pruned, per-file int→long widened —
+    with no footer-merge pass."""
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    d = tmp_path / "evolved"
+    spark.createDataFrame([(1, "a1")], "id int, a string").write.parquet(f"{d}/f1")
+    spark.createDataFrame(
+        [(2, "a2", 7.5)], "id int, a string, b double"
+    ).write.parquet(f"{d}/f2")
+    path = f"{d}/f*"
+
+    merged = files.read_parquet_evolved(spark, path)
+    rows = {r["id"]: (r["a"], r["b"]) for r in merged.collect()}
+    assert rows == {1: ("a1", None), 2: ("a2", 7.5)}
+
+    # mergeSchema does NOT widen: an int/long conflict on the same column fails
+    spark.createDataFrame([(2**40, "a3", 1.0)], "id long, a string, b double").write.parquet(
+        f"{d}/f3"
+    )
+    with _pytest.raises(Exception, match="CANNOT_MERGE_SCHEMAS"):
+        files.read_parquet_evolved(spark, path).collect()
+
+    # the explicit-schema posture reads ALL three files: old int files widen
+    # to the declared long, missing b arrives NULL, undeclared a is pruned,
+    # never-written c arrives NULL
+    declared = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("b", T.DoubleType()),
+            T.StructField("c", T.StringType()),
+        ]
+    )
+    strict = files.read_parquet_evolved(spark, path, schema=declared)
+    got = {r["id"]: (r["b"], r["c"]) for r in strict.collect()}
+    assert got == {1: (None, None), 2: (7.5, None), 2**40: (1.0, None)}
+    assert "a" not in strict.columns
