@@ -139,6 +139,7 @@ def kmeans_centroids(
     iters: int = 3,
     dim: int = 64,
     exact_mean: bool = False,
+    assign: str = "auto",
 ) -> list[tuple[int, list[float]]]:
     """Distributed Lloyd k-means over an embedding column — the coarse
     quantizer trainer for ``ivf_topk`` (pass the result as its
@@ -164,8 +165,17 @@ def kmeans_centroids(
     cheaper, and the ~1-ulp partial-order wobble doesn't matter when the
     centroids stay engine-side.
 
+    ``assign`` selects the per-iteration assignment plan (see
+    ``assign_nearest_centroid``): 'auto' (default) inlines centroid
+    literals up to k=64 and switches to the broadcast centroid-table path
+    above — large-k training (k∝n at 100 TB) would otherwise hit the same
+    Θ(k·dim) expression-tree compilation wall the r6 sweep measured.
+
     The returned ids are 0..k-1 (centroid index), not corpus ids.
     """
+    if assign not in ("auto", "literal", "table"):
+        raise ValueError(f"assign must be auto|literal|table, got {assign!r}")
+    use_table = assign == "table" or (assign == "auto" and k > 64)
     cv = F.col(vec_c).cast("array<double>")
     seed = [
         [float(x) for x in r["_v"]]
@@ -187,17 +197,10 @@ def kmeans_centroids(
         data = data.cache()
     try:
         for _ in range(iters):
-            # nearest centroid by squared L2, inline literals, tie -> lowest index
-            entries = []
-            for ci, c in enumerate(cents):
-                arr = F.array(*[F.lit(x) for x in c])
-                d2 = F.aggregate(
-                    F.zip_with(F.col("v"), arr, lambda a, b: (a - b) * (a - b)),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                entries.append(F.struct(d2.alias("d2"), F.lit(ci).alias("ci")))
-            assigned = data.withColumn("cent", F.sort_array(F.array(*entries))[0]["ci"])
+            # nearest centroid by squared L2, tie -> lowest index
+            assigned = _with_nearest_centroid(
+                data, "v", list(enumerate(cents)), use_table, "cent"
+            )
             if exact_mean:
                 aggs = [
                     (
@@ -801,6 +804,99 @@ def ivf_pq_topk(
     )
 
 
+def assign_nearest_centroid(
+    corpus: DataFrame,
+    id_c: str,
+    vec_c: str,
+    centroids: list[tuple[int, list[float]]],
+    assign: str = "auto",
+    literal_max_k: int = 64,
+) -> DataFrame:
+    """Nearest-centroid (squared-L2, ties to lowest centroid id) cluster
+    assignment — the quantizer-apply step shared by SemDeDup and any
+    IVF-style bucketing.  Returns ``(_id, _v, _n, cluster_id)`` with
+    ``_v`` cast to array<double> and ``_n`` its L2 norm.
+
+    Two physically different plans with IDENTICAL semantics
+    (pytest-pinned equivalence, tests/test_similarity.py):
+
+    - ``assign='literal'`` — k per-centroid struct expressions inlined as
+      literals and argmin'd with ``sort_array(...)[0]`` (the
+      ivf_topk/kmeans trick).  Zero joins and fastest at small k, but the
+      expression TREE is Θ(k·dim): measured fine to k≈64, k=256
+      destabilized the driver during Catalyst compilation (PERF.md
+      late-r6) — the tree, not the data, is the bottleneck.
+    - ``assign='table'`` — centroids ship as BROADCAST DATA: one 1-row
+      frame holding ``array<struct<ci,vec>>``, cross-joined (broadcast —
+      a narrow 1-row fan-in, not a cartesian hazard), scored with ONE
+      constant-size higher-order expression (``transform`` computing d2
+      per element, ``array_min`` for the argmin — struct comparison is
+      lexicographic on (d2, ci), the same tie-break).  Expression size is
+      O(1) in k; k×dim doubles ride the broadcast.  This is the path that
+      honors SemDeDup's k∝n contract at 100 TB (k in the thousands).
+
+    ``assign='auto'`` (default) picks literal for ``len(centroids) <=
+    literal_max_k`` (cheapest, oracle-reproducible in plain SQL) and
+    table above it.
+    """
+    if assign not in ("auto", "literal", "table"):
+        raise ValueError(f"assign must be auto|literal|table, got {assign!r}")
+    use_table = assign == "table" or (assign == "auto" and len(centroids) > literal_max_k)
+    v = F.col(vec_c).cast("array<double>")
+    base = corpus.select(
+        F.col(id_c).alias("_id"),
+        v.alias("_v"),
+        F.sqrt(seq_dot(v, v)).alias("_n"),
+    )
+    return _with_nearest_centroid(base, "_v", centroids, use_table, "cluster_id")
+
+
+def _with_nearest_centroid(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[tuple[int, list[float]]],
+    use_table: bool,
+    out_col: str,
+) -> DataFrame:
+    """Append ``out_col`` = id of the squared-L2-nearest centroid (ties to
+    lowest id).  ``vec_col`` must already be array<double>.  See
+    ``assign_nearest_centroid`` for the literal-vs-table plan trade-off."""
+    v = F.col(vec_col)
+    if not use_table:
+        entries = []
+        for ci, c in sorted(centroids):
+            arr = F.array(*[F.lit(float(x)) for x in c])
+            d2 = F.aggregate(
+                F.zip_with(v, arr, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            entries.append(F.struct(d2.alias("d2"), F.lit(ci).alias("ci")))
+        return df.withColumn(
+            out_col, F.sort_array(F.array(*entries))[0]["ci"].cast("long")
+        )
+    cent_rows = [([(int(ci), [float(x) for x in c]) for ci, c in sorted(centroids)],)]
+    cent_df = df.sparkSession.createDataFrame(
+        cent_rows, "_cents array<struct<ci: long, vec: array<double>>>"
+    )
+    scored = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(v, c["vec"], lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+            c["ci"].alias("ci"),
+        ),
+    )
+    return (
+        df.crossJoin(F.broadcast(cent_df))
+        .withColumn(out_col, F.array_min(scored)["ci"].cast("long"))
+        .drop("_cents")
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     id_c: str,
@@ -808,6 +904,7 @@ def semantic_dedup(
     centroids: list[tuple[int, list[float]]],
     tau: float = 0.95,
     materialize: bool = True,
+    assign: str = "auto",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the embedding
     space with a (pre-trained) k-means quantizer, then drop every document
@@ -816,22 +913,20 @@ def semantic_dedup(
     cluster comparison.
 
     Spark shape:
-    - cluster assignment is a NARROW map: centroids are model state inlined
-      as literals (the ivf_topk/kmeans trick — no join, no shuffle), nearest
-      by squared L2, ties to the lowest centroid index;
+    - cluster assignment is ``assign_nearest_centroid`` (see its docstring):
+      ``assign='auto'`` (default) uses the inline-literal narrow map up to
+      64 centroids and the BROADCAST CENTROID-TABLE path above it — the
+      table path's expression is O(1) in k, so the operator's own k∝n
+      contract (below) is now satisfiable at any k (k=256 on the 100×
+      corpus completes where the literal path destabilized the driver —
+      PERF.md r7 sweep datapoint);
     - the candidate scan is a within-cluster self-equi-join on cluster id —
       Θ(Σ m_c²) cosines, the published SemDeDup cost, which stays bounded
       because k grows with the corpus (m_c ≈ n/k docs per cluster); the
       join itself is hash-partitioned by cluster, never a cartesian.
       NOTE the k∝n contract is the operator's scale requirement: a fixed
       small k at a 100× corpus turns the pair scan into Θ(n²/k) — the
-      algorithm's documented behavior under a mis-sized k.  Inline-literal
-      assignment is measured-good to k≈64 (100× sweep: 64 s train +
-      421 s pair scan over 200k vectors); k=256 destabilized the local
-      driver during expression compilation (PERF.md late-r6) — beyond
-      ~64-128 centroids, route assignment through the IVF bucketing
-      machinery (``ivf_topk``'s centroid table) instead of literal
-      expansion;
+      algorithm's documented behavior under a mis-sized k;
     - the dropped-id set distincts on id and folds back with one LEFT join
       (AQE broadcasts it when small).
 
@@ -848,22 +943,7 @@ def semantic_dedup(
 
     Output: one row per input — ``(id_c, cluster_id, kept)``.
     """
-    v = F.col(vec_c).cast("array<double>")
-    entries = []
-    for ci, c in sorted(centroids):
-        arr = F.array(*[F.lit(float(x)) for x in c])
-        d2 = F.aggregate(
-            F.zip_with(v, arr, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        entries.append(F.struct(d2.alias("d2"), F.lit(ci).alias("ci")))
-    assigned = corpus.select(
-        F.col(id_c).alias("_id"),
-        v.alias("_v"),
-        F.sqrt(seq_dot(v, v)).alias("_n"),
-        F.sort_array(F.array(*entries))[0]["ci"].cast("long").alias("cluster_id"),
-    )
+    assigned = assign_nearest_centroid(corpus, id_c, vec_c, centroids, assign=assign)
     if materialize:
         assigned = assigned.localCheckpoint(eager=True)
     a, b = assigned.alias("a"), assigned.alias("b")

@@ -201,3 +201,51 @@ def test_ivf_pq_composed_prunes_and_recalls(spark, sf_dir):
         if key in bf_scores:
             assert abs(bf_scores[key] - r["score"]) < 1e-9
     assert len(composed) <= N_QUERIES * K
+
+
+def test_assignment_literal_vs_table_equivalence(spark, sf_dir):
+    """r7 VERDICT item 1: the broadcast centroid-TABLE assignment path must
+    be bit-identical to the inline-literal path — same nearest centroid,
+    same (d2, ci) tie-break — at a k where both run comfortably."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = S.kmeans_centroids(emb, "vec_id", "embedding", k=8, iters=2)
+
+    lit = {
+        r["_id"]: r["cluster_id"]
+        for r in S.assign_nearest_centroid(
+            emb, "vec_id", "embedding", cents, assign="literal"
+        ).collect()
+    }
+    tab = {
+        r["_id"]: r["cluster_id"]
+        for r in S.assign_nearest_centroid(
+            emb, "vec_id", "embedding", cents, assign="table"
+        ).collect()
+    }
+    assert lit == tab and len(lit) == emb.count()
+
+
+def test_assignment_table_tie_breaks_to_lowest_ci(spark):
+    """Duplicate centroids: both paths must pick the LOWEST centroid id."""
+    df = spark.createDataFrame([(1, [1.0, 0.0])], "id long, v array<double>")
+    cents = [(0, [5.0, 5.0]), (1, [1.0, 0.0]), (2, [1.0, 0.0])]
+    for mode in ("literal", "table"):
+        got = S.assign_nearest_centroid(df, "id", "v", cents, assign=mode).collect()
+        assert got[0]["cluster_id"] == 1, mode
+
+
+def test_semantic_dedup_table_assignment_same_result(spark, sf_dir):
+    """semantic_dedup(assign='table') ≡ semantic_dedup(assign='literal'):
+    identical (kept, cluster_id) per vector on the fixture corpus."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    cents = S.kmeans_centroids(emb, "vec_id", "embedding", k=4, iters=1)
+
+    def snap(mode):
+        return {
+            r["vec_id"]: (r["cluster_id"], r["kept"])
+            for r in S.semantic_dedup(
+                emb, "vec_id", "embedding", cents, tau=0.5, assign=mode
+            ).collect()
+        }
+
+    assert snap("literal") == snap("table")
