@@ -279,3 +279,54 @@ def test_snapshot_versioning_flow(spark, tmp_path):
     assert write_snapshot(d3, root, keep_last=2) == 3
     assert snapshot_versions(spark, root) == [2, 3]
     assert [r["s"] for r in read_snapshot(spark, root).collect()] == ["d"]
+
+
+def test_compact_snapshot_transactional(spark, sf_dir, tmp_path, monkeypatch):
+    """r7: compact_snapshot composes compact_parquet with the snapshot
+    pointer flip — the compacted table lands as v=N+1, _LATEST moves only
+    after the rewrite completes, rows are unchanged, and a crash before
+    the flip leaves readers on the old version."""
+    from msgraphdatapipelines_spark import sinks
+    from msgraphdatapipelines_spark.sinks import (
+        compact_snapshot,
+        read_snapshot,
+        snapshot_versions,
+        write_snapshot,
+    )
+
+    root = str(tmp_path / "snap")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # publish a deliberately fragmented v1 (the streaming-appends shape)
+    assert write_snapshot(orders.repartition(40), root) == 1
+
+    stats = compact_snapshot(spark, root, target_file_bytes=1 << 40)
+    assert stats["from_version"] == 1 and stats["version"] == 2
+    assert stats["in_files"] == 40 and stats["out_files"] == 1
+    assert snapshot_versions(spark, root) == [1, 2]
+    a = sorted(r["o_orderkey"] for r in read_snapshot(spark, root, version=1).collect())
+    b = sorted(r["o_orderkey"] for r in read_snapshot(spark, root).collect())
+    assert a == b  # same table, new layout, pointer on v2
+
+    # crash BEFORE the flip: rewrite succeeds but the pointer never moves
+    def boom(spark_, root_, v_):
+        raise RuntimeError("crash before flip")
+
+    monkeypatch.setattr(sinks, "_flip_latest", boom)
+    try:
+        compact_snapshot(spark, root, target_file_bytes=1 << 40)
+        raise AssertionError("expected the injected crash")
+    except RuntimeError:
+        pass
+    monkeypatch.undo()
+    # reader still resolves the last COMMITTED version (v2), the orphan
+    # v=3 directory exists but is unreferenced
+    assert sorted(
+        r["o_orderkey"] for r in read_snapshot(spark, root).collect()
+    ) == a
+    assert snapshot_versions(spark, root) == [1, 2, 3]
+    # re-running compaction after the crash commits cleanly past the orphan
+    stats2 = compact_snapshot(spark, root, target_file_bytes=1 << 40)
+    assert stats2["version"] == 4
+    assert sorted(
+        r["o_orderkey"] for r in read_snapshot(spark, root).collect()
+    ) == a

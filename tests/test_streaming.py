@@ -548,3 +548,46 @@ def test_foreachbatch_checkpoint_restart_resumes_offsets(spark, tmp_path):
     finally:
         q.stop()
     assert seen == [(0, [1]), (1, [2])]  # offsets committed: batch 0 not re-run
+
+
+def test_enrich_refreshed_dim_sees_mid_stream_update(spark, tmp_path):
+    """r7: enrich_stream_refreshed_dim re-loads the dim per micro-batch —
+    a dim row updated (via an atomic snapshot publish) between batches is
+    reflected in the SECOND batch's output, which a plan-time-frozen
+    file-source dim cannot do."""
+    from msgraphdatapipelines_spark import sinks
+
+    src = tmp_path / "scd_src"
+    src.mkdir()
+    dim_root = str(tmp_path / "scd_dim")
+    out = str(tmp_path / "scd_out")
+    ck = str(tmp_path / "scd_ck")
+    base = "2024-01-01 "
+
+    sinks.write_snapshot(
+        spark.createDataFrame([(1, "SEG_OLD")], "k long, seg string"), dim_root
+    )
+    _write_events(str(src / "a_b1.parquet"), [(1, base + "10:00:00", 1, "x")])
+    ev = ST.read_events_stream(spark, str(src), glob="*.parquet")
+    q = ST.enrich_stream_refreshed_dim(
+        ev,
+        lambda s: sinks.read_snapshot(s, dim_root),
+        ev.user_id == F.col("k"),
+        out,
+        ck,
+    )
+    try:
+        q.processAllAvailable()
+        # dim update published atomically between batches
+        sinks.write_snapshot(
+            spark.createDataFrame([(1, "SEG_NEW")], "k long, seg string"), dim_root
+        )
+        _write_events(str(src / "b_b2.parquet"), [(2, base + "11:00:00", 1, "y")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["event_id"], r["seg"])
+        for r in spark.read.option("basePath", out).parquet(out).collect()
+    }
+    assert got == {(1, "SEG_OLD"), (2, "SEG_NEW")}
