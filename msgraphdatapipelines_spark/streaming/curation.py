@@ -1,0 +1,153 @@
+"""Continuous-curation pipeline — ingest → incremental dedup → sketch
+rollup composed as ONE stream (r6 VERDICT item 3).
+
+This is the reference's scheduled-runbook model
+(`Invoke-GraphDataPipelineToAzureSQLDatabase.ps1` — a timer trigger
+re-snapshotting a Graph collection) promoted to the engine's streaming
+curation flow: every tick pulls one OData delta round, folds it into the
+keyed document snapshot, assigns the round's new/updated documents
+against the persisted LSH dedup state, and appends the round's mergeable
+distinct-count sketch rows — the full crawl→curate→account loop a
+training-data pipeline runs continuously.
+
+Composition instead of three separate streams: all four steps share one
+``foreachBatch`` round, so the crash-consistency story is a single
+ordered commit protocol rather than three queues to reconcile:
+
+1. ``read_odata_delta`` — resumes from the delta token (never advanced
+   by the read itself);
+2. batch-keyed outputs first, all idempotent OVERWRITE:
+   assignments → ``{assign_dir}/batch_id=N``, sketch rows →
+   ``{rollup_dir}/batch_id=N``;
+3. state folds next: snapshot ← ``apply_delta`` (keyed upsert +
+   tombstones — re-applying the same delta is a no-op), dedup bucket
+   state ← min-fold (re-folding the same docs is a no-op: min is
+   idempotent);
+4. ``save_delta_state`` LAST — the commit point.  A crash anywhere
+   before it replays the SAME change window against states that either
+   missed the fold (identical rerun) or already absorbed it
+   (idempotent rerun).
+
+Replay stability: ``rep_id`` assignments are replay-stable even when the
+crash lands between the dedup-state fold and the token save (a doc
+re-assigned against the already-folded state still finds the same
+minimum representative — its own fold can only have installed itself or
+its rep as the bucket min).  The ``is_new_cluster`` flag alone can flip
+true→false in that window (the replica finds its own cluster already
+registered) — benign, cluster identities never change.
+
+Scale: every step is the underlying batch operator inside foreachBatch,
+so their 100 TB notes apply unchanged (delta pages via the DataSource
+past the page threshold, one bucket-keyed join for dedup with state
+O(buckets), O(dims) sketch rows per round, one keyed anti-join for the
+snapshot fold).  The tick stream carries no data — it is the schedule.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from .. import sinks
+from ..operators import dedup as D
+from ..operators.sketches import build_distinct_sketches
+from ..sources import rest
+
+
+def curation_pipeline_stream(
+    spark: SparkSession,
+    tick_dir: str,
+    first_url: str,
+    schema: T.StructType,
+    state_path: str,
+    snapshot_path: str,
+    keys: list[str],
+    dedup_state_path: str,
+    assign_dir: str,
+    rollup_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    part_cols: list[str] | None = None,
+    value_col: str | None = None,
+    fetcher: Callable[[str], str] = rest.file_fetcher,
+    removed_col: str = "_removed",
+    num_hashes: int = 8,
+    bands: int = 4,
+    lgk: int = 12,
+) -> StreamingQuery:
+    """Start the composed curation stream (one delta round per tick file;
+    ``maxFilesPerTrigger=1`` keeps rounds sequential, the checkpoint makes
+    restarts resume at the next unprocessed tick).
+
+    Per-round artifacts:
+    - ``snapshot_path``: the curated keyed document snapshot (upserts +
+      tombstone deletes applied);
+    - ``{assign_dir}/batch_id=N``: (id, rep_id, is_new_cluster) for the
+      round's upserted docs — the incremental dedup verdicts;
+    - ``{rollup_dir}/batch_id=N``: mergeable HLL sketch rows over the
+      round's upserts (merge the directory for any range estimate);
+    - ``dedup_state_path`` / ``state_path``: bucket→rep state and the
+      delta resume token.
+
+    ``part_cols``/``value_col`` default to ``[]``/``id_col`` — a global
+    distinct-docs-ingested sketch per round.
+    """
+    part_cols = part_cols or []
+    value_col = value_col or id_col
+
+    def one_round(_batch_df, batch_id: int) -> None:
+        delta, link = rest.read_odata_delta(
+            spark, first_url, schema, state_path=state_path,
+            fetcher=fetcher, removed_col=removed_col,
+        )
+        # one materialization feeds the three consumers (dedup, sketch,
+        # snapshot fold) — same pinning rationale as delta_sync_stream
+        delta = delta.localCheckpoint(eager=True)
+        upserts = delta.filter(~F.col(removed_col))
+
+        # (2) batch-keyed idempotent outputs
+        grams = upserts.select(
+            id_col, F.explode(D.word_ngrams(text_col, 3)).alias("g")
+        )
+        sigs = D.minhash_signatures(grams, id_col, "g", num_hashes=num_hashes)
+        try:
+            dstate = spark.read.parquet(dedup_state_path)
+        except Exception:  # noqa: BLE001 — first round: no dedup state yet
+            dstate = None
+        assigns, new_dstate = D.lsh_incremental_assign(
+            sigs, dstate, id_col, num_hashes=num_hashes, bands=bands
+        )
+        assigns.write.mode("overwrite").parquet(f"{assign_dir}/batch_id={batch_id}")
+        build_distinct_sketches(upserts, part_cols, value_col, lgk=lgk).write.mode(
+            "overwrite"
+        ).parquet(f"{rollup_dir}/batch_id={batch_id}")
+
+        # (3) state folds — both idempotent under same-window replay
+        try:
+            snapshot = spark.read.parquet(snapshot_path)
+        except Exception:  # noqa: BLE001 — first round: no snapshot yet
+            snapshot = spark.createDataFrame([], schema)
+        merged = sinks.apply_delta(snapshot, delta, keys, removed_col=removed_col)
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            snapshot_path
+        )
+        new_dstate.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            dedup_state_path
+        )
+
+        # (4) commit point
+        if link:
+            rest.save_delta_state(state_path, link)
+
+    return (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .text(tick_dir)
+        .writeStream.option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(one_round)
+        .start()
+    )
