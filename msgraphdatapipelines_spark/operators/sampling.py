@@ -202,6 +202,22 @@ def shuffle_deterministic(
     ``sortWithinPartitions(name)`` at write time to lay files out in
     shuffle order, or range-read ``[lo, hi)`` position slices for
     curriculum windows.
+
+    CONTRACT — ``id_col`` must be UNIQUE (r6 ADVICE): the order key is
+    (u, md5, id), all pure functions of the id, so duplicated ids share
+    an identical key and their relative positions fall to partition
+    order — nondeterministic across runs, silently.  Dedup first
+    (``dropDuplicates([id_col])``) or pass a genuinely unique key; this
+    operator does not scan for violations (a uniqueness assert would
+    cost an extra count-distinct job at 100 TB — run
+    ``constraints.check`` in a validation pass if the upstream cannot
+    guarantee it).  Likewise, the counts branch and the probe branch
+    both re-execute the upstream plan: with a NONDETERMINISTIC upstream
+    (sample(), rand() filters, re-listed mutable input) the broadcast
+    offsets can disagree with the probe rows and the inner join then
+    drops or mis-positions rows SILENTLY rather than failing — pin the
+    upstream (localCheckpoint / write-out) before calling, exactly as
+    ``with_surrogate_key``'s materialize discussion prescribes.
     """
     n = num_buckets or df.sparkSession.sparkContext.defaultParallelism
     from pyspark.sql import Window

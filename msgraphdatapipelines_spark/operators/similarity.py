@@ -804,6 +804,47 @@ def ivf_pq_topk(
     )
 
 
+def recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    qid: str = "qid",
+    cid: str = "cid",
+) -> DataFrame:
+    """Recall@k as a first-class queryable metric (r6 VERDICT item 7) —
+    the number every ANN deployment tunes planes/nprobe/m against,
+    promoted from pytest-only arithmetic to an operator.
+
+    Input: two (qid, cid) neighbor frames — an approximate index's top-k
+    and the exact baseline's (``brute_force_topk``).  Output: one row per
+    query — ``(qid, n_exact, n_hit, recall)`` with
+    ``recall = |approx ∩ exact| / |exact|`` (macro recall is then
+    ``avg(recall)``, micro is ``sum(n_hit)/sum(n_exact)``).
+
+    Scale shape: one LEFT SEMI equi-join on (qid, cid) — the approx side
+    is typically the small one (q·k rows), broadcast by AQE — plus two
+    map-combinable count aggregations keyed on qid.  No vector math: the
+    metric only needs id sets, so it costs nothing even when the exact
+    side came from a billion-vector ground-truth sample.  Queries the
+    exact baseline knows but the index returned nothing for still appear
+    (n_hit = 0) — silently dropping them would inflate recall.
+    """
+    e = exact.select(F.col(qid).alias("qid"), F.col(cid).alias("cid"))
+    a = approx.select(F.col(qid).alias("qid"), F.col(cid).alias("cid"))
+    hit = e.join(a, ["qid", "cid"], "left_semi").groupBy("qid").agg(
+        F.count("*").alias("n_hit")
+    )
+    per_q = e.groupBy("qid").agg(F.count("*").alias("n_exact"))
+    return per_q.join(hit, "qid", "left").select(
+        "qid",
+        "n_exact",
+        F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+        (
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+            / F.col("n_exact")
+        ).alias("recall"),
+    )
+
+
 def assign_nearest_centroid(
     corpus: DataFrame,
     id_c: str,

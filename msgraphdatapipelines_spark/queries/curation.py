@@ -198,7 +198,10 @@ def shuffle_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan is per-bucket row_number + broadcast prefix-sum offsets (one hash
     exchange; no range-partitioning sampling pass, no Exchange
     SinglePartition — pinned in tests/test_plans.py).  The oracle replays
-    the identical draw expression through a plain global window."""
+    the identical draw expression through a plain global window.
+    ``doc_id`` satisfies the operator's id-uniqueness contract (primary
+    key of the documents fixture; see shuffle_deterministic's CONTRACT
+    note — duplicated ids would make tie order nondeterministic)."""
     from ..operators.sampling import shuffle_deterministic
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang")

@@ -344,12 +344,14 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_oracle(m: int = 8, ks: int = 16, k: int = 5) -> str:
-    """DuckDB replay of the full PQ pipeline (seed codebooks): normalize →
-    seed codebooks from the ks lowest-id vectors → per-subspace argmin
-    encoding → per-query LUT → ADC score as m computed-index list lookups.
-    Every float expression mirrors the Spark operator's accumulation order
-    (left-associated sums, same tie-breaks), so values hash-match."""
+def _pq_ctes(m: int = 8, ks: int = 16) -> str:
+    """DuckDB replay of the full PQ pipeline (seed codebooks) as a CTE
+    chain ending in ``pq_scored``: normalize → seed codebooks from the ks
+    lowest-id vectors → per-subspace argmin encoding → per-query LUT →
+    ADC score as m computed-index list lookups.  Every float expression
+    mirrors the Spark operator's accumulation order (left-associated
+    sums, same tie-breaks), so values hash-match.  Factored out of the
+    ann_pq_topk oracle so the recall row can compose it."""
     dsub = DIM // m
     d2 = " + ".join(
         f"((c.u[b.s*{dsub}+{i}] - b.cw[{i}]) * (c.u[b.s*{dsub}+{i}] - b.cw[{i}]))"
@@ -361,7 +363,7 @@ def _pq_oracle(m: int = 8, ks: int = 16, k: int = 5) -> str:
     score = " + ".join(f"l.lut[{s}*{ks} + e.code[{s + 1}] + 1]" for s in range(m))
     subs = ", ".join(str(s) for s in range(m))
     return f"""
-    WITH un AS (
+    un AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) / n) AS u
         FROM (SELECT vec_id, embedding, sqrt({_dot('embedding', 'embedding')}) AS n
               FROM embeddings) t
@@ -395,15 +397,20 @@ def _pq_oracle(m: int = 8, ks: int = 16, k: int = 5) -> str:
         )
         GROUP BY qid
     ),
-    scored AS (
+    pq_scored AS (
         SELECT l.qid, e.vec_id AS cid, {score} AS score
         FROM lut l CROSS JOIN enc e
         WHERE l.qid <> e.vec_id
-    )
+    )"""
+
+
+def _pq_oracle(m: int = 8, ks: int = 16, k: int = 5) -> str:
+    return f"""
+    WITH {_pq_ctes(m, ks)}
     SELECT qid, cid, round(score, 6) AS score, CAST(rn AS BIGINT) AS rank
     FROM (SELECT *, row_number() OVER (PARTITION BY qid
                                        ORDER BY score DESC, cid) AS rn
-          FROM scored)
+          FROM pq_scored)
     WHERE rn <= {k}
     """
 
@@ -468,3 +475,134 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", k=N_CENTROIDS, iters=1, dim=DIM, exact_mean=True
     )
     return S.semantic_dedup(emb, "vec_id", "embedding", centroids=cents, tau=SEMDEDUP_TAU)
+
+
+def _topk_pairs(scored_cte: str) -> str:
+    """(qid, cid) of the per-query top-K of a scored CTE — the rank rule
+    every ANN oracle here shares (score DESC, cid ASC)."""
+    return (
+        f"SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER "
+        f"(PARTITION BY qid ORDER BY score DESC, cid) AS rn FROM {scored_cte}) t "
+        f"WHERE rn <= {K}"
+    )
+
+
+def _recall_row(method: str, approx_cte: str) -> str:
+    return f"""
+        SELECT '{method}' AS method,
+               (SELECT count(*) FROM bf) AS n_exact,
+               (SELECT count(*) FROM bf b JOIN {approx_cte} s
+                ON b.qid = s.qid AND b.cid = s.cid) AS n_hit"""
+
+
+@register(
+    "ann_recall_at_k",
+    demoted=True,  # composes four already-verified ANN formulations
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv,
+                      {_bucket_expr('embedding')} AS bucket
+               FROM embeddings
+               WHERE vec_id < {N_QUERIES} AND {_norm_pos('embedding')}),
+    c AS (SELECT vec_id AS cid, embedding AS cv,
+                 {_bucket_expr('embedding')} AS bucket
+          FROM embeddings WHERE {_norm_pos('embedding')}),
+    bf_scored AS (
+        SELECT qid, cid, {_cos('qv', 'cv')} AS score
+        FROM q JOIN c ON qid <> cid
+    ),
+    bf AS ({_topk_pairs('bf_scored')}),
+    lsh_scored AS (
+        SELECT qid, cid, {_cos('qv', 'cv')} AS score
+        FROM q JOIN c ON q.bucket = c.bucket AND qid <> cid
+    ),
+    lsh AS ({_topk_pairs('lsh_scored')}),
+    qprobe AS (SELECT qid, qv, unnest({_probe_buckets_sql('bucket')}) AS bucket
+               FROM q),
+    mp_scored AS (
+        SELECT qid, cid, {_cos('qv', 'cv')} AS score
+        FROM qprobe p JOIN c ON p.bucket = c.bucket AND qid <> cid
+    ),
+    mp AS ({_topk_pairs('mp_scored')}),
+    cent AS (SELECT cid AS cent, cv AS cvec FROM c ORDER BY cid LIMIT {N_CENTROIDS}),
+    ivf_assign AS (
+        SELECT cid, cv, cent FROM (
+            SELECT c.cid, c.cv, cent.cent,
+                   row_number() OVER (
+                       PARTITION BY c.cid
+                       ORDER BY {_cos('c.cv', 'cvec')} DESC, cent.cent) AS rn
+            FROM c CROSS JOIN cent) t
+        WHERE rn = 1
+    ),
+    ivf_qprobe AS (
+        SELECT qid, qv, cent FROM (
+            SELECT q.qid, q.qv, cent.cent,
+                   row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY {_cos('q.qv', 'cvec')} DESC, cent.cent) AS rn
+            FROM q CROSS JOIN cent) t
+        WHERE rn <= {NPROBE}
+    ),
+    ivf_scored AS (
+        SELECT qid, cid, {_cos('qv', 'cv')} AS score
+        FROM ivf_qprobe JOIN ivf_assign USING (cent) WHERE qid <> cid
+    ),
+    ivf AS ({_topk_pairs('ivf_scored')}),
+    {_pq_ctes()},
+    pq AS ({_topk_pairs('pq_scored')}),
+    summary AS (
+        {_recall_row('lsh8', 'lsh')}
+        UNION ALL {_recall_row('lsh8_multiprobe', 'mp')}
+        UNION ALL {_recall_row('ivf', 'ivf')}
+        UNION ALL {_recall_row('pq', 'pq')}
+    )
+    SELECT method, CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           round(CAST(n_hit AS DOUBLE) / n_exact, 6) AS recall
+    FROM summary
+    """,
+)
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of every deterministic SQL-expressible ANN index against
+    the exact brute-force baseline (r6 VERDICT item 7) — recall as a
+    first-class queryable metric, not pytest arithmetic: one row per
+    method with (n_exact, n_hit, recall), computed by
+    operators.similarity.recall_at_k (id-set semi-join + two keyed
+    counts; no vector math in the metric itself).
+
+    Methods: single-probe 8-plane LSH, multi-probe (all 1-bit flips),
+    IVF-flat (lowest-id centroids, nprobe=2/8), and PQ-ADC (seed
+    codebooks) — each the exact formulation its own graded/demoted oracle
+    row verifies, so the recall values are deterministic.  The composed
+    IVF+PQ index joins the ladder in tests/test_similarity.py via the
+    same operator (its trained state is not SQL-expressible).
+
+    The embedding frame is pinned once for the five index plans (same
+    rationale as ann_kmeans_ivf_topk's pin)."""
+    emb = load(spark, sf_dir, "embeddings").localCheckpoint(eager=True)
+    args = (
+        emb.filter(F.col("vec_id") < N_QUERIES), emb,
+        "vec_id", "vec_id", "embedding", "embedding",
+    )
+    exact = S.brute_force_topk(*args, k=K)
+    methods = {
+        "lsh8": S.lsh_topk(*args, k=K, num_planes=8, dim=DIM),
+        "lsh8_multiprobe": S.lsh_topk(*args, k=K, num_planes=8, dim=DIM, multi_probe=True),
+        "ivf": S.ivf_topk(*args, k=K, n_centroids=N_CENTROIDS, nprobe=NPROBE),
+        "pq": S.pq_topk(*args, k=K),
+    }
+    rows = [
+        S.recall_at_k(df, exact)
+        .groupBy()
+        .agg(F.sum("n_exact").alias("n_exact"), F.sum("n_hit").alias("n_hit"))
+        .select(
+            F.lit(name).alias("method"),
+            "n_exact",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_exact"), 6).alias("recall"),
+        )
+        for name, df in methods.items()
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out

@@ -1077,5 +1077,8 @@ def test_udtf_split_sentences_matches_declarative_twin(spark, sf_dir):
         (r["doc_id"], r["sent_id"], r["sentence"], r["n_tokens"]) for r in twin.collect()
     }
     assert got == want
-    assert len(got) == 54  # 50 one-sentence docs + 3 crafted + 1, NULL emits 0
+    # count derives from the declarative twin (r6 ADVICE: the previous
+    # literal 54 assumed every fixture doc holds exactly one sentence —
+    # a fixture regeneration hazard); only crafted rows stay literal
+    assert len(got) == len(want) > 0
     assert (90001, 3, "Three, yes?", 2) in got

@@ -249,3 +249,40 @@ def test_semantic_dedup_table_assignment_same_result(spark, sf_dir):
         }
 
     assert snap("literal") == snap("table")
+
+
+def test_recall_at_k_operator_semantics_and_ladder(spark, sf_dir):
+    """r7: recall@k as an operator — crafted-frame semantics (zero-hit
+    queries kept, not dropped), agreement with the set arithmetic the
+    ladder used before, and probe-widening monotonicity of the composed
+    IVF+PQ index measured THROUGH the operator."""
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10)], "qid long, cid long"
+    )
+    approx = spark.createDataFrame([(1, 10), (1, 99)], "qid long, cid long")
+    got = {r["qid"]: (r["n_exact"], r["n_hit"], r["recall"])
+           for r in S.recall_at_k(approx, exact).collect()}
+    assert got == {1: (2, 1, 0.5), 2: (1, 0, 0.0)}
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    args = (q, emb, "vec_id", "vec_id", "embedding", "embedding")
+    bf = S.brute_force_topk(*args, k=K)
+
+    def micro(approx_df) -> float:
+        r = (
+            S.recall_at_k(approx_df, bf)
+            .groupBy()
+            .agg(F.sum("n_hit").alias("h"), F.sum("n_exact").alias("e"))
+            .collect()[0]
+        )
+        return r["h"] / r["e"]
+
+    multi8 = S.lsh_topk(*args, k=K, num_planes=8, multi_probe=True)
+    assert micro(multi8) == _recall(_pairs(multi8), _pairs(bf))
+
+    # the composed IVF+PQ rung joins the ladder via the operator: widening
+    # the probe set can only help
+    r2 = micro(S.ivf_pq_topk(*args, k=K, n_centroids=8, nprobe=2, rerank=50))
+    r8 = micro(S.ivf_pq_topk(*args, k=K, n_centroids=8, nprobe=8, rerank=50))
+    assert r8 >= r2 > 0.0
