@@ -447,21 +447,75 @@ def read_odata_delta(
         more, dl2 = fetch_delta_pages(last_next, fetcher, retry, sleeper)
         pages += more
         delta_link = dl2 or delta_link
+    df = parse_odata_envelope(
+        spark.createDataFrame([(p,) for p in pages], "body string").repartition(
+            max(1, min(len(pages), spark.sparkContext.defaultParallelism))
+        ),
+        schema,
+        removed_col,
+    )
+    return df, delta_link
+
+
+def parse_odata_envelope(
+    body_df: DataFrame, schema: T.StructType, removed_col: str = "_removed"
+) -> DataFrame:
+    """Decode OData envelope bodies (``{"value": [...], "@odata.nextLink":
+    ...}``) into entity rows + a tombstone flag — the ONE envelope→rows
+    semantic shared by the batch delta reader and the streaming page
+    replay (``read_odata_page_stream``).  ``body_df`` needs a string
+    column ``body``; link fields are metadata (pagination / resume), not
+    data, and are intentionally not projected.  Declared-schema
+    semantics match the reference's DataTable contract: extra JSON
+    properties are dropped, missing ones are NULL."""
     rec_schema = T.StructType(
         list(schema.fields)
         + [T.StructField(REMOVED, T.StructType([T.StructField("reason", T.StringType())]))]
     )
     envelope = T.StructType([T.StructField(VALUE, T.ArrayType(rec_schema))])
-    df = (
-        spark.createDataFrame([(p,) for p in pages], "body string")
-        .repartition(max(1, min(len(pages), spark.sparkContext.defaultParallelism)))
-        .select(F.explode(F.from_json("body", envelope).getField(VALUE)).alias("rec"))
-        .select(
-            *[F.col(f"rec.{f.name}") for f in schema.fields],
-            F.col("rec.`@removed`").isNotNull().alias(removed_col),
-        )
+    return body_df.select(
+        F.explode(F.from_json("body", envelope).getField(VALUE)).alias("rec")
+    ).select(
+        *[F.col(f"rec.{f.name}") for f in schema.fields],
+        F.col("rec.`@removed`").isNotNull().alias(removed_col),
     )
-    return df, delta_link
+
+
+def read_odata_page_stream(
+    spark: SparkSession,
+    pages_dir: str,
+    schema: T.StructType,
+    removed_col: str = "_removed",
+    max_files_per_trigger: int = 1,
+    glob: str = "*.json",
+) -> DataFrame:
+    """Streaming replay of raw OData envelope pages (r6 VERDICT item 8):
+    watch ``pages_dir`` for page files (one spilled/staged fetch each —
+    the exact bodies ``file_fetcher``/``http_fetcher`` return) and emit
+    their entity rows as a STRUCTURED STREAM, so streaming tests and
+    pipelines exercise the real ingest envelope — nextLink page
+    boundaries, ``@removed`` tombstones, declared-schema projection —
+    instead of pre-parsed parquet.
+
+    ``maxFilesPerTrigger`` (default 1) rate-limits the replay to one page
+    per micro-batch — page-boundary-faithful, and the knob to slow a
+    backfill replay down to production cadence.  In this replay model
+    file DISCOVERY is the pagination: the nextLink chain ordered the
+    files at staging time (``read_odata_delta``'s ``spill_dir`` writes
+    exactly this layout), so the link fields themselves are not re-walked.
+
+    Returns a streaming DataFrame (schema = entity fields + tombstone
+    flag) composable with any downstream streaming operator — watermarked
+    windows, ``enrich_with_static``, ``foreachBatch`` sinks."""
+    raw = (
+        spark.readStream.option("wholetext", "true")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", glob)
+        .text(pages_dir)
+    )
+    return parse_odata_envelope(
+        raw.select(F.col("value").alias("body")), schema, removed_col
+    )
 
 
 def _orderby_to_columns(spec: str) -> list:

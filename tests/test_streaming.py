@@ -591,3 +591,86 @@ def test_enrich_refreshed_dim_sees_mid_stream_update(spark, tmp_path):
         for r in spark.read.option("basePath", out).parquet(out).collect()
     }
     assert got == {(1, "SEG_OLD"), (2, "SEG_NEW")}
+
+
+def test_odata_page_stream_envelope_to_enrich_end_to_end(spark, tmp_path):
+    """r7 (r6 VERDICT stretch item 8): streaming replay of RAW OData
+    envelope pages — nextLink page boundaries, @removed tombstones,
+    declared-schema projection — composed with the stream-static
+    enrichment join, end-to-end on staged page files.  A page dropped
+    mid-stream arrives as the next micro-batch."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from msgraphdatapipelines_spark.sources import rest
+
+    pages = tmp_path / "pages"
+    pages.mkdir()
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("operatingSystem", T.StringType()),
+            T.StructField("errorCode", T.LongType()),
+        ]
+    )
+    # page 1: two records, a nextLink (metadata, not data), and an extra
+    # undeclared property that the declared schema must drop
+    (pages / "page-000.json").write_text(_json.dumps({
+        "value": [
+            {"id": "a", "operatingSystem": "Windows", "errorCode": 0, "extra": "drop me"},
+            {"id": "b", "operatingSystem": "macOS"},
+        ],
+        "@odata.nextLink": "https://unit.test/next",
+    }))
+    # page 2: an update and a tombstone, ending the chain in a deltaLink
+    (pages / "page-001.json").write_text(_json.dumps({
+        "value": [
+            {"id": "c", "operatingSystem": "Linux", "errorCode": 2},
+            {"id": "a", "@removed": {"reason": "deleted"}},
+        ],
+        "@odata.deltaLink": "https://unit.test/delta",
+    }))
+
+    dim = spark.createDataFrame(
+        [("Windows", "desktop"), ("macOS", "desktop"), ("Linux", "server")],
+        "operatingSystem string, fleet string",
+    )
+    stream = rest.read_odata_page_stream(spark, str(pages), schema)
+    enriched = ST.enrich_with_static(stream, dim, "operatingSystem", how="left_outer")
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("odata_replay")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["id"], r["operatingSystem"], r["errorCode"], r["_removed"], r["fleet"])
+            for r in spark.sql("SELECT * FROM odata_replay").collect()
+        }
+        # declared projection: extra dropped (no column), missing -> NULL;
+        # tombstone flagged with NULL entity fields; enrichment decorated
+        assert got == {
+            ("a", "Windows", 0, False, "desktop"),
+            ("a", None, None, True, None),  # the later tombstone for a
+            ("b", "macOS", None, False, "desktop"),
+            ("c", "Linux", 2, False, "server"),
+        }
+        assert "extra" not in spark.table("odata_replay").columns
+        # both the live record and its later tombstone were emitted
+        rows_a = [
+            r for r in spark.sql("SELECT * FROM odata_replay WHERE id='a'").collect()
+        ]
+        assert sorted(r["_removed"] for r in rows_a) == [False, True]
+        # a page staged mid-stream is picked up as the next micro-batch
+        (pages / "page-002.json").write_text(_json.dumps({
+            "value": [{"id": "d", "operatingSystem": "Linux", "errorCode": 3}],
+            "@odata.deltaLink": "https://unit.test/delta2",
+        }))
+        q.processAllAvailable()
+        d = spark.sql("SELECT * FROM odata_replay WHERE id='d'").collect()
+        assert len(d) == 1 and d[0]["fleet"] == "server" and not d[0]["_removed"]
+    finally:
+        q.stop()
