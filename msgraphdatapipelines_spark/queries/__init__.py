@@ -116,6 +116,7 @@ def _ensure_loaded() -> None:
         text,
         tpch,
         udfs,
+        warehouse,
     )
 
     _LOADED = True

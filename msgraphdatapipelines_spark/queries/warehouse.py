@@ -1,0 +1,99 @@
+"""Warehouse-maintenance query rows (r7): SCD2 keyed history.
+
+The reference's stored procedures refresh dimensions by DELETE+INSERT
+(`Prepare-SQLDatabase.sql:104-178`) — history is lost on every run.  The
+engine's ladder over that semantics: ``upsert_snapshot`` (SCD1, r4) keeps
+unmatched history, ``apply_delta`` (r5) adds tombstones, and ``apply_scd2``
+(r7, `sinks.py`) keeps EVERY version with validity intervals — the shape a
+warehouse actually wants for the reference's device/CloudPC inventories,
+where "what did this device look like in March" is the audit question.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import load, register
+
+_T0 = "2024-01-01 00:00:00"
+_T1 = "2024-06-01 00:00:00"
+
+
+@register(
+    "scd2_customer_history",
+    demoted=True,  # keyed-refresh family driver-graded via delta_sync_orders
+    oracle=f"""
+    WITH base AS (
+        SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+    )
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+           TIMESTAMP '{_T0}' AS valid_from,
+           CASE WHEN c_custkey % 7 = 0 THEN TIMESTAMP '{_T1}' END AS valid_to,
+           (c_custkey % 7 <> 0) AS is_current
+    FROM base
+    UNION ALL
+    SELECT c_custkey, c_name, c_acctbal + 100 AS c_acctbal, c_mktsegment,
+           TIMESTAMP '{_T1}' AS valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to,
+           TRUE AS is_current
+    FROM base WHERE c_custkey % 7 = 0
+    UNION ALL
+    SELECT c_custkey + 1000000 AS c_custkey,
+           'NEW ' || c_name AS c_name,
+           0.0 AS c_acctbal,
+           'NEW' AS c_mktsegment,
+           TIMESTAMP '{_T1}' AS valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to,
+           TRUE AS is_current
+    FROM base WHERE c_custkey % 97 = 0
+    """,
+)
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 dimension history (r7): seed the customer dim as an
+    all-current history at T0, then apply one update batch at T1 holding
+    (a) changed rows (acctbal bump for ``%7==0`` keys — close + reopen),
+    (b) byte-identical no-op rows (``%7==1`` — must NOT version), and
+    (c) brand-new keys (``%97==0`` shifted ids — insert as current).
+    The oracle states the expected history table directly, so the
+    close/no-op/insert semantics — not just row counts — are value-checked.
+
+    Scale shape (see ``sinks.apply_scd2``): one key-shuffle join of the
+    current slice against the batch; closed history unions back
+    untouched; 0/1/2 output rows per joined key via array+inline."""
+    from msgraphdatapipelines_spark.sinks import apply_scd2
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    history = cust.select(
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        "c_mktsegment",
+        F.lit(_T0).cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = (
+        cust.filter((F.col("c_custkey") % 7 == 0) | (F.col("c_custkey") % 7 == 1))
+        .select(
+            "c_custkey",
+            "c_name",
+            F.when(F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 100)
+            .otherwise(F.col("c_acctbal"))
+            .alias("c_acctbal"),
+            "c_mktsegment",
+            F.lit(_T1).cast("timestamp").alias("effective_ts"),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 97 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.concat(F.lit("NEW "), F.col("c_name")).alias("c_name"),
+                F.lit(0.0).alias("c_acctbal"),
+                F.lit("NEW").alias("c_mktsegment"),
+                F.lit(_T1).cast("timestamp").alias("effective_ts"),
+            )
+        )
+    )
+    return apply_scd2(history, updates, ["c_custkey"])

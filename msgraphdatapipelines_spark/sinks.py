@@ -242,6 +242,92 @@ def apply_delta(
     return upserts.unionByName(survivors)
 
 
+def apply_scd2(
+    history: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    effective_col: str = "effective_ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    current_flag: str = "is_current",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension apply — the keyed-history
+    generalization of ``upsert_snapshot`` (SCD1) and the reference's
+    DELETE+INSERT refresh (`Prepare-SQLDatabase.sql:104-178`): instead of
+    replacing a changed row, CLOSE it (``valid_to`` = the update's
+    effective time, ``is_current`` = false) and open a new version
+    (``valid_from`` = effective time, open-ended, current).  Unchanged
+    matches are no-ops; unseen keys insert as new current rows; closed
+    history rows pass through untouched.
+
+    Contract: ``history`` carries the key columns, the attribute columns,
+    and the three metadata columns; ``updates`` carries the keys, the same
+    attributes, and ``effective_col``.  Every non-key, non-metadata
+    attribute is change-tracked (pure SCD2; null-safe comparison).  At
+    most ONE update per key per batch — collapse multi-update batches to
+    the latest effective row first (``row_number`` over the key), or
+    apply batches in order.
+
+    Scale shape: ONE equi-join of the CURRENT slice against the updates
+    on the key (single key shuffle — closed history never joins, it
+    unions back untouched and unshuffled), then a per-row array+inline
+    emits 0/1/2 output rows — no second pass over the join, no window.
+    With the warehouse bucketed on the key (L6 analog) the current
+    slice's shuffle disappears exactly as in ``upsert_snapshot``.
+    """
+    meta = {valid_from, valid_to, current_flag}
+    attrs = [c for c in updates.columns if c not in set(keys) | {effective_col}]
+    cur = history.filter(F.col(current_flag))
+    closed = history.filter(~F.col(current_flag))
+
+    upd = updates.select(
+        *keys,
+        *[F.col(a).alias(f"__u_{a}") for a in attrs],
+        F.col(effective_col).alias("__u_eff"),
+    )
+    j = cur.join(upd, keys, "full_outer")
+
+    c_exists = F.col(valid_from).isNotNull()  # current rows always carry valid_from
+    u_exists = F.col("__u_eff").isNotNull()
+    changed = u_exists & c_exists
+    diff = F.lit(False)
+    for a in attrs:
+        diff = diff | ~F.col(a).eqNullSafe(F.col(f"__u_{a}"))
+    changed = changed & diff
+
+    vt_t = dict(cur.dtypes).get(valid_to, "timestamp")
+    row_t = F.struct(
+        *[F.col(k).alias(k) for k in keys],
+        *[F.col(a).alias(a) for a in attrs],
+        F.col(valid_from).alias(valid_from),
+        F.when(changed, F.col("__u_eff").cast(vt_t)).otherwise(F.col(valid_to)).alias(valid_to),
+        F.when(changed, F.lit(False)).otherwise(F.col(current_flag)).alias(current_flag),
+    )
+    row_u = F.struct(
+        *[F.col(k).alias(k) for k in keys],
+        *[F.col(f"__u_{a}").alias(a) for a in attrs],
+        F.col("__u_eff").alias(valid_from),
+        F.lit(None).cast(vt_t).alias(valid_to),
+        F.lit(True).alias(current_flag),
+    )
+    emitted = (
+        j.select(
+            F.explode(
+                F.filter(
+                    F.array(
+                        F.when(c_exists, row_t),
+                        F.when(changed | (u_exists & ~c_exists), row_u),
+                    ),
+                    lambda r: r.isNotNull(),
+                )
+            ).alias("__r")
+        )
+        .select("__r.*")
+    )
+    out_cols = [*keys, *[a for a in cur.columns if a not in set(keys) | meta], valid_from, valid_to, current_flag]
+    return emitted.select(*out_cols).unionByName(closed.select(*out_cols))
+
+
 def write_rest_batched(
     df: DataFrame,
     endpoint: str,

@@ -141,6 +141,43 @@ def test_upsert_snapshot_scd1(spark):
     assert got[4]["v"] == "NEW-d"  # new key inserted
 
 
+def test_apply_scd2_two_batches_chain_integrity(spark):
+    """SCD2 (r7): two sequential batches over a 4-key dim — changed key
+    versions twice (closed intervals chain exactly), no-op update never
+    versions, new key inserts, untouched key passes through; exactly one
+    current row per live key and [valid_from, valid_to) intervals abut."""
+    import datetime as dt
+
+    t0, t1, t2 = (dt.datetime(2024, m, 1) for m in (1, 6, 9))
+    dim = spark.createDataFrame(
+        [(1, "a", t0, None, True), (2, "b", t0, None, True), (3, "c", t0, None, True)],
+        "id long, v string, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    batch1 = spark.createDataFrame(
+        [(1, "a2", t1), (2, "b", t1), (4, "d", t1)],  # change / no-op / insert
+        "id long, v string, effective_ts timestamp",
+    )
+    h1 = sinks.apply_scd2(dim, batch1, ["id"])
+    batch2 = spark.createDataFrame([(1, "a3", t2)], "id long, v string, effective_ts timestamp")
+    h2 = sinks.apply_scd2(h1, batch2, ["id"])
+
+    rows = sorted(h2.collect(), key=lambda r: (r["id"], r["valid_from"]))
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["id"], []).append(r)
+    # key 1: three versions chaining t0 → t1 → t2
+    assert [(r["v"], r["valid_from"], r["valid_to"], r["is_current"]) for r in by_id[1]] == [
+        ("a", t0, t1, False),
+        ("a2", t1, t2, False),
+        ("a3", t2, None, True),
+    ]
+    assert [(r["v"], r["is_current"]) for r in by_id[2]] == [("b", True)]  # no-op never versions
+    assert [(r["v"], r["is_current"]) for r in by_id[3]] == [("c", True)]  # untouched key
+    assert [(r["v"], r["valid_from"], r["is_current"]) for r in by_id[4]] == [("d", t1, True)]
+    for vs in by_id.values():  # global invariant: exactly one current version per key
+        assert sum(1 for r in vs if r["is_current"]) == 1
+
+
 def test_read_jdbc_partitioned_roundtrip_derby(spark):
     """S7 read side (r4 VERDICT item 6): write a keyed table through L1,
     read it back with a range-partitioned JDBC scan — numPartitions > 1
