@@ -459,3 +459,115 @@ def strip_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.strip_frequent_segments(
         docs, id_col="doc_id", text_col="text", width=_BL_W, min_docs=_BL_MIN_DOCS
     )
+
+
+_NB_B = 4096  # hashed feature buckets; Laplace denominator is N_c + B
+
+
+@register(
+    "nb_langid_classifier",
+    demoted=True,  # text family already holds graded rows text_battery/pii/chunk
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % {_NB_B} AS h
+        FROM (
+            SELECT doc_id, unnest({_WS}) AS tok FROM documents
+        )
+    ),
+    split AS (
+        SELECT doc_id,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '3' AS is_eval
+        FROM documents
+    ),
+    train AS (
+        SELECT t.doc_id, d.lang, t.h
+        FROM toks t
+        JOIN split s USING (doc_id)
+        JOIN documents d USING (doc_id)
+        WHERE NOT s.is_eval
+    ),
+    counts AS (SELECT lang, h, count(*) AS c FROM train GROUP BY lang, h),
+    class_stats AS (
+        SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_toks
+        FROM train GROUP BY lang
+    ),
+    ntok AS (
+        SELECT d.doc_id, count(t.h) AS n_tokens
+        FROM documents d LEFT JOIN toks t USING (doc_id)
+        GROUP BY d.doc_id
+    ),
+    matched AS (
+        SELECT t.doc_id, c.lang,
+               sum(CAST(floor(ln(CAST(c.c + 1 AS DOUBLE)) * 1000000) AS BIGINT)) AS s
+        FROM toks t JOIN counts c USING (h)
+        GROUP BY t.doc_id, c.lang
+    ),
+    scored AS (
+        SELECT n.doc_id, n.n_tokens, cs.lang AS pred,
+               CAST(floor(ln(CAST(cs.n_docs AS DOUBLE)) * 1000000) AS BIGINT)
+               + coalesce(m.s, 0)
+               - n.n_tokens
+                 * CAST(floor(ln(CAST(cs.n_toks + {_NB_B} AS DOUBLE)) * 1000000) AS BIGINT)
+                   AS score_q
+        FROM ntok n
+        CROSS JOIN class_stats cs
+        LEFT JOIN matched m ON m.doc_id = n.doc_id AND m.lang = cs.lang
+    ),
+    best AS (
+        SELECT doc_id, n_tokens, pred, score_q,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score_q DESC, pred ASC) AS rn
+        FROM scored
+    )
+    SELECT b.doc_id, b.n_tokens, s.is_eval, b.pred AS pred_lang,
+           (b.pred = d.lang) AS correct, b.score_q
+    FROM best b JOIN split s USING (doc_id) JOIN documents d USING (doc_id)
+    WHERE b.rn = 1
+    """,
+)
+def nb_langid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine trained hashed naive-Bayes classifier (r7): train a
+    language-ID model on the md5 TRAIN split (same split as
+    contamination_check / text_unigram_logprob) and score EVERY document,
+    reporting the argmax class, its quantized log-posterior, and whether
+    it matches the fixture label — the fastText-shaped keep/drop or
+    routing classifier of LLM curation stacks, as pure DataFrame algebra.
+
+    Model = two bounded DataFrames (k-row class rollup + ≤ k·4096
+    hashed-feature counts); training is one hash agg; scoring is one
+    equi-join on the feature bucket (Laplace zeros need no rows) + a
+    k-rows-per-doc argmax window.  Contributions are quantized ints, so
+    scores and ties are bit-identical cross-engine.  Full design notes:
+    ``operators/classify.py``."""
+    from ..operators import classify as C
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias("tok"),
+    ).select("doc_id", C.hashed_feature(F.col("tok"), _NB_B))
+    split = docs.select(
+        "doc_id",
+        (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "3").alias("is_eval"),
+    )
+    train_toks = (
+        toks.join(split, "doc_id")
+        .filter(~F.col("is_eval"))
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "h")
+    )
+    class_stats, counts = C.nb_train(train_toks, "lang", _NB_B)
+    pred = C.nb_score(toks, docs, class_stats, counts, "lang", _NB_B)
+    return (
+        pred.join(split, "doc_id")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "is_eval",
+            F.col("pred").alias("pred_lang"),
+            (F.col("pred") == F.col("lang")).alias("correct"),
+            "score_q",
+        )
+    )

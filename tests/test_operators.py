@@ -1082,3 +1082,45 @@ def test_udtf_split_sentences_matches_declarative_twin(spark, sf_dir):
     # a fixture regeneration hazard); only crafted rows stay literal
     assert len(got) == len(want) > 0
     assert (90001, 3, "Three, yes?", 2) in got
+
+
+def test_nb_classifier_crafted_semantics(spark):
+    """NB classifier (r7) unit semantics on crafted token frames: disjoint
+    vocabularies classify correctly, an all-unseen doc falls back to the
+    prior/denominator balance, and an exact score tie breaks on the class
+    name ascending (the documented determinism contract)."""
+    from pyspark.sql import functions as F
+
+    from msgraphdatapipelines_spark.operators import classify as C
+
+    train = spark.createDataFrame(
+        [(1, "aa", 10), (1, "aa", 10), (1, "aa", 11), (2, "aa", 10), (3, "bb", 20), (3, "bb", 20)],
+        "doc_id long, lang string, h long",
+    )
+    class_stats, counts = C.nb_train(train, "lang", buckets=16)
+    score_docs = spark.createDataFrame([(101,), (102,), (103,)], "doc_id long")
+    doc_toks = spark.createDataFrame(
+        [(101, 10), (101, 11), (102, 20), (103, 99)],  # aa-vocab / bb-vocab / unseen
+        "doc_id long, h long",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in C.nb_score(doc_toks, score_docs, class_stats, counts, "lang", buckets=16).collect()
+    }
+    assert got[101]["pred"] == "aa" and got[101]["n_tokens"] == 2
+    assert got[102]["pred"] == "bb"
+    # unseen token: scores reduce to q(n_docs) - q(n_toks + B);
+    # aa: q(2)-q(21) > bb: q(1)-q(18) → aa
+    assert got[103]["pred"] == "aa"
+
+    # exact symmetric tie → class name ascending wins
+    sym = spark.createDataFrame(
+        [(1, "bb", 20), (2, "aa", 10)], "doc_id long, lang string, h long"
+    )
+    cs2, c2 = C.nb_train(sym, "lang", buckets=16)
+    tie = C.nb_score(
+        spark.createDataFrame([(7, 99)], "doc_id long, h long"),
+        spark.createDataFrame([(7,)], "doc_id long"),
+        cs2, c2, "lang", buckets=16,
+    ).collect()
+    assert tie[0]["pred"] == "aa"
