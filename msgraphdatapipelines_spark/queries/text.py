@@ -571,3 +571,166 @@ def nb_langid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "score_q",
         )
     )
+
+
+@register(
+    "bm25_search",
+    demoted=True,  # retrieval family driver-graded via tfidf_top_terms / ANN rows
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_WS}) AS tok FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+        SELECT count(*) AS n_docs,
+               CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        FROM dl
+    ),
+    dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    qt AS (
+        SELECT doc_id AS q_id, unnest(list_distinct(list_slice({_WS}, 1, 4))) AS tok
+        FROM documents WHERE doc_id % 100 = 0
+    ),
+    contrib AS (
+        SELECT q.q_id, t.doc_id,
+               CAST(floor(
+                   ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                   * ((t.tf * 2.2)
+                      / (t.tf + 1.2 * (1 - 0.75 + 0.75 * CAST(d.dl AS DOUBLE) / s.avgdl)))
+                   * 1000000) AS BIGINT) AS c_q
+        FROM qt q
+        JOIN tf t USING (tok)
+        JOIN dfreq f USING (tok)
+        JOIN dl d ON d.doc_id = t.doc_id
+        CROSS JOIN stats s
+    ),
+    scored AS (
+        SELECT q_id, doc_id, sum(c_q) AS score_q,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY sum(c_q) DESC, doc_id ASC) AS rank
+        FROM contrib GROUP BY q_id, doc_id
+    )
+    SELECT q_id, doc_id, rank, score_q FROM scored WHERE rank <= 10
+    """,
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked lexical retrieval (r7): the keyword-search complement to
+    the ANN family — score every document against a deterministic probe
+    query set (first 4 distinct tokens of each ``doc_id % 100 == 0``
+    document) with Okapi BM25 (k1=1.2, b=0.75, query-tf ignored) and keep
+    the top 10 per query.
+
+    Scale shape: tf/dl/df are single hash aggs over the exploded corpus
+    (the reusable inverted-statistics artifact); the probe terms BROADCAST
+    onto tf, so only postings of queried terms ever join — candidate set
+    is gram-frequency-bound, never all docs; the corpus-wide stats ride a
+    1-row broadcast; top-10 is a rank-filter window (WindowGroupLimit
+    heap per query).  Per-term contributions quantize to ints
+    (floor(·1e6)) so per-(query, doc) sums are order-free and the ranking
+    replays bit-identically in the oracle."""
+    docs = load(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    toks = docs.select("doc_id", F.explode(ws).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    qt = (
+        docs.filter(F.col("doc_id") % 100 == 0)
+        .select(
+            F.col("doc_id").alias("q_id"),
+            F.explode(F.array_distinct(F.slice(ws, 1, 4))).alias("tok"),
+        )
+    )
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_term = (F.col("tf") * 2.2) / (
+        F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    contrib = (
+        tf.join(F.broadcast(qt), "tok")
+        .join(dfreq, "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "q_id",
+            "doc_id",
+            F.floor(idf * tf_term * F.lit(1e6)).cast("long").alias("c_q"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("score_q"), F.asc("doc_id"))
+    return (
+        contrib.groupBy("q_id", "doc_id")
+        .agg(F.sum("c_q").alias("score_q"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("q_id", "doc_id", "rank", "score_q")
+    )
+
+
+@register(
+    "text_entropy_battery",
+    demoted=True,  # quality-signal family driver-graded via text_battery
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_WS}) AS tok FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),
+    agg AS (
+        SELECT doc_id,
+               sum(c) AS n_tokens,
+               count(*) AS n_types,
+               sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT)) AS s_q,
+               max(c) AS max_tf
+        FROM tf GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_types,
+           round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+           round(CAST(n_tokens * CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+                      - s_q AS DOUBLE) / (1000000.0 * n_tokens), 6) AS token_entropy,
+           round(CAST(max_tf AS DOUBLE) / n_tokens, 6) AS top_token_share
+    FROM agg
+    """,
+)
+def text_entropy_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution quality signals (r7): per-document Shannon
+    entropy of the unigram distribution (H = ln n − Σc·ln c / n — low
+    entropy ⇒ repetitive/templated text), type-token ratio, and top-token
+    share — the information-theoretic complement to the Gopher repetition
+    ratios (text_repetition_battery).  Defined over non-empty documents.
+
+    One (doc, token) hash agg + one per-doc agg — two map-combinable
+    shuffles, no pairs, linear in tokens.  The Σc·ln c term quantizes to
+    exact ints so the per-doc sum is order-free; the final normalization
+    is one IEEE division per doc, rounded to 6 places both engines."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    lnc_q = F.floor(F.log(F.col("c").cast("double")) * 1e6).cast("long")
+    agg = tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.col("c") * lnc_q).alias("s_q"),
+        F.max("c").alias("max_tf"),
+    )
+    lnn_q = F.floor(F.log(F.col("n_tokens").cast("double")) * 1e6).cast("long")
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        F.round(F.col("n_types").cast("double") / F.col("n_tokens"), 6).alias("ttr"),
+        F.round(
+            (F.col("n_tokens") * lnn_q - F.col("s_q")).cast("double")
+            / (F.lit(1e6) * F.col("n_tokens")),
+            6,
+        ).alias("token_entropy"),
+        F.round(F.col("max_tf").cast("double") / F.col("n_tokens"), 6).alias("top_token_share"),
+    )
