@@ -97,3 +97,41 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return apply_scd2(history, updates, ["c_custkey"])
+
+
+@register(
+    "fuzzy_match_part_names",
+    demoted=True,  # join family driver-graded via join_variants / asof / range rows
+    oracle="""
+    WITH probes AS (
+        SELECT DISTINCT substr(p_name, 1, 2) || substr(p_name, 4) AS probe
+        FROM part WHERE p_partkey % 97 = 0
+    ),
+    cat AS (SELECT DISTINCT p_name AS matched FROM part)
+    SELECT probe, matched, CAST(levenshtein(probe, matched) AS INT) AS dist
+    FROM probes, cat
+    WHERE substr(probe, 1, 2) = substr(matched, 1, 2)
+      AND abs(length(probe) - length(matched)) <= 2
+      AND levenshtein(probe, matched) <= 2
+    """,
+)
+def fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string join (r7): corrupt a probe set of part names with a
+    position-3 character deletion, then recover their catalog matches by
+    blocked approximate join (prefix-2 block + length band, levenshtein
+    ≤ 2 verify) — record linkage over dirty business keys, the failure
+    mode the reference's exact ``id`` index cannot serve.  Scale notes:
+    ``operators/fuzzy.py`` (block-then-verify; prefix → q-gram blocking
+    at larger scale)."""
+    from ..operators.fuzzy import fuzzy_join_blocked
+
+    part = load(spark, sf_dir, "part")
+    probes = (
+        part.filter(F.col("p_partkey") % 97 == 0)
+        .select(F.expr("concat(substring(p_name, 1, 2), substring(p_name, 4))").alias("probe"))
+        .distinct()
+    )
+    cat = part.select(F.col("p_name").alias("matched")).distinct()
+    return fuzzy_join_blocked(probes, cat, "probe", "matched", 2, 2, 2).select(
+        "probe", "matched", "dist"
+    )
