@@ -108,6 +108,7 @@ def _ensure_loaded() -> None:
         curation,
         dedup,
         graphops,
+        graphrank,
         multimodal,
         relational,
         relational2,

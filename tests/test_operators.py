@@ -1124,3 +1124,31 @@ def test_nb_classifier_crafted_semantics(spark):
         cs2, c2, "lang", buckets=16,
     ).collect()
     assert tie[0]["pred"] == "aa"
+
+
+def test_pagerank_crafted_graphs(spark):
+    """pagerank (r7) unit semantics: a symmetric 2-cycle splits mass
+    equally; a star's hub outranks its leaves; total mass stays ~SCALE
+    (floor truncation only — bounded by iters·N); a dangling sink node
+    keeps identity and redistributes its mass."""
+    from msgraphdatapipelines_spark.operators.graph import SCALE, pagerank
+
+    cyc = spark.createDataFrame([("a", "b", 1), ("b", "a", 1)], "src string, dst string, w long")
+    got = {r["node"]: r["r_q"] for r in pagerank(cyc, iters=5).collect()}
+    assert got["a"] == got["b"]
+    assert abs(sum(got.values()) - SCALE) < 100  # conservation up to floor dust
+
+    star = spark.createDataFrame(
+        [("l1", "hub", 1), ("l2", "hub", 1), ("l3", "hub", 1), ("hub", "l1", 1)],
+        "src string, dst string, w long",
+    )
+    got = {r["node"]: r["r_q"] for r in pagerank(star, iters=3).collect()}
+    # hub collects all three leaves; l1 additionally receives the hub's
+    # out-edge, so it outranks the other (symmetric) leaves
+    assert got["hub"] > got["l1"] > got["l2"] == got["l3"]
+    assert abs(sum(got.values()) - SCALE) < 100
+
+    dang = spark.createDataFrame([("a", "sink", 1)], "src string, dst string, w long")
+    got = {r["node"]: r["r_q"] for r in pagerank(dang, iters=2).collect()}
+    assert set(got) == {"a", "sink"} and got["sink"] > got["a"]
+    assert abs(sum(got.values()) - SCALE) < 100
