@@ -1011,3 +1011,61 @@ def semantic_dedup(
             F.col("_did").isNull().alias("kept"),
         )
     )
+
+
+def mmr_rerank(cands: DataFrame, k: int = 4, lam: float = 0.5) -> DataFrame:
+    """Maximal-marginal-relevance diversified re-ranking (r7) — the RAG
+    retrieval stage after ANN: from each query's candidate list, greedily
+    pick ``k`` results maximizing ``lam·relevance − (1−lam)·redundancy``,
+    where redundancy is the max cosine to the already-picked set — near
+    duplicates of an already-chosen result are suppressed (Carbonell &
+    Goldstein 1998).
+
+    Input: ``(qid, cid, score DOUBLE, cv array<double>)`` — N candidates
+    per query (N bounded by the upstream top-N, e.g. 16).  Output:
+    ``(qid, cid, rank, score, mmr)`` with rank 1..k in pick order.
+
+    Execution: k unrolled rounds; each round is ONE per-qid argmax window
+    (rank-filter → WindowGroupLimit-size state) and ONE equi-join of the
+    survivors with the round's 1-row-per-qid pick to fold the new cosine
+    into a running ``greatest`` — redundancy is maintained INCREMENTALLY,
+    so round t costs O(N) cosines per query, not O(N·t).  Everything is
+    per-qid: shuffles partition on qid and parallelize across queries.
+    The plan branches per round (pick ∪ rest both derive from the round
+    input); at the default k≈4 lazy composition is fine — for larger k,
+    ``localCheckpoint`` the round input (the CC/pagerank discipline).
+
+    Determinism: relevance scores and cosines are sequential-double
+    ``seq_dot`` values and ``lam`` should be an exact binary fraction
+    (default 0.5), so every round's ordering replays bit-identically in a
+    SQL twin using left-associated inline sums (ties break on cid asc).
+    """
+    w_mmr = Window.partitionBy("qid").orderBy(F.desc("mmr"), F.asc("cid"))
+    cur = cands.select("qid", "cid", "score", "cv", F.lit(0.0).alias("red"))
+    outs = []
+    for t in range(1, k + 1):
+        ranked = cur.withColumn(
+            "mmr", F.lit(lam) * F.col("score") - F.lit(1 - lam) * F.col("red")
+        ).withColumn("rn", F.row_number().over(w_mmr))
+        pick = ranked.filter(F.col("rn") == 1)
+        outs.append(
+            pick.select(
+                "qid",
+                "cid",
+                F.lit(t).cast("long").alias("rank"),
+                F.round("score", 6).alias("score"),
+                F.round("mmr", 6).alias("mmr"),
+            )
+        )
+        if t == k:
+            break
+        rest = ranked.filter(F.col("rn") > 1).select("qid", "cid", "score", "cv", "red")
+        cur = (
+            rest.join(pick.select("qid", F.col("cv").alias("sv")), "qid")
+            .withColumn("red", F.greatest(F.col("red"), cosine_seq(F.col("cv"), F.col("sv"))))
+            .select("qid", "cid", "score", "cv", "red")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -606,3 +606,85 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out
+
+
+def _mmr_oracle(n: int = 16, k: int = 4) -> str:
+    """Generated DuckDB twin of operators.similarity.mmr_rerank — the same
+    greedy recurrence unrolled (one definition of each round's math,
+    rendered for both engines; the pagerank_oracle_sql discipline)."""
+    mmr = "(0.5 * score - 0.5 * red)"
+    parts = [
+        f"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+               WHERE vec_id < {N_QUERIES} AND {_norm_pos('embedding')})""",
+        f"""c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+          WHERE {_norm_pos('embedding')})""",
+        f"""cands AS MATERIALIZED (
+        SELECT qid, cid, score, cv FROM (
+            SELECT qid, cid, {_cos('qv', 'cv')} AS score, cv,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY {_cos('qv', 'cv')} DESC, cid) AS rn
+            FROM q JOIN c ON qid <> cid) t
+        WHERE rn <= {n}
+    )""",
+        "cur1 AS MATERIALIZED (SELECT qid, cid, score, cv, 0.0 AS red FROM cands)",
+    ]
+    for t in range(1, k + 1):
+        parts.append(
+            f"""r{t} AS MATERIALIZED (
+        SELECT *, {mmr} AS mmr,
+               row_number() OVER (PARTITION BY qid ORDER BY {mmr} DESC, cid) AS rn
+        FROM cur{t}
+    )"""
+        )
+        parts.append(f"p{t} AS (SELECT qid, cid, score, mmr, cv FROM r{t} WHERE rn = 1)")
+        if t < k:
+            parts.append(
+                f"""cur{t + 1} AS MATERIALIZED (
+        SELECT r.qid, r.cid, r.score, r.cv,
+               greatest(r.red, {_cos('r.cv', 'p.cv')}) AS red
+        FROM r{t} r JOIN p{t} p USING (qid)
+        WHERE r.rn > 1
+    )"""
+            )
+    final = "\n    UNION ALL ".join(
+        f"SELECT qid, cid, CAST({t} AS BIGINT) AS rank, round(score, 6) AS score,"
+        f" round(mmr, 6) AS mmr FROM p{t}"
+        for t in range(1, k + 1)
+    )
+    return ",\n    ".join(parts) + "\n    " + final
+
+
+@register("ann_mmr_rerank", demoted=True, oracle=_mmr_oracle())
+def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified re-ranking (r7) after exact retrieval: top-16
+    cosine candidates per query (vec_id < 20), then 4 greedy
+    maximal-marginal-relevance rounds (λ=0.5) suppressing near-duplicate
+    results — the post-ANN diversification stage of RAG retrieval, over
+    a fixture whose replicated near-dups make diversification visible.
+    Round math, incremental-redundancy execution, and determinism
+    contract: ``operators/similarity.py::mmr_rerank``; the oracle is
+    GENERATED from the same recurrence (``_mmr_oracle``)."""
+    emb = load(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("qid"), v.alias("qv"), F.sqrt(S.seq_dot(v, v)).alias("qn"))
+        .filter(F.col("qn") > 0)
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"), v.alias("cv"), F.sqrt(S.seq_dot(v, v)).alias("cn")
+    ).filter(F.col("cn") > 0)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
+    cands = (
+        q.crossJoin(c)
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn(
+            "score", S.seq_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 16)
+        .select("qid", "cid", "score", "cv")
+    )
+    return S.mmr_rerank(cands, k=4, lam=0.5)

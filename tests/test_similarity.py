@@ -286,3 +286,23 @@ def test_recall_at_k_operator_semantics_and_ladder(spark, sf_dir):
     r2 = micro(S.ivf_pq_topk(*args, k=K, n_centroids=8, nprobe=2, rerank=50))
     r8 = micro(S.ivf_pq_topk(*args, k=K, n_centroids=8, nprobe=8, rerank=50))
     assert r8 >= r2 > 0.0
+
+
+def test_mmr_rerank_suppresses_near_duplicate(spark):
+    """mmr_rerank (r7): a near-duplicate of the top pick is displaced by a
+    dissimilar but still-relevant candidate — the defining MMR behavior —
+    while plain relevance order would keep the duplicate at rank 2."""
+    from msgraphdatapipelines_spark.operators.similarity import mmr_rerank
+
+    # qid 1: c1 rel .95; c2 rel .90 but ~parallel to c1 (cos≈1);
+    # c3 rel .60, orthogonal to both → MMR picks c1 then c3
+    cands = spark.createDataFrame(
+        [
+            (1, 10, 0.95, [1.0, 0.0, 0.0]),
+            (1, 11, 0.90, [1.0, 0.001, 0.0]),
+            (1, 12, 0.60, [0.0, 0.0, 1.0]),
+        ],
+        "qid long, cid long, score double, cv array<double>",
+    )
+    got = {r["rank"]: r["cid"] for r in mmr_rerank(cands, k=3, lam=0.5).collect()}
+    assert got == {1: 10, 2: 12, 3: 11}
