@@ -677,3 +677,52 @@ def map_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("doubled_total"),
         F.coalesce(F.element_at(m, "click"), F.lit(0)).cast("long").alias("click_count"),
     )
+
+
+@register(
+    "outlier_events_mad",
+    demoted=True,  # robust-stats family driver-graded via udaf_grouped_mad/exact_moments
+    oracle="""
+    WITH med AS (
+        SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+    ),
+    stats AS (
+        SELECT e.event_type, any_value(m.med) AS med,
+               median(abs(e.value - m.med)) AS mad
+        FROM events e JOIN med m USING (event_type)
+        GROUP BY e.event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           round((e.value - s.med) / (1.4826 * s.mad), 4) AS z
+    FROM events e JOIN stats s USING (event_type)
+    WHERE abs((e.value - s.med) / (1.4826 * s.mad)) > 3
+    """,
+)
+def outlier_events_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection (r7): flag events whose value
+    sits more than 3 robust z-units from its event-type median, with the
+    MAD (×1.4826, the normal-consistency constant) as the scale — the
+    median/MAD pair shrugs off the very outliers a mean/stddev z-score
+    would absorb.  The data-quality gate of a curation pipeline.
+
+    Shape: two exact-percentile aggregations (median, then MAD over
+    deviations) + one broadcast join of the per-type stats back onto the
+    fact rows — the stats table is |event_type|-sized.  At 100 TB swap
+    ``percentile`` for ``approx_percentile`` (the udaf_grouped_mad
+    trade, documented there); the flagging join is unchanged."""
+    ev = load_events(spark, sf_dir)
+    med = ev.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    stats = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("med").alias("med"),
+            F.expr("percentile(abs(value - med), 0.5)").alias("mad"),
+        )
+    )
+    z = (F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 3)
+        .select("event_id", "event_type", "value", F.round(z, 4).alias("z"))
+    )
