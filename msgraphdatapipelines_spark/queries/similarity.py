@@ -688,3 +688,107 @@ def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "cid", "score", "cv")
     )
     return S.mmr_rerank(cands, k=4, lam=0.5)
+
+
+_SRP_PLANES, _SRP_POOL = 24, 64
+
+
+def _srp_rv_sql(col: str) -> str:
+    """Inline SRP projection — identical ±1 weights and left-associated
+    accumulation as operators.similarity.srp_project."""
+    comps = []
+    for p in range(_SRP_PLANES):
+        comps.append(
+            " + ".join(
+                f"(CAST({col}[{d + 1}] AS DOUBLE) * {S._plane_weight(p, d):.1f})"
+                for d in range(DIM)
+            )
+        )
+    return "[" + ", ".join(comps) + "]"
+
+
+def _rdot(a: str, b: str) -> str:
+    return " + ".join(f"({a}[{i}] * {b}[{i}])" for i in range(1, _SRP_PLANES + 1))
+
+
+def _rcos(a: str, b: str) -> str:
+    return f"({_rdot(a, b)}) / (sqrt({_rdot(a, a)}) * sqrt({_rdot(b, b)}))"
+
+
+@register(
+    "ann_srp_rerank_topk",
+    demoted=True,  # ANN family driver-graded via bruteforce/kmeans/multiprobe rows
+    oracle=f"""
+    WITH b AS MATERIALIZED (
+        SELECT vec_id, embedding, {_srp_rv_sql('embedding')} AS rv
+        FROM embeddings WHERE {_norm_pos('embedding')}
+    ),
+    b2 AS MATERIALIZED (
+        SELECT vec_id, embedding, rv FROM b WHERE sqrt({_rdot('rv', 'rv')}) > 0
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qv, rv AS qrv FROM b2 WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id AS cid, embedding AS cv, rv AS crv FROM b2),
+    rp AS MATERIALIZED (
+        SELECT qid, cid, qv, cv,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY {_rcos('qrv', 'crv')} DESC, cid) AS rp_rn
+        FROM q JOIN c ON qid <> cid
+    ),
+    cand AS MATERIALIZED (SELECT qid, cid, qv, cv FROM rp WHERE rp_rn <= {_SRP_POOL}),
+    rr AS (
+        SELECT qid, cid, {_cos('qv', 'cv')} AS score,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY {_cos('qv', 'cv')} DESC, cid) AS rn
+        FROM cand
+    )
+    SELECT qid, cid, round(score, 6) AS score, CAST(rn AS BIGINT) AS rank
+    FROM rr WHERE rn <= {K}
+    """,
+)
+def ann_srp_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP dimensionality-reduced ANN with exact rerank (r7): project
+    64-dim embeddings onto 24 deterministic ±1 hyperplanes
+    (Johnson-Lindenstrauss sketch, ``operators.similarity.srp_project``),
+    score candidates by REDUCED-space cosine (2.7× less arithmetic and
+    scan width here; 64× on production 4096-wide embeddings with far
+    friendlier geometry than this isotropic-noise fixture — measured
+    ladder in tests/test_similarity.py), keep a top-64 pool per query,
+    exact-rerank to top-5 — the rerank pattern PQ uses, with a
+    data-independent projection instead of a trained codebook.  The
+    reduced column is the persistable index artifact.  Oracle replays
+    projection, pool, and rerank with the identical left-associated
+    sums."""
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    b = (
+        emb.select(F.col("vec_id"), v.alias("vv"))
+        .filter(F.sqrt(S.seq_dot(F.col("vv"), F.col("vv"))) > 0)
+        .withColumn("rv", S.srp_project(F.col("vv"), _SRP_PLANES, DIM))
+        .filter(F.sqrt(S.seq_dot(F.col("rv"), F.col("rv"))) > 0)
+    )
+    q = F.broadcast(
+        b.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("qid"), F.col("vv").alias("qv"), F.col("rv").alias("qrv")
+        )
+    )
+    c = b.select(
+        F.col("vec_id").alias("cid"), F.col("vv").alias("cv"), F.col("rv").alias("crv")
+    )
+    w_rp = Window.partitionBy("qid").orderBy(F.desc("rp"), F.asc("cid"))
+    cand = (
+        q.crossJoin(c)
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn("rp", S.cosine_seq(F.col("qrv"), F.col("crv")))
+        .withColumn("rp_rn", F.row_number().over(w_rp))
+        .filter(F.col("rp_rn") <= _SRP_POOL)
+        .select("qid", "cid", "qv", "cv")
+    )
+    w_rr = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
+    return (
+        cand.withColumn("score", S.cosine_seq(F.col("qv"), F.col("cv")))
+        .withColumn("rank", F.row_number().over(w_rr).cast("long"))
+        .filter(F.col("rank") <= K)
+        .select("qid", "cid", F.round("score", 6).alias("score"), "rank")
+    )

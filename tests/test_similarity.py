@@ -306,3 +306,56 @@ def test_mmr_rerank_suppresses_near_duplicate(spark):
     )
     got = {r["rank"]: r["cid"] for r in mmr_rerank(cands, k=3, lam=0.5).collect()}
     assert got == {1: 10, 2: 12, 3: 11}
+
+
+def test_srp_recall_ladder_monotone_in_pool(spark, sf_dir):
+    """SRP rerank (r7): recall@5 vs brute force through the recall_at_k
+    operator — widening the rerank pool monotonically improves recall,
+    and the shipped (planes=24, pool=64) point clears 0.6 on the
+    isotropic-noise fixture (offline sweep: 16/24/32 planes × 32/64/96
+    pool spans 0.36→0.82; noise vectors are the JL worst case)."""
+    from pyspark.sql import Window
+
+    from msgraphdatapipelines_spark.operators import similarity as S
+    from msgraphdatapipelines_spark.queries import similarity as QS
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v = F.col("embedding").cast("array<double>")
+    b = (
+        emb.select(F.col("vec_id"), v.alias("vv"))
+        .filter(F.sqrt(S.seq_dot(F.col("vv"), F.col("vv"))) > 0)
+        .withColumn("rv", S.srp_project(F.col("vv"), 24, 64))
+    )
+    q = F.broadcast(
+        b.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("qid"), F.col("vv").alias("qv"), F.col("rv").alias("qrv")
+        )
+    )
+    c = b.select(F.col("vec_id").alias("cid"), F.col("vv").alias("cv"), F.col("rv").alias("crv"))
+    w_rp = Window.partitionBy("qid").orderBy(F.desc("rp"), F.asc("cid"))
+    pooled = (
+        q.crossJoin(c)
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn("rp", S.cosine_seq(F.col("qrv"), F.col("crv")))
+        .withColumn("rp_rn", F.row_number().over(w_rp))
+    ).localCheckpoint()
+    bf = QS.ann_bruteforce_topk(spark, sf_dir)
+
+    def recall_at_pool(pool: int) -> float:
+        w_rr = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
+        top = (
+            pooled.filter(F.col("rp_rn") <= pool)
+            .withColumn("score", S.cosine_seq(F.col("qv"), F.col("cv")))
+            .withColumn("rank", F.row_number().over(w_rr))
+            .filter(F.col("rank") <= 5)
+            .select("qid", "cid")
+        )
+        r = S.recall_at_k(top, bf).agg(
+            F.sum("n_hit").alias("h"), F.sum("n_exact").alias("e")
+        ).collect()[0]
+        return r["h"] / r["e"]
+
+    r32, r64 = recall_at_pool(32), recall_at_pool(64)
+    assert r32 <= r64, (r32, r64)
+    assert r64 >= 0.6, r64
