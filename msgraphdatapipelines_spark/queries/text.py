@@ -734,3 +734,81 @@ def text_entropy_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("token_entropy"),
         F.round(F.col("max_tf").cast("double") / F.col("n_tokens"), 6).alias("top_token_share"),
     )
+
+
+_Q13, _Q23 = repr(1 / 3), repr(2 / 3)
+
+
+@register(
+    "quality_buckets_logprob",
+    demoted=True,  # quality family driver-graded via text_battery/corpus_curation
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_WS}) AS tok FROM documents
+    ),
+    split AS (
+        SELECT doc_id,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '3' AS is_eval
+        FROM documents
+    ),
+    counts AS (
+        SELECT tok, count(*) AS c
+        FROM toks JOIN split USING (doc_id)
+        WHERE NOT is_eval
+        GROUP BY tok
+    ),
+    tot AS (SELECT sum(c) AS t FROM counts),
+    scored AS (
+        SELECT k.doc_id,
+               count(*) AS n_tokens,
+               sum(CAST(floor(ln(CAST(coalesce(c.c, 1) AS DOUBLE)) * 1000000) AS BIGINT))
+                   AS sum_lnc_q
+        FROM toks k
+        LEFT JOIN counts c USING (tok)
+        GROUP BY k.doc_id
+    ),
+    mnl AS (
+        SELECT s.doc_id,
+               round(CAST(s.n_tokens
+                          * CAST(floor(ln(CAST(t AS DOUBLE)) * 1000000) AS BIGINT)
+                          - s.sum_lnc_q AS DOUBLE)
+                     / (1000000.0 * s.n_tokens), 6) AS mean_neg_logprob
+        FROM scored s, tot
+    ),
+    cuts AS (
+        SELECT round(quantile_cont(mean_neg_logprob, {_Q13}), 6) AS c1,
+               round(quantile_cont(mean_neg_logprob, {_Q23}), 6) AS c2
+        FROM mnl
+    )
+    SELECT m.doc_id, m.mean_neg_logprob,
+           CASE WHEN m.mean_neg_logprob <= c.c1 THEN 'head'
+                WHEN m.mean_neg_logprob <= c.c2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM mnl m CROSS JOIN cuts c
+    """,
+)
+def quality_buckets_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (r7): the keep/drop
+    decision layer over text_unigram_logprob's LM scores — documents are
+    assigned to tertile buckets by mean negative log-prob (head = most
+    fluent).  CCNet §4.2 keeps head+middle and drops tail.
+
+    Scale shape: NO global sort/ntile — tertile cutoffs come from ONE
+    exact-percentile aggregation (swap in approx_percentile at 100 TB,
+    the documented udaf_grouped_mad trade) and broadcast onto the scored
+    docs for a comparison-only bucket assignment.  Cutoffs and scores are
+    both rounded to 6 places before comparison, so bucket edges replay
+    identically cross-engine."""
+    mnl = text_unigram_logprob(spark, sf_dir).select("doc_id", "mean_neg_logprob")
+    cuts = mnl.agg(
+        F.round(F.expr(f"percentile(mean_neg_logprob, {_Q13})"), 6).alias("c1"),
+        F.round(F.expr(f"percentile(mean_neg_logprob, {_Q23})"), 6).alias("c2"),
+    )
+    return mnl.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "mean_neg_logprob",
+        F.when(F.col("mean_neg_logprob") <= F.col("c1"), "head")
+        .when(F.col("mean_neg_logprob") <= F.col("c2"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
