@@ -52,3 +52,65 @@ def scan_columns(df: DataFrame) -> list[list[str]]:
 def codegen_stage_count(df: DataFrame) -> int:
     """Distinct whole-stage-codegen spans (wider is better — fewer breaks)."""
     return len(set(re.findall(r"\*\((\d+)\)", physical_plan(df))))
+
+
+def _walk(node):
+    yield node
+    # AQE wraps materialized stages in QueryStage nodes whose subtree hangs
+    # off .plan(), not .children() — descend through both
+    if "QueryStage" in node.nodeName():
+        try:
+            yield from _walk(node.plan())
+        except Exception:  # noqa: BLE001 — stage not materialized yet
+            pass
+    it = node.children().iterator()
+    while it.hasNext():
+        yield from _walk(it.next())
+
+
+def plan_metrics(df: DataFrame) -> list[tuple[str, str, int]]:
+    """Per-node SQL metrics after an action — the engine's runtime
+    instrumentation (the reference logs Stopwatch elapsed + row counts per
+    stage, `Invoke-GraphDataPipelineToAzureSQLDatabase.ps1:122-130,200`;
+    Spark's equivalent is the SQLMetric set every physical node maintains:
+    output rows, shuffle bytes, spill sizes, scan rows/files).
+
+    Returns ``[(node_name, metric_key, value), ...]`` for the EXECUTED
+    plan (under AQE, the final re-planned tree — QueryStage subtrees
+    included).  Run an action first — metrics are zero until the plan
+    executes.  Driver-side plan walk only: no data moves, usable in
+    production run loops exactly like ``pipelines.RunResult.elapsed_s``.
+    """
+    plan = df._jdf.queryExecution().executedPlan()  # noqa: SLF001
+    if plan.nodeName() == "AdaptiveSparkPlan":
+        try:
+            plan = plan.executedPlan()
+        except Exception:  # noqa: BLE001 — pre-execution adaptive tree; walk as-is
+            pass
+    out = []
+    for node in _walk(plan):
+        mit = node.metrics().iterator()
+        while mit.hasNext():
+            kv = mit.next()
+            out.append((node.nodeName(), kv._1(), kv._2().value()))
+    return out
+
+
+def metrics_summary(df: DataFrame) -> dict[str, int]:
+    """Roll ``plan_metrics`` up to the numbers a pipeline run log wants:
+    rows scanned, shuffle bytes/records written, and bytes spilled."""
+    ms = plan_metrics(df)
+
+    def total(key: str) -> int:
+        return sum(v for _, k, v in ms if k == key and v > 0)
+
+    return {
+        "shuffle_bytes_written": total("shuffleBytesWritten"),
+        "shuffle_records_written": total("shuffleRecordsWritten"),
+        "spill_bytes": total("spillSize"),
+        "scan_output_rows": sum(
+            v
+            for node, k, v in ms
+            if "Scan" in node and k == "numOutputRows" and v > 0
+        ),
+    }

@@ -321,3 +321,23 @@ def test_fuzzy_join_blocks_as_equi_join_not_cartesian(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_plan_metrics_capture_after_action(spark, sf_dir):
+    """plan_metrics/metrics_summary (r7): after an action, the executed
+    (post-AQE) tree exposes per-node SQLMetrics — scan rows, shuffle
+    bytes — the engine's answer to the reference's per-stage Stopwatch +
+    row-count logging (Invoke…ps1:122-130,200)."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    df.collect()  # metrics populate on execution
+    ms = plans.plan_metrics(df)
+    assert any(k == "numOutputRows" and v > 0 for _, k, v in ms)
+    summary = plans.metrics_summary(df)
+    assert summary["scan_output_rows"] > 0
+    assert summary["shuffle_bytes_written"] > 0  # the groupBy exchange
