@@ -17,6 +17,8 @@ from pyspark.sql import functions as F
 
 from ..operators import text as X
 from . import load, register
+from .similarity import _cos as _vec_cos
+from .similarity import _norm_pos as _vec_norm_pos
 
 _WS = "list_filter(string_split(text, ' '), w -> w <> '')"
 _ALL_MARKERS = ", ".join(
@@ -811,4 +813,160 @@ def quality_buckets_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("mean_neg_logprob") <= F.col("c2"), "middle")
         .otherwise("tail")
         .alias("bucket"),
+    )
+
+
+@register(
+    "hybrid_search_rrf",
+    demoted=True,  # retrieval family driver-graded via tfidf/ANN rows
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_WS}) AS tok FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+        SELECT count(*) AS n_docs,
+               CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        FROM dl
+    ),
+    dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    qt AS (
+        SELECT doc_id AS qid, unnest(list_distinct(list_slice({_WS}, 1, 4))) AS tok
+        FROM documents WHERE doc_id < 20
+    ),
+    contrib AS (
+        SELECT q.qid, t.doc_id,
+               CAST(floor(
+                   ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                   * ((t.tf * 2.2)
+                      / (t.tf + 1.2 * (1 - 0.75 + 0.75 * CAST(d.dl AS DOUBLE) / s.avgdl)))
+                   * 1000000) AS BIGINT) AS c_q
+        FROM qt q
+        JOIN tf t USING (tok)
+        JOIN dfreq f USING (tok)
+        JOIN dl d ON d.doc_id = t.doc_id
+        CROSS JOIN stats s
+    ),
+    bm AS MATERIALIZED (
+        SELECT qid, doc_id AS id, rank FROM (
+            SELECT qid, doc_id,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY sum(c_q) DESC, doc_id ASC) AS rank
+            FROM contrib GROUP BY qid, doc_id
+        ) t WHERE rank <= 10
+    ),
+    eq AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+           WHERE vec_id < 20 AND {_vec_norm_pos('embedding')}),
+    ec AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+           WHERE {_vec_norm_pos('embedding')}),
+    vec AS MATERIALIZED (
+        SELECT qid, cid AS id, rank FROM (
+            SELECT qid, cid,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY {_vec_cos('qv', 'cv')} DESC, cid) AS rank
+            FROM eq JOIN ec ON qid <> cid
+        ) t WHERE rank <= 10
+    ),
+    fused AS (
+        SELECT coalesce(b.qid, v.qid) AS qid,
+               coalesce(b.id, v.id) AS id,
+               coalesce(1.0 / (60 + b.rank), 0.0)
+               + coalesce(1.0 / (60 + v.rank), 0.0) AS rrf,
+               b.rank AS bm25_rank, v.rank AS vec_rank
+        FROM bm b FULL OUTER JOIN vec v ON b.qid = v.qid AND b.id = v.id
+    )
+    SELECT qid, id, rank, round(rrf, 6) AS rrf, bm25_rank, vec_rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, id ASC) AS rank
+        FROM fused) t
+    WHERE rank <= 10
+    """,
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector retrieval (r7): fuse BM25 top-10 (probe =
+    first 4 distinct tokens of each doc_id < 20 document) with exact
+    cosine top-10 over the aligned embeddings (vec_id ≡ doc_id) by
+    reciprocal-rank fusion, rrf = Σ 1/(60 + rank) (Cormack et al. 2009)
+    — the standard production shape for RAG retrieval, where lexical and
+    semantic misses are uncorrelated.
+
+    Scale shape: the two branches keep their own documented shapes
+    (gram-frequency-bound postings join; broadcast query side); fusion is
+    ONE (qid, id) full-outer equi-join of two q·10-row frames + a per-qid
+    rank window — cost independent of corpus size.  Ranks are ints and
+    the RRF sum is a fixed two-term expression, so fusion replays
+    bit-identically."""
+    docs = load(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    toks = docs.select("doc_id", F.explode(ws).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    qt = docs.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("qid"),
+        F.explode(F.array_distinct(F.slice(ws, 1, 4))).alias("tok"),
+    )
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_term = (F.col("tf") * 2.2) / (
+        F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    from pyspark.sql import Window
+
+    w_bm = Window.partitionBy("qid").orderBy(F.desc("score_q"), F.asc("id"))
+    bm = (
+        tf.join(F.broadcast(qt), "tok")
+        .join(dfreq, "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("qid", F.col("doc_id").alias("id"),
+                F.floor(idf * tf_term * F.lit(1e6)).cast("long").alias("c_q"))
+        .groupBy("qid", "id")
+        .agg(F.sum("c_q").alias("score_q"))
+        .withColumn("rank", F.row_number().over(w_bm))
+        .filter(F.col("rank") <= 10)
+        .select("qid", "id", "rank")
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    from ..operators import similarity as S
+
+    v = F.col("embedding").cast("array<double>")
+    base = emb.select(F.col("vec_id"), v.alias("vv")).filter(
+        F.sqrt(S.seq_dot(F.col("vv"), F.col("vv"))) > 0
+    )
+    eq = F.broadcast(
+        base.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("qid"), F.col("vv").alias("qv")
+        )
+    )
+    ec = base.select(F.col("vec_id").alias("cid"), F.col("vv").alias("cv"))
+    w_v = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
+    vec = (
+        eq.crossJoin(ec)
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn("cos", S.cosine_seq(F.col("qv"), F.col("cv")))
+        .withColumn("rank", F.row_number().over(w_v))
+        .filter(F.col("rank") <= 10)
+        .select("qid", F.col("cid").alias("id"), "rank")
+    )
+    b = bm.select("qid", "id", F.col("rank").alias("bm25_rank"))
+    x = vec.select("qid", "id", F.col("rank").alias("vec_rank"))
+    fused = b.join(x, ["qid", "id"], "full_outer").select(
+        "qid",
+        "id",
+        (
+            F.coalesce(1.0 / (60 + F.col("bm25_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("vec_rank")), F.lit(0.0))
+        ).alias("rrf"),
+        "bm25_rank",
+        "vec_rank",
+    )
+    w_f = Window.partitionBy("qid").orderBy(F.desc("rrf"), F.asc("id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w_f))
+        .filter(F.col("rank") <= 10)
+        .select("qid", "id", "rank", F.round("rrf", 6).alias("rrf"), "bm25_rank", "vec_rank")
     )
