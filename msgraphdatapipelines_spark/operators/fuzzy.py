@@ -53,3 +53,55 @@ def fuzzy_join_blocked(
     return left.join(right, cond).withColumn(
         "dist", F.levenshtein(lc, rc).cast("int")
     )
+
+
+def fuzzy_join_qgram(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_dist: int = 2,
+    q: int = 3,
+) -> DataFrame:
+    """Q-gram-blocked fuzzy join — the scale path the prefix block trades
+    away (module docstring): two strings within ``max_dist`` edits share
+    at least one q-gram whenever ``len > q·(max_dist+1) − 1`` (each edit
+    destroys ≤ q grams), so blocking on ANY shared q-gram loses no true
+    match above that length — including typos inside the first characters,
+    the prefix block's blind spot.
+
+    Plan: explode each side to its distinct q-grams (narrow, ≤ len−q+1
+    rows per string), ONE equi-join on the gram, dedup candidate pairs
+    (hash agg), then the same codegen levenshtein verify.  Block sizes
+    follow gram frequencies instead of 26^p prefix buckets — drop
+    stop-grams (frequency cap, like the MinHash band trade) if the corpus
+    has degenerate hot grams.  Adds a ``dist`` column.
+    """
+    lg = left.withColumn(
+        "__g",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, greatest(length({left_col}) - {q - 1}, 1)),"
+                    f" i -> substring({left_col}, i, {q}))"
+                )
+            )
+        ),
+    )
+    rg = right.withColumn(
+        "__g",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, greatest(length({right_col}) - {q - 1}, 1)),"
+                    f" i -> substring({right_col}, i, {q}))"
+                )
+            )
+        ),
+    )
+    pairs = lg.join(rg, "__g").drop("__g").dropDuplicates(
+        [*left.columns, *right.columns]
+    )
+    return pairs.filter(
+        F.levenshtein(F.col(left_col), F.col(right_col)) <= max_dist
+    ).withColumn("dist", F.levenshtein(F.col(left_col), F.col(right_col)).cast("int"))

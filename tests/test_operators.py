@@ -1152,3 +1152,33 @@ def test_pagerank_crafted_graphs(spark):
     got = {r["node"]: r["r_q"] for r in pagerank(dang, iters=2).collect()}
     assert set(got) == {"a", "sink"} and got["sink"] > got["a"]
     assert abs(sum(got.values()) - SCALE) < 100
+
+
+def test_fuzzy_qgram_covers_prefix_blind_spot(spark):
+    """fuzzy_join_qgram (r7): finds every match the prefix block finds AND
+    the typo-in-the-first-characters matches the prefix block provably
+    misses; exact distances agree with the verify stage."""
+    from msgraphdatapipelines_spark.operators.fuzzy import (
+        fuzzy_join_blocked,
+        fuzzy_join_qgram,
+    )
+
+    cat = spark.createDataFrame(
+        [("cold widget",), ("warm widget",), ("hot rod",)], "name string"
+    )
+    probes = spark.createDataFrame(
+        [("cod widget",), ("xold widget",)],  # deletion at pos 3 / typo at pos 1
+        "probe string",
+    )
+    pref = {
+        (r["probe"], r["name"])
+        for r in fuzzy_join_blocked(probes, cat, "probe", "name").collect()
+    }
+    qg = {
+        (r["probe"], r["name"])
+        for r in fuzzy_join_qgram(probes, cat, "probe", "name").collect()
+    }
+    assert ("cod widget", "cold widget") in pref
+    assert ("xold widget", "cold widget") not in pref  # prefix blind spot
+    assert pref <= qg  # q-gram is a superset block
+    assert ("xold widget", "cold widget") in qg  # blind spot covered
