@@ -250,6 +250,7 @@ def apply_scd2(
     valid_from: str = "valid_from",
     valid_to: str = "valid_to",
     current_flag: str = "is_current",
+    removed_col: str | None = None,
 ) -> DataFrame:
     """Type-2 slowly-changing-dimension apply — the keyed-history
     generalization of ``upsert_snapshot`` (SCD1) and the reference's
@@ -274,9 +275,20 @@ def apply_scd2(
     emits 0/1/2 output rows — no second pass over the join, no window.
     With the warehouse bucketed on the key (L6 analog) the current
     slice's shuffle disappears exactly as in ``upsert_snapshot``.
+
+    ``removed_col`` (r7, optional): name of a boolean tombstone column on
+    ``updates`` (the delta-query ``@removed`` marker,
+    ``sources.rest.read_odata_delta``).  A tombstone CLOSES the key's
+    current row at the effective time without opening a new version — the
+    SCD2 delete; a tombstone for an unknown key is a no-op.  Rides the
+    same single join.
     """
     meta = {valid_from, valid_to, current_flag}
-    attrs = [c for c in updates.columns if c not in set(keys) | {effective_col}]
+    attrs = [
+        c
+        for c in updates.columns
+        if c not in set(keys) | {effective_col} | ({removed_col} if removed_col else set())
+    ]
     cur = history.filter(F.col(current_flag))
     closed = history.filter(~F.col(current_flag))
 
@@ -284,24 +296,30 @@ def apply_scd2(
         *keys,
         *[F.col(a).alias(f"__u_{a}") for a in attrs],
         F.col(effective_col).alias("__u_eff"),
+        *(
+            [F.coalesce(F.col(removed_col), F.lit(False)).alias("__u_rm")]
+            if removed_col
+            else [F.lit(False).alias("__u_rm")]
+        ),
     )
     j = cur.join(upd, keys, "full_outer")
 
     c_exists = F.col(valid_from).isNotNull()  # current rows always carry valid_from
     u_exists = F.col("__u_eff").isNotNull()
-    changed = u_exists & c_exists
+    rm = F.coalesce(F.col("__u_rm"), F.lit(False))
     diff = F.lit(False)
     for a in attrs:
         diff = diff | ~F.col(a).eqNullSafe(F.col(f"__u_{a}"))
-    changed = changed & diff
+    closing = u_exists & c_exists & (diff | rm)
+    opening = u_exists & ~rm & (~c_exists | diff)
 
     vt_t = dict(cur.dtypes).get(valid_to, "timestamp")
     row_t = F.struct(
         *[F.col(k).alias(k) for k in keys],
         *[F.col(a).alias(a) for a in attrs],
         F.col(valid_from).alias(valid_from),
-        F.when(changed, F.col("__u_eff").cast(vt_t)).otherwise(F.col(valid_to)).alias(valid_to),
-        F.when(changed, F.lit(False)).otherwise(F.col(current_flag)).alias(current_flag),
+        F.when(closing, F.col("__u_eff").cast(vt_t)).otherwise(F.col(valid_to)).alias(valid_to),
+        F.when(closing, F.lit(False)).otherwise(F.col(current_flag)).alias(current_flag),
     )
     row_u = F.struct(
         *[F.col(k).alias(k) for k in keys],
@@ -316,7 +334,7 @@ def apply_scd2(
                 F.filter(
                     F.array(
                         F.when(c_exists, row_t),
-                        F.when(changed | (u_exists & ~c_exists), row_u),
+                        F.when(opening, row_u),
                     ),
                     lambda r: r.isNotNull(),
                 )

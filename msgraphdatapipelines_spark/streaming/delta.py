@@ -84,3 +84,74 @@ def delta_sync_stream(
         .writeStream.foreachBatch(sync)
         .start()
     )
+
+
+def scd2_sync_stream(
+    spark: SparkSession,
+    tick_dir: str,
+    first_url: str,
+    schema: T.StructType,
+    state_path: str,
+    history_path: str,
+    keys: list[str],
+    fetcher: Callable[[str], str] = rest.file_fetcher,
+    removed_col: str = "_removed",
+    effective_for_round=None,
+) -> StreamingQuery:
+    """Continuous TYPE-2 dimension history (r7): ``delta_sync_stream``'s
+    skeleton with ``sinks.apply_scd2`` as the fold — every delta round
+    closes changed/deleted rows at the round's effective time and opens
+    new versions, so the parquet table at ``history_path`` holds the full
+    validity-interval history of the synced collection (what the
+    reference's DELETE+INSERT runbook forgets every run).  Tombstones
+    close intervals without reopening (``apply_scd2(removed_col=…)``).
+
+    ``effective_for_round(batch_id) -> datetime`` stamps each round's
+    effective time (tests pass fixed stamps; default = wall clock).  Same
+    commit protocol: the resume token advances only after the history
+    write succeeds, so a crashed round replays onto the same history —
+    and because a replayed round's updates compare equal against the
+    already-applied current rows (no attr diff, tombstone already
+    closed), the re-apply is a NO-OP: idempotent by construction.
+    """
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+
+    meta = T.StructType(
+        schema.fields
+        + [
+            T.StructField("valid_from", T.TimestampType()),
+            T.StructField("valid_to", T.TimestampType()),
+            T.StructField("is_current", T.BooleanType()),
+        ]
+    )
+
+    def sync(_batch_df, batch_id: int) -> None:
+        delta, link = rest.read_odata_delta(
+            spark, first_url, schema, state_path=state_path,
+            fetcher=fetcher, removed_col=removed_col,
+        )
+        eff = (
+            effective_for_round(batch_id)
+            if effective_for_round
+            else _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+        )
+        updates = delta.withColumn("effective_ts", F.lit(eff).cast("timestamp"))
+        try:
+            history = spark.read.parquet(history_path)
+        except Exception:  # noqa: BLE001 — first round: no history yet
+            history = spark.createDataFrame([], meta)
+        merged = sinks.apply_scd2(
+            history, updates, keys, removed_col=removed_col
+        )
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(history_path)
+        if link:
+            rest.save_delta_state(state_path, link)
+
+    return (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .text(tick_dir)
+        .writeStream.foreachBatch(sync)
+        .start()
+    )

@@ -642,3 +642,45 @@ def test_429_honors_retry_after_hint():
     policy = rest.RetryPolicy(max_retries=5, sleep_s=30.0, max_retry_after_s=300.0)
     assert policy.run(flaky, sleeper=sleeps.append) == "ok"
     assert sleeps == [7.5, 30.0, 300.0]
+
+
+def test_scd2_sync_stream_builds_full_history(spark, delta_pages, tmp_path):
+    """Continuous SCD2 (r7): the delta sync stream folding through
+    apply_scd2 leaves a full validity-interval history — the deleted key's
+    interval closes without reopening, the updated key chains two
+    versions, untouched and inserted keys carry one current row each."""
+    import datetime as dt
+
+    from msgraphdatapipelines_spark.streaming.delta import scd2_sync_stream
+
+    first, _second = delta_pages
+    tick_dir = tmp_path / "ticks"
+    tick_dir.mkdir()
+    (tick_dir / "t0.txt").write_text("round0")
+    (tick_dir / "t1.txt").write_text("round1")
+    state = str(tmp_path / "delta.state")
+    history = str(tmp_path / "history")
+    t = {0: dt.datetime(2024, 1, 1), 1: dt.datetime(2024, 6, 1)}
+    q = scd2_sync_stream(
+        spark, str(tick_dir), first, SCHEMA, state, history, ["id"],
+        effective_for_round=lambda b: t[b],
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = sorted(
+        spark.read.parquet(history).collect(),
+        key=lambda r: (r["id"], r["valid_from"]),
+    )
+    got = [
+        (r["id"], r["osVersion"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in rows
+    ]
+    assert got == [
+        ("a", "10.0", t[0], t[1], False),   # tombstone closed, never reopened
+        ("b", "14.1", t[0], t[1], False),   # v1 closed at the update round
+        ("b", "15.0", t[1], None, True),    # v2 current
+        ("c", "11.0", t[0], None, True),    # untouched
+        ("d", "6.5", t[1], None, True),     # inserted in round 2
+    ]
