@@ -1080,19 +1080,39 @@ def srp_project(vec: Column, planes: int = 16, dim: int = 64) -> Column:
     dim/planes× less data to score (64→16 = 4× here, 4096→64 = 64× on
     production embedding widths).
 
-    Pure per-row codegen (one left-associated sum per component — no UDF,
-    no shuffle); the reduced column is the persistable index artifact.
+    Execution is an Arrow-vectorized pandas UDF doing the matrix product
+    with ORDER-EXACT accumulation: one float64 vector accumulator per
+    plane, added dimension-by-dimension, so every component is the same
+    left-associated IEEE chain an inline ``v[1]·w1 + v[2]·w2 + …`` SQL
+    sum produces — bit-identical to the oracle, at numpy speed.  (The
+    pure-expression form — planes·dim literal multiply-add terms — blows
+    past the codegen method limit and falls back to a 1,536-node
+    interpreted tree: measured DNF at the 100× sweep, minutes-per-100k
+    rows.  This is the sanctioned Pandas-UDF exception: vectorized,
+    Arrow-batched, and only because codegen cannot express it.)  No
+    shuffle; the reduced column is the persistable index artifact.
     Candidate generation then scores in reduced space and exact-reranks a
     top-C pool, exactly like PQ's ADC + rerank — SRP trades PQ's codebook
     training for a data-independent projection.
     """
-    comps = []
-    for p in range(planes):
-        terms = [
-            F.element_at(vec, d + 1) * F.lit(_plane_weight(p, d)) for d in range(dim)
-        ]
-        s = terms[0]
-        for t in terms[1:]:
-            s = s + t
-        comps.append(s)
-    return F.array(*comps)
+    import numpy as np
+    import pandas as pd
+
+    W = [[_plane_weight(p, d) for d in range(dim)] for p in range(planes)]
+
+    @F.pandas_udf("array<double>")
+    def _proj(batch):
+        M = np.array(batch.tolist(), dtype=np.float64)  # (n, dim)
+        if M.size == 0:
+            return pd.Series([], dtype=object)
+        comps = []
+        for p in range(planes):
+            acc = np.zeros(len(M), dtype=np.float64)
+            for d in range(dim):
+                # acc += term, one dim at a time: the left-associated
+                # IEEE chain ((t1+t2)+t3)… the SQL twin computes
+                acc = acc + M[:, d] * W[p][d]
+            comps.append(acc)
+        return pd.Series(list(np.stack(comps, axis=1)))
+
+    return _proj(vec)

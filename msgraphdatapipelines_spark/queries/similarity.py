@@ -762,32 +762,49 @@ def ann_srp_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
+    # BUILD THE INDEX ONCE: eager pin stops Catalyst's CollapseProject from
+    # inlining the planes·dim-term projection into every join pair's score
+    # (measured in the r7 100x sweep: the collapsed form re-evaluates the
+    # projection 2x per candidate pair -- interpreted HOF folds -- and DNFs
+    # at 30 min where the pinned form takes seconds).  Norms are
+    # precomputed per row for the same reason; values are bit-identical to
+    # the per-pair recomputation the oracle does (sqrt . seq_dot is
+    # deterministic per row -- the brute_force_topk precedent).
     b = (
         emb.select(F.col("vec_id"), v.alias("vv"))
-        .filter(F.sqrt(S.seq_dot(F.col("vv"), F.col("vv"))) > 0)
+        .withColumn("vn", F.sqrt(S.seq_dot(F.col("vv"), F.col("vv"))))
+        .filter(F.col("vn") > 0)
         .withColumn("rv", S.srp_project(F.col("vv"), _SRP_PLANES, DIM))
-        .filter(F.sqrt(S.seq_dot(F.col("rv"), F.col("rv"))) > 0)
-    )
+        .withColumn("rn", F.sqrt(S.seq_dot(F.col("rv"), F.col("rv"))))
+        .filter(F.col("rn") > 0)
+    ).localCheckpoint(eager=True)
     q = F.broadcast(
         b.filter(F.col("vec_id") < N_QUERIES).select(
-            F.col("vec_id").alias("qid"), F.col("vv").alias("qv"), F.col("rv").alias("qrv")
+            F.col("vec_id").alias("qid"), F.col("vv").alias("qv"),
+            F.col("rv").alias("qrv"), F.col("vn").alias("qvn"), F.col("rn").alias("qrn"),
         )
     )
     c = b.select(
-        F.col("vec_id").alias("cid"), F.col("vv").alias("cv"), F.col("rv").alias("crv")
+        F.col("vec_id").alias("cid"), F.col("vv").alias("cv"),
+        F.col("rv").alias("crv"), F.col("vn").alias("cvn"), F.col("rn").alias("crn"),
     )
     w_rp = Window.partitionBy("qid").orderBy(F.desc("rp"), F.asc("cid"))
     cand = (
         q.crossJoin(c)
         .filter(F.col("qid") != F.col("cid"))
-        .withColumn("rp", S.cosine_seq(F.col("qrv"), F.col("crv")))
+        .withColumn(
+            "rp",
+            S.seq_dot(F.col("qrv"), F.col("crv")) / (F.col("qrn") * F.col("crn")),
+        )
         .withColumn("rp_rn", F.row_number().over(w_rp))
         .filter(F.col("rp_rn") <= _SRP_POOL)
-        .select("qid", "cid", "qv", "cv")
+        .select("qid", "cid", "qv", "cv", "qvn", "cvn")
     )
     w_rr = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
     return (
-        cand.withColumn("score", S.cosine_seq(F.col("qv"), F.col("cv")))
+        cand.withColumn(
+            "score", S.seq_dot(F.col("qv"), F.col("cv")) / (F.col("qvn") * F.col("cvn"))
+        )
         .withColumn("rank", F.row_number().over(w_rr).cast("long"))
         .filter(F.col("rank") <= K)
         .select("qid", "cid", F.round("score", 6).alias("score"), "rank")

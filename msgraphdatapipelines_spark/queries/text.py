@@ -592,7 +592,7 @@ def nb_langid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
     qt AS (
         SELECT doc_id AS q_id, unnest(list_distinct(list_slice({_WS}, 1, 4))) AS tok
-        FROM documents WHERE doc_id % 100 = 0
+        FROM documents WHERE doc_id % 100 = 0 AND doc_id < 5000
     ),
     contrib AS (
         SELECT q.q_id, t.doc_id,
@@ -620,8 +620,14 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranked lexical retrieval (r7): the keyword-search complement to
     the ANN family — score every document against a deterministic probe
     query set (first 4 distinct tokens of each ``doc_id % 100 == 0``
-    document) with Okapi BM25 (k1=1.2, b=0.75, query-tf ignored) and keep
-    the top 10 per query.
+    document, capped at doc_id < 5000 so the probe COUNT is fixed at any
+    corpus scale — retrieval cost is Σ_q Σ_t |postings(t)|, linear in the
+    corpus per query; a probe set growing WITH the corpus would be the
+    quadratic trap, measured and rejected in the r7 100× sweep) with
+    Okapi BM25 (k1=1.2, b=0.75, query-tf ignored) and keep the top 10
+    per query.  Production path for fat posting lists: drop stop-terms
+    above a df fraction and/or WAND-style impact ordering — pruning, not
+    a different join shape.
 
     Scale shape: tf/dl/df are single hash aggs over the exploded corpus
     (the reusable inverted-statistics artifact); the probe terms BROADCAST
@@ -642,7 +648,7 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     qt = (
-        docs.filter(F.col("doc_id") % 100 == 0)
+        docs.filter((F.col("doc_id") % 100 == 0) & (F.col("doc_id") < 5000))
         .select(
             F.col("doc_id").alias("q_id"),
             F.explode(F.array_distinct(F.slice(ws, 1, 4))).alias("tok"),
