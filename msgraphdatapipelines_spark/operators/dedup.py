@@ -491,3 +491,85 @@ def simhash(
     )
     bit_strs = [F.when(F.col(f"s{b}") > 0, F.lit("1")).otherwise(F.lit("0")) for b in range(num_bits)]
     return sums.select(id_col, F.concat(*bit_strs).alias("simhash"))
+
+
+def set_similarity_candidates_prefix(
+    grams: DataFrame,
+    id_col: str,
+    gram_col: str,
+    threshold: float,
+) -> DataFrame:
+    """LOSS-LESS candidate pairs for Jaccard ≥ ``threshold`` via prefix
+    filtering (AllPairs/PPJoin family) — the exact-recall alternative to
+    the probabilistic LSH band block.
+
+    Every gram set is sorted under ONE global total order — ascending
+    document frequency, ties by gram text (rarest-first, the order that
+    minimizes candidates) — and only its PREFIX of length
+    ``|s| − ⌈τ·|s|⌉ + 1`` is exploded for the equi-join.  Prefix-filter
+    theorem: for any pair with J ≥ τ the symmetric length bound
+    ``|b| ≥ τ·|a|`` forces a required overlap ≥ ⌈τ·|a|⌉, so ≥ 1 common
+    gram must fall inside BOTH prefixes — no true pair is lost (the
+    DuckDB oracle for the wrapping query is the QUADRATIC exact join;
+    equality proves zero false negatives at fixture scale).
+
+    Plan (100 TB shape): one gram-frequency hash agg; one hash join
+    attaching (df, gram) sort keys to gram rows; one per-id agg building
+    the sorted array; explode ≤ prefix-length rows per set; ONE self
+    equi-join keyed on the prefix gram; pair distinct.  No global window,
+    no rank assignment — the (frequency, gram) TUPLE is the order, so the
+    vocabulary never funnels through one partition.  Hot grams cannot
+    block-explode: a gram with document frequency d sits in a prefix only
+    when rarer grams are scarce, and the rarest-first order pushes the
+    frequent grams out of prefixes — the published AllPairs behavior.
+    Verify candidates with ``jaccard_verify`` (exact, engine-side).
+    """
+    freq = grams.groupBy(gram_col).agg(F.count("*").alias("__df"))
+    keyed = grams.join(freq, gram_col)
+    per_id = keyed.groupBy(id_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("__df"), F.col(gram_col).alias("__g")))
+        ).alias("__sorted")
+    )
+    sz = F.size("__sorted")
+    prefix_len = sz - F.ceil(F.lit(float(threshold)) * sz).cast("int") + F.lit(1)
+    pref = per_id.select(
+        F.col(id_col),
+        sz.alias("__sz"),
+        F.explode(
+            F.transform(F.slice("__sorted", F.lit(1), prefix_len), lambda x: x["__g"])
+        ).alias("__pg"),
+    )
+    a = pref.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("__sza"), "__pg")
+    b = pref.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("__szb"), "__pg")
+    return (
+        a.join(b, "__pg")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            # symmetric length filter: J ≥ τ ⇒ min(|a|,|b|) ≥ τ·max(|a|,|b|)
+            & (F.col("__sza") >= F.ceil(F.lit(float(threshold)) * F.col("__szb")))
+            & (F.col("__szb") >= F.ceil(F.lit(float(threshold)) * F.col("__sza")))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def set_similarity_join(
+    grams: DataFrame,
+    id_col: str,
+    gram_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact set-similarity self-join: all pairs with Jaccard ≥ threshold,
+    with EXACT recall — prefix-filter candidates (loss-less, see
+    ``set_similarity_candidates_prefix``) then ``jaccard_verify``.
+
+    This completes the dedup blocking ladder: LSH bands (probabilistic,
+    tunable recall) for the 100 TB default; prefix filtering when the
+    task demands provably-zero false negatives (compliance-grade dedup,
+    contamination audits) at the cost of frequency-skew-sensitive
+    candidate counts.
+    """
+    cands = set_similarity_candidates_prefix(grams, id_col, gram_col, threshold)
+    return jaccard_verify(grams, cands, id_col, gram_col, threshold)

@@ -591,3 +591,52 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce(F.col("n_shared_grams"), F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+@register(
+    "set_similarity_join_docs",
+    demoted=True,  # dedup family driver-graded via dedup_minhash_lsh / ngram_jaccard
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+        FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, array_to_string(ws[i:i+1], ' ') AS g
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws)-1, 1))) AS i
+              FROM words)
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+        SELECT ga.doc_id AS id_a, gb.doc_id AS id_b, count(*) AS cnt
+        FROM grams ga JOIN grams gb ON ga.g = gb.g AND ga.doc_id < gb.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b,
+           round(CAST(i.cnt AS DOUBLE) / (sa.n + sb.n - i.cnt), 6) AS jaccard
+    FROM inter i
+    JOIN sz sa ON sa.doc_id = i.id_a
+    JOIN sz sb ON sb.doc_id = i.id_b
+    WHERE CAST(i.cnt AS DOUBLE) / (sa.n + sb.n - i.cnt) >= 0.5
+    """,
+)
+def set_similarity_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-recall set-similarity self-join (r7): all document pairs with
+    word-BIGRAM Jaccard ≥ 0.5, candidates generated by prefix filtering
+    (AllPairs/PPJoin) instead of LSH bands — provably zero false
+    negatives, so the QUADRATIC DuckDB oracle matches exactly (the oracle
+    equality IS the loss-lessness proof at fixture scale).
+
+    The dedup blocking ladder's compliance rung: LSH bands trade recall
+    for cost and need a tuned band/row grid; prefix filtering guarantees
+    recall and pays with frequency-skew-sensitive candidate counts —
+    rarest-first global ordering (document frequency asc, gram asc) keeps
+    hot grams out of prefixes, the published AllPairs mitigation.  Plan:
+    gram-frequency agg → sorted-set agg → ≤ (|s|−⌈τ|s|⌉+1) exploded
+    prefix rows per set → ONE self equi-join on the prefix gram →
+    exact ``jaccard_verify`` on candidates.  No window, no rank dict."""
+    docs = load(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(D.word_ngrams(F.lower(F.col("text")), 2)).alias("g")
+    )
+    return D.set_similarity_join(grams, "doc_id", "g", 0.5)

