@@ -105,6 +105,7 @@ def _ensure_loaded() -> None:
     if _LOADED:
         return
     from . import (  # noqa: F401
+        analytics,
         curation,
         dedup,
         graphops,

@@ -1,0 +1,282 @@
+"""Event-analytics query family (r7): time-series regularization, funnels,
+cohort retention, grouped regression, Markov transitions, classifier
+evaluation — the downstream-consumer workloads over the reference's event
+exports (charter extensions, SURVEY.md §2.5).
+
+All rows are DEMOTED (pytest oracle gate): the driver's 50-row budget is
+full and the graded families (windows, aggregation, sessionization) already
+cover the underlying engine machinery; these rows pin the COMPOSITIONS.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import load_events, register
+
+
+@register(
+    "gap_fill_user_daily",
+    demoted=True,  # window/agg machinery driver-graded via trailing_window/sessionize
+    oracle="""
+    WITH e AS (
+        SELECT user_id, date_trunc('day', ts) AS day,
+               count(*) AS n_events, sum(value) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    b AS (SELECT user_id, min(day) AS lo, max(day) AS hi FROM e GROUP BY 1),
+    spine AS (
+        SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+        FROM b
+    ),
+    j AS (
+        SELECT s.user_id, s.day, coalesce(e.n_events, 0) AS n_events, e.v
+        FROM spine s LEFT JOIN e ON s.user_id = e.user_id AND s.day = e.day
+    )
+    SELECT user_id, day, CAST(n_events AS BIGINT) AS n_events,
+           round(last_value(v IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY day), 6) AS value_ffill
+    FROM j
+    """,
+)
+def gap_fill_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-grid densification per user (r7): one row per user per day
+    from that user's first to last event — days with no events appear with
+    ``n_events = 0`` and the day's summed value forward-filled from the
+    last active day (``operators/timeseries.resample_ffill``).  The
+    resample step every telemetry consumer runs before charting/ML.
+
+    Plan: one (user, day) hash agg; a per-key bounds agg; narrow
+    sequence+explode spine (no global calendar cross join); left join
+    back on (user, day); ONE running-frame window for the fill."""
+    from ..operators.timeseries import resample_ffill
+
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").cast("long").alias("n_events"), F.sum("value").alias("v"))
+    dense = resample_ffill(
+        daily,
+        key_cols=["user_id"],
+        bucket_col="day",
+        step="1 day",
+        zero_cols=["n_events"],
+        ffill_cols=["v"],
+    )
+    return dense.select(
+        "user_id",
+        "day",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("v", 6).alias("value_ffill"),
+    )
+
+
+@register(
+    "funnel_conversion",
+    demoted=True,  # join/agg machinery driver-graded via q3/q5/join_variants
+    oracle="""
+    WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+          JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+    p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+          JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+    SELECT step, step_name, n_users,
+           round(CAST(n_users AS DOUBLE)
+                 / (SELECT count(*) FROM v), 6) AS conversion
+    FROM (
+        SELECT 1 AS step, 'view' AS step_name, (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_users
+        UNION ALL
+        SELECT 2, 'click', (SELECT CAST(count(*) AS BIGINT) FROM c)
+        UNION ALL
+        SELECT 3, 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM p)
+    )
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step funnel (r7): users who did view → then click → then
+    purchase, each step's timestamp strictly after the previous step's
+    FIRST occurrence (the standard strict-sequence funnel).  Output: one
+    row per step with the user count and conversion vs step 1.
+
+    Plan: per-step (filter → per-user min-ts agg) chained by an equi-join
+    on user with the time bound as a join post-condition — step k's input
+    is only step k−1's survivors, so work SHRINKS down the funnel; the
+    three 1-row counts union and a broadcast join attaches the step-1
+    denominator.  No windows over the raw stream, no per-user collect."""
+    ev = load_events(spark, sf_dir)
+    steps = ["view", "click", "purchase"]
+    prev = None
+    counts = []
+    for i, s in enumerate(steps, start=1):
+        cur = ev.filter(F.col("event_type") == s)
+        if prev is not None:
+            cur = cur.join(prev, "user_id").filter(F.col("ts") > F.col("__pt"))
+        cur = cur.groupBy("user_id").agg(F.min("ts").alias("__pt"))
+        counts.append(
+            cur.agg(F.count("*").cast("long").alias("n_users")).select(
+                F.lit(i).alias("step"), F.lit(s).alias("step_name"), "n_users"
+            )
+        )
+        prev = cur
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    base = counts[0].select(F.col("n_users").alias("__base"))
+    return out.crossJoin(F.broadcast(base)).select(
+        "step",
+        "step_name",
+        "n_users",
+        F.round(F.col("n_users").cast("double") / F.col("__base"), 6).alias("conversion"),
+    )
+
+
+@register(
+    "cohort_retention_weekly",
+    demoted=True,  # agg/window machinery driver-graded via cube_orders/sessionize
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY 1
+    ),
+    sizes AS (SELECT cohort_week, count(*) AS n_cohort FROM firsts GROUP BY 1),
+    active AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               CAST((epoch(date_trunc('week', e.ts)) - epoch(f.cohort_week))
+                    / 604800 AS BIGINT) AS week_offset
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT a.cohort_week, a.week_offset,
+           CAST(count(*) AS BIGINT) AS n_active,
+           CAST(any_value(s.n_cohort) AS BIGINT) AS n_cohort,
+           round(CAST(count(*) AS DOUBLE) / any_value(s.n_cohort), 6) AS retention
+    FROM active a JOIN sizes s ON a.cohort_week = s.cohort_week
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (r7): users grouped by the week of their
+    FIRST event; for each cohort × week-offset, how many distinct cohort
+    members were active (the retention triangle every growth dashboard
+    draws over the reference's sign-in exports).
+
+    Week offset = exact epoch-second difference / 604800 — date_trunc'd
+    weeks differ by whole weeks, so the integer division is exact and
+    engine-agnostic (calendar week-diff functions disagree across
+    engines).  Plan: per-user first-event agg (hash), broadcast-join the
+    cohort map onto events, distinct (user, offset), one final agg —
+    cohort sizes ride a |weeks|-sized broadcast."""
+    ev = load_events(spark, sf_dir)
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    sizes = firsts.groupBy("cohort_week").agg(F.count("*").alias("n_cohort"))
+    offset = (
+        (
+            F.unix_timestamp(F.date_trunc("week", F.col("ts")))
+            - F.unix_timestamp(F.col("cohort_week"))
+        )
+        / 604800
+    ).cast("long")
+    active = (
+        ev.join(F.broadcast(firsts), "user_id")
+        .select("user_id", "cohort_week", offset.alias("week_offset"))
+        .distinct()
+    )
+    return (
+        active.join(F.broadcast(sizes), "cohort_week")
+        .groupBy("cohort_week", "week_offset")
+        .agg(
+            F.count("*").cast("long").alias("n_active"),
+            F.first("n_cohort").cast("long").alias("n_cohort"),
+        )
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "n_cohort",
+            F.round(F.col("n_active").cast("double") / F.col("n_cohort"), 6).alias(
+                "retention"
+            ),
+        )
+    )
+
+
+@register(
+    "markov_event_transitions",
+    demoted=True,  # lag/window machinery driver-graded via window_rank_battery
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    ),
+    t AS (SELECT event_type AS from_type, next_type AS to_type,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+    SELECT from_type, to_type, n,
+           round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 6) AS p
+    FROM t
+    """,
+)
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences
+    (r7): P(next event type | current type), the behavioral fingerprint
+    a sessionized event export feeds into anomaly/recommendation models.
+
+    Determinism: sequences order by (ts, event_id) — event_id is unique,
+    so ties on ts cannot flip adjacent pairs across engines.  Plan: ONE
+    window shuffle on user_id for the lead(), a (from, to) hash agg
+    (|types|²-sized output), and a window over that tiny frame for row
+    normalization."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    t = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count("*").cast("long").alias("n"))
+    wn = Window.partitionBy("from_type")
+    return t.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wn), 6).alias("p"),
+    )
+
+
+@register(
+    "regression_by_event_type",
+    demoted=True,  # agg machinery driver-graded via exact_moments_stats
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(regr_slope(value, hour(ts)), 6) AS slope,
+           round(regr_intercept(value, hour(ts)), 6) AS intercept,
+           round(regr_r2(value, hour(ts)), 6) AS r2,
+           round(corr(value, hour(ts)), 6) AS corr_vh
+    FROM events GROUP BY 1
+    """,
+)
+def regression_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group closed-form OLS (r7): slope/intercept/R²/correlation of
+    event value against hour-of-day, per event type — the trend-detection
+    pass run over every telemetry export, entirely inside ONE hash
+    aggregation (Spark's regr_* / corr are single-pass co-moment
+    aggregates with map-side partials; no iterative solver, no collect).
+    At 100 TB this is the same shuffle as any groupBy-agg."""
+    ev = load_events(spark, sf_dir)
+    x = F.hour("ts").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.regr_slope(F.col("value"), x), 6).alias("slope"),
+        F.round(F.regr_intercept(F.col("value"), x), 6).alias("intercept"),
+        F.round(F.regr_r2(F.col("value"), x), 6).alias("r2"),
+        F.round(F.corr(F.col("value"), x), 6).alias("corr_vh"),
+    )
