@@ -135,3 +135,62 @@ def fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_join_blocked(probes, cat, "probe", "matched", 2, 2, 2).select(
         "probe", "matched", "dist"
     )
+
+
+@register(
+    "table_diff_orders",
+    demoted=True,  # join machinery driver-graded via join_variants/delta_sync
+    oracle="""
+    WITH newv AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CASE WHEN o_orderstatus = 'F' AND o_orderkey % 5 = 0
+                    THEN o_totalprice * 1.1 ELSE o_totalprice END AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 101 = 0
+    )
+    SELECT coalesce(b.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN b.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'deleted'
+                ELSE 'changed' END AS change_type,
+           b.o_totalprice AS old_o_totalprice,
+           n.o_totalprice AS new_o_totalprice
+    FROM orders b FULL JOIN newv n ON b.o_orderkey = n.o_orderkey
+    WHERE b.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR b.o_custkey IS DISTINCT FROM n.o_custkey
+       OR b.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+       OR b.o_totalprice IS DISTINCT FROM n.o_totalprice
+       OR b.o_orderdate IS DISTINCT FROM n.o_orderdate
+       OR b.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+    """,
+)
+def table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed table diff / CDC (r7): what changed between two states of the
+    orders table — the question the reference's full-refresh consumers
+    answer with hand-written EXCEPT queries, as ONE full-outer key join
+    with a null-safe struct comparison (``operators/diff.table_diff``).
+    The second state is derived IN-ENGINE deterministically (delete keys
+    %97, reprice finished orders %5, add %101 clones shifted +1e8) so the
+    oracle replays it exactly; composed with snapshot versions this is
+    ``diff_snapshots`` — time-travel CDC (pytest).  Output projects the
+    price pair; at 100 TB bucket both versions on the key and the
+    exchange vanishes (module docstring)."""
+    from ..operators.diff import table_diff
+
+    k = F.col("o_orderkey")
+    base = load(spark, sf_dir, "orders")
+    kept = base.filter(k % 97 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            (F.col("o_orderstatus") == "F") & (k % 5 == 0),
+            F.col("o_totalprice") * 1.1,
+        ).otherwise(F.col("o_totalprice")),
+    )
+    added = base.filter(k % 101 == 0).withColumn("o_orderkey", k + 100000000)
+    new = kept.unionByName(added)
+    return table_diff(base, new, ["o_orderkey"]).select(
+        "o_orderkey", "change_type", "old_o_totalprice", "new_o_totalprice"
+    )

@@ -367,3 +367,37 @@ def test_compact_snapshot_transactional(spark, sf_dir, tmp_path, monkeypatch):
     assert sorted(
         r["o_orderkey"] for r in read_snapshot(spark, root).collect()
     ) == a
+
+
+def test_diff_snapshots_time_travel_cdc(spark, tmp_path):
+    """table_diff composed with snapshot versions (r7): the keyed diff
+    between two committed versions reports exactly the applied churn —
+    added/deleted/changed with old/new payload pairs — and unchanged rows
+    never appear."""
+    from pyspark.sql import functions as F
+
+    from msgraphdatapipelines_spark import sinks
+    from msgraphdatapipelines_spark.operators.diff import diff_snapshots, table_diff
+
+    root = str(tmp_path / "snap_cdc")
+    v1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None)], ["id", "s", "x"]
+    )
+    sinks.write_snapshot(v1, root)
+    v2 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 20.0), (4, "d", 40.0)], ["id", "s", "x"]
+    )
+    sinks.write_snapshot(v2, root)
+
+    got = {r["id"]: r for r in diff_snapshots(spark, root, 1, 2, ["id"]).collect()}
+    assert set(got) == {2, 3, 4}
+    assert got[2]["change_type"] == "changed" and got[2]["old_s"] == "b" and got[2]["new_s"] == "B"
+    assert got[3]["change_type"] == "deleted" and got[3]["new_s"] is None
+    assert got[4]["change_type"] == "added" and got[4]["old_s"] is None
+
+    # null-safe: a payload NULL on both sides is UNCHANGED, not changed
+    b = spark.createDataFrame([(7, None)], "id long, x double")
+    assert table_diff(b, b, ["id"]).count() == 0
+    # a NULL→value flip IS a change
+    n = spark.createDataFrame([(7, 1.0)], "id long, x double")
+    assert [r["change_type"] for r in table_diff(b, n, ["id"]).collect()] == ["changed"]
