@@ -121,3 +121,66 @@ def nb_score(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def eval_classification(
+    predictions: DataFrame, label_col: str, pred_col: str
+) -> DataFrame:
+    """Per-class evaluation metrics (r7): precision / recall / F1 / support
+    for each class appearing as a label OR a prediction — the scorecard a
+    curation team reads before trusting a filter model's output
+    (complements ``nb_train``/``nb_score``; works on ANY predictions
+    frame).
+
+    Shape: ONE (label, pred) hash agg collapses the data to a confusion
+    matrix ≤ |classes|² rows; every metric derives from re-aggregations of
+    that tiny frame (broadcast joins).  The 100 TB cost is the single
+    map-combinable count shuffle; nothing downstream sees data-sized rows.
+
+    Conventions: precision with zero predicted-positives is NULL (not 0 —
+    undefined, the sklearn warning case); same for recall with zero
+    support; F1 NULL when either side is NULL or their sum is 0.
+    """
+    lab, prd = F.col(label_col), F.col(pred_col)
+    conf = predictions.groupBy(
+        lab.alias("__l"), prd.alias("__p")
+    ).agg(F.count("*").alias("__n"))
+    classes = (
+        conf.select(F.col("__l").alias("class"))
+        .union(conf.select("__p"))
+        .distinct()
+    )
+    tp = conf.filter(F.col("__l") == F.col("__p")).select(
+        F.col("__l").alias("class"), F.col("__n").alias("tp")
+    )
+    label_tot = conf.groupBy(F.col("__l").alias("class")).agg(
+        F.sum("__n").alias("support")
+    )
+    pred_tot = conf.groupBy(F.col("__p").alias("class")).agg(
+        F.sum("__n").alias("n_pred")
+    )
+    m = (
+        classes.join(tp, "class", "left")
+        .join(label_tot, "class", "left")
+        .join(pred_tot, "class", "left")
+        .na.fill({"tp": 0, "support": 0, "n_pred": 0})
+    )
+    precision = F.when(
+        F.col("n_pred") > 0, F.col("tp").cast("double") / F.col("n_pred")
+    )
+    recall = F.when(
+        F.col("support") > 0, F.col("tp").cast("double") / F.col("support")
+    )
+    f1 = F.when(
+        precision.isNotNull() & recall.isNotNull() & ((precision + recall) > 0),
+        2 * precision * recall / (precision + recall),
+    )
+    return m.select(
+        "class",
+        F.col("support").cast("long").alias("support"),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("n_pred").cast("long").alias("n_pred"),
+        F.round(precision, 6).alias("precision"),
+        F.round(recall, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )

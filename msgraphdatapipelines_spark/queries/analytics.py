@@ -280,3 +280,75 @@ def regression_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2(F.col("value"), x), 6).alias("r2"),
         F.round(F.corr(F.col("value"), x), 6).alias("corr_vh"),
     )
+
+
+@register(
+    "classifier_eval_metrics",
+    demoted=True,  # classifier family pinned via nb_langid_classifier
+    oracle="""
+    WITH cnt AS (SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),
+    maj AS (
+        SELECT source, lang AS pred FROM (
+            SELECT source, lang,
+                   row_number() OVER (PARTITION BY source ORDER BY n DESC, lang) AS rn
+            FROM cnt) WHERE rn = 1
+    ),
+    pr AS (SELECT d.lang AS label, m.pred
+           FROM documents d JOIN maj m ON d.source = m.source),
+    conf AS (SELECT label, pred, count(*) AS n FROM pr GROUP BY 1, 2),
+    classes AS (SELECT DISTINCT label AS class FROM conf
+                UNION SELECT DISTINCT pred FROM conf),
+    tpx AS (SELECT label AS class, n AS tp FROM conf WHERE label = pred),
+    lt AS (SELECT label AS class, sum(n) AS support FROM conf GROUP BY 1),
+    pt AS (SELECT pred AS class, sum(n) AS n_pred FROM conf GROUP BY 1),
+    m AS (
+        SELECT c.class,
+               coalesce(lt.support, 0) AS support,
+               coalesce(tpx.tp, 0) AS tp,
+               coalesce(pt.n_pred, 0) AS n_pred
+        FROM classes c
+        LEFT JOIN tpx ON c.class = tpx.class
+        LEFT JOIN lt ON c.class = lt.class
+        LEFT JOIN pt ON c.class = pt.class
+    ),
+    r AS (
+        SELECT class, support, tp, n_pred,
+               CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE) / n_pred END AS p,
+               CASE WHEN support > 0 THEN CAST(tp AS DOUBLE) / support END AS rcl
+        FROM m
+    )
+    SELECT class, CAST(support AS BIGINT) AS support, CAST(tp AS BIGINT) AS tp,
+           CAST(n_pred AS BIGINT) AS n_pred,
+           round(p, 6) AS precision, round(rcl, 6) AS recall,
+           round(CASE WHEN p IS NOT NULL AND rcl IS NOT NULL AND p + rcl > 0
+                      THEN 2 * p * rcl / (p + rcl) END, 6) AS f1
+    FROM r
+    """,
+)
+def classifier_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier scorecard (r7): per-class precision/recall/F1/support
+    (``operators/classify.eval_classification``) for a deterministic
+    source-majority language predictor (each doc predicted as its
+    source's most common lang, ties to the alphabetically-first) against
+    the true lang labels.  The predictor is intentionally SQL-replayable
+    so the ORACLE checks the metric algebra, not the model; the same
+    operator scores ``nb_score`` output or any external model's
+    predictions.  Plan: majority map = one (source, lang) agg + a
+    per-source top-1 window on the tiny count frame; metrics = one
+    confusion agg + broadcast re-joins (operator docstring)."""
+    from ..operators.classify import eval_classification
+
+    from . import load
+
+    docs = load(spark, sf_dir, "documents")
+    cnt = docs.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("lang"))
+    maj = (
+        cnt.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("source", F.col("lang").alias("pred"))
+    )
+    preds = docs.join(F.broadcast(maj), "source").select(
+        F.col("lang").alias("label"), "pred"
+    )
+    return eval_classification(preds, "label", "pred")

@@ -1222,3 +1222,31 @@ def test_set_similarity_prefix_lossless_and_edges(spark):
     }
     assert {(1, 2), (1, 3), (2, 3)} <= cands
     assert not any(4 in p for p in cands)
+
+
+def test_eval_classification_null_conventions(spark):
+    """eval_classification (r7): a class never predicted has NULL precision
+    (not 0), a class predicted but absent from labels has NULL recall and
+    support 0, and F1 is NULL whenever either component is — the sklearn
+    undefined-metric cases made explicit."""
+    from msgraphdatapipelines_spark.operators.classify import eval_classification
+
+    preds = spark.createDataFrame(
+        [("a", "a"), ("a", "b"), ("b", "b"), ("c", "b")], ["label", "pred"]
+    )
+    # labels: a×2, b×1, c×1; preds: a×1, b×3; class c never predicted,
+    # no class predicted-only here — add one: label 'a' pred 'd'
+    preds = preds.union(spark.createDataFrame([("a", "d")], ["label", "pred"]))
+    got = {r["class"]: r for r in eval_classification(preds, "label", "pred").collect()}
+    assert set(got) == {"a", "b", "c", "d"}
+    a = got["a"]
+    assert (a["support"], a["tp"], a["n_pred"]) == (3, 1, 1)
+    assert a["precision"] == 1.0 and abs(a["recall"] - 1 / 3) < 1e-6
+    # c: labeled, never predicted → precision NULL, recall 0, f1 NULL
+    c = got["c"]
+    assert c["precision"] is None and c["recall"] == 0.0 and c["f1"] is None
+    # d: predicted, never labeled → support 0, recall NULL, precision 0
+    d = got["d"]
+    assert d["support"] == 0 and d["recall"] is None and d["precision"] == 0.0 and d["f1"] is None
+    b = got["b"]
+    assert b["tp"] == 1 and b["n_pred"] == 3 and abs(b["f1"] - 0.5) < 1e-6
