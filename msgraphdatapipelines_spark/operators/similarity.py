@@ -681,6 +681,7 @@ def ivf_pq_topk(
     centroids: list[tuple[int, list[float]]] | None = None,
     codebooks: list[list[list[float]]] | None = None,
     rerank: int = 0,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """IVF + PQ — the composed billion-scale ANN shape: the coarse
     quantizer (IVF centroids) restricts each query to its ``nprobe``
@@ -731,14 +732,14 @@ def ivf_pq_topk(
 
     cv = F.col(vec_c).cast("array<double>")
     # corpus index: (cid, cent, code) — ONE narrow map; at scale this is
-    # the persisted artifact, rebuilt only when the models retrain
-    c = corpus.select(
-        F.col(id_c).alias("cid"), cv.alias("_cv"),
-        F.sqrt(seq_dot(cv, cv)).alias("_cn"),
-    ).filter(F.col("_cn") > 0)
-    c = c.withColumn("cent", scored_centroids(F.col("_cv"), F.col("_cn"))[0]["cent"])
-    enc = pq_encode(c.select("cid", F.col("_cv").alias("v")), "cid", "v", codebooks, dim=dim)
-    indexed = c.select("cid", "cent").join(enc, "cid")
+    # the persisted artifact, maintained incrementally with
+    # ivf_incremental_append and passed in via ``index=`` (r7); rebuilt
+    # only when the models retrain
+    indexed = (
+        index
+        if index is not None
+        else ivf_pq_index(corpus, id_c, vec_c, centroids, codebooks, dim=dim)
+    )
 
     qv = F.col(vec_q).cast("array<double>")
     qn = (
@@ -1116,3 +1117,72 @@ def srp_project(vec: Column, planes: int = 16, dim: int = 64) -> Column:
         return pd.Series(list(np.stack(comps, axis=1)))
 
     return _proj(vec)
+
+
+def ivf_pq_index(
+    corpus: DataFrame,
+    id_c: str,
+    vec_c: str,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    dim: int = 64,
+) -> DataFrame:
+    """The persisted IVF+PQ index rows ``(cid, cent, code)`` for a corpus
+    under FIXED trained models — exactly the artifact ``ivf_pq_topk``
+    builds inline (similarity.py:733-741), factored out so it can be
+    written once and APPENDED to incrementally (``ivf_incremental_append``)
+    instead of rebuilt per refresh.
+
+    Assignment is cosine-nearest centroid — the same scoring
+    ``ivf_pq_topk`` probes with, so probe lists and index lists agree.
+    Literal-expression assignment (Θ(k·dim) tree): fine to k≈64; above
+    that route through ``assign_nearest_centroid(assign='table')`` on
+    unit-normalized vectors with unit-normalized centroids (argmin L2 ≡
+    argmax cosine on the unit sphere) — the SemDeDup large-k lesson.
+    One narrow map; no shuffle, no join, no old-row access.
+    """
+    import math as _math
+
+    usable = [
+        (cid, cvec, _math.sqrt(sum(x * x for x in cvec))) for cid, cvec in centroids
+    ]
+    usable = [t for t in usable if t[2] > 0]
+    if not usable:
+        raise ValueError("ivf_pq_index: no non-zero-norm centroids")
+    cv = F.col(vec_c).cast("array<double>")
+    c = corpus.select(
+        F.col(id_c).alias("cid"), cv.alias("_cv"), F.sqrt(seq_dot(cv, cv)).alias("_cn")
+    ).filter(F.col("_cn") > 0)
+    entries = []
+    for cid, cvec, cn in usable:
+        arr = F.array(*[F.lit(x) for x in cvec])
+        score = seq_dot(F.col("_cv"), arr) / (F.col("_cn") * F.lit(cn))
+        entries.append(F.struct((-score).alias("ns"), F.lit(cid).alias("cent")))
+    c = c.withColumn("cent", F.sort_array(F.array(*entries))[0]["cent"])
+    enc = pq_encode(c.select("cid", F.col("_cv").alias("v")), "cid", "v", codebooks, dim=dim)
+    return c.select("cid", "cent").join(enc, "cid")
+
+
+def ivf_incremental_append(
+    new_vectors: DataFrame,
+    index: DataFrame | None,
+    id_c: str,
+    vec_c: str,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    dim: int = 64,
+) -> DataFrame:
+    """Incremental ANN index maintenance — the similarity-side twin of
+    ``dedup.lsh_incremental_assign``: a NEW vector batch is encoded under
+    the FIXED trained models and appended to the persisted ``(cid, cent,
+    code)`` index; previously-indexed vectors are never touched (at
+    billion scale the append is a partition add, not a rebuild).
+
+    The documented operational contract: assignments stay valid exactly
+    as long as the quantizers do — monitor per-list counts (one groupBy
+    on this frame) and retrain + REBUILD when new batches drift off the
+    trained distribution (the published IVF re-balancing trade).
+    ``index=None`` bootstraps an empty index (first batch).
+    """
+    fresh = ivf_pq_index(new_vectors, id_c, vec_c, centroids, codebooks, dim=dim)
+    return fresh if index is None else index.unionByName(fresh)

@@ -359,3 +359,35 @@ def test_srp_recall_ladder_monotone_in_pool(spark, sf_dir):
     r32, r64 = recall_at_pool(32), recall_at_pool(64)
     assert r32 <= r64, (r32, r64)
     assert r64 >= 0.6, r64
+
+
+def test_ivf_incremental_append_equals_full_rebuild(spark, sf_dir):
+    """r7 incremental ANN maintenance: under FIXED trained models, indexing
+    the corpus in two batches (ivf_incremental_append) yields exactly the
+    rows of a one-shot full index build, an empty batch is an identity
+    append, and ivf_pq_topk probing the incrementally-built index returns
+    the same neighbors as its own inline build."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = S.kmeans_centroids(emb, "vec_id", "embedding", k=8, iters=1)
+    cb = S.pq_codebooks(emb, "vec_id", "embedding")
+
+    full = S.ivf_pq_index(emb, "vec_id", "embedding", cents, cb)
+    b1 = emb.filter(F.col("vec_id") % 2 == 0)
+    b2 = emb.filter(F.col("vec_id") % 2 == 1)
+    inc = S.ivf_incremental_append(b1, None, "vec_id", "embedding", cents, cb)
+    inc = S.ivf_incremental_append(b2, inc, "vec_id", "embedding", cents, cb)
+    empty = emb.filter(F.col("vec_id") < 0)
+    inc = S.ivf_incremental_append(empty, inc, "vec_id", "embedding", cents, cb)
+
+    def rows(df):
+        return {(r["cid"], r["cent"], tuple(r["code"])) for r in df.collect()}
+
+    assert rows(inc) == rows(full) and full.count() > 0
+
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    args = (q, emb, "vec_id", "vec_id", "embedding", "embedding")
+    inline = _pairs(S.ivf_pq_topk(*args, k=K, nprobe=2, centroids=cents, codebooks=cb))
+    via_index = _pairs(
+        S.ivf_pq_topk(*args, k=K, nprobe=2, centroids=cents, codebooks=cb, index=inc)
+    )
+    assert via_index == inline
