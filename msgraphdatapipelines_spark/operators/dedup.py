@@ -500,8 +500,8 @@ def set_similarity_candidates_prefix(
     threshold: float,
 ) -> DataFrame:
     """LOSS-LESS candidate pairs for Jaccard ≥ ``threshold`` via prefix
-    filtering (AllPairs/PPJoin family) — the exact-recall alternative to
-    the probabilistic LSH band block.
+    filtering with the PPJoin positional bound (AllPairs/PPJoin family) —
+    the exact-recall alternative to the probabilistic LSH band block.
 
     Every gram set is sorted under ONE global total order — ascending
     document frequency, ties by gram text (rarest-first, the order that
@@ -513,16 +513,29 @@ def set_similarity_candidates_prefix(
     DuckDB oracle for the wrapping query is the QUADRATIC exact join;
     equality proves zero false negatives at fixture scale).
 
+    Positional filter (PPJoin): each prefix row carries its 1-based
+    position; a joined occurrence at (pa, pb) can contribute at most
+    ``1 + min(|a|−pa, |b|−pb)`` total overlap, and a true pair needs
+    ``α = ⌈τ/(1+τ)·(|a|+|b|)⌉`` — occurrences below the bound are pruned
+    BEFORE the pair distinct.  A true pair's FIRST shared prefix gram
+    always satisfies the bound, so pruning stays loss-less.
+
     Plan (100 TB shape): one gram-frequency hash agg; one hash join
     attaching (df, gram) sort keys to gram rows; one per-id agg building
-    the sorted array; explode ≤ prefix-length rows per set; ONE self
+    the sorted array; posexplode ≤ prefix-length rows per set; ONE self
     equi-join keyed on the prefix gram; pair distinct.  No global window,
     no rank assignment — the (frequency, gram) TUPLE is the order, so the
-    vocabulary never funnels through one partition.  Hot grams cannot
-    block-explode: a gram with document frequency d sits in a prefix only
-    when rarer grams are scarce, and the rarest-first order pushes the
-    frequent grams out of prefixes — the published AllPairs behavior.
-    Verify candidates with ``jaccard_verify`` (exact, engine-side).
+    vocabulary never funnels through one partition.
+
+    CORPUS CAVEAT (measured, PERF.md r7): candidate count follows the
+    frequency of the grams that land in prefixes.  On natural corpora
+    vocabulary grows with the data (Heaps' law) and prefixes stay rare;
+    on a CLOSED-vocabulary corpus (templated synthetic text) every gram's
+    frequency grows linearly with n and the filter degenerates toward
+    quadratic — word-BIGRAMS over this fixture kept 44% of all pairs,
+    TRIGRAMS 2.5%.  Shingle size is the lever: pick n so the shingle
+    vocabulary outgrows the corpus, or use the LSH rows when approximate
+    recall is acceptable.
     """
     freq = grams.groupBy(gram_col).agg(F.count("*").alias("__df"))
     keyed = grams.join(freq, gram_col)
@@ -536,22 +549,42 @@ def set_similarity_candidates_prefix(
     pref = per_id.select(
         F.col(id_col),
         sz.alias("__sz"),
-        F.explode(
+        F.transform("__sorted", lambda x: x["__g"]).alias("__garr"),
+        F.posexplode(
             F.transform(F.slice("__sorted", F.lit(1), prefix_len), lambda x: x["__g"])
-        ).alias("__pg"),
+        ).alias("__p", "__pg"),
     )
-    a = pref.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("__sza"), "__pg")
-    b = pref.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("__szb"), "__pg")
+    a = pref.select(
+        F.col(id_col).alias("id_a"), F.col("__sz").alias("__sza"),
+        F.col("__garr").alias("__garr_a"), F.col("__p").alias("__pa"), "__pg",
+    )
+    b = pref.select(
+        F.col(id_col).alias("id_b"), F.col("__sz").alias("__szb"),
+        F.col("__garr").alias("__garr_b"), F.col("__p").alias("__pb"), "__pg",
+    )
+    t = float(threshold)
+    alpha = F.ceil(F.lit(t / (1.0 + t)) * (F.col("__sza") + F.col("__szb")))
+    ubound = F.lit(1) + F.least(
+        F.col("__sza") - F.col("__pa") - F.lit(1),
+        F.col("__szb") - F.col("__pb") - F.lit(1),
+    )
     return (
         a.join(b, "__pg")
         .filter(
             (F.col("id_a") < F.col("id_b"))
             # symmetric length filter: J ≥ τ ⇒ min(|a|,|b|) ≥ τ·max(|a|,|b|)
-            & (F.col("__sza") >= F.ceil(F.lit(float(threshold)) * F.col("__szb")))
-            & (F.col("__szb") >= F.ceil(F.lit(float(threshold)) * F.col("__sza")))
+            & (F.col("__sza") >= F.ceil(F.lit(t) * F.col("__szb")))
+            & (F.col("__szb") >= F.ceil(F.lit(t) * F.col("__sza")))
+            # PPJoin positional bound (posexplode __p is 0-based)
+            & (ubound >= alpha)
         )
-        .select("id_a", "id_b")
-        .distinct()
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.first("__sza").alias("__sza"),
+            F.first("__szb").alias("__szb"),
+            F.first("__garr_a").alias("__garr_a"),
+            F.first("__garr_b").alias("__garr_b"),
+        )
     )
 
 
@@ -562,14 +595,29 @@ def set_similarity_join(
     threshold: float,
 ) -> DataFrame:
     """Exact set-similarity self-join: all pairs with Jaccard ≥ threshold,
-    with EXACT recall — prefix-filter candidates (loss-less, see
-    ``set_similarity_candidates_prefix``) then ``jaccard_verify``.
+    with EXACT recall — prefix-filter + positional-bound candidates
+    (loss-less, see ``set_similarity_candidates_prefix``), then a
+    JOIN-FREE verify: the candidate rows already carry both sorted gram
+    arrays, so the intersection is one codegen ``array_intersect`` per
+    pair — no pair⋈grams re-join (the r7 rewrite: the join-based
+    ``jaccard_verify`` was 4× the candidate cost at sf0.1; arrays of
+    tens of grams are cheaper to carry than to re-join).
 
     This completes the dedup blocking ladder: LSH bands (probabilistic,
     tunable recall) for the 100 TB default; prefix filtering when the
     task demands provably-zero false negatives (compliance-grade dedup,
-    contamination audits) at the cost of frequency-skew-sensitive
-    candidate counts.
+    contamination audits) at the cost of corpus-sensitive candidate
+    counts (operator docstring caveat).
     """
     cands = set_similarity_candidates_prefix(grams, id_col, gram_col, threshold)
-    return jaccard_verify(grams, cands, id_col, gram_col, threshold)
+    inter = F.size(F.array_intersect("__garr_a", "__garr_b"))
+    return (
+        cands.withColumn("__inter", inter)
+        .withColumn(
+            "jaccard",
+            F.col("__inter").cast("double")
+            / (F.col("__sza") + F.col("__szb") - F.col("__inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )

@@ -602,8 +602,8 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     ),
     grams AS (
-        SELECT DISTINCT doc_id, array_to_string(ws[i:i+1], ' ') AS g
-        FROM (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws)-1, 1))) AS i
+        SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS g
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws)-2, 1))) AS i
               FROM words)
     ),
     sz AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
@@ -622,21 +622,24 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def set_similarity_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT-recall set-similarity self-join (r7): all document pairs with
-    word-BIGRAM Jaccard ≥ 0.5, candidates generated by prefix filtering
-    (AllPairs/PPJoin) instead of LSH bands — provably zero false
-    negatives, so the QUADRATIC DuckDB oracle matches exactly (the oracle
-    equality IS the loss-lessness proof at fixture scale).
+    word-TRIGRAM Jaccard ≥ 0.5, candidates generated by prefix filtering
+    with the PPJoin positional bound instead of LSH bands — provably zero
+    false negatives, so the QUADRATIC DuckDB oracle matches exactly (the
+    oracle equality IS the loss-lessness proof at fixture scale).
 
     The dedup blocking ladder's compliance rung: LSH bands trade recall
     for cost and need a tuned band/row grid; prefix filtering guarantees
-    recall and pays with frequency-skew-sensitive candidate counts —
-    rarest-first global ordering (document frequency asc, gram asc) keeps
-    hot grams out of prefixes, the published AllPairs mitigation.  Plan:
-    gram-frequency agg → sorted-set agg → ≤ (|s|−⌈τ|s|⌉+1) exploded
-    prefix rows per set → ONE self equi-join on the prefix gram →
-    exact ``jaccard_verify`` on candidates.  No window, no rank dict."""
+    recall and pays with corpus-sensitive candidate counts — rarest-first
+    global ordering (document frequency asc, gram asc) keeps hot grams
+    out of prefixes, the published AllPairs mitigation.  TRIGRAM shingles
+    are the measured choice for this templated fixture: its closed bigram
+    vocabulary (931 grams at sf0.1) kept 44% of all pairs as candidates,
+    trigrams (27k grams) keep 2.5% (operator docstring caveat; PERF.md).
+    Plan: gram-frequency agg → sorted-set agg → ≤ (|s|−⌈τ|s|⌉+1)
+    posexploded prefix rows → ONE self equi-join on the prefix gram with
+    length + positional pruning → join-free array_intersect verify."""
     docs = load(spark, sf_dir, "documents")
     grams = docs.select(
-        "doc_id", F.explode(D.word_ngrams(F.lower(F.col("text")), 2)).alias("g")
+        "doc_id", F.explode(D.word_ngrams(F.lower(F.col("text")), 3)).alias("g")
     )
     return D.set_similarity_join(grams, "doc_id", "g", 0.5)
