@@ -674,3 +674,72 @@ def test_odata_page_stream_envelope_to_enrich_end_to_end(spark, tmp_path):
         assert len(d) == 1 and d[0]["fleet"] == "server" and not d[0]["_removed"]
     finally:
         q.stop()
+
+
+def test_ann_index_stream_equals_batch_index(spark, tmp_path):
+    """late-r7 streaming ANN maintenance: two staged embedding files arrive
+    as separate micro-batches under frozen models; the unioned streamed
+    index must equal a one-shot batch build over all vectors, and a
+    restart with the same checkpoint must not re-deliver batches."""
+    import os
+    import shutil
+    import time as _time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from msgraphdatapipelines_spark.operators import similarity as S
+    from msgraphdatapipelines_spark.streaming.ann_stream import ann_index_stream
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(200)
+    cents = S.kmeans_centroids(emb, "vec_id", "embedding", k=4, iters=1)
+    cb = S.pq_codebooks(emb, "vec_id", "embedding")
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+
+    vec_dir = tmp_path / "vectors"
+    vec_dir.mkdir()
+    emb.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.parquet(str(tmp_path / "s1"))
+    emb.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.parquet(str(tmp_path / "s2"))
+    now = _time.time()
+    for i, stage in enumerate(("s1", "s2")):
+        for f in (tmp_path / stage).glob("*.parquet"):
+            dst = vec_dir / f"batch{i}_{f.name}"
+            shutil.copy(f, dst)
+            os.utime(dst, (now + 60 * i, now + 60 * i))
+
+    index_dir = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    q = ann_index_stream(
+        spark, str(vec_dir), schema, index_dir, ckpt, cents, cb
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def rows(df):
+        return {(r["cid"], r["cent"], tuple(r["code"])) for r in df.collect()}
+
+    streamed = spark.read.option("basePath", index_dir).parquet(index_dir)
+    full = S.ivf_pq_index(emb, "vec_id", "embedding", cents, cb)
+    assert rows(streamed.select("cid", "cent", "code")) == rows(full)
+    n_before = streamed.count()
+    assert n_before > 0
+
+    # restart with the same checkpoint: committed batches are not re-run
+    q2 = ann_index_stream(
+        spark, str(vec_dir), schema, index_dir, ckpt, cents, cb
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert (
+        spark.read.option("basePath", index_dir).parquet(index_dir).count() == n_before
+    )
