@@ -18,7 +18,7 @@ ranking-relevant difference.
 
 Recurrence (damping d, N nodes, out-weight W_s = Σ_d w(s,d)):
 
-    r'_q(v) = floor(0.15·S / N)                       (teleport)
+    r'_q(v) = floor((1−d)·S / N)                      (teleport)
             + floor(d · DANG_q / N)                   (dangling mass)
             + Σ_{(s,v)∈E} floor(d · r_q(s) · w / W_s) (incoming)
 
@@ -51,10 +51,24 @@ def pagerank(
     dst: str = "dst",
     weight: str = "w",
     checkpoint_every: int | None = None,
+    tol: float | None = None,
 ) -> DataFrame:
     """Weighted PageRank over an (src, dst, weight) edge list; returns
     (node, r_q) with ranks as scale-1e12 fixed-point BIGINTs summing to
-    ~SCALE.  See module docstring for the recurrence and scale shape."""
+    ~SCALE.  See module docstring for the recurrence and scale shape.
+
+    Teleport mass is ``(1 - damping)`` — mass conservation
+    (teleport + damping = 1) holds for ANY damping, not just 0.85
+    (r7 ADVICE item 1).
+
+    ``tol``: optional L1 convergence threshold as a FRACTION of total mass
+    (e.g. ``1e-6`` stops when Σ|r' − r| ≤ 1e-6·SCALE).  The delta rides
+    the same per-round frame as the rank update (old ranks join into the
+    update select, |r'−r| summed over the just-materialized blocks — the
+    connected_components changed-flag discipline, one job per round plus a
+    cheap scan; no second join job).  ``tol=None`` (default) runs exactly
+    ``iters`` rounds — the fixed-trajectory mode the generated oracle
+    replays.  With ``tol`` set, ``iters`` becomes the round CAP."""
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
@@ -71,7 +85,15 @@ def pagerank(
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
         "node", F.expr("CAST(1000000000000 div n AS BIGINT)").alias("r_q")
     )
-    tele = F.floor((F.lit(0.15) * F.lit(SCALE)) / F.col("n")).cast("long")
+    # teleport + damping = 1 for ANY damping (r7 ADVICE item 1); the same
+    # Python double (1 - damping) is rendered into the generated oracle, so
+    # the two engines floor the identical IEEE product.
+    tele = F.floor((F.lit(1.0 - damping) * F.lit(SCALE)) / F.col("n")).cast("long")
+    new_r = (
+        tele
+        + F.floor((F.lit(damping) * F.col("dq")) / F.col("n")).cast("long")
+        + F.coalesce(F.col("in_q"), F.lit(0))
+    )
     for i in range(iters):
         dang = (
             ranks.join(out_nodes, "node", "left_anti")
@@ -88,21 +110,31 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c_q").alias("in_q"))
         )
-        ranks = (
-            nodes.join(incoming, "node", "left")
+        # `ranks` already carries the full node universe (seeded from
+        # `nodes`, preserved by every update), so the update builds on it
+        # directly — the old rank rides the same frame and the L1 delta
+        # needs no second join (connected_components discipline).
+        updated = (
+            ranks.select("node", F.col("r_q").alias("__prev_q"))
+            .join(incoming, "node", "left")
             .crossJoin(F.broadcast(dang))
             .crossJoin(F.broadcast(nn))
             .select(
                 "node",
-                (
-                    tele
-                    + F.floor((F.lit(damping) * F.col("dq")) / F.col("n")).cast("long")
-                    + F.coalesce(F.col("in_q"), F.lit(0))
-                ).alias("r_q"),
+                new_r.alias("r_q"),
+                F.abs(new_r - F.col("__prev_q")).alias("__d_q"),
             )
         )
-        if checkpoint_every and (i + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint(eager=False)
+        if tol is not None:
+            updated = updated.localCheckpoint(eager=True)
+            ranks = updated.select("node", "r_q")
+            row = updated.agg(F.sum("__d_q").alias("d")).first()
+            if (row["d"] or 0) <= tol * SCALE:
+                return ranks
+        else:
+            ranks = updated.select("node", "r_q")
+            if checkpoint_every and (i + 1) % checkpoint_every == 0:
+                ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 
@@ -130,7 +162,7 @@ def pagerank_oracle_sql(edges_sql: str, iters: int = 3, damping: float = 0.85) -
         parts.append(
             f"""{c} AS (
         SELECT nd.node,
-               CAST(floor((0.15 * {SCALE}) / n)
+               CAST(floor(({1 - d!r} * {SCALE}) / n)
                     + floor(({d} * dq) / n)
                     + coalesce(i.in_q, 0) AS BIGINT) AS r_q
         FROM nodes nd CROSS JOIN nn CROSS JOIN d{i}

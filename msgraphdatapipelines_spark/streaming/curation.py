@@ -115,9 +115,12 @@ def curation_pipeline_stream(
             id_col, F.explode(D.word_ngrams(text_col, 3)).alias("g")
         )
         sigs = D.minhash_signatures(grams, id_col, "g", num_hashes=num_hashes)
-        try:
-            dstate = spark.read.parquet(dedup_state_path)
-        except Exception:  # noqa: BLE001 — first round: no dedup state yet
+        # explicit existence probes (r7 ADVICE item 2): a read failure on
+        # EXISTING state fails the round (token unmoved, replayed on
+        # restart) instead of silently restarting from empty state
+        if sinks.snapshot_versions(spark, dedup_state_path):
+            dstate = sinks.read_snapshot(spark, dedup_state_path)
+        else:
             dstate = None
         assigns, new_dstate = D.lsh_incremental_assign(
             sigs, dstate, id_col, num_hashes=num_hashes, bands=bands
@@ -127,18 +130,16 @@ def curation_pipeline_stream(
             "overwrite"
         ).parquet(f"{rollup_dir}/batch_id={batch_id}")
 
-        # (3) state folds — both idempotent under same-window replay
-        try:
-            snapshot = spark.read.parquet(snapshot_path)
-        except Exception:  # noqa: BLE001 — first round: no snapshot yet
+        # (3) state folds — both idempotent under same-window replay, both
+        # published as NEW snapshot versions with an atomic _LATEST flip
+        # (crash mid-write keeps the previous complete state)
+        if sinks.snapshot_versions(spark, snapshot_path):
+            snapshot = sinks.read_snapshot(spark, snapshot_path)
+        else:
             snapshot = spark.createDataFrame([], schema)
         merged = sinks.apply_delta(snapshot, delta, keys, removed_col=removed_col)
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            snapshot_path
-        )
-        new_dstate.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            dedup_state_path
-        )
+        sinks.write_snapshot(merged, snapshot_path, keep_last=2)
+        sinks.write_snapshot(new_dstate, dedup_state_path, keep_last=2)
 
         # (4) commit point
         if link:

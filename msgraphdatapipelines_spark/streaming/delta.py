@@ -40,6 +40,7 @@ def delta_sync_stream(
     keys: list[str],
     fetcher: Callable[[str], str] = rest.file_fetcher,
     removed_col: str = "_removed",
+    keep_last: int | None = 2,
 ) -> StreamingQuery:
     """Start the sync stream: one delta round per micro-batch.
 
@@ -49,13 +50,19 @@ def delta_sync_stream(
     1. ``read_odata_delta`` — resumes from ``state_path`` (first round =
        full initial sync, auto-routing through the DataSource past the
        page threshold);
-    2. ``apply_delta`` onto the parquet snapshot at ``snapshot_path``
-       (bootstrap: empty snapshot with the declared schema).  The merged
-       frame is pinned (eager localCheckpoint) before the overwrite so
-       the read of the old snapshot completes before its directory is
-       replaced;
+    2. ``apply_delta`` onto the snapshot-versioned table at
+       ``snapshot_path`` (bootstrap: empty snapshot with the declared
+       schema, detected by an explicit ``snapshot_versions`` probe).  The
+       merged result publishes as a NEW ``v=N`` directory with an atomic
+       ``_LATEST`` pointer flip (``sinks.write_snapshot``) — a crash
+       mid-write cannot destroy the previous round's data (r7 ADVICE
+       item 2); ``keep_last`` bounds retained history;
     3. ``save_delta_state`` — ONLY after the write succeeded (commit
        protocol; see ``rest.save_delta_state``).
+
+    Read the current table with ``sinks.read_snapshot(spark,
+    snapshot_path)`` (NOT a raw ``spark.read.parquet`` of the root — the
+    root holds every retained version).
 
     Returns the started ``StreamingQuery``; callers drain with
     ``processAllAvailable()`` (tests) or leave it running on a trigger
@@ -68,13 +75,21 @@ def delta_sync_stream(
             spark, first_url, schema, state_path=state_path,
             fetcher=fetcher, removed_col=removed_col,
         )
-        try:
-            snapshot = spark.read.parquet(snapshot_path)
-        except Exception:  # noqa: BLE001 — first round: no snapshot yet
+        # First-round detection is an EXPLICIT existence probe — a read
+        # failure on an existing snapshot must fail the round (token not
+        # advanced, stream restarts and replays), never be mistaken for
+        # "no snapshot yet" (r7 ADVICE item 2).
+        if sinks.snapshot_versions(spark, snapshot_path):
+            snapshot = sinks.read_snapshot(spark, snapshot_path)
+        else:
             snapshot = spark.createDataFrame([], schema)
         merged = sinks.apply_delta(snapshot, delta, keys, removed_col=removed_col)
-        # pin before overwriting the directory the plan reads from
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(snapshot_path)
+        # Versioned publish: the new round lands in a NEW v=N directory and
+        # the _LATEST pointer flips only after the write committed — a
+        # crash mid-write leaves the pointer on the previous complete
+        # version (orphans collected by vacuum_snapshots), so the sole
+        # copy of the snapshot is never destroyed in place.
+        sinks.write_snapshot(merged, snapshot_path, keep_last=keep_last)
         if link:
             rest.save_delta_state(state_path, link)
 
@@ -97,6 +112,7 @@ def scd2_sync_stream(
     fetcher: Callable[[str], str] = rest.file_fetcher,
     removed_col: str = "_removed",
     effective_for_round=None,
+    keep_last: int | None = 2,
 ) -> StreamingQuery:
     """Continuous TYPE-2 dimension history (r7): ``delta_sync_stream``'s
     skeleton with ``sinks.apply_scd2`` as the fold — every delta round
@@ -113,6 +129,14 @@ def scd2_sync_stream(
     and because a replayed round's updates compare equal against the
     already-applied current rows (no attr diff, tombstone already
     closed), the re-apply is a NO-OP: idempotent by construction.
+
+    The history at ``history_path`` is snapshot-versioned (r7 ADVICE
+    item 2): each round publishes a new ``v=N`` directory + atomic
+    ``_LATEST`` flip, so a crash mid-write leaves the previous complete
+    history intact, and a read failure on an EXISTING history fails the
+    round (replayed on restart) instead of silently restarting from an
+    empty history.  Read with ``sinks.read_snapshot(spark,
+    history_path)``; ``keep_last`` bounds retained versions.
     """
     import datetime as _dt
 
@@ -138,14 +162,14 @@ def scd2_sync_stream(
             else _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
         )
         updates = delta.withColumn("effective_ts", F.lit(eff).cast("timestamp"))
-        try:
-            history = spark.read.parquet(history_path)
-        except Exception:  # noqa: BLE001 — first round: no history yet
+        if sinks.snapshot_versions(spark, history_path):
+            history = sinks.read_snapshot(spark, history_path)
+        else:  # first round — explicit probe, never inferred from a failure
             history = spark.createDataFrame([], meta)
         merged = sinks.apply_scd2(
             history, updates, keys, removed_col=removed_col
         )
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(history_path)
+        sinks.write_snapshot(merged, history_path, keep_last=keep_last)
         if link:
             rest.save_delta_state(state_path, link)
 

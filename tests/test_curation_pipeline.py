@@ -114,7 +114,7 @@ def test_curation_pipeline_end_to_end_equals_batch_twins(
 
     # curated snapshot == the keyed two-round fold (doc 3 deleted, 5 added,
     # 2 updated, untouched history survives)
-    final = {r["doc_id"]: r["text"] for r in spark.read.parquet(p["snapshot_path"]).collect()}
+    final = {r["doc_id"]: r["text"] for r in sinks.read_snapshot(spark, p["snapshot_path"]).collect()}
     assert final == {1: TEXT_A, 2: TEXT_B2, 4: ROUND1[4], 5: TEXT_A}
     assert rest.load_delta_state(p["state_path"]) == second + "?round=3"
 
@@ -178,7 +178,7 @@ def test_curation_pipeline_restart_resumes_without_redelivery(
     assert fetched == [first, str(tmp_path / "cur1.json"), second]
     assert rest.load_delta_state(p["state_path"]) == second + "?round=3"
 
-    final = {r["doc_id"]: r["text"] for r in spark.read.parquet(p["snapshot_path"]).collect()}
+    final = {r["doc_id"]: r["text"] for r in sinks.read_snapshot(spark, p["snapshot_path"]).collect()}
     assert final == {1: TEXT_A, 2: TEXT_B2, 4: ROUND1[4], 5: TEXT_A}
     # batch-keyed outputs: exactly one directory per round, ids contiguous
     import os

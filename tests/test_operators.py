@@ -1154,6 +1154,27 @@ def test_pagerank_crafted_graphs(spark):
     assert abs(sum(got.values()) - SCALE) < 100
 
 
+def test_pagerank_damping_conservation_and_early_stop(spark):
+    """r8: (a) teleport mass is (1 − damping), so total mass is conserved
+    for NON-default damping too (r7 ADVICE item 1 — previously hardcoded
+    0.15 leaked mass for any damping ≠ 0.85); (b) `tol` early-stops on a
+    converged graph: a symmetric 2-cycle reaches its fixpoint after one
+    round, so tol-mode with a generous iter cap returns the same ranks as
+    the fixed 5-round run (r7 VERDICT item 5)."""
+    from msgraphdatapipelines_spark.operators.graph import SCALE, pagerank
+
+    cyc = spark.createDataFrame(
+        [("a", "b", 1), ("b", "a", 1)], "src string, dst string, w long"
+    )
+    for d in (0.5, 0.7, 0.95):
+        got = {r["node"]: r["r_q"] for r in pagerank(cyc, iters=4, damping=d).collect()}
+        assert abs(sum(got.values()) - SCALE) < 100, f"mass leak at damping={d}"
+
+    fixed = {r["node"]: r["r_q"] for r in pagerank(cyc, iters=5).collect()}
+    early = {r["node"]: r["r_q"] for r in pagerank(cyc, iters=50, tol=1e-9).collect()}
+    assert early == fixed
+
+
 def test_fuzzy_qgram_covers_prefix_blind_spot(spark):
     """fuzzy_join_qgram (r7): finds every match the prefix block finds AND
     the typo-in-the-first-characters matches the prefix block provably

@@ -541,11 +541,18 @@ def test_delta_sync_stream_two_rounds(spark, delta_pages, tmp_path):
         q.processAllAvailable()
     finally:
         q.stop()
-    final = {r["id"]: r for r in spark.read.parquet(snapshot).collect()}
+    from msgraphdatapipelines_spark import sinks
+
+    final = {r["id"]: r for r in sinks.read_snapshot(spark, snapshot).collect()}
     assert sorted(final) == ["b", "c", "d"]  # a deleted, d added
     assert final["b"]["osVersion"] == "15.0"  # updated in round 2
     assert final["c"]["osVersion"] == "11.0"  # untouched history survives
     assert rest.load_delta_state(state) == second + "?round=3"
+    # r8: each round published a NEW version (crash-safe, time-travelable);
+    # round 1's pre-change snapshot is still readable
+    assert sinks.snapshot_versions(spark, snapshot) == [1, 2]
+    v1 = {r["id"] for r in sinks.read_snapshot(spark, snapshot, version=1).collect()}
+    assert v1 == {"a", "b", "c"}
 
 
 def test_delta_sync_stream_failed_round_does_not_advance_token(
@@ -669,8 +676,10 @@ def test_scd2_sync_stream_builds_full_history(spark, delta_pages, tmp_path):
         q.processAllAvailable()
     finally:
         q.stop()
+    from msgraphdatapipelines_spark import sinks
+
     rows = sorted(
-        spark.read.parquet(history).collect(),
+        sinks.read_snapshot(spark, history).collect(),
         key=lambda r: (r["id"], r["valid_from"]),
     )
     got = [
@@ -684,3 +693,61 @@ def test_scd2_sync_stream_builds_full_history(spark, delta_pages, tmp_path):
         ("c", "11.0", t[0], None, True),    # untouched
         ("d", "6.5", t[1], None, True),     # inserted in round 2
     ]
+
+
+def test_scd2_sync_stream_failed_round_preserves_history(
+    spark, delta_pages, tmp_path
+):
+    """r8 (r7 ADVICE item 2): a round that fails AFTER a history exists
+    must leave the previous history fully intact and the token unmoved —
+    previously a mode('overwrite') of the sole copy plus a bare `except`
+    could silently restart from an EMPTY history.  Round 1 commits; round
+    2's fetch blows up mid-walk; the history must still be round 1's."""
+    import datetime as dt
+
+    import pyspark.errors
+
+    from msgraphdatapipelines_spark import sinks
+    from msgraphdatapipelines_spark.streaming.delta import scd2_sync_stream
+
+    first, _second = delta_pages
+    tick_dir = tmp_path / "ticks"
+    tick_dir.mkdir()
+    (tick_dir / "t0.txt").write_text("round0")
+    state = str(tmp_path / "delta.state")
+    history = str(tmp_path / "history")
+    t = {0: dt.datetime(2024, 1, 1), 1: dt.datetime(2024, 6, 1)}
+
+    rounds = {"n": 0}
+
+    def flaky_fetcher(url: str) -> str:
+        if rounds["n"] >= 1:
+            raise RuntimeError("network down in round 2")
+        return rest.file_fetcher(url)
+
+    q = scd2_sync_stream(
+        spark, str(tick_dir), first, SCHEMA, state, history, ["id"],
+        fetcher=flaky_fetcher, effective_for_round=lambda b: t[b],
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    token_after_r1 = rest.load_delta_state(state)
+    assert token_after_r1 is not None
+    rounds["n"] = 1
+    (tick_dir / "t1.txt").write_text("round1")
+    q = scd2_sync_stream(
+        spark, str(tick_dir), first, SCHEMA, state, history, ["id"],
+        fetcher=flaky_fetcher, effective_for_round=lambda b: t[1],
+    )
+    try:
+        with pytest.raises(pyspark.errors.exceptions.base.PySparkException):
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    # token did not advance; history is exactly round 1's (3 current rows)
+    assert rest.load_delta_state(state) == token_after_r1
+    rows = sinks.read_snapshot(spark, history).collect()
+    assert sorted(r["id"] for r in rows) == ["a", "b", "c"]
+    assert all(r["is_current"] for r in rows)
