@@ -493,11 +493,24 @@ def simhash(
     return sums.select(id_col, F.concat(*bit_strs).alias("simhash"))
 
 
+_CEIL_EPS = 1e-9  # subtracted before every ceil of a τ·size product: when
+# the exact value is an integer k the IEEE product can land at k+2⁻ⁿ and
+# ceil to k+1 — shortening prefixes / over-tightening bounds and silently
+# dropping true pairs (r7 ADVICE item 3; e.g. τ=3/17, |s|=85 →
+# 15.000000000000002).  ceil(x − 1e-9) returns k for any |error| < 1e-9,
+# and a 1e-9 under-estimate only ever LOOSENS a bound (lossless-safe).
+
+
+def _eps_ceil(col):
+    return F.ceil(col - F.lit(_CEIL_EPS))
+
+
 def set_similarity_candidates_prefix(
     grams: DataFrame,
     id_col: str,
     gram_col: str,
     threshold: float,
+    max_df: int | None = None,
 ) -> DataFrame:
     """LOSS-LESS candidate pairs for Jaccard ≥ ``threshold`` via prefix
     filtering with the PPJoin positional bound (AllPairs/PPJoin family) —
@@ -536,6 +549,23 @@ def set_similarity_candidates_prefix(
     TRIGRAMS 2.5%.  Shingle size is the lever: pick n so the shingle
     vocabulary outgrows the corpus, or use the LSH rows when approximate
     recall is acceptable.
+
+    ``max_df`` (r8, r7 VERDICT item 7) caps that degeneration WITHOUT
+    giving up exact recall: prefix occurrences of grams with document
+    frequency > ``max_df`` are split out of the self equi-join (whose
+    output on a fat gram is df² shuffle rows) and handled per fat gram by
+    an exact within-group pass (``applyInPandas`` keyed on the gram: the
+    same length + positional bounds evaluated vectorized inside the
+    group, emitting only surviving pairs — the quadratic work still
+    happens, it is inherent to exact recall on a degenerate corpus, but
+    it runs group-local and never materializes the df² candidate rows
+    through a shuffle).  Both paths union before the pair-distinct, so
+    the loss-lessness proof (quadratic-oracle equality) is preserved;
+    ``max_df=None`` keeps the single-join plan.
+
+    All ceil'd τ-products subtract ``_CEIL_EPS`` first — exact-integer
+    products otherwise round UP in IEEE and violate the zero-false-
+    negative guarantee (r7 ADVICE item 3).
     """
     freq = grams.groupBy(gram_col).agg(F.count("*").alias("__df"))
     keyed = grams.join(freq, gram_col)
@@ -545,47 +575,110 @@ def set_similarity_candidates_prefix(
         ).alias("__sorted")
     )
     sz = F.size("__sorted")
-    prefix_len = sz - F.ceil(F.lit(float(threshold)) * sz).cast("int") + F.lit(1)
+    prefix_len = sz - _eps_ceil(F.lit(float(threshold)) * sz).cast("int") + F.lit(1)
     pref = per_id.select(
         F.col(id_col),
         sz.alias("__sz"),
         F.transform("__sorted", lambda x: x["__g"]).alias("__garr"),
-        F.posexplode(
-            F.transform(F.slice("__sorted", F.lit(1), prefix_len), lambda x: x["__g"])
-        ).alias("__p", "__pg"),
+        F.posexplode(F.slice("__sorted", F.lit(1), prefix_len)).alias("__p", "__ps"),
+    ).select(
+        id_col, "__sz", "__garr", "__p",
+        F.col("__ps.__g").alias("__pg"), F.col("__ps.__df").alias("__pdf"),
     )
-    a = pref.select(
+    t = float(threshold)
+    if max_df is None:
+        thin, fat_pairs = pref, None
+    else:
+        thin = pref.filter(F.col("__pdf") <= max_df)
+        fat_pairs = _fat_gram_pairs(
+            pref.filter(F.col("__pdf") > max_df), id_col, t
+        )
+    a = thin.select(
         F.col(id_col).alias("id_a"), F.col("__sz").alias("__sza"),
         F.col("__garr").alias("__garr_a"), F.col("__p").alias("__pa"), "__pg",
     )
-    b = pref.select(
+    b = thin.select(
         F.col(id_col).alias("id_b"), F.col("__sz").alias("__szb"),
         F.col("__garr").alias("__garr_b"), F.col("__p").alias("__pb"), "__pg",
     )
-    t = float(threshold)
-    alpha = F.ceil(F.lit(t / (1.0 + t)) * (F.col("__sza") + F.col("__szb")))
+    alpha = _eps_ceil(F.lit(t / (1.0 + t)) * (F.col("__sza") + F.col("__szb")))
     ubound = F.lit(1) + F.least(
         F.col("__sza") - F.col("__pa") - F.lit(1),
         F.col("__szb") - F.col("__pb") - F.lit(1),
     )
-    return (
+    pairs = (
         a.join(b, "__pg")
         .filter(
             (F.col("id_a") < F.col("id_b"))
             # symmetric length filter: J ≥ τ ⇒ min(|a|,|b|) ≥ τ·max(|a|,|b|)
-            & (F.col("__sza") >= F.ceil(F.lit(t) * F.col("__szb")))
-            & (F.col("__szb") >= F.ceil(F.lit(t) * F.col("__sza")))
+            & (F.col("__sza") >= _eps_ceil(F.lit(t) * F.col("__szb")))
+            & (F.col("__szb") >= _eps_ceil(F.lit(t) * F.col("__sza")))
             # PPJoin positional bound (posexplode __p is 0-based)
             & (ubound >= alpha)
         )
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.first("__sza").alias("__sza"),
-            F.first("__szb").alias("__szb"),
-            F.first("__garr_a").alias("__garr_a"),
-            F.first("__garr_b").alias("__garr_b"),
-        )
+        .select("id_a", "id_b", "__sza", "__szb", "__garr_a", "__garr_b")
     )
+    if fat_pairs is not None:
+        pairs = pairs.unionByName(fat_pairs)
+    return pairs.groupBy("id_a", "id_b").agg(
+        F.first("__sza").alias("__sza"),
+        F.first("__szb").alias("__szb"),
+        F.first("__garr_a").alias("__garr_a"),
+        F.first("__garr_b").alias("__garr_b"),
+    )
+
+
+def _fat_gram_pairs(fat: DataFrame, id_col: str, t: float) -> DataFrame:
+    """Exact within-group pair generation for prefix occurrences of fat
+    (df > max_df) grams: grouped by the gram, the length + positional
+    bounds run vectorized over the group's member vectors and only
+    surviving pairs leave the executor — the shuffle carries O(df) member
+    rows per fat gram instead of O(df²) joined candidate rows.  Same
+    bounds (with the same epsilon-guarded ceils) as the join path, so the
+    union stays loss-less."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    id_type = fat.schema[id_col].dataType
+    garr_type = fat.schema["__garr"].dataType
+    out_schema = T.StructType([
+        T.StructField("id_a", id_type),
+        T.StructField("id_b", id_type),
+        T.StructField("__sza", T.IntegerType()),
+        T.StructField("__szb", T.IntegerType()),
+        T.StructField("__garr_a", garr_type),
+        T.StructField("__garr_b", garr_type),
+    ])
+
+    def gen(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        szv = pdf["__sz"].to_numpy(dtype=np.float64)
+        pv = pdf["__p"].to_numpy(dtype=np.float64)
+        ids = pdf[id_col]
+        garr = pdf["__garr"]
+        rows: list[tuple] = []
+        for i in range(len(pdf) - 1):
+            sza, pa = szv[i], pv[i]
+            szb, pb = szv[i + 1:], pv[i + 1:]
+            keep = (sza >= np.ceil(t * szb - _CEIL_EPS)) & (
+                szb >= np.ceil(t * sza - _CEIL_EPS)
+            )
+            alpha = np.ceil(t / (1.0 + t) * (sza + szb) - _CEIL_EPS)
+            ub = 1.0 + np.minimum(sza - pa - 1.0, szb - pb - 1.0)
+            keep &= ub >= alpha
+            for j in (np.nonzero(keep)[0] + i + 1):
+                rows.append((
+                    ids.iloc[i], ids.iloc[j],
+                    int(szv[i]), int(szv[j]),
+                    garr.iloc[i], garr.iloc[j],
+                ))
+        return pd.DataFrame(
+            rows, columns=["id_a", "id_b", "__sza", "__szb", "__garr_a", "__garr_b"]
+        )
+
+    return fat.groupBy("__pg").applyInPandas(gen, schema=out_schema)
 
 
 def set_similarity_join(
@@ -593,6 +686,7 @@ def set_similarity_join(
     id_col: str,
     gram_col: str,
     threshold: float,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact set-similarity self-join: all pairs with Jaccard ≥ threshold,
     with EXACT recall — prefix-filter + positional-bound candidates
@@ -607,9 +701,12 @@ def set_similarity_join(
     tunable recall) for the 100 TB default; prefix filtering when the
     task demands provably-zero false negatives (compliance-grade dedup,
     contamination audits) at the cost of corpus-sensitive candidate
-    counts (operator docstring caveat).
+    counts (operator docstring caveat; ``max_df`` routes fat-gram prefixes
+    through the exact within-group fallback instead of the df² join).
     """
-    cands = set_similarity_candidates_prefix(grams, id_col, gram_col, threshold)
+    cands = set_similarity_candidates_prefix(
+        grams, id_col, gram_col, threshold, max_df=max_df
+    )
     inter = F.size(F.array_intersect("__garr_a", "__garr_b"))
     return (
         cands.withColumn("__inter", inter)

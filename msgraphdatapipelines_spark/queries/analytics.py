@@ -166,9 +166,12 @@ def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     Week offset = exact epoch-second difference / 604800 — date_trunc'd
     weeks differ by whole weeks, so the integer division is exact and
     engine-agnostic (calendar week-diff functions disagree across
-    engines).  Plan: per-user first-event agg (hash), broadcast-join the
-    cohort map onto events, distinct (user, offset), one final agg —
-    cohort sizes ride a |weeks|-sized broadcast."""
+    engines).  Plan: per-user first-event agg (hash), SHUFFLE-join the
+    per-user cohort map onto events on user_id (one row per user =
+    data-sized, an unbounded broadcast at 100 TB — r7 ADVICE item 5;
+    AQE still broadcasts it at small SF where it measures under the
+    threshold), distinct (user, offset), one final agg — only the
+    |weeks|-sized cohort-size frame rides an explicit broadcast."""
     ev = load_events(spark, sf_dir)
     firsts = ev.groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).alias("cohort_week")
@@ -182,7 +185,7 @@ def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         / 604800
     ).cast("long")
     active = (
-        ev.join(F.broadcast(firsts), "user_id")
+        ev.join(firsts, "user_id")
         .select("user_id", "cohort_week", offset.alias("week_offset"))
         .distinct()
     )

@@ -643,3 +643,49 @@ def set_similarity_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(D.word_ngrams(F.lower(F.col("text")), 3)).alias("g")
     )
     return D.set_similarity_join(grams, "doc_id", "g", 0.5)
+
+
+@register(
+    "set_similarity_join_docs_bigram_capped",
+    demoted=True,  # dedup family driver-graded via dedup_minhash_lsh / ngram_jaccard
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+        FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, array_to_string(ws[i:i+1], ' ') AS g
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws)-1, 1))) AS i
+              FROM words)
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+        SELECT ga.doc_id AS id_a, gb.doc_id AS id_b, count(*) AS cnt
+        FROM grams ga JOIN grams gb ON ga.g = gb.g AND ga.doc_id < gb.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b,
+           round(CAST(i.cnt AS DOUBLE) / (sa.n + sb.n - i.cnt), 6) AS jaccard
+    FROM inter i
+    JOIN sz sa ON sa.doc_id = i.id_a
+    JOIN sz sb ON sb.doc_id = i.id_b
+    WHERE CAST(i.cnt AS DOUBLE) / (sa.n + sb.n - i.cnt) >= 0.5
+    """,
+)
+def set_similarity_join_docs_bigram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8 (r7 VERDICT item 7): the MEASURED degenerate configuration —
+    word-BIGRAM shingles over this closed-vocabulary corpus (the config
+    whose prefix join kept 44% of all pairs at sf0.1) — run with the
+    ``max_df`` stop-gram guard: prefix occurrences of grams above the df
+    cap bypass the df² self-join and go through the exact within-group
+    ``applyInPandas`` fallback, which evaluates the same length +
+    positional bounds group-locally and emits only surviving pairs.  The
+    QUADRATIC DuckDB oracle equality proves the guard kept exact recall
+    (zero false negatives) on the exact corpus shape that defeats plain
+    prefix filtering; the shuffle now carries O(df) member rows per fat
+    gram instead of O(df²) joined candidates."""
+    docs = load(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(D.word_ngrams(F.lower(F.col("text")), 2)).alias("g")
+    )
+    return D.set_similarity_join(grams, "doc_id", "g", 0.5, max_df=25)

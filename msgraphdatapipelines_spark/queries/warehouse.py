@@ -110,20 +110,24 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat AS (SELECT DISTINCT p_name AS matched FROM part)
     SELECT probe, matched, CAST(levenshtein(probe, matched) AS INT) AS dist
     FROM probes, cat
-    WHERE substr(probe, 1, 2) = substr(matched, 1, 2)
-      AND abs(length(probe) - length(matched)) <= 2
-      AND levenshtein(probe, matched) <= 2
+    WHERE levenshtein(probe, matched) <= 2
     """,
 )
 def fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy string join (r7): corrupt a probe set of part names with a
-    position-3 character deletion, then recover their catalog matches by
-    blocked approximate join (prefix-2 block + length band, levenshtein
+    """Fuzzy string join (r8 posture, r7 VERDICT item 6): corrupt a probe
+    set of part names with a position-3 character deletion, then recover
+    their catalog matches by Q-GRAM-blocked approximate join (levenshtein
     ≤ 2 verify) — record linkage over dirty business keys, the failure
-    mode the reference's exact ``id`` index cannot serve.  Scale notes:
-    ``operators/fuzzy.py`` (block-then-verify; prefix → q-gram blocking
-    at larger scale)."""
-    from ..operators.fuzzy import fuzzy_join_blocked
+    mode the reference's exact ``id`` index cannot serve.
+
+    Routed through ``fuzzy_join_qgram`` (q=2) instead of a prefix-2
+    block: every string here is ≥ 6 chars > q·(max_dist+1) − 1 = 5, so
+    the shared-gram block is LOSS-LESS and the oracle is the plain
+    QUADRATIC levenshtein join — no block condition in the oracle at all;
+    the equality proves the block dropped nothing.  The prefix-2 variant
+    stays available for speed, with its documented first-chars blind spot
+    and skewed 10³-block distribution (``operators/fuzzy.py``)."""
+    from ..operators.fuzzy import fuzzy_join_qgram
 
     part = load(spark, sf_dir, "part")
     probes = (
@@ -132,7 +136,7 @@ def fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     cat = part.select(F.col("p_name").alias("matched")).distinct()
-    return fuzzy_join_blocked(probes, cat, "probe", "matched", 2, 2, 2).select(
+    return fuzzy_join_qgram(probes, cat, "probe", "matched", max_dist=2, q=2).select(
         "probe", "matched", "dist"
     )
 
