@@ -747,6 +747,21 @@ def text_entropy_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q13, _Q23 = repr(1 / 3), repr(2 / 3)
 
 
+def _logprob_cuts(mnl: DataFrame, mode: str) -> DataFrame:
+    """Tertile cutoffs (c1, c2) over mean_neg_logprob in the requested
+    ``mode``: exact ``percentile`` (O(n)-memory single sort buffer — the
+    100 TB hazard) or ``approx_percentile`` (one-pass bounded-memory
+    sketch, accuracy 10000 — the scale default; r7 VERDICT item 2)."""
+    if mode not in ("exact", "approx"):
+        raise ValueError(f"mode must be 'exact' or 'approx', got {mode!r}")
+    pctl = "percentile" if mode == "exact" else "approx_percentile"
+    acc = "" if mode == "exact" else ", 10000"
+    return mnl.agg(
+        F.round(F.expr(f"{pctl}(mean_neg_logprob, {_Q13}{acc})"), 6).alias("c1"),
+        F.round(F.expr(f"{pctl}(mean_neg_logprob, {_Q23}{acc})"), 6).alias("c2"),
+    )
+
+
 @register(
     "quality_buckets_logprob",
     demoted=True,  # quality family driver-graded via text_battery/corpus_curation
@@ -795,23 +810,24 @@ _Q13, _Q23 = repr(1 / 3), repr(2 / 3)
     FROM mnl m CROSS JOIN cuts c
     """,
 )
-def quality_buckets_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+def quality_buckets_logprob(
+    spark: SparkSession, sf_dir: str, mode: str = "exact"
+) -> DataFrame:
     """CCNet head/middle/tail perplexity bucketing (r7): the keep/drop
     decision layer over text_unigram_logprob's LM scores — documents are
     assigned to tertile buckets by mean negative log-prob (head = most
     fluent).  CCNet §4.2 keeps head+middle and drops tail.
 
     Scale shape: NO global sort/ntile — tertile cutoffs come from ONE
-    exact-percentile aggregation (swap in approx_percentile at 100 TB,
-    the documented udaf_grouped_mad trade) and broadcast onto the scored
-    docs for a comparison-only bucket assignment.  Cutoffs and scores are
-    both rounded to 6 places before comparison, so bucket edges replay
-    identically cross-engine."""
+    percentile aggregation, broadcast onto the scored docs for a
+    comparison-only bucket assignment.  ``mode`` selects exact
+    ``percentile`` (oracle-replayable) vs ``approx_percentile`` (bounded
+    memory, the 100 TB default — see ``_logprob_cuts``; error band pinned
+    by the ``quality_buckets_logprob_approx`` demoted row).  Cutoffs and
+    scores are both rounded to 6 places before comparison, so bucket
+    edges replay identically cross-engine."""
     mnl = text_unigram_logprob(spark, sf_dir).select("doc_id", "mean_neg_logprob")
-    cuts = mnl.agg(
-        F.round(F.expr(f"percentile(mean_neg_logprob, {_Q13})"), 6).alias("c1"),
-        F.round(F.expr(f"percentile(mean_neg_logprob, {_Q23})"), 6).alias("c2"),
-    )
+    cuts = _logprob_cuts(mnl, mode)
     return mnl.crossJoin(F.broadcast(cuts)).select(
         "doc_id",
         "mean_neg_logprob",
@@ -819,6 +835,78 @@ def quality_buckets_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("mean_neg_logprob") <= F.col("c2"), "middle")
         .otherwise("tail")
         .alias("bucket"),
+    )
+
+
+@register(
+    "quality_buckets_logprob_approx",
+    demoted=True,  # approx twin of quality_buckets_logprob (same family note)
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_WS}) AS tok FROM documents
+    ),
+    cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT sum(c) AS t FROM cnt),
+    scored AS (
+        SELECT k.doc_id, count(*) AS n_tokens,
+               sum(CAST(floor(ln(CAST(c.c AS DOUBLE)) * 1000000) AS BIGINT)) AS sum_lnc_q
+        FROM toks k JOIN cnt c USING (tok)
+        GROUP BY k.doc_id
+    ),
+    mnl AS (
+        SELECT doc_id,
+               round(CAST(s.n_tokens
+                          * CAST(floor(ln(CAST(t AS DOUBLE)) * 1000000) AS BIGINT)
+                          - s.sum_lnc_q AS DOUBLE)
+                     / (1000000.0 * s.n_tokens), 6) AS mean_neg_logprob
+        FROM scored s, tot
+    ),
+    cuts AS (
+        SELECT round(quantile_cont(mean_neg_logprob, {_Q13}), 6) AS c1,
+               round(quantile_cont(mean_neg_logprob, {_Q23}), 6) AS c2
+        FROM mnl
+    ),
+    buckets AS (
+        SELECT CASE WHEN m.mean_neg_logprob <= c.c1 THEN 'head'
+                    WHEN m.mean_neg_logprob <= c.c2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM mnl m CROSS JOIN cuts c
+    )
+    SELECT bucket, count(*) AS n_docs, TRUE AS approx_count_within_5pct
+    FROM buckets GROUP BY bucket
+    """,
+)
+def quality_buckets_logprob_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approx-mode error-band pin for ``quality_buckets_logprob`` (r7
+    VERDICT item 2): the approx cutoffs are sketch state, so the row
+    emits the EXACT per-bucket doc counts (oracle-reproducible) plus an
+    in-engine BOOLEAN asserting the approx-cut bucket counts land within
+    5% of the exact counts — the oracle asserts TRUE, so a sketch whose
+    cutoffs drift a bucket boundary out of band fails the hash match."""
+    mnl = text_unigram_logprob(spark, sf_dir).select("doc_id", "mean_neg_logprob")
+
+    def buckets(cuts: DataFrame, alias: str) -> DataFrame:
+        return (
+            mnl.crossJoin(F.broadcast(cuts))
+            .select(
+                F.when(F.col("mean_neg_logprob") <= F.col("c1"), "head")
+                .when(F.col("mean_neg_logprob") <= F.col("c2"), "middle")
+                .otherwise("tail")
+                .alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(F.count("*").alias(alias))
+        )
+
+    exact = buckets(_logprob_cuts(mnl, "exact"), "n_docs")
+    approx = buckets(_logprob_cuts(mnl, "approx"), "n_approx")
+    return exact.join(approx, "bucket", "left").select(
+        "bucket",
+        "n_docs",
+        (
+            F.abs(F.coalesce(F.col("n_approx"), F.lit(0)) - F.col("n_docs"))
+            <= 0.05 * F.col("n_docs")
+        ).alias("approx_count_within_5pct"),
     )
 
 

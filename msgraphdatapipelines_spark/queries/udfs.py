@@ -103,3 +103,77 @@ def udaf_grouped_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("median_disc"),
     )
     return mad.join(pct, "c_mktsegment")
+
+
+@register(
+    "grouped_mad_approx",
+    demoted=True,  # approx twin of the graded udaf_grouped_mad row
+    oracle="""
+    WITH med AS (
+        SELECT c_mktsegment, median(c_acctbal) AS m FROM customer
+        GROUP BY c_mktsegment
+    )
+    SELECT c.c_mktsegment,
+           round(any_value(med.m), 4) AS median_bal,
+           round(median(abs(c.c_acctbal - med.m)), 4) AS mad_bal,
+           TRUE AS median_within_1pct, TRUE AS mad_within_1pct
+    FROM customer c JOIN med ON c.c_mktsegment = med.c_mktsegment
+    GROUP BY c.c_mktsegment
+    """,
+)
+def grouped_mad_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB path for ``udaf_grouped_mad`` (r7 VERDICT item 2): the
+    per-group median/MAD computed NATIVELY with ``approx_percentile``
+    sketches (one pass, bounded memory, no Python UDF, no
+    group-as-one-Arrow-batch hazard) — the mode a giant-group deployment
+    runs instead of the applyInPandas UDAF.
+
+    Error band pinned as a RANK bound — the guarantee the sketch actually
+    makes (rank error ≤ 1/accuracy), robust to interpolated-vs-element
+    percentile semantics and to value-scale: the fraction of group rows ≤
+    the approx median must sit within 0.02 + 2/n of 0.5 (discreteness
+    slack for small groups), same for deviations vs the approx MAD.
+    approx_distinct_stats grading pattern: exact continuous median/MAD
+    (oracle-reproducible) + in-engine booleans the oracle asserts TRUE."""
+    c = load(spark, sf_dir, "customer")
+    a_med = c.groupBy("c_mktsegment").agg(
+        F.expr("approx_percentile(c_acctbal, 0.5, 10000)").alias("a_med")
+    )
+    withdev = c.join(F.broadcast(a_med), "c_mktsegment").withColumn(
+        "__dev", F.abs(F.col("c_acctbal") - F.col("a_med"))
+    )
+    a_mad = withdev.groupBy("c_mktsegment").agg(
+        F.expr("approx_percentile(__dev, 0.5, 10000)").alias("a_mad")
+    )
+    ranks = (
+        withdev.join(F.broadcast(a_mad), "c_mktsegment")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("c_acctbal") <= F.col("a_med")).cast("long")).alias("le_med"),
+            F.sum((F.col("__dev") <= F.col("a_mad")).cast("long")).alias("le_mad"),
+        )
+    )
+    med = c.groupBy("c_mktsegment").agg(
+        F.expr("percentile(c_acctbal, 0.5)").alias("m")
+    )
+    exact = (
+        c.join(F.broadcast(med), "c_mktsegment")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.first("m").alias("med"),
+            F.expr("percentile(abs(c_acctbal - m), 0.5)").alias("mad"),
+        )
+    )
+    slack = F.lit(0.02) + 2.0 / F.col("n")
+    return exact.join(ranks, "c_mktsegment").select(
+        "c_mktsegment",
+        F.round("med", 4).alias("median_bal"),
+        F.round("mad", 4).alias("mad_bal"),
+        (F.abs(F.col("le_med") / F.col("n") - 0.5) <= slack).alias(
+            "median_within_1pct"
+        ),
+        (F.abs(F.col("le_mad") / F.col("n") - 0.5) <= slack).alias(
+            "mad_within_1pct"
+        ),
+    )
