@@ -809,3 +809,250 @@ def ann_srp_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= K)
         .select("qid", "cid", F.round("score", 6).alias("score"), "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# r8 (r7 VERDICT item 1): retrieval THROUGH the persisted IVF+PQ index —
+# candidate generation from the (cid, cent, code) artifact instead of a
+# brute-force corpus scan, exact rerank on the pooled candidates only.
+
+_PQ_M, _PQ_KS = 8, 16
+
+
+def _ivf_pq_indexed_ctes(k: int, nprobe: int = NPROBE, rerank: int = 50) -> str:
+    """DuckDB replay of the index-backed retrieval path, ending in CTE
+    ``ivfpq`` = (qid, cid, score, rank): trained coarse quantizer
+    (``_kmeans_trained_cte``, bit-identical cross-engine) → corpus list
+    assignment + seed-codebook PQ encoding (the persisted index content)
+    → per-query nprobe probe → ADC scoring of probed lists only → exact
+    cosine rerank of the top-``rerank`` pool → top-``k``.  Every float
+    expression mirrors the Spark operator's accumulation order (the
+    ann_pq_topk / ann_kmeans_ivf_topk proofs composed)."""
+    m, ks = _PQ_M, _PQ_KS
+    dsub = DIM // m
+    d2 = " + ".join(
+        f"((c.u[b.s*{dsub}+{i}] - b.cw[{i}]) * (c.u[b.s*{dsub}+{i}] - b.cw[{i}]))"
+        for i in range(1, dsub + 1)
+    )
+    lutdot = " + ".join(
+        f"(q.u[b.s*{dsub}+{i}] * b.cw[{i}])" for i in range(1, dsub + 1)
+    )
+    score = " + ".join(f"l.lut[{s}*{ks} + e.code[{s + 1}] + 1]" for s in range(m))
+    subs = ", ".join(str(s) for s in range(m))
+    return f"""{_kmeans_trained_cte()},
+    trained_nz AS MATERIALIZED (
+        SELECT cent, cvec FROM trained WHERE {_norm_pos('cvec')}
+    ),
+    ix_assign AS MATERIALIZED (
+        SELECT cid, cent FROM (
+            SELECT e.vec_id AS cid, trained_nz.cent,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_cos('e.embedding', 'cvec')} DESC, trained_nz.cent) AS rn
+            FROM embeddings e CROSS JOIN trained_nz
+            WHERE {_norm_pos('e.embedding')}) t
+        WHERE rn = 1
+    ),
+    un AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) / n) AS u
+        FROM (SELECT vec_id, embedding, sqrt({_dot('embedding', 'embedding')}) AS n
+              FROM embeddings) t
+        WHERE n > 0
+    ),
+    pqseeds AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS j, u
+        FROM (SELECT vec_id, u FROM un ORDER BY vec_id LIMIT {ks})
+    ),
+    cbsub AS (
+        SELECT s, j, u[s*{dsub}+1 : s*{dsub}+{dsub}] AS cw
+        FROM pqseeds CROSS JOIN (SELECT unnest([{subs}]) AS s)
+    ),
+    enc AS MATERIALIZED (
+        SELECT vec_id, list(j ORDER BY s) AS code
+        FROM (
+            SELECT c.vec_id, b.s, b.j,
+                   row_number() OVER (PARTITION BY c.vec_id, b.s
+                                      ORDER BY {d2}, b.j) AS rn
+            FROM un c CROSS JOIN cbsub b
+        )
+        WHERE rn = 1
+        GROUP BY vec_id
+    ),
+    lut AS MATERIALIZED (
+        SELECT qid, list(v ORDER BY s, j) AS lut
+        FROM (
+            SELECT q.vec_id AS qid, b.s, b.j, {lutdot} AS v
+            FROM un q CROSS JOIN cbsub b
+            WHERE q.vec_id < {N_QUERIES}
+        )
+        GROUP BY qid
+    ),
+    qprobe AS MATERIALIZED (
+        SELECT qid, cent FROM (
+            SELECT q.vec_id AS qid, trained_nz.cent,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_cos('q.embedding', 'cvec')} DESC, trained_nz.cent) AS rn
+            FROM embeddings q CROSS JOIN trained_nz
+            WHERE q.vec_id < {N_QUERIES} AND {_norm_pos('q.embedding')}) t
+        WHERE rn <= {nprobe}
+    ),
+    pq_probe_scored AS MATERIALIZED (
+        SELECT l.qid, a.cid, {score} AS score
+        FROM lut l
+        JOIN qprobe p ON l.qid = p.qid
+        JOIN ix_assign a ON a.cent = p.cent
+        JOIN enc e ON e.vec_id = a.cid
+        WHERE l.qid <> a.cid
+    ),
+    ivfpq_cand AS (
+        SELECT qid, cid FROM (
+            SELECT qid, cid,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY score DESC, cid) AS rn
+            FROM pq_probe_scored) t
+        WHERE rn <= {rerank}
+    ),
+    ivfpq AS MATERIALIZED (
+        SELECT qid, cid, score, CAST(rn AS BIGINT) AS rank FROM (
+            SELECT c.qid, c.cid, {_cos('q.embedding', 'e.embedding')} AS score,
+                   row_number() OVER (PARTITION BY c.qid
+                                      ORDER BY {_cos('q.embedding', 'e.embedding')} DESC, c.cid) AS rn
+            FROM ivfpq_cand c
+            JOIN embeddings q ON q.vec_id = c.qid
+            JOIN embeddings e ON e.vec_id = c.cid) t
+        WHERE rn <= {k}
+    )"""
+
+
+def _indexed_models(emb: DataFrame):
+    """(centroids, codebooks): the trained coarse quantizer (the graded
+    ann_kmeans_ivf_topk trainer — deterministic, SQL-replayable) and the
+    deterministic seed PQ codebooks."""
+    cents = S.kmeans_centroids(
+        emb, "vec_id", "embedding", k=N_CENTROIDS, iters=1, dim=DIM, exact_mean=True
+    )
+    books = S.pq_codebooks(emb, "vec_id", "embedding", m=_PQ_M, ks=_PQ_KS, dim=DIM)
+    return cents, books
+
+
+def indexed_candidates(
+    spark: SparkSession,
+    emb: DataFrame,
+    k: int,
+    nprobe: int = NPROBE,
+    rerank: int = 50,
+    index_dir: str | None = None,
+) -> DataFrame:
+    """Top-``k`` neighbors per query (vec_id < N_QUERIES) served FROM THE
+    PERSISTED IVF+PQ INDEX: build/refresh the (cid, cent, code) artifact
+    with ``ivf_pq_index``, WRITE it to parquet, read it back, and probe
+    THAT frame via ``ivf_pq_topk(index=…)`` with exact rerank on the
+    pooled top-``rerank`` candidates.
+
+    This is the retrieval architecture a 100 TB deployment actually runs:
+    the per-query cost tracks nprobe · mean-list-size PQ lookups (+
+    ``rerank`` exact cosines), NOT corpus size, and the corpus-sized work
+    (assign + encode) happens once at index-build time and is maintained
+    incrementally (``ivf_incremental_append``), not per query."""
+    import tempfile
+
+    cents, books = _indexed_models(emb)
+    if index_dir is None:
+        index_dir = tempfile.mkdtemp(prefix="ivfpq_index_")
+    S.ivf_pq_index(emb, "vec_id", "embedding", cents, books, dim=DIM).write.mode(
+        "overwrite"
+    ).parquet(index_dir)
+    persisted = spark.read.parquet(index_dir)
+    return S.ivf_pq_topk(
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        emb,
+        "vec_id",
+        "vec_id",
+        "embedding",
+        "embedding",
+        k=k,
+        nprobe=nprobe,
+        centroids=cents,
+        codebooks=books,
+        rerank=rerank,
+        index=persisted,
+        dim=DIM,
+    )
+
+
+def _mmr_indexed_oracle(n: int = 16, k: int = 4) -> str:
+    """Generated DuckDB twin of ann_mmr_rerank_indexed: candidates come
+    from the replayed INDEX probe (``_ivf_pq_indexed_ctes``) instead of a
+    brute-force scan; the MMR recurrence is unchanged (same rendering as
+    ``_mmr_oracle``)."""
+    mmr = "(0.5 * score - 0.5 * red)"
+    parts = [
+        f"WITH {_ivf_pq_indexed_ctes(k=n)}",
+        f"""cands AS MATERIALIZED (
+        SELECT i.qid, i.cid, {_cos('q.embedding', 'e.embedding')} AS score, e.embedding AS cv
+        FROM ivfpq i
+        JOIN embeddings q ON q.vec_id = i.qid
+        JOIN embeddings e ON e.vec_id = i.cid
+    )""",
+        "cur1 AS MATERIALIZED (SELECT qid, cid, score, cv, 0.0 AS red FROM cands)",
+    ]
+    for t in range(1, k + 1):
+        parts.append(
+            f"""r{t} AS MATERIALIZED (
+        SELECT *, {mmr} AS mmr,
+               row_number() OVER (PARTITION BY qid ORDER BY {mmr} DESC, cid) AS rn
+        FROM cur{t}
+    )"""
+        )
+        parts.append(f"p{t} AS (SELECT qid, cid, score, mmr, cv FROM r{t} WHERE rn = 1)")
+        if t < k:
+            parts.append(
+                f"""cur{t + 1} AS MATERIALIZED (
+        SELECT r.qid, r.cid, r.score, r.cv,
+               greatest(r.red, {_cos('r.cv', 'p.cv')}) AS red
+        FROM r{t} r JOIN p{t} p USING (qid)
+        WHERE r.rn > 1
+    )"""
+            )
+    final = "\n    UNION ALL ".join(
+        f"SELECT qid, cid, CAST({t} AS BIGINT) AS rank, round(score, 6) AS score,"
+        f" round(mmr, 6) AS mmr FROM p{t}"
+        for t in range(1, k + 1)
+    )
+    return ",\n    ".join(parts) + "\n    " + final
+
+
+@register("ann_mmr_rerank_indexed", demoted=True, oracle=_mmr_indexed_oracle())
+def ann_mmr_rerank_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified re-ranking over INDEX-SERVED candidates (r8, r7
+    VERDICT item 1): top-16 candidates per query come from the persisted
+    IVF+PQ artifact (``indexed_candidates``: nprobe=2 probe, ADC scoring,
+    exact rerank of the pooled 50) instead of the brute-force corpus
+    scan, then the same 4 greedy MMR rounds (λ=0.5) as ann_mmr_rerank.
+    The vector branch's per-query cost now tracks nprobe · list size —
+    the full retrieval architecture: index build (amortized) → probe →
+    rerank → diversify."""
+    emb = load(spark, sf_dir, "embeddings")
+    cand_ids = indexed_candidates(spark, emb, k=16)
+    v = F.col("embedding").cast("array<double>")
+    q = emb.select(F.col("vec_id").alias("qid"), v.alias("qv"))
+    c = emb.select(F.col("vec_id").alias("cid"), v.alias("cv"))
+    cands = (
+        cand_ids.select("qid", "cid")
+        .join(F.broadcast(q), "qid")
+        .join(c, "cid")
+        .select(
+            "qid",
+            "cid",
+            (
+                S.seq_dot(F.col("qv"), F.col("cv"))
+                / (
+                    F.sqrt(S.seq_dot(F.col("qv"), F.col("qv")))
+                    * F.sqrt(S.seq_dot(F.col("cv"), F.col("cv")))
+                )
+            ).alias("score"),
+            "cv",
+        )
+    )
+    return S.mmr_rerank(cands, k=4, lam=0.5)

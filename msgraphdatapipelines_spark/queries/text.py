@@ -910,11 +910,11 @@ def quality_buckets_logprob_approx(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-@register(
-    "hybrid_search_rrf",
-    demoted=True,  # retrieval family driver-graded via tfidf/ANN rows
-    oracle=f"""
-    WITH toks AS (
+def _bm25_ctes() -> str:
+    """BM25 top-10 branch of the hybrid oracles (probe = first 4 distinct
+    tokens of each doc_id < 20 document), shared by the brute-force and
+    index-backed fusion rows — one rendering, two consumers."""
+    return f"""WITH toks AS (
         SELECT doc_id, unnest({_WS}) AS tok FROM documents
     ),
     tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
@@ -949,8 +949,15 @@ def quality_buckets_logprob_approx(spark: SparkSession, sf_dir: str) -> DataFram
                                       ORDER BY sum(c_q) DESC, doc_id ASC) AS rank
             FROM contrib GROUP BY qid, doc_id
         ) t WHERE rank <= 10
-    ),
-    eq AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+    )"""
+
+
+@register(
+    "hybrid_search_rrf",
+    demoted=True,  # retrieval family driver-graded via tfidf/ANN rows
+    oracle=f"""
+    {_bm25_ctes()},
+        eq AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
            WHERE vec_id < 20 AND {_vec_norm_pos('embedding')}),
     ec AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
            WHERE {_vec_norm_pos('embedding')}),
@@ -991,40 +998,10 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the RRF sum is a fixed two-term expression, so fusion replays
     bit-identically."""
     docs = load(spark, sf_dir, "documents")
-    ws = F.filter(F.split("text", " "), lambda w: w != "")
-    toks = docs.select("doc_id", F.explode(ws).alias("tok"))
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
-    )
-    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    qt = docs.filter(F.col("doc_id") < 20).select(
-        F.col("doc_id").alias("qid"),
-        F.explode(F.array_distinct(F.slice(ws, 1, 4))).alias("tok"),
-    )
-    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    tf_term = (F.col("tf") * 2.2) / (
-        F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * F.col("dl").cast("double") / F.col("avgdl"))
-    )
+    bm = _bm25_top10(docs)
+    emb = load(spark, sf_dir, "embeddings")
     from pyspark.sql import Window
 
-    w_bm = Window.partitionBy("qid").orderBy(F.desc("score_q"), F.asc("id"))
-    bm = (
-        tf.join(F.broadcast(qt), "tok")
-        .join(dfreq, "tok")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select("qid", F.col("doc_id").alias("id"),
-                F.floor(idf * tf_term * F.lit(1e6)).cast("long").alias("c_q"))
-        .groupBy("qid", "id")
-        .agg(F.sum("c_q").alias("score_q"))
-        .withColumn("rank", F.row_number().over(w_bm))
-        .filter(F.col("rank") <= 10)
-        .select("qid", "id", "rank")
-    )
-    emb = load(spark, sf_dir, "embeddings")
     from ..operators import similarity as S
 
     v = F.col("embedding").cast("array<double>")
@@ -1046,6 +1023,56 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("qid", F.col("cid").alias("id"), "rank")
     )
+    return _rrf_fuse(bm, vec)
+
+
+def _bm25_top10(docs: DataFrame) -> DataFrame:
+    """BM25 top-10 per probe query (first 4 distinct tokens of each
+    doc_id < 20 document) — the lexical branch shared by both hybrid
+    fusion rows.  Shape notes: bm25_search (gram-frequency-bound postings
+    join, fixed probe set)."""
+    from pyspark.sql import Window
+
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    toks = docs.select("doc_id", F.explode(ws).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    qt = docs.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("qid"),
+        F.explode(F.array_distinct(F.slice(ws, 1, 4))).alias("tok"),
+    )
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_term = (F.col("tf") * 2.2) / (
+        F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    w_bm = Window.partitionBy("qid").orderBy(F.desc("score_q"), F.asc("id"))
+    return (
+        tf.join(F.broadcast(qt), "tok")
+        .join(dfreq, "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("qid", F.col("doc_id").alias("id"),
+                F.floor(idf * tf_term * F.lit(1e6)).cast("long").alias("c_q"))
+        .groupBy("qid", "id")
+        .agg(F.sum("c_q").alias("score_q"))
+        .withColumn("rank", F.row_number().over(w_bm))
+        .filter(F.col("rank") <= 10)
+        .select("qid", "id", "rank")
+    )
+
+
+def _rrf_fuse(bm: DataFrame, vec: DataFrame) -> DataFrame:
+    """Reciprocal-rank fusion of two (qid, id, rank) branches —
+    rrf = Σ 1/(60 + rank), top-10 per qid.  ONE (qid, id) full-outer
+    equi-join of two q·10-row frames + a per-qid rank window; cost
+    independent of corpus size."""
+    from pyspark.sql import Window
+
     b = bm.select("qid", "id", F.col("rank").alias("bm25_rank"))
     x = vec.select("qid", "id", F.col("rank").alias("vec_rank"))
     fused = b.join(x, ["qid", "id"], "full_outer").select(
@@ -1064,3 +1091,56 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("qid", "id", "rank", F.round("rrf", 6).alias("rrf"), "bm25_rank", "vec_rank")
     )
+
+
+def _hybrid_indexed_oracle() -> str:
+    from .similarity import _ivf_pq_indexed_ctes
+
+    # _bm25_ctes() itself begins with "WITH toks AS ..."
+    return f"""
+    {_bm25_ctes()},
+    {_ivf_pq_indexed_ctes(k=10)},
+    vec AS (SELECT qid, cid AS id, rank FROM ivfpq),
+    fused AS (
+        SELECT coalesce(b.qid, v.qid) AS qid,
+               coalesce(b.id, v.id) AS id,
+               coalesce(1.0 / (60 + b.rank), 0.0)
+               + coalesce(1.0 / (60 + v.rank), 0.0) AS rrf,
+               b.rank AS bm25_rank, v.rank AS vec_rank
+        FROM bm b FULL OUTER JOIN vec v ON b.qid = v.qid AND b.id = v.id
+    )
+    SELECT qid, id, rank, round(rrf, 6) AS rrf, bm25_rank, vec_rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, id ASC) AS rank
+        FROM fused) t
+    WHERE rank <= 10
+    """
+
+
+@register(
+    "hybrid_search_rrf_indexed",
+    demoted=True,  # retrieval family driver-graded via tfidf/ANN rows
+    oracle=_hybrid_indexed_oracle(),
+)
+def hybrid_search_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with the vector branch served FROM THE PERSISTED
+    IVF+PQ INDEX (r8, r7 VERDICT item 1): BM25 top-10 unchanged; vector
+    top-10 comes from ``indexed_candidates`` — the (cid, cent, code)
+    artifact written to parquet and probed with nprobe=2 + ADC scoring +
+    exact rerank of the pooled 50 — instead of the brute-force corpus
+    scan; RRF fusion unchanged.  The oracle replays the index build and
+    probe (``_ivf_pq_indexed_ctes``), so the hash match proves the
+    index-served candidates, not just the fusion.
+
+    This closes the retrieval loop: at 100 TB the per-query vector cost
+    tracks nprobe · mean-list-size (+ rerank exact cosines), NOT corpus
+    size — the corpus-sized assign/encode work happens once at index
+    build and is appended incrementally (``ivf_incremental_append``)."""
+    from .similarity import indexed_candidates
+
+    docs = load(spark, sf_dir, "documents")
+    bm = _bm25_top10(docs)
+    emb = load(spark, sf_dir, "embeddings")
+    vec = indexed_candidates(spark, emb, k=10).select(
+        "qid", F.col("cid").alias("id"), F.col("rank").cast("int").alias("rank")
+    )
+    return _rrf_fuse(bm, vec)

@@ -391,3 +391,40 @@ def test_ivf_incremental_append_equals_full_rebuild(spark, sf_dir):
         S.ivf_pq_topk(*args, k=K, nprobe=2, centroids=cents, codebooks=cb, index=inc)
     )
     assert via_index == inline
+
+
+def test_indexed_candidates_recall_floor_and_inline_equality(spark, sf_dir):
+    """r8 (r7 VERDICT item 1): the index-BACKED retrieval path —
+    ivf_pq_topk over the parquet-persisted (cid, cent, code) artifact via
+    queries.similarity.indexed_candidates — (a) returns EXACTLY the
+    neighbors of the same models' inline build (persistence round-trip
+    changes nothing), and (b) holds a pinned micro-recall floor vs the
+    brute-force exact baseline at k=10 (nprobe=2 of 8 lists + rerank 50).
+    """
+    from msgraphdatapipelines_spark.queries.similarity import (
+        _indexed_models,
+        indexed_candidates,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    via_index = indexed_candidates(spark, emb, k=10)
+
+    cents, books = _indexed_models(emb)
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    args = (q, emb, "vec_id", "vec_id", "embedding", "embedding")
+    inline = S.ivf_pq_topk(
+        *args, k=10, nprobe=2, centroids=cents, codebooks=books, rerank=50
+    )
+    assert _pairs(via_index) == _pairs(inline)
+
+    bf = S.brute_force_topk(*args, k=10)
+    r = (
+        S.recall_at_k(via_index, bf)
+        .groupBy()
+        .agg(F.sum("n_hit").alias("h"), F.sum("n_exact").alias("e"))
+        .collect()[0]
+    )
+    micro = r["h"] / r["e"]
+    # floor measured at sf0.001: nprobe=2/8 + rerank-50 holds well above
+    # 0.5; pinned conservatively so fixture regeneration can't flap it
+    assert micro >= 0.5, micro
