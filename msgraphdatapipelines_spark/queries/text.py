@@ -575,6 +575,69 @@ def nb_langid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bm25_contrib(
+    docs: DataFrame, qt: DataFrame, max_df: int | None = None
+) -> DataFrame:
+    """Per-(query, doc, term) BM25 contributions for probe terms ``qt``
+    (q_id, tok) — the joined-postings stage, factored so the df-cap bound
+    is pytest-observable (r7 VERDICT item 3).
+
+    ``max_df`` is the stop-term cap: probe terms whose document frequency
+    exceeds it are dropped BEFORE the postings join — the df annotation
+    rides the (small) probe side (``dfreq ⋈ broadcast(qt)``), so a
+    stop-word probe term can never pull a corpus-sized postings list
+    through the join: every surviving term contributes ≤ max_df posting
+    rows.  This is pruning, not a different join shape — the WAND-style
+    alternative (impact-ordered early termination) bounds the same term
+    the same way."""
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    toks = docs.select("doc_id", F.explode(ws).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # df annotates the PROBE side (broadcast): idf needs it anyway, and
+    # with max_df set the fat terms die here — before any postings join
+    qt2 = dfreq.join(F.broadcast(qt), "tok")
+    if max_df is not None:
+        qt2 = qt2.filter(F.col("df") <= max_df)
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_term = (F.col("tf") * 2.2) / (
+        F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(qt2), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "q_id",
+            "doc_id",
+            F.floor(idf * tf_term * F.lit(1e6)).cast("long").alias("c_q"),
+        )
+    )
+
+
+def bm25_topk(
+    docs: DataFrame, qt: DataFrame, k: int = 10, max_df: int | None = None
+) -> DataFrame:
+    """Top-``k`` BM25 results per probe query — contributions summed per
+    (q_id, doc_id), rank-filter window (WindowGroupLimit heap)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("score_q"), F.asc("doc_id"))
+    return (
+        bm25_contrib(docs, qt, max_df=max_df)
+        .groupBy("q_id", "doc_id")
+        .agg(F.sum("c_q").alias("score_q"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "doc_id", "rank", "score_q")
+    )
+
+
 @register(
     "bm25_search",
     demoted=True,  # retrieval family driver-graded via tfidf_top_terms / ANN rows
@@ -625,9 +688,10 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus per query; a probe set growing WITH the corpus would be the
     quadratic trap, measured and rejected in the r7 100× sweep) with
     Okapi BM25 (k1=1.2, b=0.75, query-tf ignored) and keep the top 10
-    per query.  Production path for fat posting lists: drop stop-terms
-    above a df fraction and/or WAND-style impact ordering — pruning, not
-    a different join shape.
+    per query.  Fat posting lists: ``bm25_topk(max_df=…)`` (r8) drops
+    stop-terms above a df cap on the probe side before the postings join
+    — the bound is pytest-pinned; this row runs uncapped so the oracle
+    covers the full scoring.
 
     Scale shape: tf/dl/df are single hash aggs over the exploded corpus
     (the reusable inverted-statistics artifact); the probe terms BROADCAST
@@ -639,14 +703,6 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays bit-identically in the oracle."""
     docs = load(spark, sf_dir, "documents")
     ws = F.filter(F.split("text", " "), lambda w: w != "")
-    toks = docs.select("doc_id", F.explode(ws).alias("tok"))
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
-    )
-    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     qt = (
         docs.filter((F.col("doc_id") % 100 == 0) & (F.col("doc_id") < 5000))
         .select(
@@ -654,31 +710,7 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.array_distinct(F.slice(ws, 1, 4))).alias("tok"),
         )
     )
-    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    tf_term = (F.col("tf") * 2.2) / (
-        F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * F.col("dl").cast("double") / F.col("avgdl"))
-    )
-    contrib = (
-        tf.join(F.broadcast(qt), "tok")
-        .join(dfreq, "tok")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "q_id",
-            "doc_id",
-            F.floor(idf * tf_term * F.lit(1e6)).cast("long").alias("c_q"),
-        )
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("q_id").orderBy(F.desc("score_q"), F.asc("doc_id"))
-    return (
-        contrib.groupBy("q_id", "doc_id")
-        .agg(F.sum("c_q").alias("score_q"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("q_id", "doc_id", "rank", "score_q")
-    )
+    return bm25_topk(docs, qt, k=10)
 
 
 @register(

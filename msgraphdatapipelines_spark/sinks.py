@@ -686,9 +686,10 @@ def compact_snapshot(
     concurrent with the compaction resolve either v=N (pre-flip) or
     v=N+1 (post-flip) — both complete, identical tables; a crash before
     the flip leaves ``_LATEST`` on v=N with only an orphan v=N+1
-    directory to garbage-collect (re-running compaction overwrites it).
-    Old versions remain for time travel; expire with ``write_snapshot``'s
-    ``keep_last`` on the next publish, or delete explicitly.
+    directory, collected by ``vacuum_snapshots`` (re-running compaction
+    also overwrites it).  Old versions remain for time travel; expire
+    with ``write_snapshot``'s ``keep_last`` on the next publish or
+    ``vacuum_snapshots`` outside one.
 
     Returns ``compact_parquet``'s stats plus ``{"from_version", "version"}``.
     """
@@ -722,3 +723,56 @@ def read_snapshot(spark: SparkSession, root: str, version: int | None = None) ->
         finally:
             stream.close()
     return spark.read.parquet(f"{root}/v={version}")
+
+
+def _read_latest_version(spark: SparkSession, root: str) -> int:
+    fs, _, jvm = _fs_for(spark, root)
+    latest = jvm.org.apache.hadoop.fs.Path(f"{root}/_LATEST")
+    stream = fs.open(latest)
+    try:
+        return int(bytes(stream.readAllBytes()).decode("ascii").strip())
+    finally:
+        stream.close()
+
+
+def vacuum_snapshots(spark: SparkSession, root: str, keep_last: int = 2) -> dict:
+    """Garbage-collect a snapshot-versioned table OUTSIDE a publish (r8,
+    r7 VERDICT item 4 — previously compact_snapshot's docstring left
+    orphan collection as a manual step):
+
+    - ORPHANS: ``v=N`` directories with N greater than the ``_LATEST``
+      pointer are writes that never committed (a crash between the
+      version write and the pointer flip — write_snapshot, compact
+      _snapshot, or the sync streams) — deleted;
+    - EXPIRED: committed versions older than the newest ``keep_last``
+      (the pointer-resolved version always survives, whatever
+      ``keep_last`` says) — deleted.
+
+    Safe against concurrent READERS by the same argument as the pointer
+    flip: a reader resolves ``_LATEST`` to a committed version that
+    vacuum never touches (expiry keeps the pointed version
+    unconditionally; orphans were never pointer-visible).  Explicit
+    time-travel readers of an expired version can error — expiry is the
+    point; pick ``keep_last`` ≥ the audit window.  NOT safe against a
+    concurrent WRITER (its in-flight v=N+1 looks like an orphan) —
+    single-publisher maintenance window, the write_snapshot contract.
+
+    Returns ``{"removed_orphans": [...], "removed_expired": [...],
+    "kept": [...]}``.
+    """
+    versions = snapshot_versions(spark, root)
+    if not versions:
+        return {"removed_orphans": [], "removed_expired": [], "kept": []}
+    cur = _read_latest_version(spark, root)
+    committed = [v for v in versions if v <= cur]
+    orphans = [v for v in versions if v > cur]
+    keep = set(committed[-max(keep_last, 1):]) | {cur}
+    expired = [v for v in committed if v not in keep]
+    fs, _, jvm = _fs_for(spark, root)
+    for v in orphans + expired:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{root}/v={v}"), True)
+    return {
+        "removed_orphans": orphans,
+        "removed_expired": expired,
+        "kept": sorted(keep),
+    }

@@ -1400,3 +1400,42 @@ def test_eval_classification_null_conventions(spark):
     assert d["support"] == 0 and d["recall"] is None and d["precision"] == 0.0 and d["f1"] is None
     b = got["b"]
     assert b["tp"] == 1 and b["n_pred"] == 3 and abs(b["f1"] - 0.5) < 1e-6
+
+
+def test_bm25_max_df_stop_term_pruning(spark):
+    """r8 (r7 VERDICT item 3): bm25 df-cap — a crafted fat (stop) probe
+    term must not pull a corpus-sized postings list through the scoring
+    join: with max_df set, (a) the contrib stage's joined row count is
+    bounded by Σ_{kept terms} df ≤ |terms|·max_df (the fat term's 60
+    postings vanish), and (b) ranked output for a normal rare-term probe
+    is UNCHANGED by the cap."""
+    from pyspark.sql import functions as F
+
+    from msgraphdatapipelines_spark.queries.text import bm25_contrib, bm25_topk
+
+    # 60 docs all containing the stop term; two rare terms in 2 docs each
+    rows = [(i, f"stop filler{i} pad{i % 7}") for i in range(2, 62)]
+    rows += [(0, "stop rareA rareB end"), (1, "rareA rareB other words")]
+    rows += [(62, "rareA something else entirely here"),
+             (63, "rareB another unrelated document text")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    # probe query = doc 0's first 3 tokens: stop, rareA, rareB
+    qt = docs.filter(F.col("doc_id") == 0).select(
+        F.col("doc_id").alias("q_id"),
+        F.explode(F.array_distinct(F.slice(ws, 1, 3))).alias("tok"),
+    )
+    uncapped = bm25_contrib(docs, qt).count()
+    capped = bm25_contrib(docs, qt, max_df=5).count()
+    # fat term 'stop' has df=61; rareA/rareB have df=3 each
+    assert uncapped == 61 + 3 + 3
+    assert capped == 3 + 3  # bounded by kept-term dfs; 'stop' postings gone
+
+    # normal probe (doc 1: rareA rareB other): ranked output identical
+    qt_norm = docs.filter(F.col("doc_id") == 1).select(
+        F.col("doc_id").alias("q_id"),
+        F.explode(F.array_distinct(F.slice(ws, 1, 2))).alias("tok"),
+    )
+    plain = [tuple(r) for r in bm25_topk(docs, qt_norm, k=10).collect()]
+    pruned = [tuple(r) for r in bm25_topk(docs, qt_norm, k=10, max_df=5).collect()]
+    assert plain == pruned and len(plain) > 0

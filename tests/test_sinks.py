@@ -401,3 +401,53 @@ def test_diff_snapshots_time_travel_cdc(spark, tmp_path):
     # a NULL→value flip IS a change
     n = spark.createDataFrame([(7, 1.0)], "id long, x double")
     assert [r["change_type"] for r in table_diff(b, n, ["id"]).collect()] == ["changed"]
+
+
+def test_vacuum_snapshots_collects_orphans_keeps_window(spark, tmp_path, monkeypatch):
+    """r8 (r7 VERDICT item 4): vacuum_snapshots removes (a) the orphan
+    uncommitted version a crashed compact_snapshot left behind and (b)
+    committed versions beyond keep_last — while the _LATEST-pointed
+    version and the keep_last window survive and a concurrent
+    _LATEST-reader keeps working throughout."""
+    from msgraphdatapipelines_spark import sinks
+    from msgraphdatapipelines_spark.sinks import (
+        compact_snapshot,
+        read_snapshot,
+        snapshot_versions,
+        vacuum_snapshots,
+        write_snapshot,
+    )
+
+    root = str(tmp_path / "snap")
+    for i in range(1, 5):  # publish v1..v4, pointer -> v4
+        df = spark.createDataFrame([(j, f"r{i}") for j in range(i)], "id long, s string")
+        assert write_snapshot(df, root) == i
+
+    # crash a compaction before the flip -> orphan v=5
+    def boom(spark_, root_, v_):
+        raise RuntimeError("crash before flip")
+
+    monkeypatch.setattr(sinks, "_flip_latest", boom)
+    try:
+        compact_snapshot(spark, root)
+        raise AssertionError("expected the injected crash")
+    except RuntimeError:
+        pass
+    monkeypatch.undo()
+    assert snapshot_versions(spark, root) == [1, 2, 3, 4, 5]
+
+    before = read_snapshot(spark, root).count()  # concurrent reader, pre-vacuum
+    stats = vacuum_snapshots(spark, root, keep_last=2)
+    assert stats["removed_orphans"] == [5]
+    assert stats["removed_expired"] == [1, 2]
+    assert stats["kept"] == [3, 4]
+    assert snapshot_versions(spark, root) == [3, 4]
+    # reader concurrent with/after vacuum: pointer-resolved version intact
+    assert read_snapshot(spark, root).count() == before == 4
+    assert read_snapshot(spark, root, version=3).count() == 3
+
+    # idempotent on a clean root; pointer version survives even keep_last=1
+    assert vacuum_snapshots(spark, root, keep_last=1) == {
+        "removed_orphans": [], "removed_expired": [3], "kept": [4],
+    }
+    assert snapshot_versions(spark, root) == [4]
