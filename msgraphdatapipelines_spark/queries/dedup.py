@@ -595,7 +595,8 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "set_similarity_join_docs",
-    demoted=True,  # dedup family driver-graded via dedup_minhash_lsh / ngram_jaccard
+    # r8: PROMOTED to driver-graded (r7 VERDICT item 9) — the exact-recall
+    # PPJoin flagship now graded at sf0.01; set_ops_customers demoted in trade
     oracle="""
     WITH words AS (
         SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws

@@ -381,6 +381,8 @@ def global_top10_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "set_ops_customers",
+    demoted=True,  # r8 rotation: single-operator row, fully covered by batteries;
+    # graded slot handed to set_similarity_join_docs (r7 VERDICT item 9)
     oracle="""
     SELECT 'union_except' AS op, CAST(custkey AS VARCHAR) AS key FROM (
         (SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
@@ -541,6 +543,7 @@ def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pivot_status_by_priority",
+    demoted=True,  # r8 rotation: graded slot handed to scd2_customer_history
     oracle="""
     WITH base AS (
         SELECT o_orderpriority,

@@ -22,7 +22,8 @@ _T1 = "2024-06-01 00:00:00"
 
 @register(
     "scd2_customer_history",
-    demoted=True,  # keyed-refresh family driver-graded via delta_sync_orders
+    # r8: PROMOTED to driver-graded (r7 VERDICT item 9) — SCD2 keyed history
+    # graded at sf0.01; pivot_status_by_priority demoted in trade
     oracle=f"""
     WITH base AS (
         SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer

@@ -63,3 +63,25 @@ def ann_index_stream(
         .foreachBatch(append)
         .start()
     )
+
+
+def read_ann_index(spark: SparkSession, index_dir: str):
+    """Resolve the batch-partitioned ANN index to its CURRENT view:
+    last-write-wins per ``cid`` (an updated doc re-indexed in a later
+    batch supersedes its old encoding) with ``cent = -1`` tombstone rows
+    (written by the curation-composed stream for deleted docs) dropping
+    the entry — grow-only batch appends, mutable-table semantics at read
+    time.  One (cid)-keyed ranking window over the index rows; at scale
+    the index is orders of magnitude smaller than the corpus (m bytes +
+    a list id per vector), and a compaction pass can materialize this
+    view back to a single partition whenever the batch count grows."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.read.option("basePath", index_dir).parquet(index_dir)
+    w = Window.partitionBy("cid").orderBy(F.desc("batch_id"))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col("cent") >= 0))
+        .select("cid", "cent", "code")
+    )

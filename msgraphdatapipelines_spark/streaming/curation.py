@@ -79,6 +79,11 @@ def curation_pipeline_stream(
     num_hashes: int = 8,
     bands: int = 4,
     lgk: int = 12,
+    index_dir: str | None = None,
+    embeddings_for: Callable | None = None,
+    centroids: list | None = None,
+    codebooks: list | None = None,
+    dim: int = 64,
 ) -> StreamingQuery:
     """Start the composed curation stream (one delta round per tick file;
     ``maxFilesPerTrigger=1`` keeps rounds sequential, the checkpoint makes
@@ -96,9 +101,30 @@ def curation_pipeline_stream(
 
     ``part_cols``/``value_col`` default to ``[]``/``id_col`` — a global
     distinct-docs-ingested sketch per round.
+
+    **Index maintenance (r8, r7 VERDICT item 8).**  With ``index_dir`` +
+    ``embeddings_for`` + frozen ``centroids``/``codebooks`` set, each
+    round ALSO feeds the ANN index: the round's curated SURVIVORS (docs
+    whose dedup verdict is rep_id == own id — near-dup losers never get
+    indexed) are embedded via ``embeddings_for(docs_df) -> (id_col,
+    'embedding')`` (production: the inference UDF; tests: a lookup join)
+    and encoded under the frozen models into
+    ``{index_dir}/batch_id=N/`` — ``ann_index_stream``'s per-batch
+    idempotent overwrite, composed into the SAME round so ingest → dedup
+    → index is one crash-consistent commit protocol.  Tombstoned docs
+    emit ``cent = -1`` marker rows; ``ann_stream.read_ann_index`` resolves
+    last-write-wins per cid and drops tombstoned entries, so an updated
+    doc is served by its NEWEST encoding and a deleted doc disappears —
+    without ever rewriting old index partitions (grow-only appends).
     """
     part_cols = part_cols or []
     value_col = value_col or id_col
+    if index_dir is not None and (
+        embeddings_for is None or centroids is None or codebooks is None
+    ):
+        raise ValueError(
+            "index_dir requires embeddings_for, centroids and codebooks"
+        )
 
     def one_round(_batch_df, batch_id: int) -> None:
         delta, link = rest.read_odata_delta(
@@ -125,10 +151,28 @@ def curation_pipeline_stream(
         assigns, new_dstate = D.lsh_incremental_assign(
             sigs, dstate, id_col, num_hashes=num_hashes, bands=bands
         )
+        assigns = assigns.localCheckpoint(eager=True)  # 2 consumers: write + index gate
         assigns.write.mode("overwrite").parquet(f"{assign_dir}/batch_id={batch_id}")
         build_distinct_sketches(upserts, part_cols, value_col, lgk=lgk).write.mode(
             "overwrite"
         ).parquet(f"{rollup_dir}/batch_id={batch_id}")
+
+        if index_dir is not None:
+            from ..operators import similarity as SIM
+
+            kept_ids = assigns.filter(F.col("rep_id") == F.col(id_col)).select(id_col)
+            vecs = embeddings_for(upserts.join(kept_ids, id_col))
+            rows = SIM.ivf_pq_index(
+                vecs, id_col, "embedding", centroids, codebooks, dim=dim
+            )
+            tomb = delta.filter(F.col(removed_col)).select(
+                F.col(id_col).alias("cid"),
+                F.lit(-1).alias("cent"),
+                F.expr("array()").cast("array<int>").alias("code"),
+            )
+            rows.unionByName(tomb).write.mode("overwrite").parquet(
+                f"{index_dir}/batch_id={batch_id}"
+            )
 
         # (3) state folds — both idempotent under same-window replay, both
         # published as NEW snapshot versions with an atomic _LATEST flip
