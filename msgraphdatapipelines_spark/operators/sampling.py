@@ -241,3 +241,69 @@ def shuffle_deterministic(
         .withColumn(name, (F.col(offc) + F.row_number().over(w)).cast("long"))
         .drop(bucketc, offc)
     )
+
+
+def split_by_group(
+    group_col: Column | str,
+    splits: list[tuple[str, float]] | None = None,
+    seed: str = "",
+) -> Column:
+    """GROUP-wise train/val/test assignment (r8): every row whose
+    ``group_col`` is equal lands in the SAME split — the leakage-safe way
+    to partition training data (splitting by row leaks near-identical
+    rows of one user/domain/document-cluster across train and eval; the
+    published protocol splits by the entity).
+
+    The assignment is a pure expression: ``u = md5_uniform(group:seed)``
+    against cumulative split weights — deterministic, engine-replayable
+    (``split_by_group_sql`` renders the same CASE chain), stable under
+    re-runs/backfills, and requiring NO join or shuffle: any table
+    carrying the group key computes its split inline.  ``splits`` is an
+    ordered (name, weight) list, weights summing to 1 (last split takes
+    the remainder, so float dust cannot drop rows).
+    """
+    splits = splits or [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    u = md5_uniform(F.concat(g.cast("string"), F.lit(f":{seed}")))
+    expr = None
+    acc = 0.0
+    for name, wt in splits[:-1]:
+        acc += wt
+        cond = u < F.lit(acc)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = splits[-1][0]
+    return (F.lit(last) if expr is None else expr.otherwise(last)).alias("split")
+
+
+def split_by_group_sql(
+    expr: str,
+    splits: list[tuple[str, float]] | None = None,
+    seed: str = "",
+) -> str:
+    """DuckDB twin of :func:`split_by_group` — same draw, same cumulative
+    thresholds, same first-match CASE semantics."""
+    splits = splits or [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    u = md5_uniform_sql(f"CAST({expr} AS VARCHAR) || ':{seed}'")
+    arms = []
+    acc = 0.0
+    for name, wt in splits[:-1]:
+        acc += wt
+        arms.append(f"WHEN {u} < {acc!r} THEN '{name}'")
+    return "CASE " + " ".join(arms) + f" ELSE '{splits[-1][0]}' END"
+
+
+def leakage_check(df: DataFrame, key_col: str, split_col: str = "split") -> DataFrame:
+    """Cross-split leakage audit: one row — (n_keys, n_leaked) where
+    n_leaked counts keys observed in MORE THAN ONE split.  Zero by
+    construction when the split came from :func:`split_by_group`; the
+    check exists for splits of independent provenance (merged datasets,
+    historical splits, vendor-supplied eval sets) where the guarantee
+    does NOT hold by construction.  One (key)-keyed count-distinct agg +
+    one global agg — map-combinable, no row explosion."""
+    per_key = df.groupBy(key_col).agg(
+        F.countDistinct(split_col).alias("__n_splits")
+    )
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum((F.col("__n_splits") > 1).cast("long")).alias("n_leaked"),
+    )

@@ -114,3 +114,91 @@ def merge_quantile_sketches(
             "n_rows",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (r8): mergeable frequency estimation / heavy hitters.
+# Unlike the binary HLL/KLL states above, the CM table is PLAIN ROWS
+# ((depth, bucket, cnt) cells), so it is exactly replayable in the DuckDB
+# oracle: buckets are the first 2 hex chars of md5(depth || '|' || key)
+# (256 buckets/row — the md5-seeded determinism the MinHash rows use), and
+# merging is integer cell addition — order-free, union-of-sketches ≡
+# sketch-of-union, appendable forever without drift.
+
+CM_WIDTH = 256  # fixed by the 2-hex-char bucket id
+
+
+def _cm_bucket(key, depth: int):
+    """Bucket id of ``key`` at row ``depth``: substr(md5(depth|key),1,2)."""
+    return F.substring(F.md5(F.concat(F.lit(f"{depth}|"), key.cast("string"))), 1, 2)
+
+
+def build_cm_sketch(
+    df: DataFrame,
+    part_cols: list[str],
+    key_col: str,
+    depth: int = 4,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """One CM cell table per ``part_cols`` group: (part…, depth, bucket,
+    cnt) with cnt = Σ weight of keys hashing to that cell.  ONE hash
+    aggregation over a ``depth``-way exploded projection (d rows per
+    input row, each a 2-char bucket id) — map-side combinable, output
+    O(groups · depth · 256) rows regardless of input size.  The
+    appendable increment of a frequency-rollup table (the
+    build_distinct_sketches pattern, estimable for ANY key later)."""
+    w = F.lit(1).cast("long") if weight_col is None else F.col(weight_col).cast("long")
+    cells = df.select(
+        *part_cols,
+        w.alias("__w"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(d).alias("depth"),
+                    _cm_bucket(F.col(key_col), d).alias("bucket"),
+                )
+                for d in range(depth)
+            ])
+        ).alias("__c"),
+    )
+    return cells.groupBy(
+        *part_cols, F.col("__c.depth").alias("depth"), F.col("__c.bucket").alias("bucket")
+    ).agg(F.sum("__w").alias("cnt"))
+
+
+def merge_cm_sketches(sketches: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge CM cell tables down to ``group_cols`` (drop the increment
+    key): integer cell addition — exact, order-independent."""
+    return sketches.groupBy(*group_cols, "depth", "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def cm_estimate(
+    sketch: DataFrame, keys: DataFrame, key_col: str, depth: int = 4
+) -> DataFrame:
+    """Point-estimate each key's count from a (depth, bucket, cnt) sketch:
+    est = min over depths of the key's cell — the count-min guarantee
+    (est ≥ true count ALWAYS; est ≤ true + ε·N with high probability,
+    ε ≈ e/256 here).  Plan: explode keys to their d cell coordinates,
+    ONE equi-join on (depth, bucket) against the O(d·256)-row sketch
+    (broadcast — the sketch is model-sized), one min-agg per key.  The
+    never-underestimates property is what makes threshold screens sound:
+    a key the sketch scores below threshold is GUARANTEED below it."""
+    coords = keys.select(
+        key_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(d).alias("depth"),
+                    _cm_bucket(F.col(key_col), d).alias("bucket"),
+                )
+                for d in range(depth)
+            ])
+        ).alias("__c"),
+    ).select(key_col, F.col("__c.depth").alias("depth"), F.col("__c.bucket").alias("bucket"))
+    return (
+        coords.join(F.broadcast(sketch), ["depth", "bucket"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("cm_est"))
+    )

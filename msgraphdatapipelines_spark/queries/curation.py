@@ -206,3 +206,59 @@ def shuffle_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
     return shuffle_deterministic(docs, "doc_id", seed=7, num_buckets=8)
+
+
+def _groupwise_split_oracle() -> str:
+    from ..operators.sampling import split_by_group_sql
+
+    case = split_by_group_sql("o_custkey", seed="r8")
+    return f"""
+    WITH assigned AS (
+        SELECT o_orderkey, o_custkey, {case} AS split FROM orders
+    ),
+    per_key AS (
+        SELECT o_custkey, count(DISTINCT split) AS ns FROM assigned GROUP BY o_custkey
+    ),
+    leak AS (
+        SELECT CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked
+        FROM per_key
+    )
+    SELECT split,
+           count(*) AS n_orders,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           any_value(l.n_leaked) AS n_leaked
+    FROM assigned CROSS JOIN leak l
+    GROUP BY split
+    """
+
+
+@register(
+    "groupwise_split_orders",
+    demoted=True,  # sampling family holds the graded mixture_sample_temperature row
+    oracle=_groupwise_split_oracle(),
+)
+def groupwise_split_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (r8): orders partitioned 80/10/10
+    by the CUSTOMER's deterministic hash draw (``split_by_group``) — every
+    order of a customer lands in the same split, the entity-level
+    protocol that keeps near-identical rows of one user out of
+    train+eval simultaneously.  The cross-split ``leakage_check`` audit
+    rides the same result (n_leaked = 0 by construction here; the
+    operator exists for splits of independent provenance).  Assignment is
+    a pure expression of the group key — no join, no shuffle, stable
+    under re-runs/backfills, bit-identical in the oracle."""
+    from ..operators.sampling import leakage_check, split_by_group
+
+    o = load(spark, sf_dir, "orders")
+    assigned = o.select(
+        "o_orderkey", "o_custkey", split_by_group("o_custkey", seed="r8")
+    )
+    leak = leakage_check(assigned, "o_custkey")
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+        .crossJoin(F.broadcast(leak.select("n_leaked")))
+    )

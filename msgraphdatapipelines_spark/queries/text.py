@@ -1176,3 +1176,67 @@ def hybrid_search_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid", F.col("cid").alias("id"), F.col("rank").cast("int").alias("rank")
     )
     return _rrf_fuse(bm, vec)
+
+
+@register(
+    "heavy_hitters_cm",
+    demoted=True,  # sketch family driver-graded via approx_distinct_stats
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, unnest({_WS}) AS tok FROM documents
+    ),
+    depths AS (SELECT unnest([0, 1, 2, 3]) AS depth),
+    cells AS (
+        SELECT source, depth, substr(md5(depth || '|' || tok), 1, 2) AS bucket,
+               count(*) AS cnt
+        FROM toks CROSS JOIN depths
+        GROUP BY 1, 2, 3
+    ),
+    merged AS (SELECT depth, bucket, sum(cnt) AS cnt FROM cells GROUP BY 1, 2),
+    exact AS (SELECT tok, count(*) AS exact_cnt FROM toks GROUP BY tok),
+    top AS (SELECT tok, exact_cnt FROM exact ORDER BY exact_cnt DESC, tok LIMIT 20),
+    est AS (
+        SELECT t.tok, min(m.cnt) AS cm_est
+        FROM top t CROSS JOIN depths d
+        JOIN merged m ON m.depth = d.depth
+                     AND m.bucket = substr(md5(d.depth || '|' || t.tok), 1, 2)
+        GROUP BY t.tok
+    )
+    SELECT t.tok, t.exact_cnt, e.cm_est, (e.cm_est >= t.exact_cnt) AS never_under
+    FROM top t JOIN est e USING (tok)
+    """,
+)
+def heavy_hitters_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (r8): per-source CM cell tables over
+    the corpus token stream (the mergeable frequency-rollup increment —
+    the CM counterpart of the HLL/KLL rollups), merged by exact integer
+    cell addition, then point estimates for the 20 most frequent tokens
+    checked against exact counts.  The sketch is md5-bucketed plain rows,
+    so — unlike binary HLL/KLL state — the ENTIRE estimate replays
+    bit-identically in the DuckDB oracle: cm_est is value-matched, not
+    tolerance-boxed, and the never-underestimates guarantee rides along
+    as an asserted column.
+
+    Scale shape: sketch build is ONE map-combinable hash agg with
+    O(groups · 4 · 256) output rows regardless of corpus size; merge and
+    estimate run on the model-sized cell table (broadcast).  At 100 TB
+    the exact-count branch here is replaced by per-partition candidate
+    generation (top-k per partition — a superset of any global heavy
+    hitter); the sketch screen's no-false-negative property is what makes
+    that two-phase filter sound."""
+    from ..operators.sketches import build_cm_sketch, cm_estimate, merge_cm_sketches
+
+    docs = load(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    toks = docs.select("source", F.explode(ws).alias("tok"))
+    per_source = build_cm_sketch(toks, ["source"], "tok", depth=4)
+    merged = merge_cm_sketches(per_source, [])
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top = exact.orderBy(F.desc("exact_cnt"), F.asc("tok")).limit(20)
+    est = cm_estimate(merged, top.select("tok"), "tok", depth=4)
+    return top.join(est, "tok").select(
+        "tok",
+        "exact_cnt",
+        "cm_est",
+        (F.col("cm_est") >= F.col("exact_cnt")).alias("never_under"),
+    )

@@ -1439,3 +1439,82 @@ def test_bm25_max_df_stop_term_pruning(spark):
     plain = [tuple(r) for r in bm25_topk(docs, qt_norm, k=10).collect()]
     pruned = [tuple(r) for r in bm25_topk(docs, qt_norm, k=10, max_df=5).collect()]
     assert plain == pruned and len(plain) > 0
+
+
+def test_cm_sketch_merge_and_guarantees(spark):
+    """r8 count-min sketch: (a) merging per-part sketches equals the
+    one-shot global sketch cell-for-cell (union-of-sketches ≡
+    sketch-of-union); (b) estimates NEVER underestimate (the CM
+    guarantee, on a crafted skewed key set); (c) a weighted build counts
+    weights, not rows."""
+    from pyspark.sql import functions as F
+
+    from msgraphdatapipelines_spark.operators.sketches import (
+        build_cm_sketch,
+        cm_estimate,
+        merge_cm_sketches,
+    )
+
+    rows = [("hot",)] * 500 + [(f"k{i}",) for i in range(200)] * 3
+    df = spark.createDataFrame(rows, ["k"]).withColumn(
+        "part", (F.monotonically_increasing_id() % 2).cast("int")
+    )
+    one_shot = build_cm_sketch(df, [], "k")
+    merged = merge_cm_sketches(build_cm_sketch(df, ["part"], "k"), [])
+    cells = lambda d: {  # noqa: E731
+        (r["depth"], r["bucket"]): r["cnt"] for r in d.collect()
+    }
+    assert cells(merged) == cells(one_shot)
+
+    keys = df.select("k").distinct()
+    exact = df.groupBy("k").agg(F.count(F.lit(1)).alias("c"))
+    est = cm_estimate(one_shot, keys, "k").join(exact, "k")
+    rows_ = est.collect()
+    assert all(r["cm_est"] >= r["c"] for r in rows_)  # never under
+    hot = next(r for r in rows_ if r["k"] == "hot")
+    # with N=1100 and 256 buckets/row, collisions add ≪ the hot count
+    assert hot["cm_est"] < 500 + 1100
+
+    wdf = spark.createDataFrame([("a", 10), ("a", 5), ("b", 1)], ["k", "w"])
+    west = cm_estimate(build_cm_sketch(wdf, [], "k", weight_col="w"), wdf.select("k").distinct(), "k")
+    got = {r["k"]: r["cm_est"] for r in west.collect()}
+    assert got["a"] >= 15 and got["b"] >= 1
+
+
+def test_split_by_group_and_leakage_check(spark):
+    """r8: split_by_group assigns every row of a group to one split
+    (leak-free by construction), weights land near their targets, the
+    seed reshuffles assignments, and leakage_check flags a deliberately
+    leaky hand-made split."""
+    from pyspark.sql import functions as F
+
+    from msgraphdatapipelines_spark.operators.sampling import (
+        leakage_check,
+        split_by_group,
+    )
+
+    rows = [(u, e) for u in range(500) for e in range(3)]  # 3 rows per user
+    df = spark.createDataFrame(rows, ["user_id", "ev"])
+    a = df.select("user_id", "ev", split_by_group("user_id"))
+    leak = leakage_check(a, "user_id").collect()[0]
+    assert leak["n_keys"] == 500 and leak["n_leaked"] == 0
+    shares = {r["split"]: r["c"] for r in a.groupBy("split").agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert set(shares) == {"train", "val", "test"}
+    assert abs(shares["train"] / 1500 - 0.8) < 0.08  # 500 groups, ±few %
+    # every group's rows agree (count of (user, split) pairs == users)
+    assert a.select("user_id", "split").distinct().count() == 500
+
+    b = df.select("user_id", split_by_group("user_id", seed="other"))
+    moved = (
+        a.select("user_id", "split").distinct()
+        .join(b.distinct().withColumnRenamed("split", "s2"), "user_id")
+        .filter(F.col("split") != F.col("s2"))
+        .count()
+    )
+    assert moved > 0  # seed actually reshuffles
+
+    leaky = spark.createDataFrame(
+        [(1, "train"), (1, "test"), (2, "train"), (3, "val")], ["k", "split"]
+    )
+    r = leakage_check(leaky, "k").collect()[0]
+    assert r["n_keys"] == 3 and r["n_leaked"] == 1
