@@ -106,3 +106,54 @@ def bucketed_interval_join(
         inner.select(F.col(f"l.{lid}").alias(lid)).distinct(), lid, "left_anti"
     ).select("*", *null_right)
     return matched.unionByName(unmatched).drop(lid)
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    history: DataFrame,
+    fact_key: str,
+    hist_key: str,
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "left",
+) -> DataFrame:
+    """Join each fact row to the dimension VERSION valid at its event
+    time (r8): the consumer of ``sinks.apply_scd2`` histories — "what did
+    this customer/device look like when the event happened", the audit
+    question the reference's DELETE+INSERT refresh can never answer.
+
+    Validity semantics match apply_scd2's intervals: half-open
+    ``[valid_from, valid_to)`` with ``valid_to IS NULL`` = still current,
+    so a fact at exactly the change instant sees the NEW version and at
+    most one version matches per (key, ts).
+
+    Scale shape: ONE equi-join keyed on the dimension key (shuffle or
+    broadcast when the dimension is small) with the interval predicate as
+    a post-join filter — per-key join fan-out is the key's VERSION COUNT
+    (bounded by update cadence and ``keep_last``-style retention), never
+    data-sized, so no time-bucketing is needed (unlike event-to-event
+    range joins, where ``bucketed_interval_join`` bounds the fan-out).
+    ``how='left'`` keeps facts predating the key's first version (NULL
+    dimension columns) — silently dropping them would bias any
+    aggregation over the result.
+    """
+    h = history.select(
+        F.col(hist_key).alias(fact_key),
+        *[c for c in history.columns if c != hist_key],
+    )
+    in_window = (F.col(valid_from) <= F.col(ts_col)) & (
+        F.col(valid_to).isNull() | (F.col(ts_col) < F.col(valid_to))
+    )
+    if how == "inner":
+        return facts.join(h, fact_key).filter(in_window)
+    # left: stable row id per fact (duplicate fact rows keep multiplicity,
+    # no all-columns anti-join fragility — the bucketed_interval_join trick)
+    l0 = facts.withColumn("__fid", F.monotonically_increasing_id())
+    matched = l0.join(h, fact_key).filter(in_window)
+    hist_cols = [c for c in h.columns if c != fact_key]
+    nulls = [F.lit(None).cast(h.schema[c].dataType).alias(c) for c in hist_cols]
+    unmatched = l0.join(
+        matched.select("__fid").distinct(), "__fid", "left_anti"
+    ).select("*", *nulls)
+    return matched.unionByName(unmatched).drop("__fid")

@@ -199,3 +199,144 @@ def table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_diff(base, new, ["o_orderkey"]).select(
         "o_orderkey", "change_type", "old_o_totalprice", "new_o_totalprice"
     )
+
+
+_PIT_T0 = "2024-01-01 00:00:00"
+_PIT_TM = "2024-01-15 00:00:00"
+
+
+@register(
+    "scd2_point_in_time_events",
+    demoted=True,  # SCD2 family driver-graded via scd2_customer_history (r8)
+    oracle=f"""
+    WITH hist AS (
+        SELECT c_custkey, c_acctbal, TIMESTAMP '{_PIT_T0}' AS valid_from,
+               CASE WHEN c_custkey % 7 = 0 THEN TIMESTAMP '{_PIT_TM}' END AS valid_to
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, c_acctbal + 100, TIMESTAMP '{_PIT_TM}', NULL
+        FROM customer WHERE c_custkey % 7 = 0
+    )
+    SELECT e.event_id, e.user_id,
+           h.c_acctbal AS acctbal_at_event,
+           (h.valid_to IS NULL) AS from_current_version
+    FROM events e
+    LEFT JOIN hist h
+      ON h.c_custkey = e.user_id
+     AND h.valid_from <= e.ts
+     AND (h.valid_to IS NULL OR e.ts < h.valid_to)
+    """,
+)
+def scd2_point_in_time_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join (r8): every event joined to the
+    customer-dimension VERSION valid at its timestamp — the consumer side
+    of the SCD2 history ``apply_scd2`` maintains, with a mid-January
+    change point so events genuinely straddle both versions (%7 keys'
+    acctbal bumps +100 at Jan 15; events before see v1, after see v2).
+    Half-open validity intervals mean exactly one version matches per
+    (key, ts); left semantics keep events with no dimension row.
+
+    Scale shape (``operators.rangejoin.point_in_time_join``): one
+    dimension-key equi-join, interval predicate as post-join filter —
+    fan-out per key = its version count, never data-sized."""
+    from ..operators.rangejoin import point_in_time_join
+    from . import load_events
+
+    ev = load_events(spark, sf_dir).select("event_id", "user_id", "ts")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    hist = cust.select(
+        "c_custkey",
+        "c_acctbal",
+        F.lit(_PIT_T0).cast("timestamp").alias("valid_from"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(_PIT_TM).cast("timestamp")).alias(
+            "valid_to"
+        ),
+    ).unionByName(
+        cust.filter(F.col("c_custkey") % 7 == 0).select(
+            "c_custkey",
+            (F.col("c_acctbal") + 100).alias("c_acctbal"),
+            F.lit(_PIT_TM).cast("timestamp").alias("valid_from"),
+            F.lit(None).cast("timestamp").alias("valid_to"),
+        )
+    )
+    joined = point_in_time_join(ev, hist, "user_id", "c_custkey", "ts")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("c_acctbal").alias("acctbal_at_event"),
+        F.when(
+            F.col("valid_from").isNotNull(), F.col("valid_to").isNull()
+        ).alias("from_current_version"),
+    )
+
+
+@register(
+    "orders_agg_incremental",
+    demoted=True,  # keyed-refresh family driver-graded via delta_sync/scd2 rows
+    oracle="""
+    WITH newv AS (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               CASE WHEN o_orderstatus = 'F' AND o_orderkey % 5 = 0
+                    THEN '1-URGENT' ELSE o_orderpriority END AS o_orderpriority
+        FROM orders WHERE o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_custkey, o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderkey % 101 = 0
+    )
+    SELECT o_custkey,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_urgent
+    FROM newv GROUP BY o_custkey
+    """,
+)
+def orders_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance (r8,
+    ``sinks.refresh_agg_incremental``): a per-customer order aggregate is
+    maintained under one keyed delta round — deletes (%97 orderkeys),
+    updates (F-status %5 keys flip to 1-URGENT priority), inserts (%101
+    shifted keys) — by re-aggregating ONLY the customers those delta rows
+    touch and patching the aggregate table (anti-join keeps untouched
+    groups as-is).  The oracle is the FULL aggregate over the post-delta
+    state, so the hash match proves the incremental patch converges to
+    the rebuild — the O(round) vs O(history) refresh at 100 TB.
+    Measures stay decimal/integer so the sums replay exactly."""
+    from msgraphdatapipelines_spark.sinks import refresh_agg_incremental
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus", "o_orderpriority"
+    )
+
+    def build(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.sum((F.col("o_orderpriority") == "1-URGENT").cast("long")).alias(
+                "n_urgent"
+            ),
+        )
+
+    deleted = o.filter(F.col("o_orderkey") % 97 == 0)
+    updated = o.filter(
+        (F.col("o_orderstatus") == "F")
+        & (F.col("o_orderkey") % 5 == 0)
+        & (F.col("o_orderkey") % 97 != 0)
+    ).withColumn("o_orderpriority", F.lit("1-URGENT"))
+    inserted = o.filter(F.col("o_orderkey") % 101 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 100000000
+    )
+    survivors = o.filter(F.col("o_orderkey") % 97 != 0).join(
+        updated.select("o_orderkey"), "o_orderkey", "left_anti"
+    )
+    new_snapshot = survivors.unionByName(updated).unionByName(inserted)
+    base_agg = build(o)
+    touched = deleted.select("o_custkey").unionByName(
+        updated.select("o_custkey")
+    ).unionByName(inserted.select("o_custkey"))
+    out = refresh_agg_incremental(
+        new_snapshot, base_agg, touched, ["o_custkey"], build
+    )
+    return out.select("o_custkey", "n_orders", "sum_price", "n_urgent")

@@ -776,3 +776,43 @@ def vacuum_snapshots(spark: SparkSession, root: str, keep_last: int = 2) -> dict
         "removed_expired": expired,
         "kept": sorted(keep),
     }
+
+
+def refresh_agg_incremental(
+    snapshot: DataFrame,
+    old_agg: DataFrame | None,
+    touched_keys: DataFrame,
+    group_keys: list[str],
+    build_agg,
+) -> DataFrame:
+    """Incrementally maintain a materialized aggregate under keyed deltas
+    (r8): the aggregate-table consumer of ``apply_delta`` /
+    ``delta_sync_stream`` rounds.  ``build_agg(df) -> DataFrame`` is the
+    aggregation keyed by ``group_keys``; instead of re-aggregating the
+    whole snapshot each round, only the groups the round TOUCHED
+    (upserted or tombstoned keys — project them to their group keys)
+    recompute from the new snapshot, and the aggregate table is patched:
+
+        kept  = old_agg ANTI-JOIN touched          (untouched groups as-is)
+        fresh = build_agg(snapshot SEMI-JOIN touched)
+        new   = kept ∪ fresh
+
+    A touched group whose last row was deleted simply has no fresh row —
+    it drops out of the aggregate, matching the full rebuild.  The
+    invariant (pytest-pinned): after any sequence of rounds the result
+    row-equals ``build_agg(snapshot)``.
+
+    Scale shape: the anti-join shuffles the AGGREGATE table (|groups|
+    rows, not data-sized); the semi-join restricts the snapshot scan to
+    touched groups (partition-prunable when the snapshot is
+    bucketed/partitioned by the group key); the re-aggregation covers
+    only touched groups' rows.  Cost tracks the DELTA's group footprint,
+    not the corpus — the difference between an O(round) and an O(history)
+    refresh at 100 TB.  ``old_agg=None`` bootstraps (full build).
+    """
+    t = touched_keys.select(*group_keys).distinct()
+    fresh = build_agg(snapshot.join(t, group_keys, "left_semi"))
+    if old_agg is None:
+        return build_agg(snapshot)
+    kept = old_agg.join(t, group_keys, "left_anti")
+    return kept.unionByName(fresh)

@@ -1518,3 +1518,34 @@ def test_split_by_group_and_leakage_check(spark):
     )
     r = leakage_check(leaky, "k").collect()[0]
     assert r["n_keys"] == 3 and r["n_leaked"] == 1
+
+
+def test_point_in_time_join_semantics(spark):
+    """r8 point_in_time_join: a fact at exactly the change instant sees
+    the NEW version (half-open intervals), pre-history facts keep NULL
+    dims under left semantics, duplicate fact rows keep multiplicity, and
+    inner mode drops the unmatched."""
+    import datetime as dt
+
+    from msgraphdatapipelines_spark.operators.rangejoin import point_in_time_join
+
+    t0, t1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 15)
+    hist = spark.createDataFrame(
+        [(1, "v1", t0, t1), (1, "v2", t1, None)],
+        "k long, val string, valid_from timestamp, valid_to timestamp",
+    )
+    facts = spark.createDataFrame(
+        [
+            (10, 1, dt.datetime(2024, 1, 10)),   # inside v1
+            (11, 1, t1),                          # exactly at change -> v2
+            (12, 1, dt.datetime(2023, 12, 1)),    # before any version
+            (13, 1, dt.datetime(2024, 2, 1)),     # current -> v2
+            (13, 1, dt.datetime(2024, 2, 1)),     # duplicate fact row
+        ],
+        "fid long, k long, ts timestamp",
+    )
+    out = point_in_time_join(facts, hist, "k", "k", "ts")
+    got = sorted((r["fid"], r["val"]) for r in out.collect())
+    assert got == [(10, "v1"), (11, "v2"), (12, None), (13, "v2"), (13, "v2")]
+    inner = point_in_time_join(facts, hist, "k", "k", "ts", how="inner")
+    assert sorted(r["fid"] for r in inner.collect()) == [10, 11, 13, 13]

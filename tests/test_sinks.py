@@ -451,3 +451,40 @@ def test_vacuum_snapshots_collects_orphans_keeps_window(spark, tmp_path, monkeyp
         "removed_orphans": [], "removed_expired": [3], "kept": [4],
     }
     assert snapshot_versions(spark, root) == [4]
+
+
+def test_refresh_agg_incremental_rounds_equal_rebuild(spark):
+    """r8 refresh_agg_incremental: across two delta rounds (insert,
+    update, delete — including a group fully emptied) the incrementally
+    patched aggregate equals the full rebuild, and None bootstraps."""
+    from pyspark.sql import functions as F
+
+    from msgraphdatapipelines_spark.sinks import refresh_agg_incremental
+
+    def build(df):
+        return df.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+        )
+
+    snap0 = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 5), (4, "c", 7)], ["id", "k", "v"]
+    )
+    agg = refresh_agg_incremental(snap0, None, snap0.select("k").limit(0), ["k"], build)
+
+    # round 1: update id=1 (a: 10->11), insert id=5 (b), delete id=4 (c empties)
+    snap1 = spark.createDataFrame(
+        [(1, "a", 11), (2, "a", 20), (3, "b", 5), (5, "b", 9)], ["id", "k", "v"]
+    )
+    touched1 = spark.createDataFrame([("a",), ("b",), ("c",)], ["k"])
+    agg = refresh_agg_incremental(snap1, agg, touched1, ["k"], build)
+    want = {(r["k"], r["n"], r["s"]) for r in build(snap1).collect()}
+    assert {(r["k"], r["n"], r["s"]) for r in agg.collect()} == want
+    assert not any(r["k"] == "c" for r in agg.collect())  # emptied group gone
+
+    # round 2: touch only 'b'
+    snap2 = spark.createDataFrame(
+        [(1, "a", 11), (2, "a", 20), (5, "b", 100)], ["id", "k", "v"]
+    )
+    agg = refresh_agg_incremental(snap2, agg, spark.createDataFrame([("b",)], ["k"]), ["k"], build)
+    want2 = {(r["k"], r["n"], r["s"]) for r in build(snap2).collect()}
+    assert {(r["k"], r["n"], r["s"]) for r in agg.collect()} == want2
