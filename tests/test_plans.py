@@ -341,3 +341,54 @@ def test_plan_metrics_capture_after_action(spark, sf_dir):
     summary = plans.metrics_summary(df)
     assert summary["scan_output_rows"] > 0
     assert summary["shuffle_bytes_written"] > 0  # the groupBy exchange
+
+
+def test_split_by_group_no_shuffle_no_join(spark, sf_dir):
+    """r8: split assignment is a pure expression of the group key — the
+    assigned frame adds ZERO exchanges and zero joins over the scan."""
+    from pyspark.sql import functions as F
+
+    from msgraphdatapipelines_spark.operators.sampling import split_by_group
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    df = o.select("o_orderkey", split_by_group("o_custkey"))
+    assert plans.num_exchanges(df) == 0
+    assert "Join" not in plans.physical_plan(df)
+
+
+def test_point_in_time_join_broadcasts_small_dim(spark, sf_dir):
+    """r8: with a small dimension history the PIT join plans as a
+    broadcast join — no fact-side shuffle for the match stage."""
+    from pyspark.sql import functions as F
+
+    from msgraphdatapipelines_spark.operators.rangejoin import point_in_time_join
+    from msgraphdatapipelines_spark.queries import load_events
+
+    ev = load_events(spark, sf_dir).select("event_id", "user_id", "ts")
+    hist = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            F.lit("2024-01-01").cast("timestamp").alias("valid_from"),
+            F.lit(None).cast("timestamp").alias("valid_to"),
+        )
+    )
+    df = point_in_time_join(ev, hist, "user_id", "c_custkey", "ts", how="inner")
+    assert plans.num_broadcasts(df) >= 1
+
+
+def test_cm_estimate_broadcasts_sketch(spark, sf_dir):
+    """r8: the CM cell table is model-sized — the estimate join must
+    broadcast it, never shuffle the key side against it."""
+    from pyspark.sql import functions as F
+
+    from msgraphdatapipelines_spark.operators.sketches import (
+        build_cm_sketch,
+        cm_estimate,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    sk = build_cm_sketch(o, [], "o_custkey")
+    df = cm_estimate(sk, o.select("o_custkey").distinct(), "o_custkey")
+    assert plans.num_broadcasts(df) >= 1
