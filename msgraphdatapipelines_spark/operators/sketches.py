@@ -202,3 +202,24 @@ def cm_estimate(
         .groupBy(key_col)
         .agg(F.min("cnt").alias("cm_est"))
     )
+
+
+def cm_join_size_estimate(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
+    """Equi-join cardinality estimate from two CM sketches over the SAME
+    key domain (r8): |A ⋈_k B| ≈ min over depths of Σ_bucket
+    cntA·cntB — the classic sketch inner product (AMS/CM join-size
+    estimation, the statistic a cost-based planner wants before
+    committing to a join strategy).  Never underestimates (collisions
+    only ADD mass), so a "too big to broadcast" verdict from the
+    estimate is sound.  Cost: one equi-join of two O(d·256)-row cell
+    tables + one 1-row agg — independent of either input's size; the
+    sketches are the reusable rollup artifacts, so the estimate needs NO
+    scan of A or B at planning time."""
+    a = sketch_a.select("depth", "bucket", F.col("cnt").alias("__ca"))
+    b = sketch_b.select("depth", "bucket", F.col("cnt").alias("__cb"))
+    per_depth = (
+        a.join(b, ["depth", "bucket"])
+        .groupBy("depth")
+        .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__ip"))
+    )
+    return per_depth.agg(F.min("__ip").alias("join_size_est"))

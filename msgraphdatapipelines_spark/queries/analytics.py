@@ -355,3 +355,94 @@ def classifier_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("label"), "pred"
     )
     return eval_classification(preds, "label", "pred")
+
+
+def _ab_chi2_oracle() -> str:
+    from ..operators.sampling import split_by_group_sql
+
+    case = split_by_group_sql("user_id", [("A", 0.5), ("B", 0.5)], seed="ab")
+    return f"""
+    WITH assigned AS (
+        SELECT event_type, {case} AS arm FROM events
+    ),
+    obs AS (
+        SELECT event_type, arm, count(*) AS o FROM assigned GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT o.event_type, o.arm, o.o,
+               sum(o.o) OVER (PARTITION BY o.event_type) AS row_t,
+               sum(o.o) OVER (PARTITION BY o.arm) AS col_t,
+               sum(o.o) OVER () AS n
+        FROM obs o
+    ),
+    contrib AS (
+        SELECT event_type, arm, o,
+               CAST(row_t AS DOUBLE) * col_t / n AS e,
+               CAST(floor(
+                   ((o - CAST(row_t AS DOUBLE) * col_t / n)
+                    * (o - CAST(row_t AS DOUBLE) * col_t / n))
+                   / (CAST(row_t AS DOUBLE) * col_t / n) * 1000000
+               ) AS BIGINT) AS c_q
+        FROM tot
+    )
+    SELECT event_type, arm, o AS n_events, round(e, 4) AS expected,
+           CAST(any_value(s.chi2_q) AS DOUBLE) / 1000000 AS chi2_total
+    FROM contrib
+    CROSS JOIN (SELECT sum(c_q) AS chi2_q FROM contrib) s
+    GROUP BY event_type, arm, o, e, s.chi2_q
+    """
+
+
+@register(
+    "ab_test_chi2",
+    demoted=True,  # analytics family driver-graded via count_distinct/moments rows
+    oracle=_ab_chi2_oracle(),
+)
+def ab_test_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B-test independence check (r8): users hash-assigned 50/50 to
+    arms with the leakage-safe ``split_by_group`` draw, then a chi-square
+    statistic over the event_type × arm contingency table — the
+    guardrail query every experimentation pipeline runs to catch
+    assignment skew (sample-ratio mismatch shows up as a large χ²).
+
+    Determinism: per-cell contributions (o−e)²/e quantize to
+    floor(·1e6) BIGINTs before the global sum, so χ² replays
+    bit-identically cross-engine (the pagerank/BM25 quantization
+    discipline).  Plan: one (type, arm) hash agg on the facts, window
+    margins over the |types|·2-row table, one 1-row total broadcast —
+    the facts shuffle once."""
+    from ..operators.sampling import split_by_group
+
+    ev = load_events(spark, sf_dir).select(
+        "event_type", split_by_group("user_id", [("A", 0.5), ("B", 0.5)], seed="ab").alias("arm")
+    )
+    obs = ev.groupBy("event_type", "arm").agg(F.count(F.lit(1)).alias("o"))
+    w_row = Window.partitionBy("event_type")
+    w_col = Window.partitionBy("arm")
+    w_all = Window.partitionBy()
+    tot = obs.select(
+        "event_type",
+        "arm",
+        "o",
+        F.sum("o").over(w_row).alias("row_t"),
+        F.sum("o").over(w_col).alias("col_t"),
+        F.sum("o").over(w_all).alias("n"),
+    )
+    e = F.col("row_t").cast("double") * F.col("col_t") / F.col("n")
+    contrib = tot.select(
+        "event_type",
+        "arm",
+        "o",
+        e.alias("e"),
+        F.floor(((F.col("o") - e) * (F.col("o") - e)) / e * F.lit(1e6))
+        .cast("long")
+        .alias("c_q"),
+    )
+    total = contrib.agg(F.sum("c_q").alias("chi2_q"))
+    return contrib.crossJoin(F.broadcast(total)).select(
+        "event_type",
+        "arm",
+        F.col("o").alias("n_events"),
+        F.round("e", 4).alias("expected"),
+        (F.col("chi2_q").cast("double") / 1e6).alias("chi2_total"),
+    )

@@ -1549,3 +1549,28 @@ def test_point_in_time_join_semantics(spark):
     assert got == [(10, "v1"), (11, "v2"), (12, None), (13, "v2"), (13, "v2")]
     inner = point_in_time_join(facts, hist, "k", "k", "ts", how="inner")
     assert sorted(r["fid"] for r in inner.collect()) == [10, 11, 13, 13]
+
+
+def test_cm_join_size_estimate(spark):
+    """r8 cm_join_size_estimate: the sketch inner product never
+    underestimates the true equi-join cardinality and lands close on a
+    skewed key distribution (hot key dominates the product)."""
+    from pyspark.sql import functions as F
+
+    from msgraphdatapipelines_spark.operators.sketches import (
+        build_cm_sketch,
+        cm_join_size_estimate,
+    )
+
+    a = spark.createDataFrame(
+        [("hot",)] * 100 + [(f"a{i}",) for i in range(50)], ["k"]
+    )
+    b = spark.createDataFrame(
+        [("hot",)] * 40 + [(f"a{i}",) for i in range(20)] * 2, ["k"]
+    )
+    true_size = a.join(b, "k").count()
+    est = cm_join_size_estimate(
+        build_cm_sketch(a, [], "k"), build_cm_sketch(b, [], "k")
+    ).collect()[0]["join_size_est"]
+    assert est >= true_size  # sound for broadcast-safety verdicts
+    assert est <= true_size * 1.5  # collisions stay small at this load
