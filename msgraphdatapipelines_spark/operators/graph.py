@@ -177,3 +177,59 @@ def pagerank_oracle_sql(edges_sql: str, iters: int = 3, damping: float = 0.85) -
     )"""
         )
     return ",\n    ".join(parts) + f"\nSELECT node, r_q FROM r{iters}"
+
+
+def transitive_reachability(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_depth: int = 8,
+) -> DataFrame:
+    """Directed transitive closure with hop counts (r8): all (src, dst,
+    min_depth) pairs reachable in ≤ ``max_depth`` hops — nested
+    group-membership expansion, the hierarchy query the reference's AAD
+    domain runs constantly ("every group this device is transitively a
+    member of") and its T-SQL consumers hand-write as recursive CTEs.
+
+    Frontier BFS: each round the frontier (pairs discovered LAST round)
+    joins the edge list on its head, and an anti-join against the closure
+    keeps only never-seen (src, dst) pairs — BFS explores in depth order,
+    so first discovery IS the minimum depth, and cycles die in the
+    anti-join (a revisited pair is already in the closure).  The loop
+    stops early the first round that discovers nothing.
+
+    Scale shape: per round ONE equi-join of the (shrinking) frontier with
+    edges + one anti-join against the closure, both keyed shuffles; eager
+    localCheckpoint truncates lineage per round; state is O(reachable
+    pairs) — the output's own size, the irreducible cost of materialized
+    transitive closure.  ``max_depth`` bounds rounds; organizational
+    hierarchies are shallow (AAD caps group nesting well below 8).
+    """
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .filter(F.col("_s") != F.col("_d"))
+        .distinct()
+    )
+    closure = e.select(
+        F.col("_s").alias("src"), F.col("_d").alias("dst"), F.lit(1).alias("min_depth")
+    ).localCheckpoint(eager=True)
+    frontier = closure
+    for depth in range(2, max_depth + 1):
+        # BFS explores in depth order, so a pair's FIRST discovery is its
+        # minimum depth — the anti-join both dedups and kills cycles (a
+        # revisited pair is already in the closure and dies here).
+        stepped = (
+            frontier.join(e, frontier["dst"] == e["_s"])
+            .select("src", F.col("_d").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        new = stepped.join(closure, ["src", "dst"], "left_anti").select(
+            "src", "dst", F.lit(depth).alias("min_depth")
+        )
+        new = new.localCheckpoint(eager=True)
+        if new.isEmpty():
+            return closure
+        closure = closure.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    return closure

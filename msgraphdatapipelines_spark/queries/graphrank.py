@@ -51,3 +51,45 @@ def pagerank_supplier_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
     )
     return pagerank(edges, iters=3)
+
+
+@register(
+    "transitive_membership_customers",
+    demoted=True,  # iterative family driver-graded via dedup_connected_components
+    oracle="""
+    WITH RECURSIVE edges AS (
+        SELECT c_custkey AS src, c_custkey // 10 AS dst
+        FROM customer WHERE c_custkey >= 10
+    ),
+    reach(src, dst, min_depth) AS (
+        SELECT src, dst, 1 FROM edges
+        UNION
+        SELECT r.src, e.dst, r.min_depth + 1
+        FROM reach r JOIN edges e ON r.dst = e.src
+        WHERE r.min_depth < 8 AND r.src <> e.dst
+    )
+    SELECT src, dst, CAST(min(min_depth) AS INT) AS min_depth
+    FROM reach GROUP BY src, dst
+    """,
+)
+def transitive_membership_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed transitive closure with hop counts (r8,
+    ``operators.graph.transitive_reachability``): nested membership
+    expansion over a decimal-shift hierarchy derived from the customer
+    keys (child c → parent c÷10 — a forest whose depth grows with key
+    width, ~5 levels at sf0.01) — the "all groups this principal is
+    transitively in" query of the reference's AAD domain, which its
+    T-SQL consumers hand-write as recursive CTEs; the oracle IS that
+    recursive CTE.  BFS frontier rounds with anti-join dedup (first
+    discovery = min depth, cycles die in the anti-join), early stop on an
+    empty round."""
+    from ..operators.graph import transitive_reachability
+
+    cust = load(spark, sf_dir, "customer")
+    edges = cust.filter(F.col("c_custkey") >= 10).select(
+        F.col("c_custkey").alias("src"),
+        (F.col("c_custkey") / 10).cast("long").alias("dst"),
+    )
+    return transitive_reachability(edges, max_depth=8).select(
+        "src", "dst", F.col("min_depth").cast("int").alias("min_depth")
+    )

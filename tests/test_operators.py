@@ -1574,3 +1574,31 @@ def test_cm_join_size_estimate(spark):
     ).collect()[0]["join_size_est"]
     assert est >= true_size  # sound for broadcast-safety verdicts
     assert est <= true_size * 1.5  # collisions stay small at this load
+
+
+def test_transitive_reachability_diamond_cycle_depth_cap(spark):
+    """r8 transitive_reachability: diamond gets min depth (a->d = 2 via
+    either arm), a 3-cycle terminates with all 6 cross pairs and no self
+    pairs, max_depth truncates a chain, early stop returns before the
+    cap on a shallow graph."""
+    from msgraphdatapipelines_spark.operators.graph import transitive_reachability
+
+    def pairs(df):
+        return {(r["src"], r["dst"]): r["min_depth"] for r in df.collect()}
+
+    diamond = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")], ["src", "dst"]
+    )
+    got = pairs(transitive_reachability(diamond))
+    assert got[("a", "d")] == 2 and got[("a", "b")] == 1 and len(got) == 5
+
+    cyc = spark.createDataFrame([("x", "y"), ("y", "z"), ("z", "x")], ["src", "dst"])
+    got = pairs(transitive_reachability(cyc))
+    assert len(got) == 6 and all(s != d for s, d in got)
+    assert got[("x", "z")] == 2  # not 5 via the long way round
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], ["src", "dst"]
+    )
+    capped = pairs(transitive_reachability(chain, max_depth=3))
+    assert max(capped.values()) == 3 and (0, 3) in capped and (0, 4) not in capped

@@ -392,3 +392,20 @@ def test_cm_estimate_broadcasts_sketch(spark, sf_dir):
     sk = build_cm_sketch(o, [], "o_custkey")
     df = cm_estimate(sk, o.select("o_custkey").distinct(), "o_custkey")
     assert plans.num_broadcasts(df) >= 1
+
+
+def test_set_similarity_join_free_verify(spark, sf_dir):
+    """r8 (graded-row promotion guard): set_similarity_join_docs' verify
+    stage is JOIN-FREE — the candidate rows carry both sorted gram arrays
+    and the intersection is a codegen array_intersect per pair (the r7
+    rewrite that took the row 46 s -> 8.5 s at sf0.1).  Exactly three
+    joins may appear (2× gram-frequency attach, the prefix self-join);
+    a fourth means someone re-introduced the pair⋈grams re-join."""
+    from msgraphdatapipelines_spark.queries.dedup import set_similarity_join_docs
+
+    df = set_similarity_join_docs(spark, sf_dir)
+    p = plans.physical_plan(df)
+    assert "array_intersect" in p
+    import re
+
+    assert len(re.findall(r"Join", p)) <= 3
