@@ -307,3 +307,52 @@ def leakage_check(df: DataFrame, key_col: str, split_col: str = "split") -> Data
         F.count(F.lit(1)).alias("n_keys"),
         F.sum((F.col("__n_splits") > 1).cast("long")).alias("n_leaked"),
     )
+
+
+def weighted_sample_without_replacement(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    strata: list[str] | None = None,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (r8): the
+    Efraimidis–Spirakis A-ES scheme — each row draws u = md5_uniform(id:
+    seed) and ranks by u^(1/w); the top-``k`` per stratum is a weighted
+    sample without replacement (inclusion ∝ weight, exactly k rows).
+    The weighted counterpart of ``stratified_take_exact``: upweight
+    high-quality documents in a training mix while keeping the draw
+    reproducible across retries, backfills, and engines.
+
+    Determinism: rank key = floor(ln(u)/w · 1e9) as BIGINT — the
+    monotone-equivalent log form of u^(1/w) (ln u < 0, 1/w > 0 preserve
+    order), quantized BEFORE comparison so cross-engine libm ulp
+    differences cannot flip a selection (the BM25 quantization
+    discipline); ties break by id.  One ranking window per stratum
+    (WindowGroupLimit heap, no global sort), draw is a pure row
+    expression.  Zero/negative weights are excluded (their u^(1/w) is
+    ill-defined; a zero-weight row should never be sampled anyway).
+    """
+    strata = strata or []
+    from pyspark.sql import Window
+
+    u = md5_uniform(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
+    w = F.col(weight_col).cast("double")
+    key_q = F.floor(F.log(u) / w * F.lit(1e9)).cast("long")
+    win = Window.partitionBy(*strata).orderBy(F.desc("__aes_q"), F.col(id_col))
+    return (
+        df.filter(w > 0)
+        .withColumn("__aes_q", key_q)
+        .withColumn("__aes_rn", F.row_number().over(win))
+        .filter(F.col("__aes_rn") <= k)
+        .drop("__aes_q", "__aes_rn")
+    )
+
+
+def weighted_sample_sql(
+    id_expr: str, weight_expr: str, seed: str = ""
+) -> str:
+    """DuckDB twin of the A-ES rank key: floor(ln(u)/w · 1e9)."""
+    u = md5_uniform_sql(f"CAST({id_expr} AS VARCHAR) || ':{seed}'")
+    return f"CAST(floor(ln({u}) / CAST({weight_expr} AS DOUBLE) * 1e9) AS BIGINT)"

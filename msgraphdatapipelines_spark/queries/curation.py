@@ -262,3 +262,40 @@ def groupwise_split_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(leak.select("n_leaked")))
     )
+
+
+def _weighted_sample_oracle(k: int = 25) -> str:
+    from ..operators.sampling import weighted_sample_sql
+
+    key = weighted_sample_sql("doc_id", "length(text)")
+    return f"""
+    SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars
+    FROM (
+        SELECT doc_id, lang, text,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY {key} DESC, doc_id) AS rn
+        FROM documents
+    )
+    WHERE rn <= {k}
+    """
+
+
+@register(
+    "weighted_sample_docs",
+    demoted=True,  # sampling family holds the graded mixture_sample_temperature row
+    oracle=_weighted_sample_oracle(),
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (r8, A-ES): exactly 25 docs
+    per language, inclusion probability ∝ document length (the
+    quality-weighted corpus-mixing draw), deterministic and replayed
+    bit-identically by the oracle via the quantized log-form rank key
+    (``operators.sampling.weighted_sample_without_replacement``)."""
+    from ..operators.sampling import weighted_sample_without_replacement
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "n_chars", F.length("text").cast("long")
+    )
+    return weighted_sample_without_replacement(
+        docs, "doc_id", "n_chars", k=25, strata=["lang"]
+    ).select("doc_id", "lang", "n_chars")

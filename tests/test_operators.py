@@ -1602,3 +1602,37 @@ def test_transitive_reachability_diamond_cycle_depth_cap(spark):
     )
     capped = pairs(transitive_reachability(chain, max_depth=3))
     assert max(capped.values()) == 3 and (0, 3) in capped and (0, 4) not in capped
+
+
+def test_weighted_sample_without_replacement_properties(spark):
+    """r8 A-ES weighted sampling: exactly k per stratum, no duplicates,
+    heavy weights dominate inclusion over many disjoint seeds, zero
+    weights never sampled, deterministic under re-run."""
+    from pyspark.sql import functions as F
+
+    from msgraphdatapipelines_spark.operators.sampling import (
+        weighted_sample_without_replacement,
+    )
+
+    rows = [(i, "s", 100.0 if i < 5 else 1.0) for i in range(100)]
+    rows += [(200, "s", 0.0)]  # never sampled
+    df = spark.createDataFrame(rows, ["id", "st", "w"])
+
+    s1 = weighted_sample_without_replacement(df, "id", "w", k=10, strata=["st"])
+    ids1 = sorted(r["id"] for r in s1.collect())
+    assert len(ids1) == 10 == len(set(ids1)) and 200 not in ids1
+    s2 = weighted_sample_without_replacement(df, "id", "w", k=10, strata=["st"])
+    assert sorted(r["id"] for r in s2.collect()) == ids1  # deterministic
+
+    # heavy ids (w=100, 5 of 100) should be picked far above their 5%
+    # count share: over 20 seeds, expect the majority present each time
+    heavy_hits = 0
+    for s in range(20):
+        got = {
+            r["id"]
+            for r in weighted_sample_without_replacement(
+                df, "id", "w", k=10, strata=["st"], seed=str(s)
+            ).collect()
+        }
+        heavy_hits += len(got & {0, 1, 2, 3, 4})
+    assert heavy_hits >= 60  # ≥3 of 5 heavies on average (uniform would give ~0.5)
