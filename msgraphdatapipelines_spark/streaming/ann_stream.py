@@ -85,3 +85,55 @@ def read_ann_index(spark: SparkSession, index_dir: str):
         .filter((F.col("__rn") == 1) & (F.col("cent") >= 0))
         .select("cid", "cent", "code")
     )
+
+
+def compact_ann_index(spark: SparkSession, index_dir: str, snapshot_root: str) -> int:
+    """Materialize the batch-partitioned index's CURRENT view into a
+    snapshot-versioned table (r8): the maintenance pass that keeps probe
+    plans cheap once grow-only ``batch_id=N`` appends accumulate —
+    ``read_ann_index``'s last-write-wins + tombstone resolution runs ONCE
+    and publishes via ``sinks.write_snapshot`` (new ``v=N`` + atomic
+    ``_LATEST`` flip; crash-safe, old versions time-travelable,
+    ``vacuum_snapshots`` collects expired ones).  Readers then probe
+    ``sinks.read_snapshot(spark, snapshot_root)`` directly — no ranking
+    window at query time — while the streaming appender keeps writing new
+    batch partitions (compact again at the next window).  Returns the
+    published version."""
+    from .. import sinks
+
+    return sinks.write_snapshot(read_ann_index(spark, index_dir), snapshot_root)
+
+
+def cm_rollup_stream(
+    spark: SparkSession,
+    rows_dir: str,
+    schema: T.StructType,
+    rollup_dir: str,
+    checkpoint_dir: str,
+    key_col: str,
+    depth: int = 4,
+):
+    """Continuous count-min rollup (r8): each arriving file batch of
+    keyed rows appends ONE CM cell table to ``{rollup_dir}/batch_id=N``
+    (idempotent per-batch overwrite — the ann_index_stream commit shape);
+    any range's frequency estimates come from ``merge_cm_sketches`` over
+    that range's batch partitions + ``cm_estimate`` — the CM counterpart
+    of the HLL rollup the curation stream writes, with the same
+    union-of-sketches ≡ sketch-of-union exactness (integer cell adds)."""
+    from ..operators.sketches import build_cm_sketch
+
+    def append(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        build_cm_sketch(batch_df, [], key_col, depth=depth).write.mode(
+            "overwrite"
+        ).parquet(f"{rollup_dir}/batch_id={batch_id}")
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(rows_dir)
+        .writeStream.option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(append)
+        .start()
+    )

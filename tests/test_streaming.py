@@ -743,3 +743,92 @@ def test_ann_index_stream_equals_batch_index(spark, tmp_path):
     assert (
         spark.read.option("basePath", index_dir).parquet(index_dir).count() == n_before
     )
+
+
+def test_compact_ann_index_snapshot_equals_view(spark, sf_dir, tmp_path):
+    """r8: compact_ann_index publishes read_ann_index's resolved view
+    (last-write-wins + tombstones dropped) as a snapshot version; the
+    snapshot equals the live view and survives further appends."""
+    from pyspark.sql import functions as F
+
+    from msgraphdatapipelines_spark import sinks
+    from msgraphdatapipelines_spark.operators import similarity as S
+    from msgraphdatapipelines_spark.streaming.ann_stream import (
+        compact_ann_index,
+        read_ann_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(60)
+    cents = S.kmeans_centroids(emb, "vec_id", "embedding", k=4, iters=1)
+    books = S.pq_codebooks(emb, "vec_id", "embedding")
+    idx = str(tmp_path / "idx")
+    b1 = emb.filter(F.col("vec_id") < 30)
+    b2 = emb.filter(F.col("vec_id") >= 30)
+    S.ivf_pq_index(b1, "vec_id", "embedding", cents, books).write.parquet(
+        f"{idx}/batch_id=0"
+    )
+    # batch 1 re-indexes vec 0 and tombstones vec 1
+    S.ivf_pq_index(
+        b2.unionByName(emb.filter(F.col("vec_id") == 0)),
+        "vec_id", "embedding", cents, books,
+    ).unionByName(
+        spark.createDataFrame([(1, -1, [])], "cid long, cent int, code array<int>")
+    ).write.parquet(f"{idx}/batch_id=1")
+
+    snap = str(tmp_path / "snap")
+    v = compact_ann_index(spark, idx, snap)
+    rows = lambda df: {  # noqa: E731
+        (r["cid"], r["cent"], tuple(r["code"])) for r in df.collect()
+    }
+    live = rows(read_ann_index(spark, idx))
+    assert rows(sinks.read_snapshot(spark, snap)) == live and v == 1
+    assert not any(c == 1 for c, _, _ in live)  # tombstone resolved away
+
+
+def test_cm_rollup_stream_merge_equals_batch_twin(spark, tmp_path):
+    """r8: the streaming CM rollup's merged cells equal the one-shot
+    batch sketch over all arrived rows, and point estimates agree."""
+    from pyspark.sql import types as T
+
+    from msgraphdatapipelines_spark.operators.sketches import (
+        build_cm_sketch,
+        cm_estimate,
+        merge_cm_sketches,
+    )
+    from msgraphdatapipelines_spark.streaming.ann_stream import cm_rollup_stream
+
+    rows_dir = tmp_path / "rows"
+    rows_dir.mkdir()
+    schema = T.StructType([T.StructField("k", T.StringType())])
+    all_rows = [(f"k{i % 7}",) for i in range(200)]
+
+    def drop_file(rows, name):
+        import shutil
+
+        tmp = tmp_path / f"__stage_{name}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(tmp))
+        part = next(p for p in tmp.iterdir() if p.name.endswith(".parquet"))
+        shutil.move(str(part), str(rows_dir / name))
+
+    drop_file(all_rows[:120], "f0.parquet")
+    drop_file(all_rows[120:], "f1.parquet")
+    rollup = str(tmp_path / "rollup")
+    q = cm_rollup_stream(
+        spark, str(rows_dir), schema, rollup, str(tmp_path / "ck"), "k"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    merged = merge_cm_sketches(
+        spark.read.option("basePath", rollup).parquet(rollup), []
+    )
+    twin = build_cm_sketch(spark.createDataFrame(all_rows, schema), [], "k")
+    cells = lambda d: {  # noqa: E731
+        (r["depth"], r["bucket"]): r["cnt"] for r in d.collect()
+    }
+    assert cells(merged) == cells(twin)
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(7)], schema)
+    est = {r["k"]: r["cm_est"] for r in cm_estimate(merged, keys, "k").collect()}
+    # true counts: k0-k3 appear 29×, k4-k6 28× (200 rows, i % 7)
+    assert all(est[f"k{i}"] >= (29 if i < 4 else 28) for i in range(7))
