@@ -116,3 +116,56 @@ def check_constraints(df: DataFrame, constraints: list[Constraint]) -> DataFrame
     return out.select(
         "constraint", "kind", (F.col("n_violations") == 0).alias("passed"), "n_violations"
     )
+
+
+def quarantine(
+    df: DataFrame,
+    constraints: list[Constraint],
+    reason_col: str = "_violations",
+) -> tuple[DataFrame, DataFrame]:
+    """Row-level dead-letter split (r8): ``(valid, invalid)`` where
+    ``invalid`` carries a ``reason_col`` array naming every constraint
+    each row breaks — the quarantine pattern an ingestion pipeline runs
+    instead of failing the whole load (the engine-side generalization of
+    the reference's per-entity error skip, S5, to per-ROW granularity).
+
+    Scope: ``not_null``/``check`` predicates evaluate inline (narrow, one
+    pass); ``foreign_key`` marks child rows whose non-NULL key misses the
+    parent via a broadcast LEFT-SEMI probe folded into the same
+    projection (an ``exists`` column join).  ``unique`` is a SET-level
+    property — a duplicate pair has no canonical guilty row — so it stays
+    in ``check_constraints``'s report and is rejected here.
+
+    Plan: ONE pass over ``df`` computing the violation array; ``valid``
+    and ``invalid`` are two filters of the same projection (Spark reuses
+    the scan; no shuffle beyond the FK probe's broadcast).
+    """
+    if any(c.kind == "unique" for c in constraints):
+        raise ValueError(
+            "quarantine: 'unique' is set-level (no canonical guilty row) — "
+            "gate it with check_constraints instead"
+        )
+    marked = df
+    flags: list[Column] = []
+    for c in constraints:
+        if c.kind in ("not_null", "check"):
+            flags.append(F.when(c.spec, F.lit(c.name)))
+        elif c.kind == "foreign_key":
+            child_cols, parent, parent_cols = c.spec
+            pk = parent.select(
+                *[F.col(p).alias(ch) for ch, p in zip(child_cols, parent_cols)]
+            ).distinct().withColumn(f"__ok_{c.name}", F.lit(True))
+            marked = marked.join(F.broadcast(pk), on=child_cols, how="left")
+            nonnull = F.lit(True)
+            for ch in child_cols:
+                nonnull = nonnull & F.col(ch).isNotNull()
+            flags.append(
+                F.when(nonnull & F.col(f"__ok_{c.name}").isNull(), F.lit(c.name))
+            )
+        else:
+            raise ValueError(f"quarantine: unsupported constraint kind {c.kind!r}")
+    reasons = F.filter(F.array(*flags), lambda x: x.isNotNull())
+    marked = marked.select(*df.columns, reasons.alias(reason_col))
+    valid = marked.filter(F.size(reason_col) == 0).drop(reason_col)
+    invalid = marked.filter(F.size(reason_col) > 0)
+    return valid, invalid

@@ -1636,3 +1636,38 @@ def test_weighted_sample_without_replacement_properties(spark):
         }
         heavy_hits += len(got & {0, 1, 2, 3, 4})
     assert heavy_hits >= 60  # ≥3 of 5 heavies on average (uniform would give ~0.5)
+
+
+def test_quarantine_row_level_dead_letter(spark):
+    """r8 constraints.quarantine: rows split into valid vs invalid with
+    per-row reason arrays (multiple violations accumulate), NULL FK keys
+    pass (SQL semantics), valid ∪ invalid == input, unique rejected."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from msgraphdatapipelines_spark.operators import constraints as C
+
+    parent = spark.createDataFrame([(1,), (2,)], ["pid"])
+    df = spark.createDataFrame(
+        [
+            (1, 10, 1),      # clean
+            (None, 5, 2),    # null id
+            (3, -1, 9),      # bad value + missing FK
+            (4, 7, None),    # NULL FK key -> not a violation
+        ],
+        "id long, v long, fk long",
+    )
+    cons = [
+        *C.not_null("id"),
+        C.check("v_nonneg", F.col("v") < 0),
+        C.foreign_key(["fk"], parent, ["pid"]),
+    ]
+    valid, invalid = C.quarantine(df, cons)
+    assert sorted(r["id"] for r in valid.collect()) == [1, 4]
+    got = {r["id"]: sorted(r["_violations"]) for r in invalid.collect()}
+    assert got[None] == ["not_null_id"]
+    assert got[3] == ["fk_fk", "v_nonneg"]
+    assert valid.count() + invalid.count() == df.count()
+    with _pytest.raises(ValueError, match="set-level"):
+        C.quarantine(df, [C.unique("id")])
