@@ -1671,3 +1671,85 @@ def test_quarantine_row_level_dead_letter(spark):
     assert valid.count() + invalid.count() == df.count()
     with _pytest.raises(ValueError, match="set-level"):
         C.quarantine(df, [C.unique("id")])
+
+
+def test_set_similarity_randomized_equals_bruteforce(spark):
+    """r8 randomized exactness audit for the promoted graded row's
+    operator: over seeded random set collections (varied universe sizes,
+    skewed gram frequencies, epsilon-hazard thresholds like 3/17 and 1/3,
+    max_df on and off), set_similarity_join must equal the brute-force
+    all-pairs Jaccard computed in plain Python — both the PAIR SET and
+    the values."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from msgraphdatapipelines_spark.operators import dedup as D
+
+    for case, (tau, max_df) in enumerate(
+        [(0.5, None), (3 / 17, None), (1 / 3, 2), (0.7, 3), (2 / 3, None), (0.4, 4)]
+    ):
+        rng = random.Random(1000 + case)
+        uni = [f"g{i}" for i in range(rng.randint(8, 30))]
+        sets = {
+            i: set(rng.sample(uni, rng.randint(1, min(12, len(uni)))))
+            for i in range(rng.randint(6, 18))
+        }
+        want = {}
+        for a in sets:
+            for b in sets:
+                if a < b:
+                    inter = len(sets[a] & sets[b])
+                    uni_n = len(sets[a] | sets[b])
+                    j = inter / uni_n
+                    if j >= tau:
+                        want[(a, b)] = round(j, 6)
+        grams = spark.createDataFrame(
+            [(i, g) for i, s in sets.items() for g in sorted(s)], ["id", "g"]
+        )
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in D.set_similarity_join(grams, "id", "g", tau, max_df=max_df).collect()
+        }
+        assert got == want, f"case {case}: tau={tau} max_df={max_df}"
+
+
+def test_transitive_reachability_randomized_equals_python_bfs(spark):
+    """r8 randomized audit: over seeded random digraphs (with cycles),
+    transitive_reachability equals a plain-Python BFS closure — pair set
+    AND min depths."""
+    import random
+    from collections import deque
+
+    from msgraphdatapipelines_spark.operators.graph import transitive_reachability
+
+    for case in range(4):
+        rng = random.Random(42 + case)
+        n = rng.randint(5, 12)
+        edges = {
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randint(n, 3 * n))
+        }
+        edges = {(a, b) for a, b in edges if a != b}
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, []).append(b)
+        want = {}
+        for s in range(n):
+            depth = {s: 0}
+            dq = deque([s])
+            while dq:
+                u = dq.popleft()
+                for v in adj.get(u, []):
+                    if v not in depth:
+                        depth[v] = depth[u] + 1
+                        dq.append(v)
+            for v, d in depth.items():
+                if v != s and d <= 8:
+                    want[(s, v)] = d
+        df = spark.createDataFrame(sorted(edges), ["src", "dst"])
+        got = {
+            (r["src"], r["dst"]): r["min_depth"]
+            for r in transitive_reachability(df, max_depth=8).collect()
+        }
+        assert got == want, f"case {case}"
