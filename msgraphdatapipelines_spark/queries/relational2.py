@@ -797,3 +797,60 @@ def outlier_events_mad_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mad_within_1pct"
         ),
     )
+
+
+@register(
+    "sql_surface_revenue_rank",
+    demoted=True,  # the DataFrame rows exercise the same engine machinery
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend,
+               count(*) AS n_orders
+        FROM orders
+        WHERE o_orderstatus <> 'F'
+        GROUP BY o_custkey
+    )
+    SELECT c.c_mktsegment, t.o_custkey, t.spend, t.n_orders, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+                                     ORDER BY spend DESC, o_custkey) AS rnk
+        FROM rev JOIN customer ON o_custkey = c_custkey
+    ) t
+    JOIN customer c ON t.o_custkey = c.c_custkey
+    WHERE rnk <= 5
+    """,
+)
+def sql_surface_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL ENTRY POINT (r8): the same engine machinery driven through
+    ``spark.sql`` over registered temp views — CTE, join, grouped
+    aggregate, ranking window, top-5 per segment — proving a user of the
+    reference can bring plain ANSI SQL instead of the DataFrame API and
+    land on identical Catalyst plans (both APIs build the same logical
+    plan; this row pins the parser/analyzer path the DataFrame rows never
+    touch)."""
+    from . import load
+
+    load(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        WITH rev AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend,
+                   count(*) AS n_orders
+            FROM v_orders
+            WHERE o_orderstatus <> 'F'
+            GROUP BY o_custkey
+        )
+        SELECT c.c_mktsegment, t.o_custkey, t.spend, t.n_orders, CAST(rnk AS BIGINT) AS rnk
+        FROM (
+            SELECT rev.*, c_mktsegment,
+                   row_number() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY spend DESC, o_custkey) AS rnk
+            FROM rev JOIN v_customer ON o_custkey = c_custkey
+        ) t
+        JOIN v_customer c ON t.o_custkey = c.c_custkey
+        WHERE rnk <= 5
+        """
+    )

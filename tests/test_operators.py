@@ -1753,3 +1753,22 @@ def test_transitive_reachability_randomized_equals_python_bfs(spark):
             for r in transitive_reachability(df, max_depth=8).collect()
         }
         assert got == want, f"case {case}"
+
+
+def test_chunk_text_udtf_equals_codegen_operator(spark, sf_dir):
+    """r8 UDTF surface: the Python table function's overlapping chunks
+    equal the codegen chunk_text operator row-for-row on the documents
+    fixture (including the empty-doc one-empty-chunk contract)."""
+    from msgraphdatapipelines_spark.operators import text as X
+    from msgraphdatapipelines_spark.queries.udfs import chunk_text_udtf
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
+    native = {
+        (r["doc_id"], r["chunk_idx"], r["chunk_text"])
+        for r in X.chunk_text(docs, "doc_id", "text", size=200, stride=150).collect()
+    }
+    via_udtf = {
+        (r["doc_id"], r["chunk_id"], r["chunk"])
+        for r in chunk_text_udtf(spark, docs, size=200, stride=150).collect()
+    }
+    assert via_udtf == native and len(native) > 120
