@@ -1186,3 +1186,37 @@ def ivf_incremental_append(
     """
     fresh = ivf_pq_index(new_vectors, id_c, vec_c, centroids, codebooks, dim=dim)
     return fresh if index is None else index.unionByName(fresh)
+
+
+def hard_negatives(
+    candidates: DataFrame,
+    positives: DataFrame,
+    k: int,
+    qid: str = "qid",
+    cid: str = "cid",
+    score: str = "score",
+) -> DataFrame:
+    """Hard-negative mining (r8): from a per-query CANDIDATE ranking
+    (typically the ANN index's top-N — high-similarity, cheap), remove
+    the known POSITIVES and keep the ``k`` highest-scoring survivors —
+    the negatives that look most like positives, the standard mining step
+    for contrastive/embedding training (in-batch random negatives are
+    too easy; hard ones carry the gradient signal).
+
+    Plan: one LEFT-ANTI join of candidates against positives on
+    (qid, cid) — positives per query are few, so the anti-join's right
+    side broadcasts — then one per-qid ranking window over the ≤N
+    surviving candidate rows (WindowGroupLimit heap).  Composes directly
+    with ``queries.similarity.indexed_candidates``: candidate generation
+    already tracks nprobe·list size, so mining cost is independent of
+    corpus size at serve time."""
+    from pyspark.sql import Window
+
+    pos = positives.select(F.col(qid).alias(qid), F.col(cid).alias(cid))
+    surv = candidates.join(F.broadcast(pos), [qid, cid], "left_anti")
+    w = Window.partitionBy(qid).orderBy(F.desc(score), F.asc(cid))
+    return (
+        surv.withColumn("neg_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("neg_rank") <= k)
+        .select(qid, cid, F.round(F.col(score), 6).alias(score), "neg_rank")
+    )

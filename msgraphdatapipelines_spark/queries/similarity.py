@@ -1056,3 +1056,57 @@ def ann_mmr_rerank_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return S.mmr_rerank(cands, k=4, lam=0.5)
+
+
+def _hard_negative_oracle(n_pos: int = 3, k: int = 5) -> str:
+    return f"""
+    WITH {_ivf_pq_indexed_ctes(k=16)},
+    q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+          WHERE vec_id < {N_QUERIES} AND {_norm_pos('embedding')}),
+    c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+          WHERE {_norm_pos('embedding')}),
+    pos AS (
+        SELECT qid, cid FROM (
+            SELECT qid, cid,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY {_cos('qv', 'cv')} DESC, cid) AS rn
+            FROM q JOIN c ON qid <> cid) t
+        WHERE rn <= {n_pos}
+    )
+    SELECT i.qid, i.cid, round(i.score, 6) AS score, CAST(nr AS BIGINT) AS neg_rank
+    FROM (
+        SELECT i.qid, i.cid, i.score,
+               row_number() OVER (PARTITION BY i.qid
+                                  ORDER BY i.score DESC, i.cid) AS nr
+        FROM ivfpq i
+        LEFT JOIN pos p ON p.qid = i.qid AND p.cid = i.cid
+        WHERE p.qid IS NULL
+    ) i
+    WHERE nr <= {k}
+    """
+
+
+@register(
+    "hard_negative_mining",
+    demoted=True,  # retrieval family driver-graded via the ANN rows
+    oracle=_hard_negative_oracle(),
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (r8): candidates
+    come FROM THE PERSISTED IVF+PQ INDEX (top-16 per query, exact-reranked
+    — ``indexed_candidates``), the brute-force exact top-3 serve as the
+    known positives, and the 5 highest-scoring non-positive candidates
+    per query are the mined negatives (``operators.similarity.
+    hard_negatives``).  The oracle replays the index probe AND the
+    positive set, so the hash match proves the negatives were mined from
+    index-served candidates.  The full training-data loop this closes:
+    curate → dedup → index → retrieve → mine pairs."""
+    from ..operators.similarity import brute_force_topk, hard_negatives
+
+    emb = load(spark, sf_dir, "embeddings")
+    cands = indexed_candidates(spark, emb, k=16)
+    pos = brute_force_topk(
+        emb.filter(F.col("vec_id") < N_QUERIES), emb,
+        "vec_id", "vec_id", "embedding", "embedding", k=3,
+    ).select("qid", "cid")
+    return hard_negatives(cands, pos, k=5)

@@ -1772,3 +1772,22 @@ def test_chunk_text_udtf_equals_codegen_operator(spark, sf_dir):
         for r in chunk_text_udtf(spark, docs, size=200, stride=150).collect()
     }
     assert via_udtf == native and len(native) > 120
+
+
+def test_hard_negatives_semantics(spark):
+    """r8 hard_negatives: positives are excluded, survivors rank by score
+    with id tiebreak, k truncates, a query whose candidates are all
+    positives yields nothing."""
+    from msgraphdatapipelines_spark.operators.similarity import hard_negatives
+
+    cands = spark.createDataFrame(
+        [(1, 10, 0.9), (1, 11, 0.8), (1, 12, 0.8), (1, 13, 0.2),
+         (2, 20, 0.7), (2, 21, 0.6)],
+        ["qid", "cid", "score"],
+    )
+    pos = spark.createDataFrame([(1, 10), (2, 20), (2, 21)], ["qid", "cid"])
+    got = [
+        (r["qid"], r["cid"], r["neg_rank"])
+        for r in hard_negatives(cands, pos, k=2).orderBy("qid", "neg_rank").collect()
+    ]
+    assert got == [(1, 11, 1), (1, 12, 2)]  # 10 excluded; tie 0.8 -> lower cid first
