@@ -1061,11 +1061,16 @@ def ann_mmr_rerank_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _hard_negative_oracle(n_pos: int = 3, k: int = 5) -> str:
     return f"""
     WITH {_ivf_pq_indexed_ctes(k=16)},
-    q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+    q AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qv FROM embeddings
           WHERE vec_id < {N_QUERIES} AND {_norm_pos('embedding')}),
-    c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+    c AS MATERIALIZED (SELECT vec_id AS cid, embedding AS cv FROM embeddings
           WHERE {_norm_pos('embedding')}),
-    pos AS (
+    -- MATERIALIZED throughout: DuckDB re-inlines plain CTEs into every
+    -- consumer, and with the 192-term _cos macro appearing in both the
+    -- select and the window ORDER BY the planner tree grows past malloc
+    -- (measured: 'bad allocation' at 32 threads) — same lesson as the
+    -- trained_nz note in the kmeans oracle
+    pos AS MATERIALIZED (
         SELECT qid, cid FROM (
             SELECT qid, cid,
                    row_number() OVER (PARTITION BY qid

@@ -14,6 +14,13 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="session")
 def spark():
+    # 16g default (r8): the oracle gate alone is 65+ rows in one session,
+    # several building ANN indexes with eager localCheckpoints — 8g left
+    # no headroom late in a full run and a JVM death cascades across every
+    # remaining test.  Explicit SPARK_GRAFT_DRIVER_MEM still wins.
+    import os
+
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
     s = get_spark("tests", cpus=4)
     s.sparkContext.setLogLevel("ERROR")
     yield s

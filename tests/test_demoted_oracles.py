@@ -27,6 +27,11 @@ _ensure_loaded()
 def duck(sf_dir):
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
+    # bound the oracle engine (r8): a planner blow-up in one generated
+    # oracle must fail ITS row, not exhaust process memory and poison
+    # every later query sharing the connection
+    con.execute("SET memory_limit='16GB'")
+    con.execute("SET threads=8")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     yield con
@@ -53,6 +58,20 @@ def _cells_equal(a, b) -> bool:
             return True
         return af == bf or abs(af - bf) <= 1e-9 * max(abs(af), abs(bf))
     return a == b
+
+
+@pytest.fixture(autouse=True)
+def _release_session_state():
+    """r8: the gate is 65+ rows against ONE long-lived session, several
+    building ANN indexes / eager localCheckpoints whose JVM blocks are
+    freed only after the Python DataFrame is garbage-collected (the
+    ContextCleaner acts on weak references).  Collect after every row so
+    checkpointed blocks from heavy rows cannot accumulate into
+    storage-memory exhaustion late in the run."""
+    import gc
+
+    yield
+    gc.collect()
 
 
 @pytest.mark.parametrize("name", sorted(DEMOTED))

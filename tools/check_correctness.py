@@ -76,6 +76,11 @@ def main() -> int:
     spark = get_spark(cpus=8)
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
+    # bound the oracle engine (r8): a planner blow-up in one generated
+    # oracle must fail ITS row, not exhaust process memory and poison
+    # every later query sharing the connection
+    con.execute("SET memory_limit='16GB'")
+    con.execute("SET threads=8")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
