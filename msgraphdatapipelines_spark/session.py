@@ -55,3 +55,43 @@ def get_spark(
 def testdata_dir(sf: str = "0.001") -> str:
     """Path of the driver-generated parquet tables for a scale factor."""
     return os.environ.get("SPARK_GRAFT_SF_DIR", f"/root/testdata/sf{sf}")
+
+
+def scale_conf(
+    input_bytes: int,
+    executor_mem_bytes: int = 8 << 30,
+    task_mem_fraction: float = 0.125,
+    target_partition_bytes: int = 128 << 20,
+    min_partitions: int = 200,
+) -> dict[str, str]:
+    """Spill-aware conf sizing for a target input size (r8) — the
+    arithmetic the 100 TB prompt demands, as CODE instead of a rule of
+    thumb:
+
+    - ``spark.sql.files.maxPartitionBytes``: capped so one scan task's
+      decompressed slice (~3× the on-disk bytes for parquet) fits the
+      per-task memory share ``executor_mem · task_mem_fraction``
+      (default: 8 GiB executor, 8 concurrent tasks → 1 GiB/task →
+      ≤ ~341 MiB slices; the 128 MiB default survives unless the cap is
+      SMALLER);
+    - ``spark.sql.shuffle.partitions``: input_bytes /
+      target_partition_bytes, floored at ``min_partitions`` — the HIGH
+      INITIAL value AQE coalesces DOWN from at runtime (coalescing is
+      cheap, splitting is not, so err high: 100 TB / 128 MiB ≈ 800k is
+      intentionally large and AQE merges what the real reduce sizes
+      allow);
+    - ``spark.sql.adaptive.advisoryPartitionSizeInBytes``: the
+      target_partition_bytes itself, so AQE's coalescing aims at the
+      same post-shuffle size the static sizing assumed.
+
+    Returns a conf dict for ``get_spark(extra_conf=…)``.  Pure
+    arithmetic — unit-tested, no session required.
+    """
+    per_task = int(executor_mem_bytes * task_mem_fraction)
+    max_part = min(target_partition_bytes, max(per_task // 3, 8 << 20))
+    parts = max(min_partitions, -(-input_bytes // target_partition_bytes))
+    return {
+        "spark.sql.files.maxPartitionBytes": str(max_part),
+        "spark.sql.shuffle.partitions": str(parts),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(target_partition_bytes),
+    }
