@@ -12,9 +12,18 @@ Design for 100 TB: every constraint compiles to a conditional COUNT
 aggregate over one shared scan — ``not_null``/``range``/``regex`` checks
 fold into ONE agg job with zero shuffles; ``unique`` needs its own
 count-distinct (one shuffle); ``foreign_key`` needs one anti-join against
-the (broadcastable) parent's key set.  The report is rows of
-``(constraint, kind, passed, n_violations)`` — the load gate consumes
-``passed``, the triage dashboard reads ``n_violations``.
+the parent's key set.  The FK probe's join strategy is GATED, not forced:
+``broadcast_parent=None`` (default) leaves the choice to AQE/size stats —
+small dimension parents still broadcast, a data-sized parent (documents ←
+chunks, the first FK an LLM-pipeline user writes) gets a shuffle join
+instead of an unbounded broadcast; ``True`` forces the hint (caller
+vouches the parent is model-sized), ``False`` forces shuffle-hash.  Feed
+the decision from a standing CM sketch via
+``operators.sketches.choose_join_strategy`` — a never-underestimating
+row-count verdict with NO scan of either table at planning time.
+The report is rows of ``(constraint, kind, passed, n_violations)`` — the
+load gate consumes ``passed``, the triage dashboard reads
+``n_violations``.
 """
 
 from __future__ import annotations
@@ -53,10 +62,36 @@ def unique(*cols: str) -> Constraint:
     return Constraint("unique_" + "_".join(cols), "unique", list(cols))
 
 
-def foreign_key(child_cols: list[str], parent: DataFrame, parent_cols: list[str]) -> Constraint:
+def foreign_key(
+    child_cols: list[str],
+    parent: DataFrame,
+    parent_cols: list[str],
+    broadcast_parent: bool | None = None,
+) -> Constraint:
+    """FK membership probe.  ``broadcast_parent``: ``None`` (default) —
+    no hint, AQE/size stats pick broadcast vs shuffle; ``True`` — force
+    the broadcast hint (caller vouches the parent key set is
+    model-sized); ``False`` — force a shuffle-hash join (parent is known
+    data-sized, e.g. a ``choose_join_strategy`` sketch verdict)."""
     return Constraint(
-        "fk_" + "_".join(child_cols), "foreign_key", (child_cols, parent, parent_cols)
+        "fk_" + "_".join(child_cols),
+        "foreign_key",
+        (child_cols, parent, parent_cols, broadcast_parent),
     )
+
+
+def _fk_parent_keys(spec) -> tuple[list[str], DataFrame]:
+    """Distinct parent key set aliased to the child columns, with the
+    join-strategy policy applied (see :func:`foreign_key`)."""
+    child_cols, parent, parent_cols, broadcast_parent = spec
+    pk = parent.select(
+        *[F.col(p).alias(ch) for ch, p in zip(child_cols, parent_cols)]
+    ).distinct()
+    if broadcast_parent is True:
+        pk = F.broadcast(pk)
+    elif broadcast_parent is False:
+        pk = pk.hint("shuffle_hash")
+    return child_cols, pk
 
 
 def check_constraints(df: DataFrame, constraints: list[Constraint]) -> DataFrame:
@@ -65,9 +100,10 @@ def check_constraints(df: DataFrame, constraints: list[Constraint]) -> DataFrame
 
     All row-level constraints (not_null/check) share ONE aggregation job
     over one scan; each unique adds a count-vs-count_distinct agg; each
-    foreign_key adds a LEFT ANTI join (broadcast when the parent key set
-    is small — dimension tables at any scale) counted in the same job.
-    Reports union driver-side (each is a 1-row frame).
+    foreign_key adds a LEFT ANTI join counted in the same job — broadcast
+    only when the parent is actually small (AQE/size stats, or an
+    explicit ``broadcast_parent`` verdict; never forced).  Reports union
+    driver-side (each is a 1-row frame).
     """
     reports: list[DataFrame] = []
 
@@ -95,12 +131,7 @@ def check_constraints(df: DataFrame, constraints: list[Constraint]) -> DataFrame
             )
             reports.append(rep)
         elif c.kind == "foreign_key":
-            child_cols, parent, parent_cols = c.spec
-            pk = F.broadcast(
-                parent.select(
-                    *[F.col(p).alias(ch) for ch, p in zip(child_cols, parent_cols)]
-                ).distinct()
-            )
+            child_cols, pk = _fk_parent_keys(c.spec)
             # NULL child keys are not FK violations (SQL semantics)
             child = df.select(*child_cols).na.drop(subset=child_cols)
             rep = child.join(pk, on=child_cols, how="left_anti").agg(
@@ -131,14 +162,16 @@ def quarantine(
 
     Scope: ``not_null``/``check`` predicates evaluate inline (narrow, one
     pass); ``foreign_key`` marks child rows whose non-NULL key misses the
-    parent via a broadcast LEFT-SEMI probe folded into the same
-    projection (an ``exists`` column join).  ``unique`` is a SET-level
-    property — a duplicate pair has no canonical guilty row — so it stays
-    in ``check_constraints``'s report and is rejected here.
+    parent via a LEFT probe folded into the same projection (an
+    ``exists`` column join) — join strategy per the constraint's
+    ``broadcast_parent`` policy (default: AQE/size stats decide; a
+    data-sized parent shuffles instead of broadcasting).  ``unique`` is a
+    SET-level property — a duplicate pair has no canonical guilty row —
+    so it stays in ``check_constraints``'s report and is rejected here.
 
     Plan: ONE pass over ``df`` computing the violation array; ``valid``
     and ``invalid`` are two filters of the same projection (Spark reuses
-    the scan; no shuffle beyond the FK probe's broadcast).
+    the scan; no shuffle beyond the FK probe's own join).
     """
     if any(c.kind == "unique" for c in constraints):
         raise ValueError(
@@ -151,11 +184,9 @@ def quarantine(
         if c.kind in ("not_null", "check"):
             flags.append(F.when(c.spec, F.lit(c.name)))
         elif c.kind == "foreign_key":
-            child_cols, parent, parent_cols = c.spec
-            pk = parent.select(
-                *[F.col(p).alias(ch) for ch, p in zip(child_cols, parent_cols)]
-            ).distinct().withColumn(f"__ok_{c.name}", F.lit(True))
-            marked = marked.join(F.broadcast(pk), on=child_cols, how="left")
+            child_cols, pk = _fk_parent_keys(c.spec)
+            pk = pk.withColumn(f"__ok_{c.name}", F.lit(True))
+            marked = marked.join(pk, on=child_cols, how="left")
             nonnull = F.lit(True)
             for ch in child_cols:
                 nonnull = nonnull & F.col(ch).isNotNull()

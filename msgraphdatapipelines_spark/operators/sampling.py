@@ -333,11 +333,18 @@ def weighted_sample_without_replacement(
     (WindowGroupLimit heap, no global sort), draw is a pure row
     expression.  Zero/negative weights are excluded (their u^(1/w) is
     ill-defined; a zero-weight row should never be sampled anyway).
+    The draw is clamped to ≥ 2^-33 before the log: md5_uniform can return
+    exactly 0 (first 8 hex digits zero, p ≈ 2^-32), where Spark's ln
+    yields NULL (row silently sorts last) but DuckDB's ln raises —
+    clamping identically in both renderings keeps the engines bit-equal.
     """
     strata = strata or []
     from pyspark.sql import Window
 
-    u = md5_uniform(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
+    u = F.greatest(
+        md5_uniform(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))),
+        F.lit(2.0 ** -33),
+    )
     w = F.col(weight_col).cast("double")
     key_q = F.floor(F.log(u) / w * F.lit(1e9)).cast("long")
     win = Window.partitionBy(*strata).orderBy(F.desc("__aes_q"), F.col(id_col))
@@ -353,6 +360,10 @@ def weighted_sample_without_replacement(
 def weighted_sample_sql(
     id_expr: str, weight_expr: str, seed: str = ""
 ) -> str:
-    """DuckDB twin of the A-ES rank key: floor(ln(u)/w · 1e9)."""
+    """DuckDB twin of the A-ES rank key: floor(ln(u)/w · 1e9), with the
+    same ≥ 2^-33 clamp as the engine (ln(0) raises in DuckDB)."""
     u = md5_uniform_sql(f"CAST({id_expr} AS VARCHAR) || ':{seed}'")
-    return f"CAST(floor(ln({u}) / CAST({weight_expr} AS DOUBLE) * 1e9) AS BIGINT)"
+    return (
+        f"CAST(floor(ln(greatest({u}, {2.0 ** -33!r}))"
+        f" / CAST({weight_expr} AS DOUBLE) * 1e9) AS BIGINT)"
+    )

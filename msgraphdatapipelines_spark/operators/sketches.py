@@ -184,7 +184,11 @@ def cm_estimate(
     ONE equi-join on (depth, bucket) against the O(d·256)-row sketch
     (broadcast — the sketch is model-sized), one min-agg per key.  The
     never-underestimates property is what makes threshold screens sound:
-    a key the sketch scores below threshold is GUARANTEED below it."""
+    a key the sketch scores below threshold is GUARANTEED below it.
+    The join is LEFT with coalesce(cnt, 0): a probed key whose cells are
+    empty (sparse sketch / never-observed key) gets est=0 instead of
+    silently vanishing from the output — threshold screens read every
+    probed key."""
     coords = keys.select(
         key_col,
         F.explode(
@@ -198,9 +202,9 @@ def cm_estimate(
         ).alias("__c"),
     ).select(key_col, F.col("__c.depth").alias("depth"), F.col("__c.bucket").alias("bucket"))
     return (
-        coords.join(F.broadcast(sketch), ["depth", "bucket"])
+        coords.join(F.broadcast(sketch), ["depth", "bucket"], "left")
         .groupBy(key_col)
-        .agg(F.min("cnt").alias("cm_est"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias("cm_est"))
     )
 
 
@@ -223,3 +227,58 @@ def cm_join_size_estimate(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame
         .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__ip"))
     )
     return per_depth.agg(F.min("__ip").alias("join_size_est"))
+
+
+def cm_total_rows(sketch: DataFrame) -> int:
+    """Total mass N of a CM cell table — Σ_bucket cnt at any single depth
+    equals the (weighted) row count the sketch has absorbed, EXACTLY (no
+    collision error: every row lands in exactly one bucket per depth).
+    One agg over the O(d·256)-row cell table; returns a driver int."""
+    row = (
+        sketch.groupBy("depth").agg(F.sum("cnt").alias("n"))
+        .agg(F.min("n").alias("n")).collect()
+    )
+    return int(row[0]["n"]) if row and row[0]["n"] is not None else 0
+
+
+def choose_join_strategy(
+    child_sketch: DataFrame,
+    parent_sketch: DataFrame,
+    broadcast_threshold_rows: int = 1_000_000,
+    blowup_factor: float = 4.0,
+) -> dict:
+    """Sketch-driven join pre-flight (r9) — the consumer that turns
+    ``cm_join_size_estimate``'s sound verdicts into an actual plan
+    decision.  Inputs are the standing CM cell tables of the two join
+    sides' KEY columns (the reusable rollup artifacts); NO scan of either
+    data table happens at planning time — two model-sized aggs only.
+
+    Returns ``{'broadcast_parent', 'parent_rows_est', 'child_rows_est',
+    'join_size_est', 'skew_warning'}``:
+
+    - ``parent_rows_est`` / ``child_rows_est``: exact absorbed row counts
+      (:func:`cm_total_rows` — bucket sums carry no collision error).
+    - ``broadcast_parent``: True iff the parent side's row count is ≤
+      ``broadcast_threshold_rows``.  Because the count is exact-or-over
+      (a stale sketch only ever misses NEW rows if built before them;
+      the maintained rollup is append-merged), a False verdict is sound:
+      the engine never broadcasts a side the sketch says is data-sized.
+    - ``join_size_est``: the never-underestimating inner product; with
+      ``skew_warning`` True when it exceeds ``blowup_factor ×
+      (child + parent)`` — the fan-out signature of a skewed/hot key,
+      where the caller should salt or pre-aggregate before joining.
+
+    Feed the verdict straight into ``constraints.foreign_key(...,
+    broadcast_parent=plan['broadcast_parent'])`` or any join hint site.
+    """
+    parent_rows = cm_total_rows(parent_sketch)
+    child_rows = cm_total_rows(child_sketch)
+    est_row = cm_join_size_estimate(child_sketch, parent_sketch).collect()
+    join_est = int(est_row[0]["join_size_est"]) if est_row and est_row[0]["join_size_est"] is not None else 0
+    return {
+        "broadcast_parent": parent_rows <= broadcast_threshold_rows,
+        "parent_rows_est": parent_rows,
+        "child_rows_est": child_rows,
+        "join_size_est": join_est,
+        "skew_warning": join_est > blowup_factor * (child_rows + parent_rows),
+    }

@@ -219,7 +219,8 @@ _PIT_TM = "2024-01-15 00:00:00"
     )
     SELECT e.event_id, e.user_id,
            h.c_acctbal AS acctbal_at_event,
-           (h.valid_to IS NULL) AS from_current_version
+           CASE WHEN h.c_custkey IS NULL THEN NULL
+                ELSE h.valid_to IS NULL END AS from_current_version
     FROM events e
     LEFT JOIN hist h
       ON h.c_custkey = e.user_id

@@ -1791,3 +1791,76 @@ def test_hard_negatives_semantics(spark):
         for r in hard_negatives(cands, pos, k=2).orderBy("qid", "neg_rank").collect()
     ]
     assert got == [(1, 11, 1), (1, 12, 2)]  # 10 excluded; tie 0.8 -> lower cid first
+
+
+def test_choose_join_strategy_sketch_verdicts(spark):
+    """r9: choose_join_strategy is the cm_join_size_estimate consumer —
+    a small parent gets broadcast_parent=True, a parent over the row
+    threshold flips to False (the never-under total makes that verdict
+    sound), and a hot-key pair raises skew_warning.  The verdict composes
+    with the FK probe: plan shows a broadcast for the small parent and
+    none for the flipped one."""
+    from msgraphdatapipelines_spark import plans
+    from msgraphdatapipelines_spark.operators import constraints as C
+    from msgraphdatapipelines_spark.operators.sketches import (
+        build_cm_sketch,
+        choose_join_strategy,
+        cm_total_rows,
+    )
+
+    child = spark.createDataFrame(
+        [("hot",)] * 200 + [(f"c{i}",) for i in range(100)], ["k"]
+    )
+    small_parent = spark.createDataFrame([(f"c{i}",) for i in range(50)], ["k"])
+    big_parent = spark.createDataFrame(
+        [("hot",)] * 150 + [(f"p{i}",) for i in range(300)], ["k"]
+    )
+    sk_child = build_cm_sketch(child, [], "k")
+    sk_small = build_cm_sketch(small_parent, [], "k")
+    sk_big = build_cm_sketch(big_parent, [], "k")
+
+    assert cm_total_rows(sk_small) == 50  # bucket sums are collision-free
+    assert cm_total_rows(sk_big) == 450
+
+    plan_small = choose_join_strategy(sk_child, sk_small, broadcast_threshold_rows=100)
+    assert plan_small["broadcast_parent"] is True
+    assert plan_small["skew_warning"] is False  # disjoint-ish keys, no fan-out
+
+    plan_big = choose_join_strategy(sk_child, sk_big, broadcast_threshold_rows=100)
+    assert plan_big["broadcast_parent"] is False  # sound: est never under
+    # hot×hot = 200·150 = 30000 ≥ 4×(300+450) — the fan-out signature
+    assert plan_big["join_size_est"] >= 30000
+    assert plan_big["skew_warning"] is True
+
+    # verdicts drive the FK probe's physical plan
+    fk_small = C.check_constraints(
+        child,
+        [C.foreign_key(["k"], small_parent, ["k"],
+                       broadcast_parent=plan_small["broadcast_parent"])],
+    )
+    assert plans.num_broadcasts(fk_small) >= 1
+    fk_big = C.check_constraints(
+        child,
+        [C.foreign_key(["k"], big_parent, ["k"],
+                       broadcast_parent=plan_big["broadcast_parent"])],
+    )
+    assert plans.num_broadcasts(fk_big) == 0
+
+
+def test_cm_estimate_missing_key_returns_zero(spark):
+    """r9 (ADVICE): a probed key absent from the sketch gets est=0 (left
+    join + coalesce), not a silently missing row — threshold screens read
+    every probed key."""
+    from msgraphdatapipelines_spark.operators.sketches import (
+        build_cm_sketch,
+        cm_estimate,
+    )
+
+    data = spark.createDataFrame([(f"k{i}",) for i in range(30)], ["k"])
+    sk = build_cm_sketch(data, [], "k")
+    probes = spark.createDataFrame([("k3",), ("never_seen_xyz",)], ["k"])
+    est = {r["k"]: r["cm_est"] for r in cm_estimate(sk, probes, "k").collect()}
+    assert set(est) == {"k3", "never_seen_xyz"}
+    assert est["k3"] >= 1
+    # not guaranteed 0 on collision, but must be present and never under
+    assert est["never_seen_xyz"] >= 0

