@@ -601,21 +601,69 @@ def _fs_for(spark: SparkSession, path: str):
     return p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()), p, jvm
 
 
-def snapshot_versions(spark: SparkSession, root: str) -> list[int]:
-    """Sorted list of snapshot versions present under ``root`` (``v=N``
-    directories)."""
+def _list_numbered_dirs(spark: SparkSession, root: str, prefix: str) -> list[int]:
+    """Sorted numeric suffixes of ``{prefix}N`` subdirectories of ``root``."""
     fs, p, _ = _fs_for(spark, root)
     if not fs.exists(p):
         return []
     out = []
     for st in fs.listStatus(p):
         name = st.getPath().getName()
-        if st.isDirectory() and name.startswith("v="):
+        if st.isDirectory() and name.startswith(prefix):
             try:
-                out.append(int(name[2:]))
+                out.append(int(name[len(prefix):]))
             except ValueError:
                 pass
     return sorted(out)
+
+
+def snapshot_versions(spark: SparkSession, root: str) -> list[int]:
+    """Sorted list of snapshot versions present under ``root`` (``v=N``
+    directories)."""
+    return _list_numbered_dirs(spark, root, "v=")
+
+
+def ensure_versioned_layout(spark: SparkSession, root: str) -> int | None:
+    """Migration guard for pre-versioning snapshot tables (r9, ADVICE):
+    a table written by the OLD flat layout (parquet files directly under
+    ``root``, no ``v=N`` subdirectories) would make
+    ``snapshot_versions() == []`` look like "first round ever", silently
+    resetting sync state and orphaning the prior snapshot's data — the
+    exact restart hazard the versioned layout exists to prevent.
+
+    Called by the sync streams before their bootstrap probe: when ``root``
+    holds top-level parquet files and NO version directories, the files
+    are MOVED (renamed — metadata-only on any sane filesystem, no data
+    copy) into ``v=1`` and the ``_LATEST`` pointer is written, upgrading
+    the table in place.  Crash-safe: a crash mid-move leaves a mixed dir
+    that the next call finishes migrating (renames are idempotent-ish —
+    already-moved files are gone from the top level); the pointer is
+    written LAST.  Returns the migrated version (1), or None when there
+    was nothing to migrate (already versioned, or genuinely empty).
+
+    The commit marker is the ``_LATEST`` pointer itself: a table with a
+    pointer is already versioned (stray top-level files are foreign —
+    untouched); without one, top-level parquet files are the legacy
+    snapshot, moved even if a crashed earlier migration already created
+    ``v=1`` (the resume case)."""
+    fs, p, jvm = _fs_for(spark, root)
+    if not fs.exists(p):
+        return None
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{root}/_LATEST")):
+        return None
+    flat = [
+        st.getPath()
+        for st in fs.listStatus(p)
+        if not st.isDirectory() and not st.getPath().getName().startswith("_LATEST")
+    ]
+    if not any(fp.getName().endswith(".parquet") for fp in flat):
+        return None
+    vdir = jvm.org.apache.hadoop.fs.Path(f"{root}/v=1")
+    fs.mkdirs(vdir)
+    for fp in flat:
+        fs.rename(fp, jvm.org.apache.hadoop.fs.Path(f"{root}/v=1/{fp.getName()}"))
+    _flip_latest(spark, root, 1)
+    return 1
 
 
 def write_snapshot(df: DataFrame, root: str, keep_last: int | None = None) -> int:
@@ -776,6 +824,152 @@ def vacuum_snapshots(spark: SparkSession, root: str, keep_last: int = 2) -> dict
         "removed_expired": expired,
         "kept": sorted(keep),
     }
+
+
+def snapshot_exists(spark: SparkSession, root: str) -> bool:
+    """True iff a COMMITTED snapshot exists at ``root`` — the ``_LATEST``
+    pointer is the commit marker (a ``v=N`` directory without one is a
+    crashed, never-committed first write: bootstrapping over it is safe
+    and ``write_snapshot`` will pick the next free version)."""
+    fs, _, jvm = _fs_for(spark, root)
+    return fs.exists(jvm.org.apache.hadoop.fs.Path(f"{root}/_LATEST"))
+
+
+# --- Partitioned SCD2 store (r9): O(current + delta) sync rounds -------------
+#
+# `apply_scd2` already keeps closed history rows untouched in its OUTPUT —
+# but a store that holds the whole history in one versioned table still
+# REWRITES them every round (r8 layout: read full history, write full
+# history).  At a 100 TB dimension history with hourly deltas that
+# O(history) I/O dominates everything.  The partitioned store lets closed
+# rows stay on disk untouched:
+#
+#   {root}/current/v=N/...   — snapshot-versioned CURRENT slice (small:
+#                              one row per live key), atomic _LATEST flip
+#   {root}/closed/r=N/...    — append-only per-round increments of rows
+#                              CLOSED in round N; never rewritten
+#
+# A round reads O(current), joins O(delta), writes O(current + closed_Δ).
+# Commit protocol (same token-last discipline as the sync streams):
+#   1. vacuum orphans (any v>pointer / r>pointer from a crashed round) —
+#      makes the replayed round's version number deterministic;
+#   2. write closed/r=new_v (the round's newly-closed rows);
+#   3. write current/v=new_v and FLIP the pointer — the commit point:
+#      a closed increment is visible to readers only when r <= pointer,
+#      so a crash between 2 and 3 leaves an invisible orphan that the
+#      next round's vacuum removes and the replay rewrites identically.
+# Replay after a FULL commit (crash before the caller saved its resume
+# token) re-applies the same delta to the already-updated current slice:
+# no attribute diff, no tombstone to re-close → the new round closes
+# nothing and republishes an identical current slice — idempotent.
+
+
+def _scd2_meta_schema(schema):
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        list(schema.fields)
+        + [
+            T.StructField("valid_from", T.TimestampType()),
+            T.StructField("valid_to", T.TimestampType()),
+            T.StructField("is_current", T.BooleanType()),
+        ]
+    )
+
+
+def scd2_store_begin_round(spark: SparkSession, root: str, schema) -> tuple[DataFrame, int]:
+    """Open an SCD2 round on the partitioned store: vacuum crash orphans,
+    migrate any pre-partitioned layout, and return ``(current_slice,
+    new_version)``.  ``schema`` is the ATTRIBUTE schema (keys + tracked
+    columns, no validity metadata) — used for the empty bootstrap frame
+    and the explicit-schema closed reads.
+
+    Migration (one-time, commit-markered by ``current/_LATEST``): an r8
+    whole-history versioned table at ``root`` (``v=N`` dirs) or a pre-r8
+    flat parquet dir is split into the partitioned layout — current rows
+    to ``current/v=1``, closed rows to ``closed/r=1`` — so no prior
+    history is ever mistaken for "first round" (the ADVICE r8 hazard).
+    """
+    meta = _scd2_meta_schema(schema)
+    cur_root = f"{root}/current"
+    fs, _, jvm = _fs_for(spark, root)
+    if not snapshot_exists(spark, cur_root):
+        legacy = None
+        if snapshot_exists(spark, root):  # r8 whole-history versioned layout
+            legacy = read_snapshot(spark, root)
+        elif ensure_versioned_layout(spark, root) is not None:  # pre-r8 flat
+            legacy = read_snapshot(spark, root)
+        if legacy is not None:
+            legacy.filter(~F.col("is_current")).write.mode("overwrite").parquet(
+                f"{root}/closed/r=1"
+            )
+            legacy.filter(F.col("is_current")).write.mode("overwrite").parquet(
+                f"{cur_root}/v=1"
+            )
+            _flip_latest(spark, cur_root, 1)
+    if snapshot_exists(spark, cur_root):
+        ptr = _read_latest_version(spark, cur_root)
+        for v in _list_numbered_dirs(spark, cur_root, "v="):
+            if v > ptr:
+                fs.delete(jvm.org.apache.hadoop.fs.Path(f"{cur_root}/v={v}"), True)
+        for r in _list_numbered_dirs(spark, f"{root}/closed", "r="):
+            if r > ptr:
+                fs.delete(jvm.org.apache.hadoop.fs.Path(f"{root}/closed/r={r}"), True)
+        return read_snapshot(spark, cur_root), ptr + 1
+    return spark.createDataFrame([], meta), 1
+
+
+def scd2_store_commit_round(
+    spark: SparkSession,
+    root: str,
+    merged: DataFrame,
+    new_v: int,
+    keep_last: int | None = None,
+) -> dict:
+    """Publish one round's ``apply_scd2`` output (computed against the
+    CURRENT slice only): newly-closed rows append as ``closed/r=new_v``,
+    the new current slice becomes ``current/v=new_v``, pointer flips last
+    (the commit point — see the layout comment above).  ``keep_last``
+    expires old CURRENT versions only; closed increments are the
+    permanent history and are never rewritten.  Returns write stats."""
+    merged = merged.localCheckpoint(eager=True)  # two consumers, one compute
+    cur_root = f"{root}/current"
+    closed_inc = merged.filter(~F.col("is_current"))
+    new_cur = merged.filter(F.col("is_current"))
+    n_closed = closed_inc.count()
+    closed_inc.write.mode("overwrite").parquet(f"{root}/closed/r={new_v}")
+    new_cur.write.mode("overwrite").parquet(f"{cur_root}/v={new_v}")
+    _flip_latest(spark, cur_root, new_v)
+    if keep_last is not None:
+        fs, _, jvm = _fs_for(spark, root)
+        for v in snapshot_versions(spark, cur_root)[:-keep_last]:
+            if v != new_v:
+                fs.delete(jvm.org.apache.hadoop.fs.Path(f"{cur_root}/v={v}"), True)
+    return {"version": new_v, "closed_rows_written": n_closed}
+
+
+def read_scd2_history(spark: SparkSession, root: str, schema=None) -> DataFrame:
+    """Full validity-interval history from an SCD2 store: the partitioned
+    layout (current slice ∪ committed closed increments, ``r <=``
+    pointer) when present, else the legacy whole-history snapshot at
+    ``root``.  ``schema`` (attribute schema) makes empty closed
+    increments readable (a round that closed nothing writes a
+    zero-row directory)."""
+    cur_root = f"{root}/current"
+    if not snapshot_exists(spark, cur_root):
+        return read_snapshot(spark, root)  # legacy whole-history layout
+    cur = read_snapshot(spark, cur_root)
+    ptr = _read_latest_version(spark, cur_root)
+    rounds = [r for r in _list_numbered_dirs(spark, f"{root}/closed", "r=") if r <= ptr]
+    if not rounds:
+        return cur
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(_scd2_meta_schema(schema))
+    else:
+        reader = reader.schema(cur.schema)
+    closed = reader.parquet(*[f"{root}/closed/r={r}" for r in rounds])
+    return cur.unionByName(closed)
 
 
 def refresh_agg_incremental(

@@ -75,11 +75,16 @@ def delta_sync_stream(
             spark, first_url, schema, state_path=state_path,
             fetcher=fetcher, removed_col=removed_col,
         )
-        # First-round detection is an EXPLICIT existence probe — a read
-        # failure on an existing snapshot must fail the round (token not
-        # advanced, stream restarts and replays), never be mistaken for
-        # "no snapshot yet" (r7 ADVICE item 2).
-        if sinks.snapshot_versions(spark, snapshot_path):
+        # A pre-versioning flat-layout snapshot migrates in place (r9,
+        # ADVICE r8): without this, flat parquet under snapshot_path would
+        # probe as "first round" and silently orphan the prior data.
+        sinks.ensure_versioned_layout(spark, snapshot_path)
+        # First-round detection is an EXPLICIT existence probe (the
+        # committed _LATEST pointer) — a read failure on an existing
+        # snapshot must fail the round (token not advanced, stream
+        # restarts and replays), never be mistaken for "no snapshot yet"
+        # (r7 ADVICE item 2).
+        if sinks.snapshot_exists(spark, snapshot_path):
             snapshot = sinks.read_snapshot(spark, snapshot_path)
         else:
             snapshot = spark.createDataFrame([], schema)
@@ -130,26 +135,25 @@ def scd2_sync_stream(
     already-applied current rows (no attr diff, tombstone already
     closed), the re-apply is a NO-OP: idempotent by construction.
 
-    The history at ``history_path`` is snapshot-versioned (r7 ADVICE
-    item 2): each round publishes a new ``v=N`` directory + atomic
-    ``_LATEST`` flip, so a crash mid-write leaves the previous complete
-    history intact, and a read failure on an EXISTING history fails the
-    round (replayed on restart) instead of silently restarting from an
-    empty history.  Read with ``sinks.read_snapshot(spark,
-    history_path)``; ``keep_last`` bounds retained versions.
+    The history at ``history_path`` is PARTITIONED current-vs-closed
+    (r9, VERDICT item 3): ``apply_scd2`` runs against the CURRENT slice
+    only, newly-closed rows append as a per-round increment, and closed
+    history stays on disk untouched — a round's I/O is O(current + delta)
+    instead of O(full history) (the r8 all-rewrite layout's dominant cost
+    at a 100 TB dimension with hourly deltas).  The current slice is
+    snapshot-versioned with the atomic ``_LATEST`` flip as the round's
+    commit point; crash orphans (an un-pointed version or closed
+    increment) are vacuumed at round start, so replays are deterministic
+    (``sinks.scd2_store_begin_round`` / ``scd2_store_commit_round``).
+    Pre-existing r8 whole-history or pre-r8 flat layouts migrate in place
+    on first touch — never mistaken for "no history yet".  Read with
+    ``sinks.read_scd2_history(spark, history_path)``; ``keep_last``
+    bounds retained CURRENT versions (closed increments are the
+    permanent history).
     """
     import datetime as _dt
 
     from pyspark.sql import functions as F
-
-    meta = T.StructType(
-        schema.fields
-        + [
-            T.StructField("valid_from", T.TimestampType()),
-            T.StructField("valid_to", T.TimestampType()),
-            T.StructField("is_current", T.BooleanType()),
-        ]
-    )
 
     def sync(_batch_df, batch_id: int) -> None:
         delta, link = rest.read_odata_delta(
@@ -162,14 +166,13 @@ def scd2_sync_stream(
             else _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
         )
         updates = delta.withColumn("effective_ts", F.lit(eff).cast("timestamp"))
-        if sinks.snapshot_versions(spark, history_path):
-            history = sinks.read_snapshot(spark, history_path)
-        else:  # first round — explicit probe, never inferred from a failure
-            history = spark.createDataFrame([], meta)
+        current, new_v = sinks.scd2_store_begin_round(spark, history_path, schema)
         merged = sinks.apply_scd2(
-            history, updates, keys, removed_col=removed_col
+            current, updates, keys, removed_col=removed_col
         )
-        sinks.write_snapshot(merged, history_path, keep_last=keep_last)
+        sinks.scd2_store_commit_round(
+            spark, history_path, merged, new_v, keep_last=keep_last
+        )
         if link:
             rest.save_delta_state(state_path, link)
 

@@ -679,7 +679,7 @@ def test_scd2_sync_stream_builds_full_history(spark, delta_pages, tmp_path):
     from msgraphdatapipelines_spark import sinks
 
     rows = sorted(
-        sinks.read_snapshot(spark, history).collect(),
+        sinks.read_scd2_history(spark, history).collect(),
         key=lambda r: (r["id"], r["valid_from"]),
     )
     got = [
@@ -748,6 +748,6 @@ def test_scd2_sync_stream_failed_round_preserves_history(
         q.stop()
     # token did not advance; history is exactly round 1's (3 current rows)
     assert rest.load_delta_state(state) == token_after_r1
-    rows = sinks.read_snapshot(spark, history).collect()
+    rows = sinks.read_scd2_history(spark, history).collect()
     assert sorted(r["id"] for r in rows) == ["a", "b", "c"]
     assert all(r["is_current"] for r in rows)
