@@ -210,3 +210,80 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# r9 (r8 VERDICT item 6): correlated-subquery SQL shapes — the
+# decorrelation paths of the declared SQL surface (scalar correlated
+# subquery, uncorrelated scalar subquery, NOT EXISTS), driven through the
+# parser via sql.sql so Catalyst's RewriteCorrelatedScalarSubquery /
+# RewritePredicateSubquery rules are what execute, not hand-built joins.
+# Engine and oracle share ONE SQL text: every accumulation is an exact
+# decimal sum cast to double before any division, so the floats are
+# bit-identical cross-engine (the q3/q14 discipline).
+
+_Q17_SQL = """
+SELECT p_brand,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0E0
+           AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE CAST(l_quantity AS DOUBLE) <
+      (SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+              / (5.0E0 * COUNT(*))
+       FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+_Q22_SQL = """
+SELECT c_nationkey AS cntrycode,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer c
+WHERE CAST(c_acctbal AS DOUBLE) > (
+        SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*)
+        FROM customer c2 WHERE c2.c_acctbal > 0.0E0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+ORDER BY cntrycode
+"""
+
+
+@register(
+    "q17_small_quantity_revenue",
+    demoted=True,  # SQL-entry family driver-graded via sql_surface_revenue_rank
+    oracle=_Q17_SQL,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (r9): per-brand revenue from below-avg-quantity
+    line items, where the threshold is a CORRELATED SCALAR SUBQUERY
+    (``0.2 * avg(l_quantity)`` per part, expressed division-free as
+    ``sum/(5·count)`` so the threshold is one exact-decimal sum and one
+    IEEE divide — bit-identical cross-engine).  Catalyst decorrelates it
+    into a per-part aggregate joined back to the fact scan — the plan
+    pytest pins that NO scalar-subquery node survives to the physical
+    plan (per-row re-execution would be O(n²) at 100 TB; the decorrelated
+    form is two scans + one broadcast join)."""
+    from .. import sql as sqlmod
+
+    return sqlmod.sql(spark, sf_dir, _Q17_SQL)
+
+
+@register(
+    "q22_dormant_high_balance",
+    demoted=True,  # SQL-entry family driver-graded via sql_surface_revenue_rank
+    oracle=_Q22_SQL,
+)
+def q22_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (r9): high-balance customers with no urgent order
+    — an UNCORRELATED SCALAR SUBQUERY (global positive-balance average,
+    evaluated once and broadcast) plus a NOT EXISTS that Catalyst
+    rewrites to a left-anti join (plan-pinned).  The anti join's right
+    side is the filtered orders scan, so the exclusion predicate pushes
+    into the scan instead of running per customer row."""
+    from .. import sql as sqlmod
+
+    return sqlmod.sql(spark, sf_dir, _Q22_SQL)

@@ -447,3 +447,29 @@ def test_fk_probe_broadcast_gated(spark, sf_dir):
         orders, [C.foreign_key(["o_custkey"], customer, ["c_custkey"], broadcast_parent=False)]
     )
     assert plans.num_broadcasts(invalid) == 0
+
+
+def test_q17_correlated_scalar_subquery_decorrelates(spark, sf_dir):
+    """r9 (r8 VERDICT item 6): the correlated scalar subquery in Q17 must
+    NOT survive to the physical plan — Catalyst decorrelates it into a
+    per-part aggregate joined back (per-row subquery re-execution would be
+    O(n·subquery) at scale)."""
+    from msgraphdatapipelines_spark.queries import tpch
+
+    df = tpch.q17_small_quantity_revenue(spark, sf_dir)
+    p = plans.physical_plan(df)
+    assert "scalar-subquery" not in p.lower()
+    assert "Join" in p  # the decorrelated aggregate joins back to the scan
+
+
+def test_q22_not_exists_is_anti_join(spark, sf_dir):
+    """r9: NOT EXISTS compiles to a left-anti join (RewritePredicateSubquery),
+    and the urgent-priority exclusion predicate pushes into the orders scan
+    rather than evaluating per probe row."""
+    from msgraphdatapipelines_spark.queries import tpch
+
+    df = tpch.q22_dormant_high_balance(spark, sf_dir)
+    p = plans.physical_plan(df)
+    assert "LeftAnti" in p
+    fs = " ".join(plans.pushed_filters(df))
+    assert "o_orderpriority" in fs
