@@ -184,6 +184,7 @@ def transitive_reachability(
     src: str = "src",
     dst: str = "dst",
     max_depth: int = 8,
+    checkpoint: str = "local",
 ) -> DataFrame:
     """Directed transitive closure with hop counts (r8): all (src, dst,
     min_depth) pairs reachable in ≤ ``max_depth`` hops — nested
@@ -198,22 +199,46 @@ def transitive_reachability(
     anti-join (a revisited pair is already in the closure).  The loop
     stops early the first round that discovers nothing.
 
-    Scale shape: per round ONE equi-join of the (shrinking) frontier with
-    edges + one anti-join against the closure, both keyed shuffles; eager
-    localCheckpoint truncates lineage per round; state is O(reachable
-    pairs) — the output's own size, the irreducible cost of materialized
-    transitive closure.  ``max_depth`` bounds rounds; organizational
-    hierarchies are shallow (AAD caps group nesting well below 8).
+    Scale shape (r9, r8 VERDICT item 7): per round ONE equi-join of the
+    (shrinking) frontier with edges + one anti-join against the closure,
+    both keyed shuffles.  Only the per-round INCREMENT (the frontier) is
+    materialized — the closure is accumulated as a lazy union of the
+    already-pinned increments, so a depth-D run writes Σ|frontier_d| =
+    O(closure) total checkpoint bytes, not O(closure·D) as a
+    re-checkpoint-the-whole-closure-per-round loop would (the anti-join
+    still reads O(closure) per round — the irreducible probe cost of
+    materialized transitive closure).  ``max_depth`` bounds rounds;
+    organizational hierarchies are shallow (AAD caps group nesting well
+    below 8), and for deep graphs ``checkpoint='reliable'`` spills the
+    increments to the configured checkpoint dir instead of executor
+    memory/disk (the same escape hatch ``connected_components`` has).
     """
+    if checkpoint not in ("local", "reliable"):
+        raise ValueError(f"checkpoint must be 'local' or 'reliable', got {checkpoint!r}")
+
+    def _pin(df: DataFrame) -> DataFrame:
+        if checkpoint == "local":
+            return df.localCheckpoint(eager=True)
+        return df.checkpoint(eager=True)
+
     e = (
         edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
         .filter(F.col("_s") != F.col("_d"))
         .distinct()
     )
-    closure = e.select(
-        F.col("_s").alias("src"), F.col("_d").alias("dst"), F.lit(1).alias("min_depth")
-    ).localCheckpoint(eager=True)
-    frontier = closure
+    frontier = _pin(
+        e.select(
+            F.col("_s").alias("src"), F.col("_d").alias("dst"), F.lit(1).alias("min_depth")
+        )
+    )
+    increments = [frontier]  # each leg pinned → the union's lineage is flat
+
+    def _closure() -> DataFrame:
+        out = increments[0]
+        for inc in increments[1:]:
+            out = out.unionByName(inc)
+        return out
+
     for depth in range(2, max_depth + 1):
         # BFS explores in depth order, so a pair's FIRST discovery is its
         # minimum depth — the anti-join both dedups and kills cycles (a
@@ -224,12 +249,12 @@ def transitive_reachability(
             .filter(F.col("src") != F.col("dst"))
             .distinct()
         )
-        new = stepped.join(closure, ["src", "dst"], "left_anti").select(
+        new = stepped.join(_closure(), ["src", "dst"], "left_anti").select(
             "src", "dst", F.lit(depth).alias("min_depth")
         )
-        new = new.localCheckpoint(eager=True)
+        new = _pin(new)
         if new.isEmpty():
-            return closure
-        closure = closure.unionByName(new).localCheckpoint(eager=True)
+            break
+        increments.append(new)
         frontier = new
-    return closure
+    return _closure()

@@ -1864,3 +1864,57 @@ def test_cm_estimate_missing_key_returns_zero(spark):
     assert est["k3"] >= 1
     # not guaranteed 0 on collision, but must be present and never under
     assert est["never_seen_xyz"] >= 0
+
+
+def test_transitive_reachability_deep_chain_frontier_only_checkpoint(spark, monkeypatch):
+    """r9 (r8 VERDICT item 7): a depth-40 chain completes, the closure is
+    exact, and the loop pins only the per-round INCREMENT — total rows
+    materialized through localCheckpoint equal the closure size (each pair
+    checkpointed exactly once at its discovery depth), not the
+    O(closure · depth) a re-pin-the-whole-closure-per-round loop writes."""
+    # patch the CONCRETE class — in PySpark 4 pyspark.sql.DataFrame is the
+    # unified facade and classic sessions instantiate the subclass below,
+    # whose own localCheckpoint would shadow a base-class patch
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from msgraphdatapipelines_spark.operators.graph import transitive_reachability
+
+    n = 40
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "src long, dst long"
+    )
+
+    pinned_rows = []
+    orig = DataFrame.localCheckpoint
+
+    def counting(self, eager=True, storageLevel=None):
+        out = orig(self, eager=eager)
+        pinned_rows.append(out.count())
+        return out
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", counting)
+    got = transitive_reachability(chain, max_depth=n)
+    rows = {(r["src"], r["dst"]): r["min_depth"] for r in got.collect()}
+    expect = {
+        (i, j): j - i for i in range(n + 1) for j in range(i + 1, n + 1)
+    }
+    assert rows == expect
+    # every pair pinned exactly once (+ the final empty frontier probe)
+    assert sum(pinned_rows) == len(expect)
+
+
+def test_transitive_reachability_reliable_checkpoint(spark, tmp_path):
+    """checkpoint='reliable' routes increments through the configured
+    checkpoint dir (the connected_components escape hatch) and returns the
+    same closure."""
+    from msgraphdatapipelines_spark.operators.graph import transitive_reachability
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    chain = spark.createDataFrame([(i, i + 1) for i in range(5)], "src long, dst long")
+    got = {
+        (r["src"], r["dst"], r["min_depth"])
+        for r in transitive_reachability(chain, max_depth=8, checkpoint="reliable").collect()
+    }
+    assert got == {
+        (i, j, j - i) for i in range(6) for j in range(i + 1, 6)
+    }
