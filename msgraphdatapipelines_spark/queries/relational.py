@@ -227,6 +227,7 @@ def join_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "count_distinct_by_priority",
+    demoted=True,  # DEMOTED r9 rotation: grouped-agg family battery-covered
     oracle="""
     SELECT o_orderpriority,
            COUNT(DISTINCT o_custkey) AS n_customers,

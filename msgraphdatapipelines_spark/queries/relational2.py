@@ -19,6 +19,7 @@ TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
 @register(
     "asof_join_last_order",
+    demoted=True,  # DEMOTED r9 rotation: range/PIT join family battery-covered
     oracle="""
     SELECT event_id, user_id, asof_orderkey FROM (
         SELECT e.event_id, e.user_id, o.o_orderkey AS asof_orderkey,

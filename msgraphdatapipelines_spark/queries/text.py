@@ -1150,7 +1150,8 @@ def _hybrid_indexed_oracle() -> str:
 
 @register(
     "hybrid_search_rrf_indexed",
-    demoted=True,  # retrieval family driver-graded via tfidf/ANN rows
+    # PROMOTED r9 (r8 VERDICT item 8): the architecture flagship —
+    # retrieval served from the standing IVF+PQ artifact
     oracle=_hybrid_indexed_oracle(),
 )
 def hybrid_search_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1180,7 +1181,7 @@ def hybrid_search_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "heavy_hitters_cm",
-    demoted=True,  # sketch family driver-graded via approx_distinct_stats
+    # PROMOTED r9 (r8 VERDICT item 8): exact value-matched count-min cells
     oracle=f"""
     WITH toks AS (
         SELECT source, unnest({_WS}) AS tok FROM documents
