@@ -424,3 +424,218 @@ def strip_frequent_segments(
         F.max("_n_segs").cast("long").alias("n_segments"),
         F.sum(F.when(F.col("_f") == 1, 1).otherwise(0)).cast("long").alias("n_dropped"),
     )
+
+
+def gopher_rules(
+    text: Column | str,
+    ws: Column | None = None,
+    *,
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    min_mean_token_len: float = 3.0,
+    max_mean_token_len: float = 10.0,
+    max_digit_token_ratio: float = 0.2,
+    min_alpha_token_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+    max_top_token_ratio: float = 0.15,
+    max_dup_3gram_ratio: float = 0.5,
+) -> dict[str, Column]:
+    """Gopher/MassiveText-style quality RULE battery (r9): the keep/drop
+    decision layer over the per-document signals — each published
+    heuristic as a named boolean verdict plus the conjunction
+    ``gopher_pass`` (Rae et al. 2021 §A1.1.1, the filter set FineWeb/
+    Dolma re-implement; line-based rules are expressed token-based
+    because this corpus has no line structure).
+
+    All verdicts are comparisons of exact integer ratios (cast to double
+    once, same operand order cross-engine) against literal thresholds —
+    pure per-row codegen, one scan scores and gates the whole corpus, no
+    shuffle anywhere.  Compose with ``quality_stats``/``repetition_signals``
+    sharing one materialized ``ws`` so the document tokenizes once.
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    w = ws if ws is not None else tokens(t)
+    n = F.size(w)
+    nd = F.greatest(n, F.lit(1))
+    stats = quality_stats(t, ws=w)
+    rep = repetition_signals(t, ws=w)
+    n_alpha = F.size(F.filter(w, lambda x: x.rlike("[a-zA-Z]")))
+    stop = F.array([F.lit(m) for ms in LANG_MARKERS.values() for m in ms])
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop, x)))
+    rules = {
+        "pass_n_tokens": (n >= min_tokens) & (n <= max_tokens),
+        "pass_mean_token_len": (stats["mean_token_len"] >= min_mean_token_len)
+        & (stats["mean_token_len"] <= max_mean_token_len),
+        "pass_digit_ratio": stats["digit_token_ratio"] <= max_digit_token_ratio,
+        "pass_alpha_ratio": (n_alpha.cast("double") / nd) >= min_alpha_token_ratio,
+        "pass_stopwords": n_stop >= min_stopword_hits,
+        "pass_top_token": rep["top_token_ratio"] <= max_top_token_ratio,
+        "pass_dup_3gram": rep["dup_3gram_ratio"] <= max_dup_3gram_ratio,
+    }
+    acc = None
+    for c in rules.values():
+        acc = c if acc is None else (acc & c)
+    rules["gopher_pass"] = acc
+    return rules
+
+
+def duplicated_span_stats(
+    df: "DataFrame",  # noqa: F821
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_count: int = 2,
+) -> "DataFrame":  # noqa: F821
+    """Cross-document repeated-substring statistics (r9): for every
+    document, how much of it is covered by a token ``n``-gram that occurs
+    ≥ ``min_count`` times ANYWHERE in the corpus — the sliding-window
+    exact-substring dedup signal of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"), as per-doc coverage
+    stats a curation pipeline thresholds on.  Differs from
+    ``strip_frequent_segments`` (disjoint windows, removal) in catching
+    duplication at ANY alignment.
+
+    Scale shape: one scan explodes sliding gram POSITIONS keyed by
+    ``md5(gram)`` (the shuffle carries a fixed-width hash, never the
+    text); ONE gram-keyed shuffle counts global occurrences (map-side
+    partial agg collapses per-partition repeats); duplicated positions
+    semi-join back (broadcastable only if the dup set is small — left as
+    a plain equi-join for AQE to decide) and per-doc coverage is an
+    O(positions) sorted-interval-union FOLD (``F.aggregate`` over the
+    sorted position array — no second explode of ``n`` covered indices
+    per position, which would multiply the shuffle by the window width).
+
+    Output: ``id_col, n_tokens, n_grams, n_dup_positions,
+    dup_ngram_ratio, covered_tokens, dup_token_fraction`` — one row per
+    input document (docs shorter than ``n`` tokens report zeros).
+    """
+    from pyspark.sql import DataFrame
+
+    assert isinstance(df, DataFrame)
+    w = tokens(text_col)
+    base = df.select(F.col(id_col), w.alias("_w")).select(
+        F.col(id_col), F.col("_w"), F.size("_w").alias("_nt")
+    )
+    pos = base.filter(F.col("_nt") >= n).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("_nt") - F.lit(n - 1)),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.md5(F.array_join(F.slice(F.col("_w"), i, n), " ")).alias("gkey"),
+                ),
+            )
+        ).alias("_g"),
+    ).select(F.col(id_col), F.col("_g.pos").alias("pos"), F.col("_g.gkey").alias("gkey"))
+    dup = (
+        pos.groupBy("gkey")
+        .count()
+        .filter(F.col("count") >= min_count)
+        .select("gkey")
+    )
+    dup_pos = pos.join(dup, "gkey", "left_semi")
+    per_doc = dup_pos.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_dup_positions"),
+        F.sort_array(F.collect_list("pos")).alias("_ps"),
+    )
+    covered = F.aggregate(
+        F.col("_ps"),
+        F.struct(
+            F.lit(-(10**9)).alias("prev"), F.lit(0).alias("acc")
+        ),
+        lambda s, p: F.struct(
+            p.alias("prev"),
+            (s["acc"] + F.least(F.lit(n), p - s["prev"])).alias("acc"),
+        ),
+        lambda s: s["acc"],
+    )
+    out = base.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.col("_nt").cast("long").alias("n_tokens"),
+        F.greatest(F.col("_nt") - F.lit(n - 1), F.lit(0)).cast("long").alias("n_grams"),
+        F.coalesce(F.col("n_dup_positions"), F.lit(0)).cast("long").alias("n_dup_positions"),
+        F.round(
+            F.coalesce(F.col("n_dup_positions"), F.lit(0)).cast("double")
+            / F.greatest(F.col("_nt") - F.lit(n - 1), F.lit(1)),
+            6,
+        ).alias("dup_ngram_ratio"),
+        F.coalesce(covered, F.lit(0)).cast("long").alias("covered_tokens"),
+        F.round(
+            F.coalesce(covered, F.lit(0)).cast("double")
+            / F.greatest(F.col("_nt"), F.lit(1)),
+            6,
+        ).alias("dup_token_fraction"),
+    )
+    return out
+
+
+def dsir_weights(
+    df: "DataFrame",  # noqa: F821
+    is_target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> "DataFrame":  # noqa: f821
+    """DSIR-style importance weights (r9): per-document log-likelihood
+    ratio between a TARGET token distribution (rows where ``is_target``)
+    and the RAW corpus distribution, over hashed unigram buckets — the
+    data-selection score of Xie et al. 2023 ("Data Selection for Language
+    Models via Importance Resampling"), whose top-weighted documents are
+    the ones that "look like" the target domain.  Feed the weights to
+    ``sampling.weighted_sample_without_replacement`` for the actual
+    resampling draw.
+
+    Determinism: token → bucket via the first md5 byte(s) (identical
+    cross-engine); both add-one-smoothed log terms are floor-quantized to
+    integer micro-nats (the ``quality_buckets_logprob`` discipline), so
+    per-doc sums are exact integer arithmetic and the final double is one
+    division — bit-identical cross-engine.
+
+    Scale shape: ONE bucket-keyed shuffle builds the 2×``n_buckets``
+    count table (map-side combine; the table is O(buckets), broadcast
+    back), then one doc-keyed aggregation sums weights — no corpus-sized
+    state, no UDFs.  ``n_buckets`` fixed at 256 uses a 1-byte md5 prefix;
+    the hash-bucket collisions ARE the DSIR smoothing.
+    """
+    from pyspark.sql import DataFrame
+
+    assert isinstance(df, DataFrame)
+    if n_buckets != 256:
+        raise ValueError("n_buckets is pinned to 256 (1-byte md5 prefix)")
+    Q = 1_000_000
+    toks = df.select(
+        F.col(id_col), is_target.alias("_t"), F.explode(tokens(text_col)).alias("tok")
+    ).select(F.col(id_col), F.col("_t"), F.substring(F.md5("tok"), 1, 2).alias("b"))
+    counts = toks.groupBy("b").agg(
+        F.count("*").alias("c_raw"),
+        F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("c_tgt"),
+    )
+
+    def _lnq(c: Column) -> Column:
+        return F.floor(F.log(c.cast("double")) * Q).cast("long")
+
+    wtab = counts.select(
+        "b", (_lnq(F.col("c_tgt") + 1) - _lnq(F.col("c_raw") + 1)).alias("wq")
+    )
+    totals = counts.agg(
+        (
+            _lnq(F.sum("c_raw") + n_buckets) - _lnq(F.sum("c_tgt") + n_buckets)
+        ).alias("cq")
+    )
+    scored = (
+        toks.join(F.broadcast(wtab), "b")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_tokens"), F.sum("wq").alias("_swq"))
+        .crossJoin(F.broadcast(totals))
+    )
+    return scored.select(
+        F.col(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(
+            (F.col("_swq") + F.col("n_tokens") * F.col("cq")).cast("double")
+            / (F.lit(float(Q)) * F.col("n_tokens")),
+            6,
+        ).alias("dsir_logratio"),
+        ((F.col("_swq") + F.col("n_tokens") * F.col("cq")) > 0).alias("target_like"),
+    )

@@ -299,3 +299,51 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample_without_replacement(
         docs, "doc_id", "n_chars", k=25, strata=["lang"]
     ).select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "dsir_importance_weights",
+    demoted=True,  # curation family driver-graded via corpus_curation/mixture rows
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang = 'en' AS t, substr(md5(tok), 1, 2) AS b
+        FROM (SELECT doc_id, lang, unnest({_WS}) AS tok FROM documents)
+    ),
+    counts AS (
+        SELECT b, count(*) AS c_raw,
+               sum(CASE WHEN t THEN 1 ELSE 0 END) AS c_tgt
+        FROM toks GROUP BY b
+    ),
+    wtab AS (
+        SELECT b,
+               CAST(floor(ln(CAST(c_tgt + 1 AS DOUBLE)) * 1000000) AS BIGINT)
+             - CAST(floor(ln(CAST(c_raw + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS wq
+        FROM counts
+    ),
+    tot AS (
+        SELECT CAST(floor(ln(CAST(sum(c_raw) + 256 AS DOUBLE)) * 1000000) AS BIGINT)
+             - CAST(floor(ln(CAST(sum(c_tgt) + 256 AS DOUBLE)) * 1000000) AS BIGINT) AS cq
+        FROM counts
+    ),
+    scored AS (
+        SELECT doc_id, count(*) AS n_tokens, sum(wq) AS swq
+        FROM toks JOIN wtab USING (b) GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(CAST(swq + n_tokens * cq AS DOUBLE) / (1000000.0 * n_tokens), 6)
+               AS dsir_logratio,
+           (swq + n_tokens * cq) > 0 AS target_like
+    FROM scored, tot
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (r9, Xie et al. 2023): per-document
+    log-likelihood ratio between the English subcorpus (target) and the
+    raw corpus over hashed unigram buckets — the data-selection score
+    whose top-weighted docs "look like" the target domain.  Quantized
+    integer micro-nat sums (the quality_buckets_logprob discipline) keep
+    the score bit-identical cross-engine; compose with the A-ES sampler
+    for the actual importance-resampling draw."""
+    docs = load(spark, sf_dir, "documents")
+    return X.dsir_weights(docs, F.col("lang") == "en", "doc_id", "text")

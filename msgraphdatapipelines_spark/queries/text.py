@@ -1241,3 +1241,103 @@ def heavy_hitters_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cm_est",
         (F.col("cm_est") >= F.col("exact_cnt")).alias("never_under"),
     )
+
+
+@register(
+    "gopher_rules_battery",
+    demoted=True,  # quality family driver-graded via text_battery/corpus_curation
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, {_WS} AS w FROM documents
+    ),
+    sig AS (
+        SELECT doc_id,
+               len(w) AS n_tok,
+               round(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+                     / len(w), 4) AS mean_len,
+               round(CAST(len(list_filter(w, x -> regexp_matches(x, '^[0-9]+$'))) AS DOUBLE)
+                     / greatest(len(w), 1), 4) AS digit_ratio,
+               CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+                   / greatest(len(w), 1) AS alpha_ratio,
+               len(list_filter(w, x -> x IN ({_ALL_MARKERS}))) AS n_stop,
+               round(CAST(list_max(list_transform(list_distinct(w),
+                         tok -> len(list_filter(w, x -> x = tok)))) AS DOUBLE)
+                     / greatest(len(w), 1), 6) AS top_tok,
+               round(1.0 - CAST(len(list_distinct(
+                         list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+                                        i -> list_aggregate(w[i:i+2], 'string_agg', ' '))))
+                         AS DOUBLE)
+                     / greatest(len(w) - 2, 1), 6) AS dup3
+        FROM s
+    )
+    SELECT doc_id,
+           n_tok >= 20 AND n_tok <= 100000 AS pass_n_tokens,
+           mean_len >= 3.0 AND mean_len <= 10.0 AS pass_mean_token_len,
+           digit_ratio <= 0.2 AS pass_digit_ratio,
+           alpha_ratio >= 0.8 AS pass_alpha_ratio,
+           n_stop >= 2 AS pass_stopwords,
+           top_tok <= 0.15 AS pass_top_token,
+           dup3 <= 0.5 AS pass_dup_3gram,
+           (n_tok >= 20 AND n_tok <= 100000) AND (mean_len >= 3.0 AND mean_len <= 10.0)
+               AND digit_ratio <= 0.2 AND alpha_ratio >= 0.8 AND n_stop >= 2
+               AND top_tok <= 0.15 AND dup3 <= 0.5 AS gopher_pass
+    FROM sig
+    """,
+)
+def gopher_rules_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText quality RULES (r9): the published keep/drop
+    heuristics (Rae et al. 2021 §A1.1.1) as named per-document verdicts —
+    token-count bounds, mean-token-length band, digit/alpha ratios,
+    stopword presence, top-token mass, duplicate-3-gram mass — plus the
+    conjunction ``gopher_pass``.  The decision layer downstream mixers
+    consume; signals come from the same one-scan codegen battery as
+    ``text_battery`` (shared tokenization, zero shuffles)."""
+    docs = load(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", X.tokens("text").alias("_ws"), F.col("text"))
+    rules = X.gopher_rules("text", ws=F.col("_ws"))
+    return toked.select("doc_id", *[c.alias(k) for k, c in rules.items()])
+
+
+@register(
+    "duplicated_spans_docs",
+    demoted=True,  # dedup family driver-graded via dedup_exact/minhash rows
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, {_WS} AS w, len({_WS}) AS nt FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, i AS pos,
+               md5(list_aggregate(w[i:i+7], 'string_agg', ' ')) AS gkey
+        FROM (SELECT doc_id, w, unnest(generate_series(1, nt - 7)) AS i
+              FROM base WHERE nt >= 8)
+    ),
+    dup AS (SELECT gkey FROM pos GROUP BY gkey HAVING count(*) >= 2),
+    dpos AS (SELECT doc_id, pos FROM pos JOIN dup USING (gkey)),
+    cov AS (
+        SELECT doc_id, count(DISTINCT idx) AS covered
+        FROM (SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS idx FROM dpos)
+        GROUP BY doc_id
+    ),
+    nd AS (SELECT doc_id, count(*) AS n_dup FROM dpos GROUP BY doc_id)
+    SELECT b.doc_id,
+           CAST(nt AS BIGINT) AS n_tokens,
+           CAST(greatest(nt - 7, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_positions,
+           round(CAST(coalesce(n_dup, 0) AS DOUBLE) / greatest(nt - 7, 1), 6)
+               AS dup_ngram_ratio,
+           CAST(coalesce(covered, 0) AS BIGINT) AS covered_tokens,
+           round(CAST(coalesce(covered, 0) AS DOUBLE) / greatest(nt, 1), 6)
+               AS dup_token_fraction
+    FROM base b LEFT JOIN nd USING (doc_id) LEFT JOIN cov USING (doc_id)
+    """,
+)
+def duplicated_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-substring coverage (r9): sliding 8-gram
+    positions whose gram occurs ≥2 times corpus-wide, per-doc duplicated-
+    position counts and token-coverage fraction (interval-union fold, no
+    width-× explode) — the Lee et al. 2022 exact-substring dedup signal.
+    The oracle computes coverage by exploding covered indices; the engine
+    folds sorted intervals — same integers, different plan, which is the
+    point (the fold keeps the doc-keyed shuffle O(dup positions))."""
+    docs = load(spark, sf_dir, "documents")
+    return X.duplicated_span_stats(docs, "doc_id", "text", n=8, min_count=2)

@@ -1918,3 +1918,109 @@ def test_transitive_reachability_reliable_checkpoint(spark, tmp_path):
     assert got == {
         (i, j, j - i) for i in range(6) for j in range(i + 1, 6)
     }
+
+
+def test_duplicated_span_stats_crafted(spark):
+    """r9 duplicated_span_stats: two docs sharing an 8-token run are both
+    fully flagged over that run (coverage counts the union of overlapping
+    windows, not window-count × n); a unique doc reports zeros; a doc
+    shorter than n reports zero grams."""
+    from msgraphdatapipelines_spark.operators.text import duplicated_span_stats
+
+    shared = "a b c d e f g h"  # 8 tokens, identical in docs 1 and 2
+    rows = [
+        (1, shared + " x1 y1 z1"),
+        (2, "p2 q2 " + shared),
+        (3, "u3 v3 w3 x3 y3 z3 a3 b3 c3"),  # unique 9 tokens
+        (4, "s t u"),  # shorter than n
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in duplicated_span_stats(df, n=8).collect()}
+    assert got[1]["n_dup_positions"] == 1 and got[1]["covered_tokens"] == 8
+    assert got[1]["n_tokens"] == 11 and got[1]["n_grams"] == 4
+    assert got[2]["n_dup_positions"] == 1 and got[2]["covered_tokens"] == 8
+    assert got[3]["n_dup_positions"] == 0 and got[3]["covered_tokens"] == 0
+    assert got[4]["n_grams"] == 0 and got[4]["dup_token_fraction"] == 0.0
+
+
+def test_duplicated_span_stats_overlapping_windows_union(spark):
+    """Overlapping duplicated windows merge: doc pair sharing a 10-token
+    run has 3 duplicated 8-gram positions but only 10 covered tokens."""
+    from msgraphdatapipelines_spark.operators.text import duplicated_span_stats
+
+    run = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, run + " u1 u2"), (2, "v1 " + run)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in duplicated_span_stats(df, n=8).collect()}
+    assert got[1]["n_dup_positions"] == 3
+    assert got[1]["covered_tokens"] == 10
+    assert got[2]["covered_tokens"] == 10
+
+
+def test_gopher_rules_edge_docs(spark):
+    """r9 gopher_rules: crafted violations trip exactly their rule."""
+    from pyspark.sql import functions as F
+
+    from msgraphdatapipelines_spark.operators import text as X
+
+    rows = [
+        (1, "the and for " + " ".join(f"word{i}" for i in range(30))),  # clean
+        (2, "the and " + " ".join(["duplicated"] * 40)),  # top-token violation
+        (3, "the and once twice"),  # too short
+        (4, "the and " + " ".join(["123"] * 10) + " " + " ".join(f"word{i}" for i in range(20))),  # digits
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    rules = X.gopher_rules("text")
+    got = {
+        r["doc_id"]: r
+        for r in df.select("doc_id", *[c.alias(k) for k, c in rules.items()]).collect()
+    }
+    assert got[1]["gopher_pass"]
+    assert not got[2]["pass_top_token"] and not got[2]["gopher_pass"]
+    assert not got[3]["pass_n_tokens"]
+    assert not got[4]["pass_digit_ratio"]
+
+
+def test_dsir_weights_direction_and_exactness(spark):
+    """r9 dsir_weights: docs made of target-only vocabulary score strictly
+    above docs of off-target vocabulary, and the quantized score replays
+    from plain-Python arithmetic on the same counts."""
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    from msgraphdatapipelines_spark.operators.text import dsir_weights
+
+    target_doc = "alpha beta gamma alpha beta"
+    off_doc = "zeta eta theta zeta eta"
+    rows = [(1, target_doc, True), (2, off_doc, False), (3, target_doc, False)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, t boolean")
+    got = {r["doc_id"]: r for r in dsir_weights(df, F.col("t"), "doc_id", "text").collect()}
+    # direction: target-vocab doc strictly above off-vocab doc; the
+    # ABSOLUTE sign stays negative at toy scale (+1 smoothing dominates
+    # 5-token counts), so only the off-vocab doc's flag is pinned
+    assert got[3]["dsir_logratio"] > got[2]["dsir_logratio"]
+    assert not got[2]["target_like"]
+
+    # replay doc 2's score in plain Python
+    def bucket(tok):
+        return hashlib.md5(tok.encode()).hexdigest()[:2]
+
+    toks_all = (target_doc + " " + off_doc + " " + target_doc).split()
+    toks_t = target_doc.split()
+    c_raw, c_tgt = {}, {}
+    for tok in toks_all:
+        c_raw[bucket(tok)] = c_raw.get(bucket(tok), 0) + 1
+    for tok in toks_t:
+        c_tgt[bucket(tok)] = c_tgt.get(bucket(tok), 0) + 1
+    Q = 1_000_000
+    lnq = lambda x: math.floor(math.log(x) * Q)  # noqa: E731
+    cq = lnq(len(toks_all) + 256) - lnq(len(toks_t) + 256)
+    swq = sum(
+        lnq(c_tgt.get(bucket(tok), 0) + 1) - lnq(c_raw[bucket(tok)] + 1)
+        for tok in off_doc.split()
+    )
+    n = len(off_doc.split())
+    assert got[2]["dsir_logratio"] == round((swq + n * cq) / (Q * n), 6)
