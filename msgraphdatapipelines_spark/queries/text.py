@@ -1341,3 +1341,157 @@ def duplicated_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     point (the fold keeps the doc-keyed shuffle O(dup positions))."""
     docs = load(spark, sf_dir, "documents")
     return X.duplicated_span_stats(docs, "doc_id", "text", n=8, min_count=2)
+
+
+# ---------------------------------------------------------------------------
+# r9: the STANDING LEXICAL INDEX — the BM25 twin of the ANN standing
+# artifact (queries/similarity.ensure_standing_index): postings/docstats/
+# termstats persisted once per corpus, every lexical retrieval after
+# first touch is pure serve.
+
+
+def lexicon_root(sf_dir: str) -> str:
+    """Deterministic artifact location, keyed on corpus identity (path +
+    documents.parquet size/mtime fingerprint) — a regenerated corpus can
+    never silently serve stale postings."""
+    import hashlib
+    import os
+    import tempfile
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    parts = []
+    if os.path.isdir(p):
+        for root_, _, files in sorted(os.walk(p)):
+            for fn in sorted(files):
+                st = os.stat(os.path.join(root_, fn))
+                parts.append(f"{fn}:{st.st_size}:{st.st_mtime_ns}")
+    else:
+        st = os.stat(p)
+        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{'|'.join(parts)}|lex|v1".encode()
+    ).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), f"msgdp_lex_{key}")
+
+
+def ensure_standing_lexicon(spark: SparkSession, sf_dir: str, docs: DataFrame | None = None):
+    """Build-at-most-once inverted statistics: ``(postings, docstats,
+    termstats, meta)`` where postings = (tok, doc_id, tf) REPARTITIONED BY
+    TERM and sorted within partitions (so a probe's ``tok IN (…)`` pushdown
+    skips whole row groups — the parquet analog of reading only the
+    queried postings lists), docstats = (doc_id, dl), termstats =
+    (tok, df), and meta = {n_docs, sum_dl} as exact integers (avgdl is
+    derived at serve time by ONE double division, the same expression the
+    from-scratch path and the oracle compute).
+
+    ``meta.json`` is written LAST via atomic rename — the commit marker;
+    a crash mid-build leaves no marker and the next call rebuilds."""
+    import json
+    import os
+
+    root = lexicon_root(sf_dir)
+    meta_path = f"{root}/meta.json"
+    if not os.path.exists(meta_path):
+        if docs is None:
+            docs = load(spark, sf_dir, "documents")
+        ws = F.filter(F.split("text", " "), lambda w: w != "")
+        toks = docs.select("doc_id", F.explode(ws).alias("tok"))
+        tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+        dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+        os.makedirs(root, exist_ok=True)
+        tf.repartition(F.col("tok")).sortWithinPartitions("tok").write.mode(
+            "overwrite"
+        ).parquet(f"{root}/postings")
+        dl.write.mode("overwrite").parquet(f"{root}/docstats")
+        tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).write.mode(
+            "overwrite"
+        ).parquet(f"{root}/termstats")
+        agg = dl.agg(F.count(F.lit(1)), F.sum("dl")).collect()[0]
+        tmp = f"{meta_path}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"n_docs": int(agg[0]), "sum_dl": int(agg[1])}, fh)
+        os.replace(tmp, meta_path)  # atomic commit marker
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    return (
+        spark.read.parquet(f"{root}/postings"),
+        spark.read.parquet(f"{root}/docstats"),
+        spark.read.parquet(f"{root}/termstats"),
+        meta,
+    )
+
+
+def bm25_topk_served(
+    spark: SparkSession,
+    sf_dir: str,
+    qt: DataFrame,
+    k: int = 10,
+    max_df: int | None = None,
+    isin_pushdown_cap: int = 1024,
+) -> DataFrame:
+    """BM25 top-``k`` served FROM THE STANDING LEXICON: no corpus scan, no
+    tf/dl/df recomputation — the probe joins the persisted postings.
+
+    When the distinct probe-term set is small (≤ ``isin_pushdown_cap`` —
+    bounded model-side state, like the ANN centroid collect), it is
+    collected and pushed as ``tok IN (…)`` into the postings SCAN, so the
+    term-partitioned, term-sorted parquet skips every row group holding
+    unqueried terms — the 100 TB shape where serve I/O tracks the probed
+    postings lists, not the corpus.  Larger probe sets fall back to the
+    plain broadcast join (still postings-bounded after the shuffle-free
+    probe-side df cap)."""
+    from pyspark.sql import Window
+
+    postings, dl, dfreq, meta = ensure_standing_lexicon(spark, sf_dir)
+    n_docs, sum_dl = meta["n_docs"], meta["sum_dl"]
+    terms = [r["tok"] for r in qt.select("tok").distinct().limit(isin_pushdown_cap + 1).collect()]
+    if len(terms) <= isin_pushdown_cap:
+        postings = postings.filter(F.col("tok").isin(terms))
+    qt2 = dfreq.join(F.broadcast(qt), "tok")
+    if max_df is not None:
+        qt2 = qt2.filter(F.col("df") <= max_df)
+    avgdl = F.lit(sum_dl).cast("double") / F.lit(n_docs)
+    idf = F.log(1 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_term = (F.col("tf") * 2.2) / (
+        F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * F.col("dl").cast("double") / avgdl)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score_q"), F.asc("doc_id"))
+    return (
+        postings.join(F.broadcast(qt2), "tok")
+        .join(dl, "doc_id")
+        .select("q_id", "doc_id", F.floor(idf * tf_term * F.lit(1e6)).cast("long").alias("c_q"))
+        .groupBy("q_id", "doc_id")
+        .agg(F.sum("c_q").alias("score_q"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "doc_id", "rank", "score_q")
+    )
+
+
+from . import DEMOTED as _DEMOTED  # noqa: E402 — late: bm25_search registers above
+
+
+@register(
+    "bm25_search_served",
+    demoted=True,  # retrieval family driver-graded via hybrid_search_rrf_indexed
+    oracle=_DEMOTED["bm25_search"].oracle,
+)
+def bm25_search_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served from the STANDING LEXICON (r9): identical ranking to
+    ``bm25_search`` — the oracle is literally the same from-scratch SQL,
+    so the hash match proves the persisted postings/docstats/termstats
+    artifact serves the exact values a full recomputation produces —
+    with the steady-state plan: probe terms pushed into the
+    term-partitioned postings scan (row-group skipping), df cap and
+    corpus stats applied from the persisted artifact, zero corpus-sized
+    work after first touch."""
+    docs = load(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    qt = (
+        docs.filter((F.col("doc_id") % 100 == 0) & (F.col("doc_id") < 5000))
+        .select(
+            F.col("doc_id").alias("q_id"),
+            F.explode(F.array_distinct(F.slice(ws, 1, 4))).alias("tok"),
+        )
+    )
+    return bm25_topk_served(spark, sf_dir, qt, k=10)

@@ -2024,3 +2024,34 @@ def test_dsir_weights_direction_and_exactness(spark):
     )
     n = len(off_doc.split())
     assert got[2]["dsir_logratio"] == round((swq + n * cq) / (Q * n), 6)
+
+
+def test_standing_lexicon_builds_once(spark, sf_dir):
+    """r9 ensure_standing_lexicon: second call resolves the SAME artifact
+    (meta.json mtime untouched — no recompute, no rewrite), and the
+    served postings equal a fresh tf computation."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from msgraphdatapipelines_spark.queries import load
+    from msgraphdatapipelines_spark.queries.text import (
+        ensure_standing_lexicon,
+        lexicon_root,
+    )
+
+    p1, d1, t1, m1 = ensure_standing_lexicon(spark, sf_dir)
+    mt = os.path.getmtime(f"{lexicon_root(sf_dir)}/meta.json")
+    p2, d2, t2, m2 = ensure_standing_lexicon(spark, sf_dir)
+    assert os.path.getmtime(f"{lexicon_root(sf_dir)}/meta.json") == mt
+    assert m1 == m2
+
+    docs = load(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    fresh_tf = (
+        docs.select("doc_id", F.explode(ws).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .count()
+    )
+    assert p2.count() == fresh_tf.count()
+    assert m2["n_docs"] == docs.count()

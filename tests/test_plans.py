@@ -473,3 +473,17 @@ def test_q22_not_exists_is_anti_join(spark, sf_dir):
     assert "LeftAnti" in p
     fs = " ".join(plans.pushed_filters(df))
     assert "o_orderpriority" in fs
+
+
+def test_bm25_served_probe_terms_pushed_into_postings_scan(spark, sf_dir):
+    """r9 standing lexicon: the probe's tok IN (…) predicate must reach
+    the postings parquet scan (term-partitioned + sorted ⇒ row-group
+    skipping), so serve I/O tracks the probed postings lists."""
+    from msgraphdatapipelines_spark.queries import text as qt
+
+    df = qt.bm25_search_served(spark, sf_dir)
+    p = plans.physical_plan(df)
+    import re
+
+    scans = re.findall(r"PushedFilters: \[([^\]]*)\]", p)
+    assert any("In(tok" in s for s in scans), scans
