@@ -341,3 +341,61 @@ def orders_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_snapshot, base_agg, touched, ["o_custkey"], build
     )
     return out.select("o_custkey", "n_orders", "sum_price", "n_urgent")
+
+
+def ensure_standing_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Build-at-most-once Z-ordered + zonemapped copy of ``events`` (r9):
+    the clustered, manifest-carrying layout a 100 TB warehouse keeps as
+    its table format.  Keyed on the source parquet's size/mtime
+    fingerprint (the standing-artifact discipline); ``_zm_ready`` marker
+    written last via atomic rename is the commit point."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .. import sinks
+    from . import load_events
+
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}|zm|v1".encode()
+    ).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), f"msgdp_zm_{key}")
+    marker = f"{root}/_zm_ready"
+    if not os.path.exists(marker):
+        ev = load_events(spark, sf_dir)
+        sinks.write_zordered(ev, f"{root}/events", ["value", "user_id"], num_files=16)
+        sinks.build_zonemap(spark, f"{root}/events", ["value", "user_id"])
+        tmp = f"{marker}.tmp"
+        with open(tmp, "w") as fh:
+            fh.write("ok")
+        os.replace(tmp, marker)
+    return f"{root}/events"
+
+
+@register(
+    "zonemap_pruned_scan_events",
+    demoted=True,  # scan family driver-graded via filter_project
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE value BETWEEN 10 AND 20
+    """,
+)
+def zonemap_pruned_scan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-pruned range scan (r9): the query runs against the
+    STANDING Z-ordered layout and its ``_zonemap`` manifest —
+    ``scan_pruned`` opens only files whose [min, max] overlaps the
+    predicate (Iceberg/Delta-style file skipping for plain parquet),
+    then applies the residual filter.  The oracle full-scans the source
+    table: the hash match proves pruning is pure I/O elision.  At 100 TB
+    this is the difference between reading the overlapping file slice
+    and reading the table; the pytest pins that the pruned scan reads
+    strictly fewer files than the layout holds."""
+    from .. import sinks
+
+    path = ensure_standing_layout(spark, sf_dir)
+    return sinks.scan_pruned(spark, path, "value", 10.0, 20.0).select(
+        "event_id", "user_id", "event_type", "value"
+    )

@@ -626,3 +626,39 @@ def test_scd2_store_migrates_whole_history_layout(spark, tmp_path):
     assert sorted((r["id"], r["val"]) for r in hist.collect()) == [
         ("a", "1"), ("a", "2"), ("b", "1")
     ]
+
+
+def test_zonemap_prunes_files_and_preserves_semantics(spark, sf_dir, tmp_path):
+    """r9 zonemap: a Z-ordered layout + manifest prunes the file list for
+    a narrow range predicate (strictly fewer files opened than written),
+    results equal the full-scan filter, and a no-overlap range yields an
+    empty frame with the table schema."""
+    from pyspark.sql import functions as F
+
+    from msgraphdatapipelines_spark import sinks
+    from msgraphdatapipelines_spark.queries import load_events
+
+    ev = load_events(spark, sf_dir)
+    path = str(tmp_path / "ev_zm")
+    # 64 files → ~3 Morton bits of file-level resolution PER column (the
+    # Z-order trade: with F files and 2 interleaved columns each column's
+    # file bounding boxes are ~(hi-lo)/F^(1/2) wide, so skipping needs
+    # enough files — 8 files gave 1-bit boxes and pruned nothing)
+    sinks.write_zordered(ev, path, ["value", "user_id"], num_files=64)
+    n_files = sinks.build_zonemap(spark, path, ["value", "user_id"])
+    assert n_files == 64
+
+    pruned = sinks.scan_pruned(spark, path, "value", 10.0, 20.0)
+    assert len(pruned.inputFiles()) < n_files / 2  # narrow band skips most
+    # user_id spans 0..14 at sf0.001 — probe a 3-wide band of it
+    by_user = sinks.scan_pruned(spark, path, "user_id", 0, 2)
+    assert len(by_user.inputFiles()) < n_files / 2  # OTHER column skips too
+    expect = ev.filter(F.col("value").between(10.0, 20.0))
+    assert pruned.count() == expect.count()
+    a = {tuple(r) for r in pruned.select("event_id", "value").collect()}
+    b = {tuple(r) for r in expect.select("event_id", "value").collect()}
+    assert a == b
+
+    empty = sinks.scan_pruned(spark, path, "value", 1e9, 2e9)
+    assert empty.count() == 0
+    assert set(empty.columns) == set(ev.columns)
