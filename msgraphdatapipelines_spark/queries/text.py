@@ -1369,56 +1369,109 @@ def lexicon_root(sf_dir: str) -> str:
         st = os.stat(p)
         parts.append(f"{st.st_size}:{st.st_mtime_ns}")
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{'|'.join(parts)}|lex|v1".encode()
+        f"{os.path.abspath(sf_dir)}|{'|'.join(parts)}|lex|v2".encode()
     ).hexdigest()[:16]
     return os.path.join(tempfile.gettempdir(), f"msgdp_lex_{key}")
 
 
-def ensure_standing_lexicon(spark: SparkSession, sf_dir: str, docs: DataFrame | None = None):
-    """Build-at-most-once inverted statistics: ``(postings, docstats,
-    termstats, meta)`` where postings = (tok, doc_id, tf) REPARTITIONED BY
-    TERM and sorted within partitions (so a probe's ``tok IN (…)`` pushdown
-    skips whole row groups — the parquet analog of reading only the
-    queried postings lists), docstats = (doc_id, dl), termstats =
-    (tok, df), and meta = {n_docs, sum_dl} as exact integers (avgdl is
-    derived at serve time by ONE double division, the same expression the
-    from-scratch path and the oracle compute).
+def lexicon_append_batch(spark: SparkSession, root: str, docs: DataFrame) -> int:
+    """Append a NEW-document batch to the lexicon's grow-only store (r9):
+    per-batch tf and dl increments land under ``batches/{tf,dl}/
+    batch_id=K`` — the ann_index_stream layout, so ingestion never
+    rewrites existing postings.  Batches become servable at the next
+    ``lexicon_compact``.  Append-only corpus contract: a re-ingested
+    doc_id is the caller's upsert problem (route through the SCD sinks),
+    not the lexicon's."""
+    import os
 
-    ``meta.json`` is written LAST via atomic rename — the commit marker;
-    a crash mid-build leaves no marker and the next call rebuilds."""
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    toks = docs.select("doc_id", F.explode(ws).alias("tok"))
+    existing = []
+    tfdir = f"{root}/batches/tf"
+    if os.path.isdir(tfdir):
+        existing = [
+            int(d.split("=")[1]) for d in os.listdir(tfdir) if d.startswith("batch_id=")
+        ]
+    k = (max(existing) + 1) if existing else 0
+    toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")).write.mode(
+        "overwrite"
+    ).parquet(f"{root}/batches/tf/batch_id={k}")
+    toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")).write.mode(
+        "overwrite"
+    ).parquet(f"{root}/batches/dl/batch_id={k}")
+    return k
+
+
+def lexicon_compact(spark: SparkSession, root: str) -> dict:
+    """Publish the servable lexicon from ALL appended batches: postings
+    REPARTITIONED BY TERM + sorted within partitions (probe ``tok IN``
+    pushdown skips row groups — the parquet analog of reading only the
+    queried postings lists), docstats, and termstats each as a
+    snapshot-versioned table (atomic ``_LATEST`` flips), then
+    ``meta.json`` — exact-integer {n_docs, sum_dl, n_batches} — written
+    LAST via atomic rename as the overall commit marker.  A crash
+    anywhere mid-compact leaves the previous meta/snapshots serving."""
     import json
     import os
 
-    root = lexicon_root(sf_dir)
-    meta_path = f"{root}/meta.json"
-    if not os.path.exists(meta_path):
-        if docs is None:
-            docs = load(spark, sf_dir, "documents")
-        ws = F.filter(F.split("text", " "), lambda w: w != "")
-        toks = docs.select("doc_id", F.explode(ws).alias("tok"))
-        tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-        dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-        os.makedirs(root, exist_ok=True)
-        tf.repartition(F.col("tok")).sortWithinPartitions("tok").write.mode(
-            "overwrite"
-        ).parquet(f"{root}/postings")
-        dl.write.mode("overwrite").parquet(f"{root}/docstats")
-        tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).write.mode(
-            "overwrite"
-        ).parquet(f"{root}/termstats")
-        agg = dl.agg(F.count(F.lit(1)), F.sum("dl")).collect()[0]
-        tmp = f"{meta_path}.tmp"
-        with open(tmp, "w") as fh:
-            json.dump({"n_docs": int(agg[0]), "sum_dl": int(agg[1])}, fh)
-        os.replace(tmp, meta_path)  # atomic commit marker
-    with open(meta_path) as fh:
+    from .. import sinks
+
+    tf = spark.read.parquet(f"{root}/batches/tf")
+    dl = spark.read.parquet(f"{root}/batches/dl")
+    sinks.write_snapshot(
+        tf.repartition(F.col("tok")).sortWithinPartitions("tok"),
+        f"{root}/postings",
+    )
+    sinks.write_snapshot(dl, f"{root}/docstats")
+    sinks.write_snapshot(
+        tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df")), f"{root}/termstats"
+    )
+    agg = dl.agg(F.count(F.lit(1)), F.sum("dl")).collect()[0]
+    tfdir = f"{root}/batches/tf"
+    n_batches = len([d for d in os.listdir(tfdir) if d.startswith("batch_id=")])
+    meta = {"n_docs": int(agg[0]), "sum_dl": int(agg[1]), "n_batches": n_batches}
+    tmp = f"{root}/meta.json.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, f"{root}/meta.json")  # atomic commit marker
+    return meta
+
+
+def read_lexicon(spark: SparkSession, root: str):
+    """(postings, docstats, termstats, meta) — the compacted servable
+    view; pure snapshot resolves + one tiny json read, no corpus work."""
+    import json
+
+    from .. import sinks
+
+    with open(f"{root}/meta.json") as fh:
         meta = json.load(fh)
     return (
-        spark.read.parquet(f"{root}/postings"),
-        spark.read.parquet(f"{root}/docstats"),
-        spark.read.parquet(f"{root}/termstats"),
+        sinks.read_snapshot(spark, f"{root}/postings"),
+        sinks.read_snapshot(spark, f"{root}/docstats"),
+        sinks.read_snapshot(spark, f"{root}/termstats"),
         meta,
     )
+
+
+def ensure_standing_lexicon(spark: SparkSession, sf_dir: str, docs: DataFrame | None = None):
+    """Build-at-most-once standing lexicon for a warehouse corpus:
+    first touch ingests the whole ``documents`` table as batch 0 and
+    compacts; afterwards every call is a pure snapshot resolve
+    (``read_lexicon``).  Incremental growth goes through
+    ``lexicon_append_batch`` + ``lexicon_compact`` on the same root —
+    the ANN standing-index maintenance pattern applied to the lexical
+    branch."""
+    import os
+
+    root = lexicon_root(sf_dir)
+    if not os.path.exists(f"{root}/meta.json"):
+        if docs is None:
+            docs = load(spark, sf_dir, "documents")
+        os.makedirs(root, exist_ok=True)
+        lexicon_append_batch(spark, root, docs)
+        lexicon_compact(spark, root)
+    return read_lexicon(spark, root)
 
 
 def bm25_topk_served(
@@ -1440,9 +1493,30 @@ def bm25_topk_served(
     postings lists, not the corpus.  Larger probe sets fall back to the
     plain broadcast join (still postings-bounded after the shuffle-free
     probe-side df cap)."""
+    ensure_standing_lexicon(spark, sf_dir)
+    return _bm25_from_lexicon(
+        spark,
+        lexicon_root(sf_dir),
+        qt,
+        k=k,
+        max_df=max_df,
+        isin_pushdown_cap=isin_pushdown_cap,
+    )
+
+
+def _bm25_from_lexicon(
+    spark: SparkSession,
+    root: str,
+    qt: DataFrame,
+    k: int = 10,
+    max_df: int | None = None,
+    isin_pushdown_cap: int = 1024,
+) -> DataFrame:
+    """Scoring core over an explicit lexicon root (factored so the
+    incremental-maintenance tests can serve from roots they appended)."""
     from pyspark.sql import Window
 
-    postings, dl, dfreq, meta = ensure_standing_lexicon(spark, sf_dir)
+    postings, dl, dfreq, meta = read_lexicon(spark, root)
     n_docs, sum_dl = meta["n_docs"], meta["sum_dl"]
     terms = [r["tok"] for r in qt.select("tok").distinct().limit(isin_pushdown_cap + 1).collect()]
     if len(terms) <= isin_pushdown_cap:

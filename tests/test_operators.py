@@ -2055,3 +2055,53 @@ def test_standing_lexicon_builds_once(spark, sf_dir):
     )
     assert p2.count() == fresh_tf.count()
     assert m2["n_docs"] == docs.count()
+
+
+def test_lexicon_incremental_append_equals_full_rebuild(spark, sf_dir, tmp_path):
+    """r9 incremental lexicon: ingesting the corpus as two batches +
+    compact serves EXACTLY the ranking a from-scratch lexicon over the
+    union produces (postings, stats, and BM25 top-k all equal)."""
+    from pyspark.sql import functions as F
+
+    from msgraphdatapipelines_spark.queries import load
+    from msgraphdatapipelines_spark.queries.text import (
+        bm25_topk,
+        lexicon_append_batch,
+        lexicon_compact,
+        read_lexicon,
+    )
+    from msgraphdatapipelines_spark.queries.text import bm25_topk_served
+
+    docs = load(spark, sf_dir, "documents")
+    root = str(tmp_path / "lex")
+    lexicon_append_batch(spark, root, docs.filter(F.col("doc_id") < 250))
+    lexicon_append_batch(spark, root, docs.filter(F.col("doc_id") >= 250))
+    meta = lexicon_compact(spark, root)
+    assert meta["n_batches"] == 2
+    assert meta["n_docs"] == docs.count()
+
+    postings, dl, dfreq, _ = read_lexicon(spark, root)
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    fresh = (
+        docs.select("doc_id", F.explode(ws).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .count()
+    )
+    assert postings.count() == fresh.count()
+
+    qt = docs.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("q_id"),
+        F.explode(F.array_distinct(F.slice(ws, 1, 4))).alias("tok"),
+    )
+    from_scratch = {
+        tuple(r) for r in bm25_topk(docs, qt, k=10).collect()
+    }
+    import msgraphdatapipelines_spark.queries.text as qtmod
+
+    served = {
+        tuple(r)
+        for r in qtmod._bm25_from_lexicon(
+            spark, root, qt, k=10
+        ).collect()
+    }
+    assert served == from_scratch
