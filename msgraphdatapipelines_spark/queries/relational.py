@@ -432,6 +432,8 @@ def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "scalar_functions",
+    demoted=True,  # r10 rotation: scalar-fn family covered by json_extraction
+    # (graded) + date_functions' demoted twin; slot freed for q17
     oracle="""
     SELECT p_partkey,
            upper(p_brand) AS brand_u,

@@ -1150,8 +1150,10 @@ def _hybrid_indexed_oracle() -> str:
 
 @register(
     "hybrid_search_rrf_indexed",
-    # PROMOTED r9 (r8 VERDICT item 8): the architecture flagship —
-    # retrieval served from the standing IVF+PQ artifact
+    # PROMOTED r9; DEMOTED r10 (r9 VERDICT items 2+8): its lexical branch
+    # recomputes corpus tf/df per query — hybrid_search_rrf_served (same
+    # oracle, both branches artifact-served) takes the graded slot
+    demoted=True,
     oracle=_hybrid_indexed_oracle(),
 )
 def hybrid_search_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1197,7 +1199,10 @@ def hybrid_search_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact AS (SELECT tok, count(*) AS exact_cnt FROM toks GROUP BY tok),
     top AS (SELECT tok, exact_cnt FROM exact ORDER BY exact_cnt DESC, tok LIMIT 20),
     est AS (
-        SELECT t.tok, min(m.cnt) AS cm_est
+        -- CAST: merged.cnt is sum(BIGINT) -> HUGEINT in DuckDB, which pandas
+        -- fetches as float64; the driver's value hash is representation-strict
+        -- (964.0 != 964), so pin the oracle back to BIGINT (r9 verdict item 1).
+        SELECT t.tok, CAST(min(m.cnt) AS BIGINT) AS cm_est
         FROM top t CROSS JOIN depths d
         JOIN merged m ON m.depth = d.depth
                      AND m.bucket = substr(md5(d.depth || '|' || t.tok), 1, 2)
@@ -1569,3 +1574,44 @@ def bm25_search_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return bm25_topk_served(spark, sf_dir, qt, k=10)
+
+
+@register(
+    "hybrid_search_rrf_served",
+    # PROMOTED r10 (r9 VERDICT items 3+8): the standing-artifact flagship —
+    # BOTH retrieval branches served from persisted indexes.  Takes the
+    # graded slot of hybrid_search_rrf_indexed (demoted r10), whose lexical
+    # branch recomputed corpus tf/df per query.  Same oracle as the indexed
+    # row: both branch artifacts replay bit-identically in DuckDB.
+    oracle=_hybrid_indexed_oracle(),
+)
+def hybrid_search_rrf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval fully SERVED FROM STANDING ARTIFACTS (r10, r9
+    VERDICT item 3): the lexical branch probes the persisted BM25 lexicon
+    (``bm25_topk_served`` — probe terms pushed as ``tok IN`` into the
+    term-partitioned postings scan; corpus stats from the persisted
+    ``meta.json``), the vector branch probes the standing IVF+PQ index
+    (``indexed_candidates`` — nprobe·list-size + exact rerank-50), and the
+    two (qid, id, rank) frames fuse by reciprocal rank.  Ranking is
+    bit-identical to ``hybrid_search_rrf_indexed`` (same oracle), but the
+    per-query cost now has ZERO corpus-sized aggregations on EITHER
+    branch — the steady-state shape a 100 TB RAG deployment runs: every
+    term of the cost tracks probed postings lists / probed centroid lists,
+    never the corpus.  Probe = first 4 distinct tokens of each doc_id < 20
+    document, matching the indexed row."""
+    from .similarity import indexed_candidates
+
+    docs = load(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    qt = docs.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("q_id"),
+        F.explode(F.array_distinct(F.slice(ws, 1, 4))).alias("tok"),
+    )
+    bm = bm25_topk_served(spark, sf_dir, qt, k=10).select(
+        F.col("q_id").alias("qid"), F.col("doc_id").alias("id"), "rank"
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    vec = indexed_candidates(spark, emb, k=10, sf_dir=sf_dir).select(
+        "qid", F.col("cid").alias("id"), F.col("rank").cast("int").alias("rank")
+    )
+    return _rrf_fuse(bm, vec)

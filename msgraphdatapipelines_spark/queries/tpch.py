@@ -254,7 +254,8 @@ ORDER BY cntrycode
 
 @register(
     "q17_small_quantity_revenue",
-    demoted=True,  # SQL-entry family driver-graded via sql_surface_revenue_rank
+    # PROMOTED r10 (r9 VERDICT item 8): the correlated-subquery
+    # decorrelation path, graded at sf0.01
     oracle=_Q17_SQL,
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:

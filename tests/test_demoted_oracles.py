@@ -46,6 +46,23 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def _dtype_kind(dtype) -> str:
+    """Representation class hashed distinctly by the driver: int / float /
+    bool / other.  DuckDB renders any sum()-over-BIGINT as HUGEINT, which
+    pandas fetches as float64 — value-equal to Spark's bigint but
+    hash-DIFFERENT under the driver (the r9 heavy_hitters_cm regression).
+    The gate must fail on kind mismatch so a green demoted row is
+    guaranteed green on promotion."""
+    k = getattr(dtype, "kind", "?")
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    return "other"
+
+
 def _cells_equal(a, b) -> bool:
     if pd.isna(a) and pd.isna(b):
         return True
@@ -82,6 +99,13 @@ def test_demoted_query_matches_oracle(name, spark, sf_dir, duck):
     want = duck.execute(q.oracle).fetchdf()
     assert sorted(got.columns) == sorted(want.columns)
     assert len(got) == len(want), f"{name}: {len(got)} vs oracle {len(want)}"
+    for c in sorted(got.columns):
+        gk, wk = _dtype_kind(got[c].dtype), _dtype_kind(want[c].dtype)
+        assert gk == wk or "other" in (gk, wk), (
+            f"{name}: dtype kind mismatch on {c}: spark={got[c].dtype}({gk}) "
+            f"oracle={want[c].dtype}({wk}) — driver hash would fail even with "
+            f"equal values; CAST the oracle column (HUGEINT->BIGINT trap)"
+        )
     g, w = _normalize(got), _normalize(want)
     for c in g.columns:
         for i, (x, y) in enumerate(zip(g[c].tolist(), w[c].tolist())):

@@ -49,12 +49,46 @@ def cells_equal(a, b) -> bool:
     return a == b
 
 
+def _dtype_kind(dtype) -> str:
+    """Collapse a pandas dtype to the representation class the driver's
+    value hash distinguishes: int vs float vs bool vs other.  DuckDB's
+    HUGEINT (any sum() over BIGINT) fetches into pandas as float64, so an
+    oracle that forgets CAST(... AS BIGINT) is value-equal but
+    hash-different (964.0 vs 964) under the driver — the r9
+    heavy_hitters_cm regression.  This gate must therefore fail on
+    int-vs-float KIND mismatch even when every cell compares equal."""
+    k = getattr(dtype, "kind", "?")
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    return "other"
+
+
 def compare(name: str, s: pd.DataFrame, d: pd.DataFrame) -> list[str]:
     problems = []
     if sorted(s.columns) != sorted(d.columns):
         return [f"columns differ: spark={sorted(s.columns)} duck={sorted(d.columns)}"]
     if len(s) != len(d):
         problems.append(f"row count differs: spark={len(s)} duck={len(d)}")
+        return problems
+    # dtype-parity gate (r9 verdict item 1): a demoted row green here must be
+    # guaranteed green under the driver's representation-strict hash.
+    for c in sorted(s.columns):
+        sk, dk = _dtype_kind(s[c].dtype), _dtype_kind(d[c].dtype)
+        if sk != dk and not (
+            # nullable-int fetched as object on one side is fine once both
+            # stringify identically; only the int/float/bool axis is hashed
+            # differently by the driver.
+            "other" in (sk, dk)
+        ):
+            problems.append(
+                f"dtype kind mismatch {c}: spark={s[c].dtype}({sk}) duck={d[c].dtype}({dk})"
+                " — driver hash WILL fail even if values match"
+            )
+    if problems:
         return problems
     s, d = normalize(s), normalize(d)
     bad = 0
