@@ -17,18 +17,90 @@ from dataclasses import dataclass, field
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 log = logging.getLogger("msgraphdatapipelines_spark")
 
 
 @dataclass
 class Pipeline:
-    """One entity's E-T-L: source → transform → sink (SURVEY.md §3.1 stages)."""
+    """One entity's E-T-L: source → transform → sink (SURVEY.md §3.1 stages).
+
+    ``constraints`` (r10): optional data-quality gate between transform and
+    sink — rows are split by ``operators.constraints.quarantine``, only
+    valid rows reach the sink, and any ``foreign_key`` whose
+    ``broadcast_parent`` policy is undecided (None) is first resolved by
+    the sketch-driven join pre-flight (:func:`preflight_fk_constraints`),
+    so the FK probe's join strategy is chosen from standing CM sketches,
+    never by a manual flag."""
 
     name: str
     source: Callable[[SparkSession], DataFrame]
     transform: Callable[[DataFrame], DataFrame] = field(default=lambda df: df)  # T9 no-op
     sink: Callable[[DataFrame], None] | None = None
+    constraints: list | Callable[[SparkSession], list] | None = None
+    # broadcast cutoff the FK pre-flight judges parents against; the local
+    # default matches choose_join_strategy's (a cluster deployment sizes it
+    # to executor memory / autoBroadcastJoinThreshold)
+    fk_broadcast_threshold_rows: int = 1_000_000
+
+
+def preflight_fk_constraints(
+    df: DataFrame,
+    constraints: list,
+    broadcast_threshold_rows: int = 1_000_000,
+    sketches: dict[str, tuple[DataFrame, DataFrame]] | None = None,
+) -> tuple[list, dict]:
+    """Sketch-driven FK join pre-flight (r10, r9 VERDICT item 6 — the
+    production consumer of ``operators.sketches.choose_join_strategy``).
+
+    Every ``foreign_key`` constraint whose ``broadcast_parent`` policy is
+    UNDECIDED (``None``) gets a verdict before the load runs: the child
+    and parent key-column CM cell tables are looked up in ``sketches``
+    (``{constraint_name: (child_sketch, parent_sketch)}`` — the standing
+    rollup artifacts a deployment maintains incrementally) or built here
+    with one map-combinable agg per side, and
+    ``choose_join_strategy``'s sound row-count verdict is written into
+    the constraint: a dim-sized parent broadcasts, a data-sized parent
+    takes the shuffle join.  Explicit True/False policies pass through
+    untouched — the caller's vouch outranks the sketch.
+
+    Multi-column keys sketch the null-safe ``concat_ws``-joined tuple, so
+    the verdict counts distinct key ROWS the same way the probe joins
+    them.  Returns ``(rewritten_constraints, {name: verdict_dict})``.
+    """
+    from .operators.constraints import foreign_key
+    from .operators.sketches import build_cm_sketch, choose_join_strategy
+
+    def _key_sketch(frame: DataFrame, cols: list[str]) -> DataFrame:
+        keyed = frame.select(
+            F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]).alias("__k")
+        )
+        return build_cm_sketch(keyed, [], "__k")
+
+    out, verdicts = [], {}
+    for c in constraints:
+        if c.kind != "foreign_key" or c.spec[3] is not None:
+            out.append(c)
+            continue
+        child_cols, parent, parent_cols, _ = c.spec
+        if sketches and c.name in sketches:
+            child_sk, parent_sk = sketches[c.name]
+        else:
+            child_sk = _key_sketch(df.na.drop(subset=child_cols), child_cols)
+            parent_sk = _key_sketch(parent, parent_cols)
+        plan = choose_join_strategy(
+            child_sk, parent_sk, broadcast_threshold_rows=broadcast_threshold_rows
+        )
+        verdicts[c.name] = plan
+        log.info("fk pre-flight %s: %s", c.name, plan)
+        out.append(
+            foreign_key(
+                child_cols, parent, parent_cols,
+                broadcast_parent=plan["broadcast_parent"],
+            )
+        )
+    return out, verdicts
 
 
 @dataclass
@@ -65,6 +137,19 @@ def run_all(
         t0 = time.monotonic()
         try:
             df = p.transform(p.source(spark))
+            if p.constraints is not None:
+                from .operators.constraints import quarantine
+
+                cons = p.constraints(spark) if callable(p.constraints) else p.constraints
+                # undecided FK policies get the sketch verdict BEFORE the
+                # probe joins — the pre-flight's one production call site
+                cons, _ = preflight_fk_constraints(
+                    df, cons, broadcast_threshold_rows=p.fk_broadcast_threshold_rows
+                )
+                df, invalid = quarantine(df, cons)
+                n_bad = invalid.count()
+                if n_bad:
+                    log.warning("pipeline %s: %d rows quarantined", p.name, n_bad)
             rows = None
             if p.sink is not None:
                 p.sink(df)

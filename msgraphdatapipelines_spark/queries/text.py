@@ -671,7 +671,9 @@ def bm25_topk(
         CROSS JOIN stats s
     ),
     scored AS (
-        SELECT q_id, doc_id, sum(c_q) AS score_q,
+        -- CAST: DuckDB sum(BIGINT) is HUGEINT -> pandas float64; the driver
+        -- hash is representation-strict (r10 dtype-parity gate finding)
+        SELECT q_id, doc_id, CAST(sum(c_q) AS BIGINT) AS score_q,
                row_number() OVER (PARTITION BY q_id
                                   ORDER BY sum(c_q) DESC, doc_id ASC) AS rank
         FROM contrib GROUP BY q_id, doc_id
@@ -1379,6 +1381,16 @@ def lexicon_root(sf_dir: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"msgdp_lex_{key}")
 
 
+def _lex_batch_ids(spark: SparkSession, root: str) -> list[int]:
+    """Sorted batch ids under ``batches/tf`` via the Hadoop FS API (r10,
+    r9 VERDICT item 7: ``os.listdir`` breaks the moment the root is an
+    object store — every store probe goes through the same FS layer as
+    the snapshot sinks)."""
+    from .. import sinks
+
+    return sinks._list_numbered_dirs(spark, f"{root}/batches/tf", "batch_id=")
+
+
 def lexicon_append_batch(spark: SparkSession, root: str, docs: DataFrame) -> int:
     """Append a NEW-document batch to the lexicon's grow-only store (r9):
     per-batch tf and dl increments land under ``batches/{tf,dl}/
@@ -1387,17 +1399,10 @@ def lexicon_append_batch(spark: SparkSession, root: str, docs: DataFrame) -> int
     ``lexicon_compact``.  Append-only corpus contract: a re-ingested
     doc_id is the caller's upsert problem (route through the SCD sinks),
     not the lexicon's."""
-    import os
-
     ws = F.filter(F.split("text", " "), lambda w: w != "")
     toks = docs.select("doc_id", F.explode(ws).alias("tok"))
-    existing = []
-    tfdir = f"{root}/batches/tf"
-    if os.path.isdir(tfdir):
-        existing = [
-            int(d.split("=")[1]) for d in os.listdir(tfdir) if d.startswith("batch_id=")
-        ]
-    k = (max(existing) + 1) if existing else 0
+    existing = _lex_batch_ids(spark, root)
+    k = (existing[-1] + 1) if existing else 0
     toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")).write.mode(
         "overwrite"
     ).parquet(f"{root}/batches/tf/batch_id={k}")
@@ -1414,10 +1419,10 @@ def lexicon_compact(spark: SparkSession, root: str) -> dict:
     queried postings lists), docstats, and termstats each as a
     snapshot-versioned table (atomic ``_LATEST`` flips), then
     ``meta.json`` — exact-integer {n_docs, sum_dl, n_batches} — written
-    LAST via atomic rename as the overall commit marker.  A crash
-    anywhere mid-compact leaves the previous meta/snapshots serving."""
+    LAST via Hadoop FS create+rename as the overall commit marker.  A
+    crash anywhere mid-compact leaves the previous meta/snapshots
+    serving."""
     import json
-    import os
 
     from .. import sinks
 
@@ -1432,25 +1437,35 @@ def lexicon_compact(spark: SparkSession, root: str) -> dict:
         tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df")), f"{root}/termstats"
     )
     agg = dl.agg(F.count(F.lit(1)), F.sum("dl")).collect()[0]
-    tfdir = f"{root}/batches/tf"
-    n_batches = len([d for d in os.listdir(tfdir) if d.startswith("batch_id=")])
+    n_batches = len(_lex_batch_ids(spark, root))
     meta = {"n_docs": int(agg[0]), "sum_dl": int(agg[1]), "n_batches": n_batches}
-    tmp = f"{root}/meta.json.tmp"
-    with open(tmp, "w") as fh:
-        json.dump(meta, fh)
-    os.replace(tmp, f"{root}/meta.json")  # atomic commit marker
+    fs, _, jvm = sinks._fs_for(spark, root)
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{root}/meta.json.tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(meta).encode("ascii")))
+    finally:
+        out.close()
+    final = jvm.org.apache.hadoop.fs.Path(f"{root}/meta.json")
+    fs.delete(final, False)
+    fs.rename(tmp, final)  # atomic commit marker on HDFS/local
     return meta
 
 
 def read_lexicon(spark: SparkSession, root: str):
     """(postings, docstats, termstats, meta) — the compacted servable
-    view; pure snapshot resolves + one tiny json read, no corpus work."""
+    view; pure snapshot resolves + one tiny json read (through the Hadoop
+    FS API, so the root may be an object-store prefix), no corpus work."""
     import json
 
     from .. import sinks
 
-    with open(f"{root}/meta.json") as fh:
-        meta = json.load(fh)
+    fs, _, jvm = sinks._fs_for(spark, root)
+    stream = fs.open(jvm.org.apache.hadoop.fs.Path(f"{root}/meta.json"))
+    try:
+        meta = json.loads(bytes(stream.readAllBytes()).decode("ascii"))
+    finally:
+        stream.close()
     return (
         sinks.read_snapshot(spark, f"{root}/postings"),
         sinks.read_snapshot(spark, f"{root}/docstats"),
@@ -1467,13 +1482,13 @@ def ensure_standing_lexicon(spark: SparkSession, sf_dir: str, docs: DataFrame | 
     ``lexicon_append_batch`` + ``lexicon_compact`` on the same root —
     the ANN standing-index maintenance pattern applied to the lexical
     branch."""
-    import os
+    from .. import sinks
 
     root = lexicon_root(sf_dir)
-    if not os.path.exists(f"{root}/meta.json"):
+    fs, _, jvm = sinks._fs_for(spark, root)
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{root}/meta.json")):
         if docs is None:
             docs = load(spark, sf_dir, "documents")
-        os.makedirs(root, exist_ok=True)
         lexicon_append_batch(spark, root, docs)
         lexicon_compact(spark, root)
     return read_lexicon(spark, root)

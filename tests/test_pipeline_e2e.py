@@ -265,3 +265,90 @@ def test_run_all_concurrent_isolated_and_faster(spark):
         assert "entity down" in results[1].error
     # 3×0.6s + 0.3s sequential sleeps vs max(…) concurrent: comfortably 2× apart
     assert t_conc < t_seq * 0.7, (t_seq, t_conc)
+
+
+def test_pipeline_fk_preflight_auto_decides_join_strategy(spark, sf_dir, tmp_path):
+    """r10 (r9 VERDICT item 6): the pipeline load path resolves an
+    UNDECIDED foreign_key policy from the standing CM sketches — a
+    dim-sized parent auto-broadcasts, a data-sized parent flows through
+    as a shuffle join — and quarantined rows never reach the sink.
+    Nobody passes a manual broadcast flag anywhere in this test."""
+    from msgraphdatapipelines_spark import plans
+    from msgraphdatapipelines_spark.operators import constraints as C
+    from msgraphdatapipelines_spark.pipelines import (
+        Pipeline,
+        preflight_fk_constraints,
+        run_all,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+    # --- plan pins on the rewritten constraint (no manual flag) ---------
+    cons = [C.foreign_key(["o_custkey"], customer, ["c_custkey"])]  # policy=None
+    dim, verdicts = preflight_fk_constraints(orders, cons)
+    assert verdicts["fk_o_custkey"]["broadcast_parent"] is True  # dim-sized
+    assert verdicts["fk_o_custkey"]["parent_rows_est"] == customer.count()
+    rep = C.check_constraints(orders, dim)
+    assert plans.num_broadcasts(rep) >= 1
+
+    # same parent judged against a tight threshold: data-sized -> shuffle
+    big, verdicts2 = preflight_fk_constraints(
+        orders, cons, broadcast_threshold_rows=10
+    )
+    assert verdicts2["fk_o_custkey"]["broadcast_parent"] is False
+    rep2 = C.check_constraints(orders, big)
+    assert plans.num_broadcasts(rep2) == 0
+
+    # explicit caller policy outranks the sketch: no rewrite happens
+    forced = [C.foreign_key(["o_custkey"], customer, ["c_custkey"], broadcast_parent=False)]
+    same, none_v = preflight_fk_constraints(orders, forced)
+    assert none_v == {} and same[0].spec[3] is False
+
+    # --- e2e through run_all: quarantine gates the sink ------------------
+    out_dir = str(tmp_path / "orders_clean")
+
+    def sink(df):
+        df.write.mode("overwrite").parquet(out_dir)
+
+    pipes = [
+        Pipeline(
+            "orders_fk_gated",
+            source=lambda s: orders,
+            constraints=lambda s: [
+                C.foreign_key(["o_custkey"], customer, ["c_custkey"]),
+                C.check("neg_total", F.col("o_totalprice") < 0),
+            ],
+            sink=sink,
+        )
+    ]
+    res = run_all(spark, pipes, max_concurrent=1)
+    assert res[0].ok, res[0].error
+    written = spark.read.parquet(out_dir)
+    # every written row passes both constraints (FK holds in TPC-H data,
+    # no negative totals) and nothing valid was dropped
+    valid, invalid = C.quarantine(
+        orders,
+        [
+            C.foreign_key(["o_custkey"], customer, ["c_custkey"]),
+            C.check("neg_total", F.col("o_totalprice") < 0),
+        ],
+    )
+    assert written.count() == valid.count() == orders.count()
+    assert invalid.count() == 0
+
+    # and a pipeline with a constraint that DOES quarantine rows sinks fewer
+    out2 = str(tmp_path / "orders_gated2")
+    pipes2 = [
+        Pipeline(
+            "orders_tight",
+            source=lambda s: orders,
+            constraints=[C.check("low_key", F.col("o_orderkey") <= 10)],
+            sink=lambda df: df.write.mode("overwrite").parquet(out2),
+        )
+    ]
+    res2 = run_all(spark, pipes2, max_concurrent=1)
+    assert res2[0].ok, res2[0].error
+    kept = spark.read.parquet(out2)
+    assert kept.count() == orders.filter(F.col("o_orderkey") > 10).count()
+    assert kept.filter(F.col("o_orderkey") <= 10).count() == 0
