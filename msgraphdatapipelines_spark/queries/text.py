@@ -339,7 +339,8 @@ def text_repetition_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*) AS n_tokens,
                sum(CAST(floor(ln(CAST(coalesce(c.c, 1) AS DOUBLE)) * 1000000) AS BIGINT))
                    AS sum_lnc_q,
-               sum(CASE WHEN c.c IS NULL THEN 1 ELSE 0 END) AS n_oov
+               -- CAST: sum() -> HUGEINT -> float64 in pandas (dtype-parity gate)
+               CAST(sum(CASE WHEN c.c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
         FROM toks k
         LEFT JOIN counts c USING (tok)
         GROUP BY k.doc_id
@@ -507,11 +508,13 @@ _NB_B = 4096  # hashed feature buckets; Laplace denominator is N_c + B
     ),
     scored AS (
         SELECT n.doc_id, n.n_tokens, cs.lang AS pred,
-               CAST(floor(ln(CAST(cs.n_docs AS DOUBLE)) * 1000000) AS BIGINT)
+               -- outer CAST: m.s is sum()->HUGEINT, which would ride the whole
+               -- expression up to HUGEINT -> float64 (dtype-parity gate)
+               CAST(CAST(floor(ln(CAST(cs.n_docs AS DOUBLE)) * 1000000) AS BIGINT)
                + coalesce(m.s, 0)
                - n.n_tokens
                  * CAST(floor(ln(CAST(cs.n_toks + {_NB_B} AS DOUBLE)) * 1000000) AS BIGINT)
-                   AS score_q
+                 AS BIGINT) AS score_q
         FROM ntok n
         CROSS JOIN class_stats cs
         LEFT JOIN matched m ON m.doc_id = n.doc_id AND m.lang = cs.lang
@@ -724,8 +727,9 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tf AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),
     agg AS (
+        -- n_tokens CAST: sum() -> HUGEINT -> float64 in pandas (dtype gate)
         SELECT doc_id,
-               sum(c) AS n_tokens,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
                count(*) AS n_types,
                sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT)) AS s_q,
                max(c) AS max_tf
