@@ -570,6 +570,88 @@ def duplicated_span_stats(
     return out
 
 
+def remove_duplicated_spans(
+    df: "DataFrame",  # noqa: F821
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_count: int = 2,
+) -> "DataFrame":  # noqa: F821
+    """Exact-substring dedup as a TRANSFORM (r10): remove every token
+    covered by a corpus-duplicated ``n``-gram occurrence EXCEPT the
+    canonical first one — the destructive half of Lee et al. 2022 (the
+    stats half is :func:`duplicated_span_stats`).  The canonical keeper
+    per gram is the minimum ``doc_id·10⁶ + pos`` occurrence (total order,
+    engine-independent), so exactly one copy of every duplicated span
+    survives and the output is deterministic.
+
+    Scale shape: same ONE gram-keyed shuffle as the stats op (positions
+    keyed by ``md5(gram)``; the min-occurrence rides the count agg as a
+    second aggregate, no extra pass); redundant positions join back on
+    the gram key and collapse to a per-doc sorted START ARRAY (bounded by
+    dup positions, not window width).  Token filtering is per-row array
+    work: token ``i`` survives iff no redundant start ``s`` satisfies
+    ``s ≤ i ≤ s+n−1`` — O(n_tokens · dup_starts) per doc, zero extra
+    shuffle, whole output rebuilt with ``array_join``.
+
+    Output: ``id_col, n_tokens, n_removed, text_clean`` (single-space
+    retokenized, like every tokenizing op here).
+    """
+    from pyspark.sql import DataFrame
+
+    assert isinstance(df, DataFrame)
+    w = tokens(text_col)
+    base = df.select(F.col(id_col), w.alias("_w")).select(
+        F.col(id_col), F.col("_w"), F.size("_w").alias("_nt")
+    )
+    pos = base.filter(F.col("_nt") >= n).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("_nt") - F.lit(n - 1)),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.md5(F.array_join(F.slice(F.col("_w"), i, n), " ")).alias("gkey"),
+                ),
+            )
+        ).alias("_g"),
+    ).select(F.col(id_col), F.col("_g.pos").alias("pos"), F.col("_g.gkey").alias("gkey"))
+    occ = F.col(id_col) * F.lit(1_000_000) + F.col("pos")
+    gstats = (
+        pos.select("gkey", occ.alias("_occ"))
+        .groupBy("gkey")
+        .agg(F.count(F.lit(1)).alias("_c"), F.min("_occ").alias("_keep"))
+        .filter(F.col("_c") >= min_count)
+        .select("gkey", "_keep")
+    )
+    red = (
+        pos.join(gstats, "gkey")
+        .filter(occ != F.col("_keep"))
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("pos")).alias("_starts"))
+    )
+    starts = F.coalesce(F.col("_starts"), F.array().cast("array<int>"))
+    idx = F.when(F.col("_nt") >= 1, F.sequence(F.lit(1), F.col("_nt"))).otherwise(
+        F.array().cast("array<int>")
+    )
+    kept = F.filter(
+        F.zip_with(
+            F.col("_w"),
+            idx,
+            lambda t, i: F.when(
+                ~F.exists(starts, lambda s: (i >= s) & (i <= s + F.lit(n - 1))), t
+            ),
+        ),
+        lambda t: t.isNotNull(),
+    )
+    return base.join(red, id_col, "left").select(
+        F.col(id_col),
+        F.col("_nt").cast("long").alias("n_tokens"),
+        (F.col("_nt") - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(kept, " ").alias("text_clean"),
+    )
+
+
 def dsir_weights(
     df: "DataFrame",  # noqa: F821
     is_target: Column,

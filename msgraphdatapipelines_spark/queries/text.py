@@ -1354,6 +1354,64 @@ def duplicated_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.duplicated_span_stats(docs, "doc_id", "text", n=8, min_count=2)
 
 
+@register(
+    "dedup_remove_spans_docs",
+    demoted=True,  # dedup family driver-graded via dedup_exact/minhash rows
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, {_WS} AS w, len({_WS}) AS nt FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, i AS pos,
+               md5(list_aggregate(w[i:i+7], 'string_agg', ' ')) AS gkey
+        FROM (SELECT doc_id, w, unnest(generate_series(1, nt - 7)) AS i
+              FROM base WHERE nt >= 8)
+    ),
+    g AS (
+        SELECT gkey, min(doc_id * 1000000 + pos) AS keepk
+        FROM pos GROUP BY gkey HAVING count(*) >= 2
+    ),
+    red AS (
+        SELECT p.doc_id, p.pos FROM pos p JOIN g USING (gkey)
+        WHERE p.doc_id * 1000000 + p.pos <> g.keepk
+    ),
+    cov AS (
+        SELECT DISTINCT doc_id, idx
+        FROM (SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS idx FROM red)
+    ),
+    toks AS (
+        SELECT doc_id, unnest(w) AS tok, unnest(generate_series(1, nt)) AS i
+        FROM base
+    ),
+    clean AS (
+        SELECT t.doc_id,
+               string_agg(t.tok, ' ' ORDER BY t.i) AS text_clean,
+               count(*) AS n_kept
+        FROM toks t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.idx = t.i
+        WHERE c.idx IS NULL
+        GROUP BY t.doc_id
+    )
+    SELECT b.doc_id,
+           CAST(nt AS BIGINT) AS n_tokens,
+           CAST(nt - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+           coalesce(text_clean, '') AS text_clean
+    FROM base b LEFT JOIN clean USING (doc_id)
+    """,
+)
+def dedup_remove_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup TRANSFORM (r10): every token covered by a
+    corpus-duplicated 8-gram occurrence is REMOVED except the canonical
+    first occurrence (min ``doc_id·10⁶+pos`` — a total order both engines
+    share), producing the cleaned corpus Lee et al. 2022 train on — the
+    destructive twin of the duplicated_spans_docs STATS row.  The oracle
+    rebuilds each document by exploding covered indices and re-joining
+    kept tokens in order; the engine filters per-row arrays against the
+    per-doc redundant-start list — same text, different plan (the engine
+    never explodes window-width rows or shuffles token text)."""
+    docs = load(spark, sf_dir, "documents")
+    return X.remove_duplicated_spans(docs, "doc_id", "text", n=8, min_count=2)
+
+
 # ---------------------------------------------------------------------------
 # r9: the STANDING LEXICAL INDEX — the BM25 twin of the ANN standing
 # artifact (queries/similarity.ensure_standing_index): postings/docstats/

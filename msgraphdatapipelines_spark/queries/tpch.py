@@ -288,3 +288,136 @@ def q22_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .. import sql as sqlmod
 
     return sqlmod.sql(spark, sf_dir, _Q22_SQL)
+
+
+# --- r10: four more decorrelation shapes through the SQL entry ------------
+# Charter relational surface widened with the remaining classic subquery
+# patterns (ref: the reference's Prepare-SQLDatabase*.sql procs run plain
+# T-SQL SELECTs; these prove the same ANSI shapes parse, decorrelate, and
+# value-match through Catalyst).  Adapted to the fixture schema (lineitem
+# carries l_shipdate only): "late" = shipped after the order date.
+
+_Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+_Q11_SQL = """
+SELECT p_brand,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS brand_rev
+FROM lineitem JOIN part ON p_partkey = l_partkey
+GROUP BY p_brand
+HAVING SUM(CAST(l_extendedprice AS DECIMAL(18,2))) >
+       (SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 0.04
+        FROM lineitem JOIN part ON p_partkey = l_partkey)
+ORDER BY brand_rev DESC, p_brand
+"""
+
+_Q18_SQL = """
+SELECT c_name, c.c_custkey, o.o_orderkey, o_orderdate, o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                       GROUP BY l_orderkey
+                       HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 160)
+GROUP BY c_name, c.c_custkey, o.o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o.o_orderkey
+LIMIT 100
+"""
+
+_Q21_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE l1.l_shipdate > o.o_orderdate
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+"""
+
+
+@register(
+    "q4_late_shipment_priority",
+    demoted=True,  # SQL-entry family driver-graded via q17
+    oracle=_Q4_SQL,
+)
+def q4_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (r10): per-priority count of orders with at least
+    one late-shipped line — a correlated EXISTS whose inner predicate
+    references BOTH sides (l_shipdate > o_orderdate).  Catalyst rewrites
+    it to a LEFT SEMI join with the non-equi condition riding the equi
+    key (plan-pinned) — per-row subquery re-execution would be O(n·m);
+    the semi join is one shuffle on l_orderkey.  At 100 TB the lineitem
+    side carries only (l_orderkey, l_shipdate) after pruning."""
+    from .. import sql as sqlmod
+
+    return sqlmod.sql(spark, sf_dir, _Q4_SQL)
+
+
+@register(
+    "q11_important_brand_share",
+    demoted=True,  # SQL-entry family driver-graded via q17
+    oracle=_Q11_SQL,
+)
+def q11_important_brand_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (r10): brands whose revenue exceeds a fraction of
+    TOTAL revenue — a HAVING clause against an UNCORRELATED scalar
+    subquery over the same join.  The global total evaluates once
+    (one extra scan-agg, broadcast as a literal into the filter), never
+    per group; all arithmetic stays in exact DECIMAL until the final
+    presentation cast, so the threshold comparison is bit-identical
+    cross-engine."""
+    from .. import sql as sqlmod
+
+    return sqlmod.sql(spark, sf_dir, _Q11_SQL)
+
+
+@register(
+    "q18_large_volume_orders",
+    demoted=True,  # SQL-entry family driver-graded via q17
+    oracle=_Q18_SQL,
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (r10): large-volume orders — an IN over a grouped
+    HAVING subquery (the aggregate-filtered semi join).  Catalyst plans
+    the subquery as its own aggregation and semi-joins the result on
+    o_orderkey; the outer 3-table join then re-aggregates quantities per
+    surviving order.  Top-100 by price with the unique o_orderkey
+    tie-break keeps the LIMIT deterministic cross-engine."""
+    from .. import sql as sqlmod
+
+    return sqlmod.sql(spark, sf_dir, _Q18_SQL)
+
+
+@register(
+    "q21_sole_late_supplier",
+    demoted=True,  # SQL-entry family driver-graded via q17
+    oracle=_Q21_SQL,
+)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (r10): suppliers who were the SOLE late shipper on
+    multi-supplier orders — the hardest classic decorrelation: one
+    correlated EXISTS (another supplier exists on the order) and one
+    correlated NOT EXISTS whose predicate references the OUTER join's
+    orders row (another supplier also late).  Catalyst compiles them to
+    a left-semi and a left-anti join on l_orderkey with the residual
+    conditions attached (plan-pinned: no exists-subquery survives;
+    LeftSemi + LeftAnti both present).  Both rewritten joins shuffle on
+    the same l_orderkey key, so AQE can reuse the exchange."""
+    from .. import sql as sqlmod
+
+    return sqlmod.sql(spark, sf_dir, _Q21_SQL)

@@ -190,6 +190,7 @@ def run_stream_to_memory(
     output_mode: str = "append",
     available_now: bool = False,
     drain_timeout_s: int = 600,
+    state_partitions: int | None = None,
 ) -> tuple[DataFrame, str]:
     """Run a streaming aggregation to completion against a memory sink and
     return the materialized result as a batch DataFrame.
@@ -207,12 +208,35 @@ def run_stream_to_memory(
     ``processAllAvailable`` livelocks ("No new data but cleaning up state"
     forever).  With availableNow the run ends after the data; timers are
     a long-running-stream concern and never fire in a drain.
+
+    ``state_partitions`` (r10): the state-store partition count is FIXED
+    at stream start from ``spark.sql.shuffle.partitions`` and, unlike a
+    batch exchange, is NEVER AQE-coalesced — every micro-batch pays an
+    open/commit per state partition forever.  A stream inheriting a
+    batch-oriented, input-size-derived conf (``session.scale_conf``'s
+    800k-at-100TB posture) would open that many state stores per
+    micro-batch: the r10 A/B measured 200-vs-32 partitions making the
+    stateful rows 3-5× slower at sf0.1 while AQE kept every batch row
+    flat.  Default (None) bounds the stream at
+    ``min(spark.sql.shuffle.partitions, defaultParallelism)`` — pass an
+    explicit value to size state stores to keyspace instead (the knob a
+    100 TB deployment sets deliberately, per stream, not inherited).
     """
+    spark = agg.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    bound = state_partitions or min(
+        int(prev), spark.sparkContext.defaultParallelism
+    )
     name = f"mem_{uuid.uuid4().hex[:8]}"
     writer = agg.writeStream.outputMode(output_mode).format("memory").queryName(name)
     if available_now:
         writer = writer.trigger(availableNow=True)
-    q = writer.start()
+    try:
+        # read at stream START only — restored immediately after .start()
+        spark.conf.set("spark.sql.shuffle.partitions", str(bound))
+        q = writer.start()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     try:
         if available_now:
             if not q.awaitTermination(drain_timeout_s):
@@ -223,7 +247,6 @@ def run_stream_to_memory(
             q.processAllAvailable()
     finally:
         q.stop()
-    spark = agg.sparkSession
     return spark.table(name), name
 
 
