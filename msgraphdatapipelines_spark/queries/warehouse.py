@@ -399,3 +399,45 @@ def zonemap_pruned_scan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sinks.scan_pruned(spark, path, "value", 10.0, 20.0).select(
         "event_id", "user_id", "event_type", "value"
     )
+
+
+@register(
+    "gdpr_forget_orders",
+    demoted=True,  # warehouse family driver-graded via delta_sync/scd2 rows
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey % 100 <> 0
+    """,
+)
+def gdpr_forget_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure end-to-end (r10): load orders into a
+    snapshot-versioned store, ``forget_keys`` every customer whose key is
+    ≡0 (mod 100), and return what a reader of the store sees — the
+    oracle proves the store serves EXACTLY the table minus the forgotten
+    keys (and the erased-history invariant is pinned by the sinks
+    pytest: no older version directory survives to time-travel from).
+
+    The store builds in a throwaway tempdir per run: erasure MUTATES a
+    store, so unlike the standing serve artifacts this row demonstrates
+    the maintenance op itself; cost is two writes of the table — at
+    100 TB, forget_keys is the same anti-join + publish a compaction
+    round already pays, plus the history unlink."""
+    import shutil
+    import tempfile
+
+    from .. import sinks
+
+    o = load(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="msgdp_gdpr_")
+    try:
+        sinks.write_snapshot(o, f"{root}/orders")
+        keys = o.filter(F.col("o_custkey") % 100 == 0).select("o_custkey").distinct()
+        sinks.forget_keys(spark, f"{root}/orders", ["o_custkey"], keys)
+        return (
+            sinks.read_snapshot(spark, f"{root}/orders")
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .localCheckpoint(eager=True)  # materialize before the rmtree
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -1083,6 +1083,135 @@ def read_scd2_history(spark: SparkSession, root: str, schema=None) -> DataFrame:
     return cur.unionByName(closed)
 
 
+def forget_keys(
+    spark: SparkSession,
+    root: str,
+    key_cols: list[str],
+    keys_df: DataFrame,
+    zonemap_cols: list[str] | None = None,
+    erase_history: bool = True,
+) -> dict:
+    """Right-to-erasure (GDPR art. 17) for a snapshot-versioned table
+    (r10): publish a new version equal to the current one MINUS the
+    given keys (left-anti join — broadcastable: a deletion request list
+    is model-sized), then, with ``erase_history`` (the default — erasure
+    that leaves the rows readable via time travel is not erasure),
+    DELETE every older version directory so no ``read_snapshot(version=…)``
+    can resurrect them.  The pointer flips to the scrubbed version BEFORE
+    history is erased, so concurrent readers never lose their table;
+    single-publisher window like every maintenance op here.
+
+    Standing artifacts (ANN index / lexicon / zone-map layouts) derived
+    from the table need NO in-place scrub: they are rebuildable caches
+    keyed on the source fingerprint — the scrubbed table mints a new
+    fingerprint, first touch rebuilds without the forgotten rows, and
+    ``vacuum_standing_artifacts`` collects the stale root holding them.
+
+    Returns ``{"version", "rows_removed", "erased_versions"}``.
+    """
+    cur = read_snapshot(spark, root)
+    pk = F.broadcast(keys_df.select(*key_cols).distinct())
+    kept = cur.join(pk, key_cols, "left_anti")
+    n_before = cur.count()
+    new_v = write_snapshot(kept, root, zonemap_cols=zonemap_cols)
+    n_after = read_snapshot(spark, root).count()
+    erased = []
+    if erase_history:
+        fs, _, jvm = _fs_for(spark, root)
+        for v in snapshot_versions(spark, root):
+            if v != new_v:
+                fs.delete(jvm.org.apache.hadoop.fs.Path(f"{root}/v={v}"), True)
+                erased.append(v)
+    return {
+        "version": new_v,
+        "rows_removed": int(n_before - n_after),
+        "erased_versions": erased,
+    }
+
+
+def scd2_forget_keys(
+    spark: SparkSession,
+    root: str,
+    key_cols: list[str],
+    keys_df: DataFrame,
+    schema=None,
+) -> dict:
+    """Right-to-erasure across the partitioned SCD2 store (r10): the
+    forgotten keys' CURRENT rows and ALL their closed history rows
+    disappear; every other row and every round number is untouched.
+
+    Closed increments are immutable by the store's contract — legal
+    erasure is the documented exception.  Each committed ``closed/r=N``
+    increment holding a forgotten key is rewritten MINUS those keys
+    under the SAME round number (round arithmetic, replay and
+    ``read_scd2_history`` are unaffected) via a tmp-dir swap:
+
+        1. write ``closed/.forget_tmp_r=N`` (the scrubbed increment)
+        2. delete ``closed/r=N``
+        3. rename tmp → ``closed/r=N``
+
+    A crash at any step is recoverable: before scrubbing, any orphan tmp
+    whose final directory is MISSING is renamed into place (completes a
+    step-2/3 crash); an orphan tmp whose final still exists is discarded
+    (step-1 crash).  Dotted tmp names are invisible to the round lister.
+    The current slice republishes as a new version and older current
+    versions are erased (they hold the forgotten keys' last rows).
+
+    Returns ``{"current_version", "rows_removed_current",
+    "rewritten_rounds"}``.
+    """
+    cur_root = f"{root}/current"
+    fs, _, jvm = _fs_for(spark, root)
+    pk = F.broadcast(keys_df.select(*key_cols).distinct())
+
+    # recovery: complete any crashed previous forget's tmp swaps
+    closed_root = f"{root}/closed"
+    cp = jvm.org.apache.hadoop.fs.Path(closed_root)
+    if fs.exists(cp):
+        for st in fs.listStatus(cp):
+            name = st.getPath().getName()
+            if name.startswith(".forget_tmp_r="):
+                final = jvm.org.apache.hadoop.fs.Path(
+                    f"{closed_root}/{name[len('.forget_tmp_'):]}"
+                )
+                if fs.exists(final):
+                    fs.delete(st.getPath(), True)  # step-1 crash: discard
+                else:
+                    fs.rename(st.getPath(), final)  # step-2/3 crash: complete
+
+    # scrub the current slice (new version, erase older current versions)
+    cur = read_snapshot(spark, cur_root)
+    n_before = cur.count()
+    kept = cur.join(pk, key_cols, "left_anti")
+    new_v = write_snapshot(kept, cur_root)
+    n_after = read_snapshot(spark, cur_root).count()
+    for v in snapshot_versions(spark, cur_root):
+        if v != new_v:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{cur_root}/v={v}"), True)
+
+    # scrub every closed increment that holds a forgotten key
+    reader_schema = _scd2_meta_schema(schema) if schema is not None else cur.schema
+    rewritten = []
+    for r in _list_numbered_dirs(spark, closed_root, "r="):
+        inc_path = f"{closed_root}/r={r}"
+        inc = spark.read.schema(reader_schema).parquet(inc_path)
+        if inc.join(pk, key_cols, "left_semi").limit(1).count() == 0:
+            continue
+        tmp = f"{closed_root}/.forget_tmp_r={r}"
+        inc.join(pk, key_cols, "left_anti").write.mode("overwrite").parquet(tmp)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(inc_path), True)
+        fs.rename(
+            jvm.org.apache.hadoop.fs.Path(tmp),
+            jvm.org.apache.hadoop.fs.Path(inc_path),
+        )
+        rewritten.append(r)
+    return {
+        "current_version": new_v,
+        "rows_removed_current": int(n_before - n_after),
+        "rewritten_rounds": rewritten,
+    }
+
+
 def refresh_agg_incremental(
     snapshot: DataFrame,
     old_agg: DataFrame | None,

@@ -722,3 +722,89 @@ def test_snapshot_zonemap_default_pruned_reads_and_compact_refresh(spark, tmp_pa
     sinks.write_snapshot(df, root2)
     plain = sinks.read_snapshot_pruned(spark, root2, "value", 100.0, 120.0)
     assert plain.count() == full.count()
+
+
+def test_forget_keys_erases_current_and_history(spark, tmp_path):
+    """r10 GDPR erasure on a snapshot table: the forgotten keys vanish
+    from the new version, EVERY older version directory is deleted so
+    time travel cannot resurrect them, unaffected rows survive, and the
+    zone-map manifest regenerates with the scrubbed version."""
+    from pyspark.sql import functions as F
+
+    from msgraphdatapipelines_spark import sinks
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).cast("double").alias("value")
+    )
+    root = str(tmp_path / "tbl")
+    sinks.write_snapshot(df, root, zonemap_cols=["value"])
+    sinks.write_snapshot(df, root, zonemap_cols=["value"])  # second version
+    keys = spark.createDataFrame([(3,), (500,), (999,)], "k: long")
+    out = sinks.forget_keys(spark, root, ["k"], keys, zonemap_cols=["value"])
+    assert out["rows_removed"] == 3
+    assert out["erased_versions"] == [1, 2]
+    assert sinks.snapshot_versions(spark, root) == [out["version"]]
+    cur = sinks.read_snapshot(spark, root)
+    assert cur.count() == 997
+    assert cur.filter(F.col("k").isin(3, 500, 999)).count() == 0
+    # pruned read still works on the scrubbed, re-manifested version
+    pruned = sinks.read_snapshot_pruned(spark, root, "value", 2.0, 2.0)
+    assert pruned.count() == cur.filter(F.col("value") == 2.0).count()
+
+
+def test_scd2_forget_keys_scrubs_history_preserves_rounds(spark, tmp_path):
+    """r10 GDPR erasure on the partitioned SCD2 store: the forgotten
+    key's current row AND closed history rows disappear; other keys'
+    rows (current and closed) are untouched; round numbering survives
+    so later rounds commit normally; a planted crash-orphan tmp dir is
+    recovered on entry."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from msgraphdatapipelines_spark import sinks
+
+    schema = T.StructType(
+        [T.StructField("id", T.StringType()), T.StructField("val", T.StringType())]
+    )
+    root = str(tmp_path / "hist")
+    t1, t2, t3 = (dt.datetime(2024, m, 1) for m in (1, 6, 9))
+
+    def updates(rows, eff):
+        return spark.createDataFrame(rows, schema).select(
+            "id", "val",
+            F.lit(eff).cast("timestamp").alias("effective_ts"),
+            F.lit(False).alias("_removed"),
+        )
+
+    for eff, rows in ((t1, [("a", "1"), ("b", "1")]),
+                      (t2, [("a", "2"), ("b", "2")]),
+                      (t3, [("b", "3")])):
+        cur, v = sinks.scd2_store_begin_round(spark, root, schema)
+        merged = sinks.apply_scd2(cur, updates(rows, eff), ["id"], removed_col="_removed")
+        sinks.scd2_store_commit_round(spark, root, merged, v)
+
+    # plant a step-1 crash orphan (final round dir still exists)
+    os.makedirs(f"{root}/closed/.forget_tmp_r=2", exist_ok=True)
+
+    keys = spark.createDataFrame([("a",)], "id: string")
+    out = sinks.scd2_forget_keys(spark, root, ["id"], keys, schema=schema)
+    assert out["rows_removed_current"] == 1
+    assert out["rewritten_rounds"] == [2]  # only r=2 held a's closed row
+    assert not os.path.exists(f"{root}/closed/.forget_tmp_r=2")
+
+    hist = sinks.read_scd2_history(spark, root, schema)
+    rows = sorted((r["id"], r["val"], r["is_current"]) for r in hist.collect())
+    assert rows == [("b", "1", False), ("b", "2", False), ("b", "3", True)]
+    # only the scrubbed current version remains (history erased)
+    assert len(sinks.snapshot_versions(spark, f"{root}/current")) == 1
+
+    # the store still runs rounds after erasure
+    cur, v = sinks.scd2_store_begin_round(spark, root, schema)
+    merged = sinks.apply_scd2(cur, updates([("c", "1")], t3), ["id"], removed_col="_removed")
+    sinks.scd2_store_commit_round(spark, root, merged, v)
+    hist2 = sinks.read_scd2_history(spark, root, schema)
+    assert hist2.filter(F.col("id") == "c").count() == 1
+    assert hist2.filter(F.col("id") == "a").count() == 0
