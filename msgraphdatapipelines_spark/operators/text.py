@@ -252,6 +252,69 @@ def chunk_text(
     )
 
 
+def content_defined_chunks(
+    df: "DataFrame",  # noqa: F821
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 8,
+) -> "DataFrame":  # noqa: F821
+    """Content-defined chunking (r10) — Rabin/FastCDC-style boundaries at
+    the TOKEN level: a chunk boundary falls after token ``i`` whenever the
+    hash of the trailing ``w``-token window opens with a zero nibble
+    (P=1/16 → expected chunk length ~16 tokens + the window warm-up).
+    Because boundaries depend only on LOCAL content, an insertion early
+    in a document shifts at most one chunk instead of re-chunking
+    everything — the property that makes CDC the standard prep for
+    chunk-hash dedup and incremental RAG re-indexing, where fixed-size
+    chunking (``chunk_text``) invalidates every downstream chunk after
+    any edit.
+
+    All per-row codegen (sequence → filter → zip_with → posexplode), no
+    shuffle; the hash is the same ``md5`` both engines evaluate
+    bit-identically, so chunk boundaries, texts, and content hashes all
+    replay in the DuckDB oracle.  The final token index is excluded from
+    the boundary candidates so no empty trailing chunk appears.
+
+    Output: ``id_col, n_tokens, chunk_idx, chunk_text, chunk_hash`` —
+    one row per chunk; an empty/short document yields one chunk.
+    """
+    from pyspark.sql import DataFrame
+
+    assert isinstance(df, DataFrame)
+    base = df.select(F.col(id_col), tokens(text_col).alias("_w")).select(
+        F.col(id_col), F.col("_w"), F.size("_w").alias("_nt")
+    )
+    win = lambda i: F.array_join(F.slice(F.col("_w"), i - (w - 1), w), " ")  # noqa: E731
+    bounds = F.when(
+        F.col("_nt") - 1 >= w,
+        F.filter(
+            F.sequence(F.lit(w), F.col("_nt") - 1),
+            lambda i: F.md5(win(i)).substr(1, 1) == F.lit("0"),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    b = base.select(F.col(id_col), F.col("_w"), F.col("_nt"), bounds.alias("_b"))
+    starts = F.concat(F.array(F.lit(1)), F.transform(F.col("_b"), lambda x: x + 1))
+    ends = F.concat(F.col("_b"), F.array(F.col("_nt")))
+    chunks = F.zip_with(
+        starts,
+        ends,
+        lambda s, e: F.array_join(
+            F.slice(F.col("_w"), s, F.greatest(e - s + 1, F.lit(0))), " "
+        ),
+    )
+    return b.select(
+        F.col(id_col),
+        F.col("_nt").cast("long").alias("n_tokens"),
+        F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
+    ).select(
+        F.col(id_col),
+        "n_tokens",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "chunk_text",
+        F.md5("chunk_text").alias("chunk_hash"),
+    )
+
+
 def repetition_signals(text: Column | str, ws: Column | None = None) -> dict[str, Column]:
     """Repetition quality signals (the Gopher/MassiveText-style heuristics
     used to drop boilerplate and degenerate generations from training

@@ -1692,3 +1692,50 @@ def hybrid_search_rrf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid", F.col("cid").alias("id"), F.col("rank").cast("int").alias("rank")
     )
     return _rrf_fuse(bm, vec)
+
+
+@register(
+    "cdc_chunk_documents",
+    demoted=True,  # chunking family driver-graded via chunk_documents
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, {_WS} AS w, len({_WS}) AS nt FROM documents
+    ),
+    b AS (
+        SELECT doc_id, w, nt,
+               list_filter(generate_series(8, nt - 1),
+                           i -> substr(md5(array_to_string(w[i-7:i], ' ')), 1, 1) = '0')
+                   AS bounds
+        FROM base
+    ),
+    c AS (
+        SELECT doc_id, w, nt,
+               list_prepend(1, list_transform(bounds, x -> x + 1)) AS starts,
+               list_append(bounds, nt) AS ends
+        FROM b
+    ),
+    z AS (
+        SELECT doc_id, w, nt,
+               unnest(starts) AS s, unnest(ends) AS e,
+               unnest(generate_series(1, len(starts))) AS i
+        FROM c
+    )
+    SELECT doc_id,
+           CAST(nt AS BIGINT) AS n_tokens,
+           CAST(i - 1 AS BIGINT) AS chunk_idx,
+           array_to_string(w[s:e], ' ') AS chunk_text,
+           md5(array_to_string(w[s:e], ' ')) AS chunk_hash
+    FROM z
+    """,
+)
+def cdc_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (r10): Rabin-style token-window hash
+    boundaries (zero leading md5 nibble over the trailing 8-token
+    window, P=1/16) — the edit-stable chunking that makes chunk-hash
+    dedup and incremental RAG re-indexing local to the edit, vs the
+    fixed-size chunker whose downstream chunks all shift
+    (``chunk_documents``).  Boundaries, chunk texts, AND content hashes
+    replay bit-identically in the oracle because the boundary predicate
+    is the same md5 both engines evaluate."""
+    docs = load(spark, sf_dir, "documents")
+    return X.content_defined_chunks(docs, "doc_id", "text", w=8)

@@ -557,3 +557,48 @@ def test_q11_scalar_subquery_evaluates_once(spark, sf_dir):
     assert p.lower().count("subquery") >= 1
     rows = df.collect()
     assert len(rows) >= 1  # threshold selects a non-empty brand set
+
+
+def test_runtime_bloom_filter_prunes_fact_shuffle(spark, sf_dir):
+    """r10 engine posture: with a selective filter on the dim side of a
+    SHUFFLE join, Catalyst injects a bloom_filter_agg subquery on the dim
+    and probes it on the fact side BEFORE the exchange — the 100 TB lever
+    that shuffles only might-match fact rows.  Pinned under
+    session.runtime_filter_conf's thresholds with broadcast disabled
+    (broadcast joins already prune via their own hash relation)."""
+    from pyspark.sql import functions as F
+
+    from msgraphdatapipelines_spark.session import runtime_filter_conf
+
+    saved = {"spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+        "spark.sql.autoBroadcastJoinThreshold")}
+    for k in runtime_filter_conf():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:  # noqa: BLE001
+            saved[k] = None
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for k, v in runtime_filter_conf().items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        p = plans.physical_plan(j)
+        assert "bloom_filter_agg" in p
+        # and the result is unaffected by the injected filter
+        (row,) = j.collect()
+        expect = (
+            li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey).count()
+        )
+        assert row["count"] == expect
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
