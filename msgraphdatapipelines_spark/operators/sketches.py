@@ -282,3 +282,57 @@ def choose_join_strategy(
         "join_size_est": join_est,
         "skew_warning": join_est > blowup_factor * (child_rows + parent_rows),
     }
+
+
+def sketch_store_root(sf_dir: str, table: str, key: str) -> str:
+    """Deterministic standing-CM-sketch location for (corpus table, key
+    column): fingerprint-keyed like the ANN index / lexicon roots, so a
+    regenerated table can never serve stale counts.  Prefix msgdp_cm_ is
+    registered with sinks.vacuum_standing_artifacts."""
+    import hashlib
+    import os
+    import tempfile
+
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    parts = []
+    if os.path.isdir(p):
+        for root_, _, files in sorted(os.walk(p)):
+            for fn in sorted(files):
+                st = os.stat(os.path.join(root_, fn))
+                parts.append(f"{fn}:{st.st_size}:{st.st_mtime_ns}")
+    else:
+        st = os.stat(p)
+        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    h = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{table}|{key}|{'|'.join(parts)}|cm|v1".encode()
+    ).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), f"msgdp_cm_{h}")
+
+
+def ensure_standing_sketch(
+    spark,
+    sf_dir: str,
+    table: str,
+    key: str,
+    df: DataFrame | None = None,
+) -> DataFrame:
+    """Build-at-most-once STANDING CM cell table for one (table, key
+    column) — the planning-side artifact ``choose_join_strategy`` /
+    ``pipelines.preflight_fk_constraints`` consume, so a join verdict at
+    load time costs a snapshot resolve + two model-sized aggs instead of
+    scanning either join side.  First touch scans the table once (ONE
+    map-combinable agg, O(4·256) output rows); afterwards every call is a
+    pointer resolve.  Incremental growth: CM cells are integer-add
+    mergeable — append increments with ``build_cm_sketch`` on the delta
+    and ``merge_cm_sketches``, republished via ``sinks.write_snapshot``
+    (same discipline as the lexicon compact)."""
+    from .. import sinks
+
+    root = sketch_store_root(sf_dir, table, key)
+    snap = f"{root}/cells"
+    if not sinks.snapshot_exists(spark, snap):
+        if df is None:
+            df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        cells = build_cm_sketch(df.na.drop(subset=[key]), [], key)
+        sinks.write_snapshot(cells, snap)
+    return sinks.read_snapshot(spark, snap)

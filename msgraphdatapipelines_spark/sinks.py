@@ -883,7 +883,7 @@ def snapshot_exists(spark: SparkSession, root: str) -> bool:
     return fs.exists(jvm.org.apache.hadoop.fs.Path(f"{root}/_LATEST"))
 
 
-STANDING_ARTIFACT_PREFIXES = ("msgdp_ivfpq_", "msgdp_lex_", "msgdp_zm_")
+STANDING_ARTIFACT_PREFIXES = ("msgdp_ivfpq_", "msgdp_lex_", "msgdp_zm_", "msgdp_cm_")
 
 
 def vacuum_standing_artifacts(

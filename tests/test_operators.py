@@ -2175,3 +2175,35 @@ def test_vacuum_standing_artifacts_collects_stale_roots(spark, tmp_path):
     assert any(p.endswith("msgdp_lex_fresh333") for p in out2["kept"])
     out3 = sinks.vacuum_standing_artifacts(spark, base_dir=base, ttl_hours=0.0)
     assert any(p.endswith("msgdp_lex_fresh333") for p in out3["removed"])
+
+
+def test_standing_sketch_store_serves_join_verdicts(spark, sf_dir):
+    """r10: the standing CM sketch store builds once per (table, key,
+    fingerprint) and serves choose_join_strategy verdicts identical to
+    freshly-built sketches — the FK pre-flight's planning artifact."""
+    import os
+
+    from msgraphdatapipelines_spark.operators.sketches import (
+        build_cm_sketch,
+        choose_join_strategy,
+        ensure_standing_sketch,
+        sketch_store_root,
+    )
+
+    child = ensure_standing_sketch(spark, sf_dir, "orders", "o_custkey")
+    parent = ensure_standing_sketch(spark, sf_dir, "customer", "c_custkey")
+    root = sketch_store_root(sf_dir, "orders", "o_custkey")
+    mt = os.path.getmtime(f"{root}/cells/_LATEST")
+    child2 = ensure_standing_sketch(spark, sf_dir, "orders", "o_custkey")
+    assert os.path.getmtime(f"{root}/cells/_LATEST") == mt  # served, not rebuilt
+
+    served = choose_join_strategy(child2, parent)
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    fresh = choose_join_strategy(
+        build_cm_sketch(o.na.drop(subset=["o_custkey"]), [], "o_custkey"),
+        build_cm_sketch(c.na.drop(subset=["c_custkey"]), [], "c_custkey"),
+    )
+    assert served == fresh
+    assert served["broadcast_parent"] is True
+    assert served["child_rows_est"] == o.count()

@@ -602,3 +602,40 @@ def test_runtime_bloom_filter_prunes_fact_shuffle(spark, sf_dir):
         for k, v in saved.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_bucketed_tables_join_with_zero_exchange(spark, sf_dir, tmp_path):
+    """r10 (closes a docstring claim that predated its test): two tables
+    bucketed on the same key and count join WITHOUT any Exchange — the
+    write-once/shuffle-never amortization for a fact table joined
+    repeatedly on one key.  Also pins that the bucketed agg on the key
+    skips its exchange."""
+    import uuid
+
+    from msgraphdatapipelines_spark import sinks
+
+    suffix = uuid.uuid4().hex[:8]
+    t1, t2 = f"orders_b_{suffix}", f"cust_b_{suffix}"
+    try:
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        sinks.write_bucketed(o, t1, "o_custkey", num_buckets=8)
+        sinks.write_bucketed(
+            c.withColumnRenamed("c_custkey", "o_custkey"), t2, "o_custkey", num_buckets=8
+        )
+        ob, cb = spark.table(t1), spark.table(t2)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            j = ob.join(cb, "o_custkey")
+            assert plans.num_exchanges(j) == 0, plans.physical_plan(j)
+            assert j.count() == o.join(
+                c, o.o_custkey == c.c_custkey
+            ).count()
+            agg = ob.groupBy("o_custkey").count()
+            assert plans.num_exchanges(agg) == 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t1}")
+        spark.sql(f"DROP TABLE IF EXISTS {t2}")
