@@ -24,6 +24,55 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _flat_double_array_literal(vals: list[float]) -> Column:
+    """One array<double> literal from a (possibly huge) Python list (r10).
+
+    ``F.lit(list)`` unrolls to one py4j ``lit`` call PER ELEMENT — measured
+    30 s of driver time for the 65k-entry flattened PQ codebook, which
+    dominated the index SERVE path's plan build.  Rendering the values
+    into a single ``array(…)`` SQL string and parsing it once costs 0.08 s
+    for the same payload.  ``repr(float)`` is Python's shortest
+    round-trip rendering and Spark's SQL parser reads it back as the
+    bit-identical DOUBLE, so literal VALUES are unchanged — only the
+    construction path differs (pinned by the unchanged generated
+    oracles).
+    """
+    return F.expr("array(" + ",".join(repr(float(v)) for v in vals) + ")")
+
+
+def _centroid_probe_structs(vec: Column, norm: Column, usable) -> Column:
+    """Best-first ``array<struct<ns, cent>>`` centroid scoring from ONE
+    flat literal + a transform (r10) — the QUERY-side probe construction.
+    The unrolled per-centroid literal form costs ~2 ms of driver time per
+    py4j call (k·dim calls); this builds O(1) Column objects.  Scoring is
+    seq_dot over a slice of the flat literal — identical element order,
+    bit-identical scores, same (-cos, cent) lexicographic tie-break.
+
+    Use ONLY on model-sized sides (queries): transform/aggregate HOFs are
+    interpreted, not whole-stage-codegen'd — corpus-wide assignment keeps
+    the unrolled literal form, which codegens to straight-line
+    multiply-adds (see ivf_topk's corpus side / pq_encode).
+    """
+    dim = len(usable[0][1])
+    flat = _flat_double_array_literal([x for _, cv, _ in usable for x in cv])
+    cns = _flat_double_array_literal([cn for _, _, cn in usable])
+    ids = F.expr("array(" + ",".join(f"{int(cid)}L" for cid, _, _ in usable) + ")")
+    return F.sort_array(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(len(usable) - 1)),
+            lambda i: F.struct(
+                (
+                    -(
+                        seq_dot(vec, F.slice(flat, i * dim + 1, dim))
+                        / (norm * F.element_at(cns, i + 1))
+                    )
+                ).alias("ns"),
+                F.element_at(ids, i + 1).alias("cent"),
+            ),
+        )
+    )
+
+
 def seq_dot(a: Column, b: Column) -> Column:
     """Sequential double dot product of two array<double> columns.
 
@@ -299,11 +348,13 @@ def ivf_topk(
     q = queries.select(
         F.col(id_q).alias("qid"), qv.alias("qv"), F.sqrt(seq_dot(qv, qv)).alias("qn")
     ).filter(F.col("qn") > 0)
+    # query-side probe from the flat-literal construction (r10): same
+    # scores/tie-break, O(1) Column objects instead of k·dim driver calls
     q = q.withColumn(
         "cent",
         F.explode(
             F.transform(
-                F.slice(scored_centroids(F.col("qv"), F.col("qn")), 1, nprobe),
+                F.slice(_centroid_probe_structs(F.col("qv"), F.col("qn"), usable), 1, nprobe),
                 lambda s: s["cent"],
             )
         ),
@@ -614,14 +665,34 @@ def pq_topk(
         .filter(F.col("_n") > 0)
         .select("qid", F.transform(F.col("_v"), lambda x: x / F.col("_n")).alias("_u"))
     )
-    # LUT: flattened m·ks array, entry s·ks+j = <q_sub_s, codeword_sj>
-    lut_entries = []
-    for s in range(m):
-        sub = F.slice(F.col("_u"), s * dsub + 1, dsub)
-        for j in range(ks):
-            arr = F.array(*[F.lit(x) for x in codebooks[s][j]])
-            lut_entries.append(seq_dot(sub, arr))
-    q = qn.select("qid", F.array(*lut_entries).alias("lut"))
+    # LUT: flattened m·ks array, entry s·ks+j = <q_sub_s, codeword_sj>.
+    # r10: built from ONE flat array literal + transform/slice (a single
+    # py4j literal call) instead of m·ks unrolled per-codeword literal
+    # arrays — the old form created ~65k driver-side Column objects
+    # (16·256·16 F.lit calls) and dominated the SERVE path at ~5 s of
+    # plan-build per query, pure driver overhead.  The per-entry dot is
+    # the same zip_with·aggregate shape as seq_dot (identical
+    # left-associated float order), so scores are bit-identical and the
+    # generated DuckDB oracles replay unchanged; evaluation moves from
+    # unrolled codegen to the HOF interpreter, which only ever runs on
+    # the model-sized broadcast QUERY side (never the corpus side — that
+    # still does plain element_at lookups).
+    flat_cb = _flat_double_array_literal(
+        [float(x) for s in range(m) for j in range(ks) for x in codebooks[s][j]]
+    )
+    lut = F.transform(
+        F.sequence(F.lit(0), F.lit(m * ks - 1)),
+        lambda e: F.aggregate(
+            F.zip_with(
+                F.slice(F.col("_u"), (e / ks).cast("int") * dsub + 1, dsub),
+                F.slice(flat_cb, e * dsub + 1, dsub),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    q = qn.select("qid", lut.alias("lut"))
     # ADC score: left-associated sum of m computed-index lookups
     score = F.element_at(F.col("lut"), F.lit(1) + F.element_at(F.col("code"), 1))
     for s in range(1, m):
@@ -722,14 +793,6 @@ def ivf_pq_topk(
     if not usable:
         raise ValueError("ivf_pq_topk: no non-zero-norm centroids available")
 
-    def scored_centroids(vec: Column, norm: Column) -> Column:
-        entries = []
-        for cid, cvec, cn in usable:
-            arr = F.array(*[F.lit(x) for x in cvec])
-            score = seq_dot(vec, arr) / (norm * F.lit(cn))
-            entries.append(F.struct((-score).alias("ns"), F.lit(cid).alias("cent")))
-        return F.sort_array(F.array(*entries))
-
     cv = F.col(vec_c).cast("array<double>")
     # corpus index: (cid, cent, code) — ONE narrow map; at scale this is
     # the persisted artifact, maintained incrementally with
@@ -747,15 +810,35 @@ def ivf_pq_topk(
         .withColumn("_n", F.sqrt(seq_dot(F.col("_v"), F.col("_v"))))
         .filter(F.col("_n") > 0)
     )
-    lut_entries = []
+    # LUT from ONE flat codebook literal (r10): the unrolled form built
+    # m·ks per-codeword literal arrays (~65k driver-side Column objects at
+    # the 16×256 config) and cost ~5 s of plan construction per probe —
+    # pure driver overhead on the SERVE path.  The per-entry dot keeps
+    # seq_dot's exact zip_with·aggregate shape (same left-associated float
+    # order), so scores are bit-identical and every generated oracle
+    # replays unchanged; the HOF evaluation only runs on the broadcast
+    # query side.
     unit = F.transform(F.col("_v"), lambda x: x / F.col("_n"))
-    for s in range(m):
-        sub = F.slice(unit, s * dsub + 1, dsub)
-        for j in range(ks):
-            arr = F.array(*[F.lit(x) for x in codebooks[s][j]])
-            lut_entries.append(seq_dot(sub, arr))
+    flat_cb = _flat_double_array_literal(
+        [float(x) for s in range(m) for j in range(ks) for x in codebooks[s][j]]
+    )
+    lut_col = F.transform(
+        F.sequence(F.lit(0), F.lit(m * ks - 1)),
+        lambda e: F.aggregate(
+            F.zip_with(
+                F.slice(unit, (e / ks).cast("int") * dsub + 1, dsub),
+                F.slice(flat_cb, e * dsub + 1, dsub),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
     if len(usable) <= 64:
-        probed = F.slice(scored_centroids(F.col("_v"), F.col("_n")), 1, nprobe)
+        # query-side probe only — flat-literal construction (r10)
+        probed = F.slice(
+            _centroid_probe_structs(F.col("_v"), F.col("_n"), usable), 1, nprobe
+        )
         qp = qn
     else:
         # large-k probe (r9): centroids as BROADCAST DATA, one O(1)-size
@@ -781,7 +864,7 @@ def ivf_pq_topk(
     q = qp.withColumn(
         "cent",
         F.explode(F.transform(probed, lambda s: s["cent"])),
-    ).select("qid", "cent", F.array(*lut_entries).alias("lut"))
+    ).select("qid", "cent", lut_col.alias("lut"))
 
     score = F.element_at(F.col("lut"), F.lit(1) + F.element_at(F.col("code"), 1))
     for s in range(1, m):
