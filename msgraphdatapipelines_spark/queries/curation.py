@@ -347,3 +347,78 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the actual importance-resampling draw."""
     docs = load(spark, sf_dir, "documents")
     return X.dsir_weights(docs, F.col("lang") == "en", "doc_id", "text")
+
+
+@register(
+    "domain_reputation_filter",
+    demoted=True,  # curation family driver-graded via corpus_curation
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, source,
+               len(list_filter(string_split(text, ' '), w -> w <> '')) AS nt,
+               len(list_distinct(list_filter(string_split(text, ' '), w -> w <> '')))
+                   AS nd
+        FROM documents
+    ),
+    dom AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(nt) AS BIGINT) AS sum_tokens,
+               CAST(sum(nd) AS BIGINT) AS sum_distinct
+        FROM d GROUP BY source
+    ),
+    v AS (
+        SELECT source, n_docs,
+               round(CAST(sum_tokens AS DOUBLE) / n_docs, 6) AS domain_mean_tokens,
+               round(1 - CAST(sum_distinct AS DOUBLE) / sum_tokens, 6)
+                   AS domain_dup_ratio,
+               (CAST(sum_tokens AS DOUBLE) / n_docs >= 52.0
+                AND 1 - CAST(sum_distinct AS DOUBLE) / sum_tokens <= 0.58)
+                   AS domain_keep
+        FROM dom
+    )
+    SELECT d.doc_id, d.source, v.domain_mean_tokens, v.domain_dup_ratio,
+           v.domain_keep
+    FROM d JOIN v USING (source)
+    """,
+)
+def domain_reputation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level reputation filtering (r10) — the RefinedWeb/C4 stage
+    where KEEP/DROP verdicts are made per SOURCE (domain), not per
+    document: a domain whose aggregate signals look degenerate (short
+    docs, high token duplication) is dropped wholesale, catching junk
+    domains whose individual pages pass per-doc filters.  Every document
+    is annotated with its domain's mean-token-count, duplication ratio,
+    and verdict.
+
+    Scale shape: ONE corpus scan computes per-doc exact integer signals
+    (token count, distinct-token count — pure codegen array ops); ONE
+    hash agg reduces them to per-domain integer sums (domains ≪ docs, so
+    the agg output is model-sized); the verdict table broadcasts back —
+    no second corpus shuffle.  All arithmetic stays in exact integers
+    until one final division per domain, so verdicts and the rounded
+    ratios replay bit-identically in the oracle."""
+    docs = load(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.size(ws).alias("nt"),
+        F.size(F.array_distinct(ws)).alias("nd"),
+    )
+    dom = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").alias("sum_tokens"),
+        F.sum("nd").alias("sum_distinct"),
+    )
+    mean_t = F.col("sum_tokens").cast("double") / F.col("n_docs")
+    dup = 1 - F.col("sum_distinct").cast("double") / F.col("sum_tokens")
+    v = dom.select(
+        "source",
+        F.round(mean_t, 6).alias("domain_mean_tokens"),
+        F.round(dup, 6).alias("domain_dup_ratio"),
+        ((mean_t >= 52.0) & (dup <= 0.58)).alias("domain_keep"),
+    )
+    return d.select("doc_id", "source").join(F.broadcast(v), "source").select(
+        "doc_id", "source", "domain_mean_tokens", "domain_dup_ratio", "domain_keep"
+    )
