@@ -1275,6 +1275,69 @@ def build_zonemap(spark: SparkSession, path: str, cols: list[str]) -> int:
     return spark.read.parquet(f"{path}/_zonemap").count()
 
 
+def refresh_zonemap(spark: SparkSession, path: str, cols: list[str]) -> dict:
+    """Incremental zone-map maintenance (r10): bring ``path/_zonemap`` up
+    to date by scanning ONLY the data files the manifest does not know
+    yet — the O(delta) manifest refresh a streaming/append sink needs
+    (``build_zonemap`` rescans the whole table; at 100 TB that defeats
+    the point of appending).
+
+    New files are found by a Hadoop FS listing diffed against the
+    manifest's file names (part-file names are write-UUID-unique, so
+    basename identity is exact); their stats aggregate from an EXPLICIT
+    file-list read — by construction no already-manifested file is
+    opened.  The refreshed manifest republishes as one overwrite of the
+    model-sized ``_zonemap`` table.
+
+    This is also the CRASH RECOVERY for ``append_zonemap``: data files
+    appended before a crash that never reached the manifest are exactly
+    "files the manifest does not know" — re-running the refresh heals
+    the gap (until then they are invisible to ``scan_pruned`` but
+    visible to plain reads; pruned reads are never WRONG, only stale).
+
+    Returns ``{"new_files": [...], "manifest_rows": N}``.
+    """
+    from pyspark.sql import functions as F
+
+    zm_path = f"{path}/_zonemap"
+    old = spark.read.parquet(zm_path)
+    import os
+
+    known = {os.path.basename(r["file"]) for r in old.select("file").collect()}
+    fs, p, _ = _fs_for(spark, path)
+    new_files = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if st.isFile() and not name.startswith(("_", ".")) and name not in known:
+            new_files.append(st.getPath().toString())
+    if new_files:
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        for c in cols:
+            aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+        fresh = (
+            spark.read.schema(spark.read.parquet(path).schema)
+            .parquet(*new_files)
+            .groupBy(F.input_file_name().alias("file"))
+            .agg(*aggs)
+        )
+        merged = old.unionByName(fresh).localCheckpoint(eager=True)
+        merged.coalesce(1).write.mode("overwrite").parquet(zm_path)
+    n = spark.read.parquet(zm_path).count()
+    return {"new_files": new_files, "manifest_rows": n}
+
+
+def append_zonemap(
+    spark: SparkSession, path: str, df: DataFrame, cols: list[str]
+) -> dict:
+    """Append a batch to a zone-mapped layout: write the new data files
+    (plain parquet append — old files untouched) then ``refresh_zonemap``
+    scans ONLY the new files into the manifest.  A crash between the two
+    steps leaves the appended files pruned-invisible until the next
+    refresh (see refresh_zonemap's recovery note)."""
+    df.write.mode("append").parquet(path)
+    return refresh_zonemap(spark, path, cols)
+
+
 def scan_pruned(spark: SparkSession, path: str, col: str, lo, hi) -> DataFrame:
     """Range scan through the zonemap: read ONLY files whose [min, max]
     interval overlaps [lo, hi], then apply the residual filter (identical

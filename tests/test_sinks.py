@@ -808,3 +808,52 @@ def test_scd2_forget_keys_scrubs_history_preserves_rounds(spark, tmp_path):
     hist2 = sinks.read_scd2_history(spark, root, schema)
     assert hist2.filter(F.col("id") == "c").count() == 1
     assert hist2.filter(F.col("id") == "a").count() == 0
+
+
+def test_zonemap_incremental_append_and_refresh_recovery(spark, tmp_path):
+    """r10: append_zonemap writes new files and scans ONLY them into the
+    manifest (returned file list is exactly the new basenames; old
+    manifest rows survive byte-identical); a data append that crashed
+    before the manifest update is healed by refresh_zonemap; pruned
+    scans return full-filter semantics throughout."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from msgraphdatapipelines_spark import sinks
+
+    def mk(lo, hi, n=2000):
+        return (
+            spark.range(lo, hi)
+            .select(F.col("id").alias("k"), (F.col("id") % 100).cast("double").alias("value"))
+            .repartitionByRange(4, "value")
+            .sortWithinPartitions("value")
+        )
+
+    path = str(tmp_path / "layout")
+    mk(0, 2000).write.parquet(path)
+    sinks.build_zonemap(spark, path, ["value"])
+    zm0 = {(r["file"], r["n_rows"]) for r in spark.read.parquet(f"{path}/_zonemap").collect()}
+
+    out = sinks.append_zonemap(spark, path, mk(2000, 3000), ["value"])
+    zm1 = spark.read.parquet(f"{path}/_zonemap")
+    assert out["manifest_rows"] == zm1.count() == len(zm0) + len(out["new_files"])
+    old_names = {os.path.basename(f) for f, _ in zm0}
+    assert all(os.path.basename(f) not in old_names for f in out["new_files"])
+    # old manifest rows unchanged (no rescan of old files)
+    kept = {(r["file"], r["n_rows"]) for r in zm1.collect() if os.path.basename(r["file"]) in old_names}
+    assert kept == zm0
+
+    pruned = sinks.scan_pruned(spark, path, "value", 10.0, 12.0)
+    full = spark.read.parquet(path).filter(F.col("value").between(10.0, 12.0))
+    assert pruned.count() == full.count() == 3000 // 100 * 3
+
+    # crash simulation: data appended, manifest not updated -> stale but
+    # never wrong; refresh heals
+    mk(3000, 3500).write.mode("append").parquet(path)
+    stale = sinks.scan_pruned(spark, path, "value", 10.0, 12.0)
+    assert stale.count() == 3000 // 100 * 3  # stale: new rows not yet visible
+    healed = sinks.refresh_zonemap(spark, path, ["value"])
+    assert healed["new_files"]
+    assert sinks.scan_pruned(spark, path, "value", 10.0, 12.0).count() == \
+        spark.read.parquet(path).filter(F.col("value").between(10.0, 12.0)).count()
