@@ -639,3 +639,96 @@ def test_bucketed_tables_join_with_zero_exchange(spark, sf_dir, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t1}")
         spark.sql(f"DROP TABLE IF EXISTS {t2}")
+
+
+def test_q6_all_filters_and_pruning_reach_scan(spark, sf_dir):
+    """late r10: Q6 is the pushdown-hygiene microbenchmark — all three
+    range predicates must reach the lineitem scan as PushedFilters and
+    the read schema must prune to exactly the four touched columns."""
+    from msgraphdatapipelines_spark.queries import tpch
+
+    df = tpch.q6_forecast_revenue(spark, sf_dir)
+    fs = " ".join(plans.pushed_filters(df))
+    assert "l_shipdate" in fs and "l_discount" in fs and "l_quantity" in fs
+    p = plans.physical_plan(df)
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+
+
+def test_q13_join_condition_filter_pushes_to_orders_scan(spark, sf_dir):
+    """late r10: Q13's priority exclusion lives in the LEFT OUTER join's
+    ON clause — semantically it may still push into the right-side
+    (orders) scan, and must NOT become a post-join filter that would drop
+    zero-order customers.  Customer side prunes to the single key col."""
+    import re
+
+    from msgraphdatapipelines_spark.queries import tpch
+
+    df = tpch.q13_customer_order_distribution(spark, sf_dir)
+    p = plans.physical_plan(df)
+    assert "LeftOuter" in p
+    scan = next(l for l in p.splitlines() if "orders.parquet" in l)
+    m = re.search(r"PushedFilters: \[([^\]]*)", scan)
+    assert m and "o_orderpriority" in m.group(1), scan
+
+
+def test_q16_not_in_is_anti_join_with_pushed_dims(spark, sf_dir):
+    """late r10: NOT IN over a non-nullable key compiles to a LEFT ANTI
+    join (RewritePredicateSubquery) and the size IN-list + type filter
+    push into the part scan."""
+    from msgraphdatapipelines_spark.queries import tpch
+
+    df = tpch.q16_supplier_part_counts(spark, sf_dir)
+    p = plans.physical_plan(df)
+    assert "LeftAnti" in p
+    fs = " ".join(plans.pushed_filters(df))
+    assert "In(p_size" in fs and "s_acctbal" in fs
+
+
+def test_q19_disjunction_derives_per_table_pushdown(spark, sf_dir):
+    """late r10: the cross-table OR cannot push as-is, but Catalyst must
+    derive the per-table implications — an Or(...) filter over l_quantity
+    reaching the lineitem scan proves the disjunction was split rather
+    than evaluated wholly post-join."""
+    import re
+
+    from msgraphdatapipelines_spark.queries import tpch
+
+    df = tpch.q19_disjunctive_revenue(spark, sf_dir)
+    p = plans.physical_plan(df)
+    scan = next(l for l in p.splitlines() if "lineitem.parquet" in l)
+    m = re.search(r"PushedFilters: \[([^\]]*)", scan)
+    assert m and "Or(" in m.group(1) and "l_quantity" in m.group(1), scan
+
+
+def test_q2_correlated_min_decorrelates(spark, sf_dir):
+    """late r10: Q2's correlated scalar MIN (repeating the outer 4-table
+    join) must not survive as a per-row subquery; both region filters
+    push into their region scans."""
+    from msgraphdatapipelines_spark.queries import tpch
+
+    df = tpch.q2_min_cost_supplier(spark, sf_dir)
+    p = plans.physical_plan(df)
+    assert "scalar-subquery" not in p.lower()
+    assert "Join" in p
+    fs = " ".join(plans.pushed_filters(df))
+    # pushed_filters splits on commas, so match the filter-name prefix
+    assert "EqualTo(r_name" in fs and "EUROPE" in fs and "EqualTo(p_size" in fs
+
+
+def test_q20_nested_in_compiles_to_semi_joins(spark, sf_dir):
+    """late r10: Q20's three nesting levels (IN → IN → correlated HAVING
+    scalar) all decorrelate — at least two LEFT SEMI joins, zero
+    surviving subquery nodes, and the widget LIKE + ship window pushed
+    into their scans."""
+    from msgraphdatapipelines_spark.queries import tpch
+
+    df = tpch.q20_dominant_part_supplier(spark, sf_dir)
+    p = plans.physical_plan(df)
+    assert "scalar-subquery" not in p.lower() and "exists-subquery" not in p.lower()
+    assert p.count("LeftSemi") >= 2
+    fs = " ".join(plans.pushed_filters(df))
+    assert "StringContains(p_name" in fs and "widget" in fs and "l_shipdate" in fs
