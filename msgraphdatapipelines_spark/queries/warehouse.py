@@ -441,3 +441,67 @@ def gdpr_forget_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def ensure_bloom_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Build-at-most-once RANDOM-sharded copy of ``orders`` with a Bloom
+    manifest on ``o_orderkey`` (late r10).  The shards are deliberately
+    UNCLUSTERED — every file spans the whole key domain, so zone maps
+    prune nothing and the Bloom filter is the only thing standing between
+    a point lookup and a full-table scan.  Same standing-artifact
+    discipline as :func:`ensure_standing_layout`: keyed on the source
+    fingerprint, ``_bloom_ready`` marker committed last by atomic
+    rename."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .. import sinks
+    from . import load
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}|bloom|v1".encode()
+    ).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), f"msgdp_bloom_{key}")
+    marker = f"{root}/_bloom_ready"
+    if not os.path.exists(marker):
+        o = load(spark, sf_dir, "orders")
+        # random 16-way shard: worst case for min/max, the Bloom case
+        o.repartition(16).write.mode("overwrite").parquet(f"{root}/orders")
+        sinks.build_bloom_manifest(
+            spark, f"{root}/orders", ["o_orderkey"], bits=1 << 17, k=4
+        )
+        tmp = f"{marker}.tmp"
+        with open(tmp, "w") as fh:
+            fh.write("ok")
+        os.replace(tmp, marker)
+    return f"{root}/orders"
+
+
+@register(
+    "bloom_pruned_point_lookup",
+    demoted=True,  # scan family driver-graded via filter_project
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_orderkey = 977
+    """,
+)
+def bloom_pruned_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-manifest point lookup (late r10): the query probes the
+    STANDING random-sharded orders layout — a layout where zone maps are
+    powerless (every shard spans the full key range) — and opens only
+    the files whose per-file Bloom filter fires for o_orderkey = 977
+    (expected 1 of 16 + false positives).  The oracle full-scans the
+    source table: the hash match proves Bloom pruning is pure I/O
+    elision with NO false negatives.  At 100 TB this is the ~800k-file
+    needle-in-haystack lookup every id-serving pipeline needs without
+    maintaining a sorted layout."""
+    from .. import sinks
+
+    path = ensure_bloom_layout(spark, sf_dir)
+    return sinks.scan_bloom_pruned(spark, path, "o_orderkey", 977).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )

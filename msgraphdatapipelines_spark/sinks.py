@@ -1368,3 +1368,177 @@ def scan_pruned(spark: SparkSession, path: str, col: str, lo, hi) -> DataFrame:
         .parquet(*files)
         .filter(F.col(col).between(lo, hi))
     )
+
+
+# --- late r10: file-level Bloom-filter manifests ---------------------------
+# The equality-pruning sibling of the zone-map layer above.  Zone maps
+# (min/max) prune RANGE predicates but are useless for point lookups on a
+# column the layout is NOT clustered by — every file's [min, max] spans the
+# whole domain, so nothing prunes.  A per-file Bloom filter (Bloom 1970;
+# the file-skipping index Parquet, Delta and Iceberg all keep for exactly
+# this case) answers "might this file contain key v?" with no false
+# negatives, so a point lookup opens only the files whose filter fires
+# (expected 1 + fpp·files instead of all of them).
+#
+# Representation: NOT a driver-side bitmap.  Each column's filter is a
+# distributed table of sparse 64-bit words — (file, word_idx, word) rows
+# built with one explode(k positions) + groupBy(file, word_idx) BIT_OR —
+# and a probe is a broadcast join of the k probed (word_idx, mask) pairs
+# against that table: a file is a candidate iff all k bits are set.  Both
+# build and probe are pure DataFrame jobs, so the manifest scales with the
+# table (100 TB ⇒ ~800k files ⇒ the words table is a few GB, still a
+# planning-side object) and the probe never collects more than the
+# candidate file list.  Hashing is Spark's own xxhash64 ON BOTH SIDES
+# (probe positions are computed by the JVM through a 1-row select), so
+# build and probe can never disagree across versions or platforms.
+
+_BLOOM_SEED = "msgdp_bloom_v1"
+
+
+def _bloom_positions(col, bits: int, k: int):
+    """k double-hashed bit positions (Kirsch-Mitzenmacher: h1 + i·h2) as
+    Spark Column expressions — shared by build (per row) and probe (per
+    literal).  Both hashes reduce mod bits BEFORE the multiply
+    ((h1 + i·h2) mod m ≡ (h1 mod m + i·(h2 mod m)) mod m), keeping the
+    arithmetic far from long overflow — ANSI mode (Spark 4 default)
+    raises on wrap instead of wrapping."""
+    from pyspark.sql import functions as F
+
+    b = F.lit(int(bits)).cast("long")
+    h1 = F.pmod(F.xxhash64(col), b)
+    h2 = F.pmod(F.xxhash64(col, F.lit(_BLOOM_SEED)), b)
+    return [F.pmod(h1 + F.lit(i).cast("long") * h2, b) for i in range(k)]
+
+
+def _bloom_words(df: DataFrame, c: str, bits: int, k: int) -> DataFrame:
+    """(file, word_idx, word) sparse-bitmap rows for one column."""
+    from pyspark.sql import functions as F
+
+    pos = F.explode(F.array(*_bloom_positions(F.col(c), bits, k))).alias("pos")
+    return (
+        df.select(F.input_file_name().alias("file"), pos)
+        .select(
+            "file",
+            F.floor(F.col("pos") / 64).cast("long").alias("word_idx"),
+            # PySpark's shiftleft wrapper wants a literal int for numBits,
+            # so the variable shift goes through expr
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))").alias(
+                "bit"
+            ),
+        )
+        .groupBy("file", "word_idx")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+
+
+def build_bloom_manifest(
+    spark: SparkSession, path: str, cols: list[str], bits: int = 1 << 20, k: int = 4
+) -> dict:
+    """Build per-file Bloom manifests for ``cols`` under
+    ``path/_bloom_<col>/`` (underscore prefix hides them from Spark's
+    file index, like ``_zonemap``).  ``bits`` is the filter width PER
+    FILE (default 1 Mi bits ≈ 128 KiB dense; the sparse word table is
+    smaller whenever a file holds < bits/10 keys).  Size bits ≥ 10× the
+    per-file distinct-key count for ~1% false positives at k=4.
+
+    Returns {col: word_row_count}."""
+    df = spark.read.parquet(path)
+    out = {}
+    for c in cols:
+        root = f"{path}/_bloom_{c}"
+        _bloom_words(df, c, bits, k).write.mode("overwrite").parquet(f"{root}/words")
+        meta = spark.createDataFrame([(int(bits), int(k))], "bits long, k int")
+        meta.coalesce(1).write.mode("overwrite").parquet(f"{root}/meta")
+        out[c] = spark.read.parquet(f"{root}/words").count()
+    return out
+
+
+def refresh_bloom_manifest(spark: SparkSession, path: str, col: str) -> dict:
+    """O(delta) Bloom maintenance: scan ONLY data files the manifest does
+    not know yet (Hadoop-FS listing diffed against the manifest's file
+    names) and APPEND their word rows — the manifest is append-only
+    (bit_or over duplicate (file, word_idx) rows at probe time makes
+    appends idempotent-safe), so unlike the zonemap no rewrite happens.
+    Crash semantics mirror ``refresh_zonemap``: files appended before a
+    crash are pruned-invisible until the next refresh, never wrong."""
+    import os
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    root = f"{path}/_bloom_{col}"
+    meta = spark.read.parquet(f"{root}/meta").first()
+    words = spark.read.parquet(f"{root}/words")
+    known = {os.path.basename(r["file"]) for r in words.select("file").distinct().collect()}
+    fs, p, _ = _fs_for(spark, path)
+    new_files = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if st.isFile() and not name.startswith(("_", ".")) and name not in known:
+            new_files.append(st.getPath().toString())
+    if new_files:
+        fresh = spark.read.schema(spark.read.parquet(path).schema).parquet(*new_files)
+        _bloom_words(fresh, col, meta["bits"], meta["k"]).write.mode("append").parquet(
+            f"{root}/words"
+        )
+    return {"new_files": new_files}
+
+
+def bloom_candidate_files(spark: SparkSession, path: str, col: str, value) -> list[str]:
+    """Files that MIGHT contain ``col = value`` per the Bloom manifest
+    (no false negatives; false-positive files cost one wasted open).
+    Probe = broadcast-join k (word_idx, mask) pairs against the words
+    table, keep files where all k bits are set."""
+    from pyspark.sql import functions as F
+
+    root = f"{path}/_bloom_{col}"
+    meta = spark.read.parquet(f"{root}/meta").first()
+    bits, k = meta["bits"], meta["k"]
+    # compute probe positions through the JVM so the hash is byte-identical
+    # to the build side — including the TYPE: xxhash64 of an int literal
+    # differs from xxhash64 of the same value as bigint, so the literal
+    # must cast to the column's actual type first
+    col_type = spark.read.parquet(path).schema[col].dataType
+    probe_lit = F.lit(value).cast(col_type)
+    row = (
+        spark.range(1)
+        .select(
+            *[
+                p.alias(f"p{i}")
+                for i, p in enumerate(_bloom_positions(probe_lit, bits, k))
+            ]
+        )
+        .first()
+    )
+    probes = []
+    for i in range(k):
+        pos = row[f"p{i}"]
+        mask = 1 << (pos % 64)
+        if mask >= 1 << 63:  # Java long wraps at 2^63
+            mask -= 1 << 64
+        probes.append((i, pos // 64, mask))
+    probe_df = spark.createDataFrame(probes, "pos_idx int, word_idx long, mask long")
+    words = spark.read.parquet(f"{root}/words")
+    cand = (
+        words.join(F.broadcast(probe_df), "word_idx")
+        .filter(F.col("word").bitwiseAND(F.col("mask")) != 0)
+        .groupBy("file")
+        .agg(F.countDistinct("pos_idx").alias("hits"))
+        .filter(F.col("hits") == k)
+        .select("file")
+    )
+    return [r["file"] for r in cand.collect()]
+
+
+def scan_bloom_pruned(spark: SparkSession, path: str, col: str, value) -> DataFrame:
+    """Point lookup through the Bloom manifest: open ONLY candidate
+    files, then apply the residual equality filter — identical results
+    to a full-scan filter (pruning is I/O elision, never semantics; a
+    false positive just reads one extra file whose residual filter drops
+    everything)."""
+    from pyspark.sql import functions as F
+
+    files = bloom_candidate_files(spark, path, col, value)
+    base = spark.read.parquet(path)
+    if not files:
+        return base.filter(F.lit(False))
+    return spark.read.schema(base.schema).parquet(*files).filter(F.col(col) == value)

@@ -857,3 +857,69 @@ def test_zonemap_incremental_append_and_refresh_recovery(spark, tmp_path):
     assert healed["new_files"]
     assert sinks.scan_pruned(spark, path, "value", 10.0, 12.0).count() == \
         spark.read.parquet(path).filter(F.col("value").between(10.0, 12.0)).count()
+
+
+# --- late r10: file-level Bloom-filter manifests ---------------------------
+
+
+def test_bloom_manifest_prunes_without_false_negatives(spark, tmp_path):
+    """A point lookup through the Bloom manifest must open strictly fewer
+    files than the layout holds (on a random shard where zone maps cannot
+    prune at all) and return EXACTLY what a full-scan filter returns, for
+    every probed key — the no-false-negative contract."""
+    path = str(tmp_path / "orders_sharded")
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    o.repartition(8).write.parquet(path)
+    sinks.build_bloom_manifest(spark, path, ["o_orderkey"], bits=1 << 15, k=4)
+
+    total_files = 8
+    pruned_any = False
+    for key in [0, 7, 977, 1203, 1499]:
+        cand = sinks.bloom_candidate_files(spark, path, "o_orderkey", key)
+        assert 1 <= len(cand) <= total_files
+        if len(cand) < total_files:
+            pruned_any = True
+        got = sorted(
+            tuple(r)
+            for r in sinks.scan_bloom_pruned(spark, path, "o_orderkey", key)
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in spark.read.parquet(path)
+            .filter(F.col("o_orderkey") == key)
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .collect()
+        )
+        assert got == want and len(want) >= 1
+    assert pruned_any, "bloom filter never pruned a single file"
+    # absent key: result must be empty regardless of false-positive opens
+    assert sinks.scan_bloom_pruned(spark, path, "o_orderkey", 10**9).count() == 0
+
+
+def test_bloom_refresh_scans_only_new_files_and_finds_appended_keys(spark, tmp_path):
+    """Append-only maintenance: new data files appended after the build
+    are invisible until refresh_bloom_manifest, which must list ONLY the
+    unknown files, append their word rows (no rewrite of old rows), and
+    make the appended keys findable."""
+    path = str(tmp_path / "orders_grow")
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    o.repartition(4).write.parquet(path)
+    sinks.build_bloom_manifest(spark, path, ["o_orderkey"], bits=1 << 15, k=4)
+    before = spark.read.parquet(f"{path}/_bloom_o_orderkey/words").count()
+
+    batch = o.limit(5).withColumn("o_orderkey", F.col("o_orderkey") + 1_000_000)
+    batch.coalesce(1).write.mode("append").parquet(path)
+    # pre-refresh: appended key invisible to the pruned scan (stale, not wrong)
+    assert sinks.scan_bloom_pruned(spark, path, "o_orderkey", 1_000_000 + 0).count() in (0, 1)
+
+    res = sinks.refresh_bloom_manifest(spark, path, "o_orderkey")
+    assert len(res["new_files"]) == 1  # only the appended file was scanned
+    after = spark.read.parquet(f"{path}/_bloom_o_orderkey/words").count()
+    assert after > before
+    appended_keys = [r["o_orderkey"] for r in batch.select("o_orderkey").collect()]
+    for key in appended_keys:
+        assert sinks.scan_bloom_pruned(spark, path, "o_orderkey", key).count() == 1
+    # idempotent: re-refresh finds nothing new
+    assert sinks.refresh_bloom_manifest(spark, path, "o_orderkey")["new_files"] == []
