@@ -505,3 +505,37 @@ def bloom_pruned_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sinks.scan_bloom_pruned(spark, path, "o_orderkey", 977).select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
     )
+
+
+@register(
+    "result_cache_served_agg",
+    demoted=True,  # agg family driver-graded via pricing_summary
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def result_cache_served_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Result-cache-served aggregate (late r10): the per-priority order
+    rollup runs through :func:`cache.serve_cached` — first touch
+    materializes the result keyed by (optimized plan, input file
+    identity), every later call serves the parquet artifact with ZERO
+    source-table work (plan-pinned in pytest).  The oracle recomputes
+    the aggregate from the raw table, so the hash match proves the
+    cached artifact serves exact values no matter which path built it.
+    At 100 TB this is the repeated-report path: one scan, then
+    artifact-read cost forever until the inputs change (which rotates
+    the fingerprint and strands the old entry for the GC)."""
+    from .. import cache
+
+    o = load(spark, sf_dir, "orders")
+    df = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias(
+            "total_price"
+        ),
+    )
+    return cache.serve_cached(spark, df, [f"{sf_dir}/orders.parquet"])

@@ -883,7 +883,14 @@ def snapshot_exists(spark: SparkSession, root: str) -> bool:
     return fs.exists(jvm.org.apache.hadoop.fs.Path(f"{root}/_LATEST"))
 
 
-STANDING_ARTIFACT_PREFIXES = ("msgdp_ivfpq_", "msgdp_lex_", "msgdp_zm_", "msgdp_cm_")
+STANDING_ARTIFACT_PREFIXES = (
+    "msgdp_ivfpq_",
+    "msgdp_lex_",
+    "msgdp_zm_",
+    "msgdp_cm_",
+    "msgdp_bloom_",  # late r10: Bloom-manifest layouts
+    "msgdp_rc_",  # late r10: plan-fingerprint result cache
+)
 
 
 def vacuum_standing_artifacts(

@@ -923,3 +923,96 @@ def test_bloom_refresh_scans_only_new_files_and_finds_appended_keys(spark, tmp_p
         assert sinks.scan_bloom_pruned(spark, path, "o_orderkey", key).count() == 1
     # idempotent: re-refresh finds nothing new
     assert sinks.refresh_bloom_manifest(spark, path, "o_orderkey")["new_files"] == []
+
+
+# --- late r10: plan-fingerprint result cache -------------------------------
+
+
+def test_result_cache_builds_once_and_serves_from_artifact(spark, tmp_path):
+    """Second serve of the same (plan, inputs) must not rewrite the
+    artifact, must read ONLY the msgdp_rc_ path (no source scan in the
+    physical plan), and must return the exact direct-run result."""
+    import os
+
+    from msgraphdatapipelines_spark import cache
+
+    src = "/root/testdata/sf0.001/orders.parquet"
+    base = str(tmp_path)
+
+    def build():
+        return (
+            spark.read.parquet(src)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    first = cache.serve_cached(spark, build(), [src], base_dir=base)
+    direct = {(r["o_orderstatus"], r["n"]) for r in build().collect()}
+    assert {(r["o_orderstatus"], r["n"]) for r in first.collect()} == direct
+
+    fp = cache.plan_fingerprint(spark, build(), [src])
+    data_dir = os.path.join(cache.result_cache_root(fp, base), "data")
+    listing = sorted(
+        (f, os.path.getmtime(os.path.join(data_dir, f)))
+        for f in os.listdir(data_dir)
+        if not f.startswith(("_", "."))
+    )
+    second = cache.serve_cached(spark, build(), [src], base_dir=base)
+    listing2 = sorted(
+        (f, os.path.getmtime(os.path.join(data_dir, f)))
+        for f in os.listdir(data_dir)
+        if not f.startswith(("_", "."))
+    )
+    assert listing == listing2, "cache hit rewrote the artifact"
+    plan = second._jdf.queryExecution().executedPlan().toString()
+    assert "orders.parquet" not in plan
+    files = second.inputFiles()
+    assert files and all("msgdp_rc_" in f for f in files)
+    assert {(r["o_orderstatus"], r["n"]) for r in second.collect()} == direct
+
+
+def test_result_cache_invalidates_on_input_change_and_plan_change(spark, tmp_path):
+    """Touching an input file or changing a literal in the query MUST
+    rotate the fingerprint (no stale serve); the stranded old entry is
+    collected by the standing-artifact GC with the msgdp_rc_ prefix."""
+    import shutil
+
+    from msgraphdatapipelines_spark import cache
+
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    src = str(src_dir / "orders.parquet")
+    shutil.copyfile("/root/testdata/sf0.001/orders.parquet", src)
+    base = str(tmp_path)
+
+    def build(thresh):
+        return (
+            spark.read.parquet(src)
+            .filter(F.col("o_orderkey") < thresh)
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    fp1 = cache.plan_fingerprint(spark, build(100), [src])
+    served1 = cache.serve_cached(spark, build(100), [src], base_dir=base)
+    assert served1.collect()[0]["n"] == 100
+    # plan change (different literal) → different key
+    assert cache.plan_fingerprint(spark, build(200), [src]) != fp1
+    # input change (same bytes, new mtime is enough) → different key
+    import os
+
+    os.utime(src)
+    fp_after = cache.plan_fingerprint(spark, build(100), [src])
+    assert fp_after != fp1
+    # the stale entry is GC-able under the registered msgdp_rc_ prefix
+    served2 = cache.serve_cached(spark, build(100), [src], base_dir=base)
+    assert served2.collect()[0]["n"] == 100
+    res = sinks.vacuum_standing_artifacts(
+        spark,
+        base_dir=base,
+        keep_roots=[cache.result_cache_root(fp_after, base)],
+        prefixes=("msgdp_rc_",),
+    )
+    assert cache.result_cache_root(fp1, base) in res["removed"]
+    assert cache.result_cache_root(fp_after, base) in res["kept"]
+    # live entry still serves after the sweep
+    assert cache.serve_cached(spark, build(100), [src], base_dir=base).collect()[0]["n"] == 100
