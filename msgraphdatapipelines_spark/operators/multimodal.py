@@ -288,3 +288,128 @@ def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(batches, FRAME_SCHEMA)
+
+
+# --- late r10: perceptual near-duplicate hashing ---------------------------
+
+PHASH_ROWS, PHASH_COLS = 7, 10  # 7×10 thumbnail → 7×9 = 63 dHash bits
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def perceptual_dhash(df: DataFrame) -> DataFrame:
+    """Difference hash (dHash) of each media payload via Arrow-batched
+    ``mapInPandas`` — the perceptual near-dup signature every image
+    dedup pipeline keeps (public algorithm: reduce to a tiny grayscale
+    thumbnail, emit one bit per horizontally-adjacent pixel pair).
+
+    The thumbnail step is the STUB analog of a real decoder's
+    resize-to-grid: payload bytes are block-averaged into a
+    ``PHASH_ROWS×PHASH_COLS`` grid (exactly what a box-filter downscale
+    does to a grayscale image, here applied to the raw byte stream so
+    the sandbox needs no codec).  Bit ``r·(cols−1)+c`` is set iff
+    ``pixel[r][c+1] > pixel[r][c]`` — 63 bits, so the hash is always a
+    non-negative int64 on every engine.  Empty blocks (payload shorter
+    than the grid) read as pixel 0 on both engine and oracle.
+
+    Near-identical payloads (small edits, re-encodes in the real-codec
+    case) move few block means and so flip few bits — Hamming distance
+    is the dedup radius.  Numpy does the block sums per batch
+    (``bincount`` over a precomputed segment map): O(bytes) per payload,
+    embarrassingly parallel, blobs never leave the executor."""
+    import numpy as np
+
+    nseg = PHASH_ROWS * PHASH_COLS
+    ncols = PHASH_COLS - 1
+    weights = 1 << np.arange(PHASH_ROWS * ncols, dtype=np.int64)
+
+    def ph(payload: bytes) -> int:
+        b = np.frombuffer(bytes(payload), dtype=np.uint8)
+        n = len(b)
+        if n == 0:
+            return 0
+        seg = (np.arange(n, dtype=np.int64) * nseg) // n
+        sums = np.bincount(seg, weights=b, minlength=nseg)
+        cnts = np.bincount(seg, minlength=nseg)
+        pix = (sums // np.maximum(cnts, 1)).astype(np.int64)
+        g = pix.reshape(PHASH_ROWS, PHASH_COLS)
+        bits = (g[:, 1:] > g[:, :-1]).astype(np.int64).ravel()
+        return int((bits * weights).sum())
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "phash": pdf["payload"].map(ph)}
+            )
+
+    return df.mapInPandas(batches, PHASH_SCHEMA)
+
+
+def phash_band_buckets(
+    hashed: DataFrame, n_bands: int = 9, band_bits: int = 7
+) -> DataFrame:
+    """(media_id, phash, j, band) — each hash exploded into its
+    ``n_bands`` band values (multi-index hashing, Norouzi et al. 2012:
+    by pigeonhole, two hashes within Hamming distance ``n_bands − 1``
+    agree EXACTLY on at least one band, so band-equality candidate
+    generation has guaranteed recall 1.0 for that radius — unlike
+    probabilistic SimHash banding)."""
+    mask = (1 << band_bits) - 1
+    j = F.explode(F.array(*[F.lit(i) for i in range(n_bands)])).alias("j")
+    return hashed.select("media_id", "phash", j).select(
+        "media_id",
+        "phash",
+        "j",
+        F.expr(f"shiftright(phash, {band_bits} * j) & {mask}").alias("band"),
+    )
+
+
+def phash_near_dup_pairs(
+    hashed: DataFrame,
+    tau: int = 8,
+    n_bands: int = 9,
+    band_bits: int = 7,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Exact-recall near-dup pairs: (id_a, id_b, hamming ≤ tau).
+
+    Candidates come from the pigeonhole band join (recall 1.0 while
+    ``tau ≤ n_bands − 1``); each candidate verifies with one
+    ``bit_count(xor)`` — no payload access after hashing.
+
+    SCALE CAVEAT, first-class like set-similarity's ``max_df``: on
+    structured corpora the hash bits are NOT uniform (text blocks share
+    statistics), so a band value can bucket a large fraction of the
+    corpus and the self-join inflates toward quadratic.  ``max_bucket``
+    caps the per-(j, band) bucket size: oversized buckets are EXCLUDED
+    from candidate generation (recall on them must come from another
+    band — or the caller audits them via :func:`phash_band_buckets`),
+    keeping the join Θ(Σ capped-bucket²) by construction."""
+    b = phash_band_buckets(hashed, n_bands, band_bits)
+    if max_bucket is not None:
+        sizes = b.groupBy("j", "band").agg(F.count(F.lit(1)).alias("_bn"))
+        b = b.join(
+            F.broadcast(sizes.filter(F.col("_bn") <= max_bucket)), ["j", "band"]
+        ).drop("_bn")
+    a1 = b.select(
+        F.col("media_id").alias("id_a"), F.col("phash").alias("ha"), "j", "band"
+    )
+    a2 = b.select(
+        F.col("media_id").alias("id_b"), F.col("phash").alias("hb"), "j", "band"
+    )
+    return (
+        a1.join(a2, ["j", "band"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ha", "hb")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= tau)
+        .select("id_a", "id_b", "hamming")
+    )

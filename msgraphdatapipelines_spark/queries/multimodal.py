@@ -136,3 +136,72 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     media = M.wrap_text_as_media(docs, "doc_id", "text")
     return M.frame_sample(media, every_n=_EVERY_N)
+
+
+@register(
+    "multimodal_phash_near_dup",
+    demoted=True,  # multimodal family driver-graded via multimodal_decode_features
+    oracle="""
+    WITH docs AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    chars AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS p,
+             ascii(list_extract(string_split(text, ''), i)) AS v,
+             CAST((CAST(i - 1 AS BIGINT) * 70) // n AS INT) AS seg
+      FROM (SELECT doc_id, text, n, unnest(generate_series(1, n)) AS i FROM docs)
+    ),
+    pixagg AS (
+      SELECT doc_id, seg, SUM(v) // COUNT(*) AS pixel
+      FROM chars GROUP BY doc_id, seg
+    ),
+    allseg AS (
+      SELECT d.doc_id, gs.seg
+      FROM (SELECT DISTINCT doc_id FROM docs) d, generate_series(0, 69) AS gs(seg)
+    ),
+    pix AS (
+      SELECT a.doc_id, a.seg, COALESCE(p.pixel, 0) AS pixel
+      FROM allseg a LEFT JOIN pixagg p ON a.doc_id = p.doc_id AND a.seg = p.seg
+    ),
+    bits AS (
+      SELECT a.doc_id,
+             CAST(SUM(CASE WHEN b.pixel > a.pixel
+                           THEN CAST(1 AS BIGINT) << (a.seg - a.seg // 10)
+                           ELSE 0 END) AS BIGINT) AS phash
+      FROM pix a JOIN pix b ON a.doc_id = b.doc_id AND b.seg = a.seg + 1
+      WHERE a.seg % 10 < 9
+      GROUP BY a.doc_id
+    ),
+    bands AS (
+      SELECT doc_id, phash, j, (phash >> (5 * j)) & 31 AS band
+      FROM bits, generate_series(0, 12) AS gj(j)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.phash AS ha, b.phash AS hb
+      FROM bands a
+      JOIN bands b ON a.j = b.j AND a.band = b.band AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) <= 12
+    ORDER BY id_a, id_b
+    """,
+)
+def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup pairs over media payloads (late r10): wrap
+    every document as a binary media record, dHash each payload through
+    the Arrow/mapInPandas thumbnail stub (block-mean grid → 63
+    difference bits — a box-filter downscale applied to the byte
+    stream), then find all pairs within Hamming 12 via pigeonhole
+    multi-index banding (13 bands × 5 bits; the top band holds the 3
+    highest bits zero-padded: any pair within distance 12 shares an
+    exact band — recall 1.0, no probabilistic miss).  The
+    oracle rebuilds the IDENTICAL thumbnail from character codes
+    (payloads are utf-8 of ASCII text, so byte = code point), so the
+    Python-UDF hash path is value-checked cross-engine bit for bit.
+    At 100 TB the production knob is ``max_bucket`` (pytest-pinned):
+    structured corpora cluster band values, and the cap keeps the
+    candidate join Θ(Σ bucket²) instead of quadratic."""
+    docs = load(spark, sf_dir, "documents")
+    media = M.wrap_text_as_media(docs, "doc_id", "text")
+    hashed = M.perceptual_dhash(media)
+    return M.phash_near_dup_pairs(hashed, tau=12, n_bands=13, band_bits=5).orderBy("id_a", "id_b")

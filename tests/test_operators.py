@@ -2207,3 +2207,84 @@ def test_standing_sketch_store_serves_join_verdicts(spark, sf_dir):
     assert served == fresh
     assert served["broadcast_parent"] is True
     assert served["child_rows_est"] == o.count()
+
+
+# --- late r10: perceptual dHash near-dup -----------------------------------
+
+
+def _media_df(spark, rows):
+    return M.wrap_text_as_media(
+        spark.createDataFrame(rows, "doc_id long, text string"), "doc_id", "text"
+    )
+
+
+def test_perceptual_dhash_edit_robust_and_discriminating(spark):
+    """Identical payloads hash identically (distance 0); a small edit
+    moves few block means (small distance); unrelated payloads are far.
+    The operator must find exactly the near pairs at a tight radius."""
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    rows = [
+        (1, base),
+        (2, base),  # identical
+        (3, base[:-6] + "cat!!!"),  # small tail edit
+        (4, "zzzz AAAA 0101 " * 30),  # unrelated
+    ]
+    hashed = M.perceptual_dhash(_media_df(spark, rows))
+    h = {r["media_id"]: r["phash"] for r in hashed.collect()}
+    assert h[1] == h[2]
+    d13 = bin(h[1] ^ h[3]).count("1")
+    d14 = bin(h[1] ^ h[4]).count("1")
+    assert d13 < d14 and d13 <= 8
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in M.phash_near_dup_pairs(hashed, tau=8).collect()
+    }
+    assert pairs[(1, 2)] == 0 and (1, 3) in pairs
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_phash_pigeonhole_banding_has_exact_recall(spark):
+    """For tau ≤ n_bands − 1, the band join must surface EVERY pair a
+    brute-force Hamming join finds — the multi-index pigeonhole
+    guarantee, not an LSH probability."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    words = ["alpha", "beta", "gamma", "delta", "omega", "sigma", "kappa"]
+    rows = []
+    for i in range(40):
+        rows.append((i, " ".join(rng.choice(words) for _ in range(60))))
+    # seed guaranteed-near pairs: same-length one-char substitutions
+    # (length-preserving, so block boundaries stay aligned and only the
+    # touched blocks can flip bits)
+    for i in range(40, 48):
+        t = rows[i - 40][1]
+        mid = len(t) // 2
+        rows.append((i, t[:mid] + "Q" + t[mid + 1:]))
+    hashed = M.perceptual_dhash(_media_df(spark, rows))
+    h = {r["media_id"]: r["phash"] for r in hashed.collect()}
+    tau = 12
+    brute = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(h), 2)
+        if bin(h[a] ^ h[b]).count("1") <= tau
+    }
+    banded = {
+        (r["id_a"], r["id_b"])
+        for r in M.phash_near_dup_pairs(
+            hashed, tau=tau, n_bands=13, band_bits=5
+        ).collect()
+    }
+    assert banded == brute and brute  # exact recall AND a non-trivial case
+
+
+def test_phash_max_bucket_caps_candidate_generation(spark):
+    """The scale knob: max_bucket excludes oversized (j, band) buckets
+    from the self-join.  cap=0 kills every candidate; a corpus-sized cap
+    changes nothing."""
+    rows = [(i, f"doc number {i} " * 20) for i in range(20)]
+    hashed = M.perceptual_dhash(_media_df(spark, rows))
+    full = M.phash_near_dup_pairs(hashed, tau=62).count()
+    assert M.phash_near_dup_pairs(hashed, tau=62, max_bucket=0).count() == 0
+    assert M.phash_near_dup_pairs(hashed, tau=62, max_bucket=10**6).count() == full
