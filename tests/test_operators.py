@@ -2288,3 +2288,52 @@ def test_phash_max_bucket_caps_candidate_generation(spark):
     full = M.phash_near_dup_pairs(hashed, tau=62).count()
     assert M.phash_near_dup_pairs(hashed, tau=62, max_bucket=0).count() == 0
     assert M.phash_near_dup_pairs(hashed, tau=62, max_bucket=10**6).count() == full
+
+
+def test_phash_wide_exact_recall_and_band_selectivity(spark):
+    """late r10 wide hash: 128 bits in 32-bit words, 16 bands of 8 bits —
+    banded pairs must equal brute force for tau ≤ 15 (pigeonhole across
+    words), and on a random corpus the 8-bit bands must actually be
+    selective (bounded candidate work — the reason the wide hash exists)."""
+    import itertools
+    import random
+
+    rng = random.Random(11)
+    words = ["alpha", "beta", "gamma", "delta", "omega", "sigma", "kappa", "zeta"]
+    rows = [(i, " ".join(rng.choice(words) for _ in range(80))) for i in range(60)]
+    for i in range(60, 70):  # same-length near pairs
+        t = rows[i - 60][1]
+        mid = len(t) // 2
+        rows.append((i, t[:mid] + "Q" + t[mid + 1:]))
+    hashed = M.perceptual_dhash_wide(_media_df(spark, rows))
+    h = {r["media_id"]: tuple(r["phash"]) for r in hashed.collect()}
+    assert all(len(v) == 4 and all(x >= 0 for x in v) for v in h.values())
+
+    def dist(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    tau = 15
+    brute = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(h), 2)
+        if dist(h[a], h[b]) <= tau
+    }
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in M.phash_wide_near_dup_pairs(hashed, tau=tau).collect()
+    }
+    assert {(a, b) for a, b, _ in got} == brute and brute
+    for a, b, d in got:
+        assert d == dist(h[a], h[b])
+    # selectivity: on payloads with UNCORRELATED block statistics (random
+    # printable bytes — the analog of diverse real images), 8-bit bands
+    # must prune most of the all-pairs space; word-soup corpora stay
+    # correlated, which is exactly what the max_bucket knob is for
+    rnd = [
+        (i, "".join(chr(rng.randrange(33, 127)) for _ in range(400)))
+        for i in range(120)
+    ]
+    rnd_hashed = M.perceptual_dhash_wide(_media_df(spark, rnd))
+    n = len(rnd)
+    cand = M.phash_wide_near_dup_pairs(rnd_hashed, tau=10**9).count()
+    assert cand < n * (n - 1) // 2 / 2, (cand, n)

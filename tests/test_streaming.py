@@ -832,3 +832,53 @@ def test_cm_rollup_stream_merge_equals_batch_twin(spark, tmp_path):
     est = {r["k"]: r["cm_est"] for r in cm_estimate(merged, keys, "k").collect()}
     # true counts: k0-k3 appear 29×, k4-k6 28× (200 rows, i % 7)
     assert all(est[f"k{i}"] >= (29 if i < 4 else 28) for i in range(7))
+
+
+def test_bloom_table_stream_keeps_point_lookups_fresh(spark, tmp_path):
+    """late r10: the streaming Bloom sink — each arriving file appends to
+    the table and O(delta)-refreshes the manifest, so a point lookup for
+    a key that arrived mid-stream finds it without any full-table
+    rescan; keys never ingested still prune to (at most false-positive)
+    empty reads."""
+    from pyspark.sql import types as TY
+
+    from msgraphdatapipelines_spark import sinks
+    from msgraphdatapipelines_spark.streaming import bloom_stream as BS
+
+    schema = TY.StructType(
+        [TY.StructField("k", TY.LongType()), TY.StructField("v", TY.StringType())]
+    )
+    src = tmp_path / "bloom_src"
+    src.mkdir()
+    table = str(tmp_path / "bloom_table")
+    ck = str(tmp_path / "bloom_ck")
+
+    # initial load + manifest
+    spark.createDataFrame([(i, f"base{i}") for i in range(100)], schema).coalesce(
+        2
+    ).write.parquet(table)
+    sinks.build_bloom_manifest(spark, table, ["k"], bits=1 << 14, k=4)
+
+    def feed(name, rows):
+        pd.DataFrame({"k": [r[0] for r in rows], "v": [r[1] for r in rows]}).to_parquet(
+            str(src / name)
+        )
+
+    q = BS.bloom_table_stream(spark, str(src), schema, table, ck, "k")
+    try:
+        feed("f1.parquet", [(1001, "a"), (1002, "b")])
+        q.processAllAvailable()
+        feed("f2.parquet", [(2001, "c")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    for key, want in [(5, 1), (1001, 1), (1002, 1), (2001, 1), (9999, 0)]:
+        got = sinks.scan_bloom_pruned(spark, table, "k", key).count()
+        assert got == want, (key, got, want)
+    # the streamed keys are served by a PRUNED read: fewer files than the table holds
+    import glob as _g
+
+    n_files = len([f for f in _g.glob(f"{table}/*.parquet")])
+    cand = sinks.bloom_candidate_files(spark, table, "k", 2001)
+    assert 1 <= len(cand) < n_files
