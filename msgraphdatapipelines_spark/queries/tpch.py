@@ -950,3 +950,96 @@ def q20_dominant_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .. import sql as sqlmod
 
     return sqlmod.sql(spark, sf_dir, _Q20_SQL)
+
+
+# --- late r10: the co-bucketed fact warehouse path --------------------------
+
+
+def ensure_colocated_facts(
+    spark: SparkSession, sf_dir: str, num_buckets: int = 8
+) -> tuple[str, str]:
+    """Build-at-most-once CO-BUCKETED orders+lineitem tables on the join
+    key (late r10): the write-once/shuffle-never amortization for the
+    fact-fact join — at 100 TB the orders⋈lineitem shuffle is THE
+    dominant exchange of every order-level query, and paying it once at
+    load erases it from every later query (SortMergeJoin reads both
+    sides pre-partitioned; buckets ≈ total size / target partition
+    size).
+
+    Keyed on the source fingerprint like the other standing layouts.
+    CAVEAT: bucket metadata lives in the session catalog — a
+    metastore-backed deployment persists it across sessions; this
+    sandbox's in-memory catalog re-registers per session (the rebuild is
+    one load-time shuffle, the thing being amortized)."""
+    import hashlib
+    import os
+
+    st = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}|{num_buckets}|bkt".encode()
+    ).hexdigest()[:10]
+    t_o, t_l = f"orders_bkt_{key}", f"lineitem_bkt_{key}"
+    import tempfile
+
+    from .. import sinks
+
+    root = os.path.join(tempfile.gettempdir(), f"msgdp_bkt_{key}")
+    if not spark.catalog.tableExists(t_o):
+        sinks.write_bucketed(
+            load(spark, sf_dir, "orders"),
+            t_o,
+            "o_orderkey",
+            num_buckets,
+            path=f"{root}/orders",
+        )
+    if not spark.catalog.tableExists(t_l):
+        sinks.write_bucketed(
+            load(spark, sf_dir, "lineitem"),
+            t_l,
+            "l_orderkey",
+            num_buckets,
+            path=f"{root}/lineitem",
+        )
+    return t_o, t_l
+
+
+@register(
+    "q12_colocated_bucketed",
+    demoted=True,  # value twin of q12_priority_shipping through the bucketed path
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+def q12_colocated_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 through the CO-BUCKETED fact warehouse (late r10): the
+    same query as ``q12_priority_shipping`` — and the SAME oracle, so
+    the hash proves the bucketed layout is pure physical reorganization
+    — but the orders⋈lineitem join reads both sides pre-partitioned on
+    the order key and skips its shuffle (plan-pinned: with broadcast
+    off, the only Exchange left in the whole plan is the final
+    low-cardinality l_linestatus rollup)."""
+    t_o, t_l = ensure_colocated_facts(spark, sf_dir)
+    o = spark.table(t_o)
+    li = spark.table(t_l).filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )

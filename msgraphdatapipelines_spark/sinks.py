@@ -401,6 +401,7 @@ def write_bucketed(
     bucket_col: str,
     num_buckets: int = 16,
     sort_col: str | None = None,
+    path: str | None = None,
 ) -> None:
     """Persist as a BUCKETED table: co-locates rows by ``hash(bucket_col) %
     num_buckets`` at write time, so every later equi-join or aggregation on
@@ -412,10 +413,17 @@ def write_bucketed(
     should scale with data volume (buckets ≈ total size / target partition
     size); ``sort_col`` additionally sorts within buckets for merge-join
     without a per-query sort and better min/max skipping.
+
+    ``path`` makes it an EXTERNAL bucketed table at that location
+    (bucket metadata still lives in the catalog) — standing layouts use
+    this to keep their data under the artifact roots instead of the
+    session's ./spark-warehouse.
     """
     w = df.write.mode("overwrite").bucketBy(num_buckets, bucket_col)
     if sort_col:
         w = w.sortBy(sort_col)
+    if path:
+        w = w.option("path", path)
     w.saveAsTable(table, format="parquet")
 
 
@@ -890,6 +898,7 @@ STANDING_ARTIFACT_PREFIXES = (
     "msgdp_cm_",
     "msgdp_bloom_",  # late r10: Bloom-manifest layouts
     "msgdp_rc_",  # late r10: plan-fingerprint result cache
+    "msgdp_bkt_",  # late r10: co-bucketed fact warehouse
 )
 
 

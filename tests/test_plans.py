@@ -732,3 +732,28 @@ def test_q20_nested_in_compiles_to_semi_joins(spark, sf_dir):
     assert p.count("LeftSemi") >= 2
     fs = " ".join(plans.pushed_filters(df))
     assert "StringContains(p_name" in fs and "widget" in fs and "l_shipdate" in fs
+
+
+def test_q12_colocated_bucketed_joins_without_fact_shuffle(spark, sf_dir):
+    """late r10: the co-bucketed warehouse twin of Q12 — with broadcast
+    disabled, the orders⋈lineitem join must consume both bucketed scans
+    with NO exchange; the only Exchange in the plan is the final
+    l_linestatus rollup.  Values are oracle-proven equal to the plain
+    path, so bucketing is pure physical reorganization."""
+    from msgraphdatapipelines_spark.queries import tpch
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = tpch.q12_colocated_bucketed(spark, sf_dir)
+        p = plans.physical_plan(df)
+        # the fact-fact join consumes both bucketed scans directly: no
+        # exchange keyed on either join key anywhere in the plan
+        assert "hashpartitioning(o_orderkey" not in p, p
+        assert "hashpartitioning(l_orderkey" not in p, p
+        # only the post-join rollup machinery shuffles: the linestatus
+        # aggregate + the presentation sort
+        assert plans.num_exchanges(df) == 2, p
+        assert "SortMergeJoin" in p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
