@@ -1043,3 +1043,26 @@ def q12_colocated_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_linestatus")
     )
+
+
+def append_colocated_facts(
+    spark: SparkSession,
+    orders_batch: DataFrame,
+    lineitem_batch: DataFrame,
+    t_o: str,
+    t_l: str,
+    num_buckets: int = 8,
+) -> None:
+    """O(delta) maintenance for the co-bucketed warehouse: append a
+    batch THROUGH the bucketed writer — the writer must RE-DECLARE the
+    bucket spec (Spark validates it against the table's and rejects an
+    unbucketed append, which would silently break the zero-exchange
+    property) and hashes only the new rows into their buckets.  The
+    same append-then-serve discipline as the zone-map/Bloom/lexicon
+    layers, here for the fact tables themselves."""
+    orders_batch.write.mode("append").format("parquet").bucketBy(
+        num_buckets, "o_orderkey"
+    ).saveAsTable(t_o)
+    lineitem_batch.write.mode("append").format("parquet").bucketBy(
+        num_buckets, "l_orderkey"
+    ).saveAsTable(t_l)

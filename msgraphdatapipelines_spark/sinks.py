@@ -684,6 +684,7 @@ def write_snapshot(
     root: str,
     keep_last: int | None = None,
     zonemap_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Versioned full refresh — the reference's drop-and-reload
     (`Invoke-GraphDataPipelineToAzureSQLDatabase.ps1` truncate+insert;
@@ -709,6 +710,12 @@ def write_snapshot(
     :func:`read_snapshot_pruned` file skipping; a crash between manifest
     and flip leaves an orphan version exactly as before.
 
+    ``bloom_cols`` (late r10): likewise, per-file Bloom manifests
+    (:func:`build_bloom_manifest`) are built on the new version before
+    the flip, so committed snapshots serve
+    :func:`read_snapshot_bloom_pruned` equality skipping on columns the
+    layout is not clustered by.
+
     Returns the new version number.
     """
     spark = df.sparkSession
@@ -717,6 +724,8 @@ def write_snapshot(
     df.write.mode("overwrite").parquet(f"{root}/v={new_v}")
     if zonemap_cols:
         build_zonemap(spark, f"{root}/v={new_v}", zonemap_cols)
+    if bloom_cols:
+        build_bloom_manifest(spark, f"{root}/v={new_v}", bloom_cols)
     _flip_latest(spark, root, new_v)
     if keep_last is not None:
         fs, _, jvm = _fs_for(spark, root)
@@ -747,6 +756,7 @@ def compact_snapshot(
     root: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     zonemap_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> dict:
     """Transactional small-file compaction for a snapshot-versioned table
     (r6 VERDICT item 4, closing What's-missing #3): ``compact_parquet``
@@ -783,10 +793,15 @@ def compact_snapshot(
     stats = compact_parquet(
         spark, f"{root}/v={cur_v}", f"{root}/v={new_v}", target_file_bytes
     )
-    # manifest refreshed at commit (r10): compaction changes the file set,
-    # so the zone map must be rebuilt on the NEW version before the flip
+    # manifests refreshed at commit (r10): compaction changes the file set,
+    # so zone maps AND Bloom filters must be rebuilt on the NEW version
+    # before the flip — this is also how a Bloom table streaming-appended
+    # into many small files gets its periodic rewrite: compaction rebuilds
+    # the per-file filters over the merged files as part of the same commit
     if zonemap_cols:
         build_zonemap(spark, f"{root}/v={new_v}", zonemap_cols)
+    if bloom_cols:
+        build_bloom_manifest(spark, f"{root}/v={new_v}", bloom_cols)
     _flip_latest(spark, root, new_v)
     return {**stats, "from_version": cur_v, "version": new_v}
 
@@ -827,6 +842,29 @@ def read_snapshot_pruned(
 
         return spark.read.parquet(vdir).filter(F.col(col).between(lo, hi))
     return scan_pruned(spark, vdir, col, lo, hi)
+
+
+def read_snapshot_bloom_pruned(
+    spark: SparkSession, root: str, col: str, value, version: int | None = None
+) -> DataFrame:
+    """Point lookup on a snapshot-versioned table THROUGH its committed
+    Bloom manifest (late r10): resolve the pointer, then
+    :func:`scan_bloom_pruned` the version directory — only
+    Bloom-candidate files open, residual equality filter preserves exact
+    semantics.  Requires publication with ``bloom_cols=[col, …]``; falls
+    back to a plain filtered read when no manifest exists.  Because
+    :func:`compact_snapshot` rebuilds the filters as part of its commit,
+    a streaming-appended Bloom table's small files and their stale
+    manifests are retired TOGETHER at each maintenance window."""
+    if version is None:
+        version = _read_latest_version(spark, root)
+    vdir = f"{root}/v={version}"
+    fs, _, jvm = _fs_for(spark, vdir)
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{vdir}/_bloom_{col}")):
+        from pyspark.sql import functions as F
+
+        return spark.read.parquet(vdir).filter(F.col(col) == value)
+    return scan_bloom_pruned(spark, vdir, col, value)
 
 
 def _read_latest_version(spark: SparkSession, root: str) -> int:

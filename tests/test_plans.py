@@ -757,3 +757,49 @@ def test_q12_colocated_bucketed_joins_without_fact_shuffle(spark, sf_dir):
         assert "SortMergeJoin" in p
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_colocated_append_preserves_zero_exchange_join(spark, sf_dir):
+    """late r10: appending through the bucketed writer must keep the
+    fact-fact join exchange-free AND make the new rows visible — growth
+    does not cost the amortized shuffle back."""
+    from pyspark.sql import functions as FF
+
+    from msgraphdatapipelines_spark.queries import tpch
+
+    t_o, t_l = tpch.ensure_colocated_facts(spark, sf_dir)
+    base = spark.table(t_o).count()
+    picked = spark.read.parquet(f"{sf_dir}/orders.parquet").orderBy("o_orderkey").limit(7)
+    o_new = picked.withColumn("o_orderkey", FF.col("o_orderkey") + 10_000_000)
+    l_new = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .join(
+            picked.select(FF.col("o_orderkey").alias("l_orderkey")),
+            "l_orderkey",
+            "left_semi",
+        )
+        .withColumn("l_orderkey", FF.col("l_orderkey") + 10_000_000)
+    )
+    tpch.append_colocated_facts(spark, o_new, l_new, t_o, t_l)
+    try:
+        assert spark.table(t_o).count() == base + 7
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            j = spark.table(t_o).join(
+                spark.table(t_l),
+                spark.table(t_o).o_orderkey == spark.table(t_l).l_orderkey,
+            )
+            p = plans.physical_plan(j)
+            assert "hashpartitioning(o_orderkey" not in p
+            assert "hashpartitioning(l_orderkey" not in p
+            # appended keys participate in the join
+            assert (
+                j.filter(FF.col("o_orderkey") >= 10_000_000).count() > 0
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        # restore the standing tables for other tests: rebuild from source
+        spark.sql(f"DROP TABLE IF EXISTS {t_o}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_l}")

@@ -1016,3 +1016,40 @@ def test_result_cache_invalidates_on_input_change_and_plan_change(spark, tmp_pat
     assert cache.result_cache_root(fp_after, base) in res["kept"]
     # live entry still serves after the sweep
     assert cache.serve_cached(spark, build(100), [src], base_dir=base).collect()[0]["n"] == 100
+
+
+def test_snapshot_store_with_bloom_manifest_round_trip(spark, tmp_path):
+    """late r10: bloom_cols composes into the versioned store — publish
+    builds the manifest BEFORE the pointer flip, point lookups through
+    read_snapshot_bloom_pruned open only candidate files, compaction
+    rebuilds the filters over the merged files in the same commit, and a
+    version published WITHOUT bloom_cols falls back to a plain read."""
+    root = str(tmp_path / "orders_snap_bloom")
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").repartition(8)
+    v1 = sinks.write_snapshot(o, root, bloom_cols=["o_orderkey"])
+    assert v1 == 1
+
+    def lookup(key):
+        return sorted(
+            tuple(r)
+            for r in sinks.read_snapshot_bloom_pruned(spark, root, "o_orderkey", key)
+            .select("o_orderkey", "o_custkey")
+            .collect()
+        )
+
+    want = sorted(
+        tuple(r)
+        for r in o.filter(F.col("o_orderkey") == 977)
+        .select("o_orderkey", "o_custkey")
+        .collect()
+    )
+    assert lookup(977) == want
+    cand = sinks.bloom_candidate_files(spark, f"{root}/v=1", "o_orderkey", 977)
+    assert 1 <= len(cand) < 8
+    # compaction rebuilds the filters on the merged files, same commit
+    stats = sinks.compact_snapshot(spark, root, bloom_cols=["o_orderkey"])
+    assert stats["version"] == 2
+    assert lookup(977) == want
+    # a version published without bloom_cols serves via fallback
+    v3 = sinks.write_snapshot(o, root)
+    assert v3 == 3 and lookup(977) == want
