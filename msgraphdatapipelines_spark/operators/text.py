@@ -784,3 +784,154 @@ def dsir_weights(
         ).alias("dsir_logratio"),
         ((F.col("_swq") + F.col("n_tokens") * F.col("cq")) > 0).alias("target_like"),
     )
+
+
+# --- late r10: byte-pair encoding (Sennrich et al. 2016) --------------------
+
+
+def _bpe_merge_expr(a: str, b: str):
+    """Apply ONE merge (a, b) to a symbol array as a pure-SQL left-to-right
+    non-overlapping fold (the reference algorithm's replacement order):
+    carry a one-symbol lookbehind through aggregate(); emit `a||b` when the
+    pending symbol is `a` and the current is `b`."""
+    qa, qb = a.replace("'", "''"), b.replace("'", "''")
+    return F.expr(
+        f"""
+        aggregate(
+          syms,
+          named_struct('out', cast(array() as array<string>),
+                       'pend', cast(null as string)),
+          (acc, s) -> case
+              when acc.pend is null
+                then named_struct('out', acc.out, 'pend', s)
+              when acc.pend = '{qa}' and s = '{qb}'
+                then named_struct('out', acc.out || array('{qa}' || '{qb}'),
+                                  'pend', cast(null as string))
+              else named_struct('out', acc.out || array(acc.pend), 'pend', s)
+            end,
+          acc -> case when acc.pend is null then acc.out
+                      else acc.out || array(acc.pend) end)
+        """
+    )
+
+
+def bpe_train(
+    df: DataFrame, text_col: str = "text", num_merges: int = 60
+) -> list[tuple[str, str]]:
+    """Train a byte-pair-encoding merge table (Sennrich, Haddow & Birch
+    2016, the subword vocabulary every modern LM pipeline builds) —
+    Spark-first:
+
+    - ONE corpus scan builds the word-frequency table; every later
+      iteration runs over THAT (distinct words × counts), which is what
+      the reference implementation does too — at 100 TB the corpus is
+      huge but the vocab table is language-bounded (10⁷–10⁸ rows), a
+      comfortable DataFrame.
+    - each of the ``num_merges`` iterations is one adjacent-pair count
+      (slice+zip+explode → groupBy sum) and one argmax collect (a single
+      tiny row), then the winning merge applies to the vocab symbols as
+      a pure-SQL fold (:func:`_bpe_merge_expr`) — no Python in the loop.
+    - ties break deterministically (count desc, then pair lexicographic)
+      so the merge sequence is reproducible run-to-run and engine-to-
+      engine; lineage is cut every 10 rounds (localCheckpoint, the
+      connected-components discipline) so the plan does not deepen
+      unboundedly.
+
+    Returns the ordered merge list [(left, right), …]."""
+    words = df.select(
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    chars = F.expr("filter(split(w, ''), x -> x <> '')")
+    cur = vocab.select(
+        "cnt", F.concat(chars, F.array(F.lit("</w>"))).alias("syms")
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    for i in range(num_merges):
+        pairs = (
+            cur.filter(F.size("syms") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.arrays_zip(
+                        F.expr("slice(syms, 1, size(syms) - 1)"),
+                        F.expr("slice(syms, 2, size(syms) - 1)"),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.0").alias("l"), F.col("p.1").alias("r"))
+            .agg(F.sum("cnt").alias("n"))
+        )
+        best = pairs.orderBy(F.desc("n"), F.asc("l"), F.asc("r")).limit(1).collect()
+        if not best or best[0]["n"] < 2:
+            break
+        a, b = best[0]["l"], best[0]["r"]
+        merges.append((a, b))
+        cur = cur.select("cnt", _bpe_merge_expr(a, b).alias("syms"))
+        if (i + 1) % 10 == 0:
+            cur = cur.localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_apply(
+    df: DataFrame, merges: list[tuple[str, str]], text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Tokenize the corpus with a trained merge table — the HOT path, so
+    it is one Arrow-batched pass: the merge-rank dict broadcasts with the
+    closure and each word merges greedily by lowest rank (the standard
+    application algorithm, e.g. the public GPT-2 encoder); unseen
+    character pairs simply never merge, so out-of-vocabulary words
+    decompose toward characters.  Output: (id_col, tokens array,
+    n_tokens) — the fertility/packing input."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    ranks = {m: i for i, m in enumerate(merges)}
+
+    def encode_word(word: str) -> list[str]:
+        syms = list(word) + ["</w>"]
+        while len(syms) >= 2:
+            pairs = [(syms[i], syms[i + 1]) for i in range(len(syms) - 1)]
+            ranked = [(ranks[p], i) for i, p in enumerate(pairs) if p in ranks]
+            if not ranked:
+                break
+            best_rank = min(r for r, _ in ranked)
+            a, b = merges[best_rank]
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    def encode_text(text: str) -> list[str]:
+        toks: list[str] = []
+        for w in str(text).lower().split():
+            toks.extend(encode_word(w))
+        return toks
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("tokens", T.ArrayType(T.StringType())),
+            T.StructField("n_tokens", T.LongType()),
+        ]
+    )
+
+    def batches(it):
+        for pdf in it:
+            toks = pdf[text_col].map(encode_text)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "tokens": toks,
+                    "n_tokens": toks.map(len).astype("int64"),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(batches, schema)

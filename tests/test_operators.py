@@ -2337,3 +2337,105 @@ def test_phash_wide_exact_recall_and_band_selectivity(spark):
     n = len(rnd)
     cand = M.phash_wide_near_dup_pairs(rnd_hashed, tau=10**9).count()
     assert cand < n * (n - 1) // 2 / 2, (cand, n)
+
+
+# --- late r10: BPE train/apply equivalence audit ---------------------------
+
+
+def _ref_bpe_train(texts, num_merges):
+    """Pure-Python reference (Sennrich et al. 2016 pseudo-code): word
+    frequency table, best adjacent pair per round (count desc, pair
+    lexicographic tie-break), sequential left-to-right replacement."""
+    from collections import Counter
+
+    vocab = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            vocab[tuple(list(w) + ["</w>"])] += 1
+    merges = []
+    for _ in range(num_merges):
+        pairs = Counter()
+        for syms, cnt in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += cnt
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        (a, b) = best[0]
+        merges.append((a, b))
+        new_vocab = Counter()
+        for syms, cnt in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] += cnt
+        vocab = new_vocab
+    return merges, vocab
+
+
+def _ref_bpe_encode(text, merges):
+    toks = []
+    for w in text.lower().split():
+        syms = list(w) + ["</w>"]
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        toks.extend(syms)
+    return toks
+
+
+def test_bpe_train_matches_reference_and_is_deterministic(spark):
+    """The distributed trainer must reproduce the reference merge
+    SEQUENCE exactly (same counts, same tie-breaks) and be run-to-run
+    deterministic."""
+    texts = [r["text"] for r in
+             spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+             .filter(F.col("doc_id") < 40).select("text").collect()]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    want, _ = _ref_bpe_train(texts, 30)
+    got = X.bpe_train(df, num_merges=30)
+    assert got == want
+    assert X.bpe_train(df, num_merges=30) == got
+
+
+def test_bpe_apply_matches_sequential_reference(spark):
+    """The greedy lowest-rank application (the hot-path algorithm) must
+    tokenize identically to sequential in-order merge replacement — the
+    classic equivalence both public implementations rely on — and OOV
+    words must decompose toward characters, never fail."""
+    texts = [r["text"] for r in
+             spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+             .filter(F.col("doc_id") < 40).select("text").collect()]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = X.bpe_train(df, num_merges=30)
+    enc = {
+        r["doc_id"]: (r["tokens"], r["n_tokens"])
+        for r in X.bpe_apply(df, merges).collect()
+    }
+    for i, t in enumerate(texts):
+        want = _ref_bpe_encode(t, merges)
+        assert enc[i][0] == want and enc[i][1] == len(want)
+    # OOV: characters survive
+    oov = spark.createDataFrame([(99, "zzqqxx unseenword")], "doc_id long, text string")
+    toks = X.bpe_apply(oov, merges).collect()[0]["tokens"]
+    assert toks and all(tok for tok in toks)
+    joined = "".join(toks).replace("</w>", " ").strip()
+    assert joined == "zzqqxx unseenword"
