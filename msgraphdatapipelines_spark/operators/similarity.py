@@ -1340,3 +1340,60 @@ def hard_negatives(
         .filter(F.col("neg_rank") <= k)
         .select(qid, cid, F.round(F.col(score), 6).alias(score), "neg_rank")
     )
+
+
+def filtered_brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_q: str,
+    id_c: str,
+    vec_q: str,
+    vec_c: str,
+    k: int = 5,
+    match_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Metadata-FILTERED exact top-k cosine neighbors (late r10): every
+    modern vector store's "search within a predicate" — per query, rank
+    only the corpus rows agreeing on ``match_cols`` (e.g. label, tenant,
+    language).
+
+    Plan shape is the important difference from :func:`brute_force_topk`:
+    the metadata equality turns the scoring join from a broadcast
+    nested loop into an EQUI join on the filter key, so candidates
+    hash-partition by predicate value and each query scores only its
+    slice — at 100 TB a selective predicate reduces the exact search to
+    the matching partition instead of the corpus (the pre-filtered
+    search strategy; the alternative, post-filtering an unfiltered ANN
+    probe, loses recall when the filter is selective).  Output:
+    (qid, cid, score, rank) — score discipline identical to the
+    unfiltered operator (per-row norms, seq_dot, NaN-dropping)."""
+    qv = F.col(vec_q).cast("array<double>")
+    cv = F.col(vec_c).cast("array<double>")
+    q = F.broadcast(
+        queries.select(
+            F.col(id_q).alias("qid"),
+            qv.alias("qv"),
+            F.sqrt(seq_dot(qv, qv)).alias("qn"),
+            *[F.col(c).alias(f"_mq_{c}") for c in match_cols],
+        ).filter(F.col("qn") > 0)
+    )
+    c = corpus.select(
+        F.col(id_c).alias("cid"),
+        cv.alias("cv"),
+        F.sqrt(seq_dot(cv, cv)).alias("cn"),
+        *[F.col(c2) for c2 in match_cols],
+    ).filter(F.col("cn") > 0)
+    cond = [F.col(f"_mq_{m}") == F.col(m) for m in match_cols]
+    scored = (
+        c.join(q, cond if cond else None)
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn(
+            "score", seq_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid"), F.col("cid"), F.round("score", 6).alias("score"), "rank")
+    )

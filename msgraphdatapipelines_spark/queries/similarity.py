@@ -1235,3 +1235,44 @@ def ann_topk_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select(
         "qid", "cid", F.round("score", 6).alias("score"), "rank"
     )
+
+
+@register(
+    "ann_filtered_topk",
+    demoted=True,  # ANN family driver-graded via ann_bruteforce_topk
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql
+               FROM embeddings
+               WHERE vec_id < {N_QUERIES} AND {_norm_pos('embedding')}),
+    c AS (SELECT vec_id AS cid, embedding AS cv, label
+          FROM embeddings WHERE {_norm_pos('embedding')}),
+    scored AS (
+        SELECT qid, cid, {_cos('qv', 'cv')} AS score
+        FROM q JOIN c ON ql = label AND qid <> cid
+    )
+    SELECT qid, cid, round(score, 6) AS score, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn
+          FROM scored) t
+    WHERE rn <= {K}
+    """,
+)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search (late r10): top-k cosine neighbors
+    per query AMONG ROWS SHARING THE QUERY'S LABEL — the
+    predicate-constrained search every production vector store serves
+    (tenant/language/category scoping).  The label equality turns the
+    scoring join into an EQUI join (pre-filtering: exact within the
+    slice — no recall loss, unlike post-filtering an unfiltered probe),
+    so candidates partition by predicate value at scale.  The oracle
+    replays the same pre-filtered ranking."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.filtered_brute_force_topk(
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        emb,
+        "vec_id",
+        "vec_id",
+        "embedding",
+        "embedding",
+        K,
+        match_cols=("label",),
+    )

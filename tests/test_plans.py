@@ -803,3 +803,17 @@ def test_colocated_append_preserves_zero_exchange_join(spark, sf_dir):
         # restore the standing tables for other tests: rebuild from source
         spark.sql(f"DROP TABLE IF EXISTS {t_o}")
         spark.sql(f"DROP TABLE IF EXISTS {t_l}")
+
+
+def test_filtered_ann_scores_via_equi_join_on_predicate(spark, sf_dir):
+    """late r10: the metadata filter must reach the JOIN as an equi key
+    (pre-filtered search) — no cartesian/nested-loop scoring pass, and
+    the per-query ranking keeps the WindowGroupLimit partial top-k."""
+    from msgraphdatapipelines_spark.queries import similarity as qs
+
+    df = qs.ann_filtered_topk(spark, sf_dir)
+    p = plans.physical_plan(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "label" in p  # the predicate is the join key
+    assert "WindowGroupLimit" in p
