@@ -343,3 +343,144 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.col("sum_value_dec").cast("double").alias("sum_value"),
     )
+
+
+def _ensure_sentineled_events(sf_dir: str) -> str:
+    """Build-at-most-once copy of events.parquet plus a far-future
+    SENTINEL file (late r10): typed heartbeat events a year+ past the
+    data.  The sentinels are the watermark punctuation pattern every
+    production outer join relies on: they advance BOTH substreams'
+    watermarks past every real purchase's state expiry, so outer NULL
+    rows all flush before the drain — the engine's internal eviction
+    bookkeeping disappears into a year of slack instead of leaking into
+    the expected values.  One sentinel per event_type because Catalyst
+    pushes the type filters below the watermark operators: only rows
+    that PASS a filter advance that side's watermark (a type-less
+    sentinel advances nothing — measured, not theorized)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}|sentinel|v2".encode()
+    ).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), f"msgdp_sent_{key}")
+    marker = os.path.join(root, "_ready")
+    if not os.path.exists(marker):
+        os.makedirs(root, exist_ok=True)
+        shutil.copyfile(src, os.path.join(root, "a_events.parquet"))
+        import datetime as _dt
+
+        t = pq.read_table(src)
+        mx = max(t.column("ts").to_pylist())
+        ts_type = t.schema.field("ts").type
+        # TWO typed sentinels, one per filtered substream — Catalyst
+        # pushes the event_type filters below the watermark operators,
+        # so only a row that PASSES a filter can advance that side's
+        # watermark.  user_id -1 matches no real key; the click sits a
+        # further year out so it can never match the sentinel purchase,
+        # and the purchase's own expiry (+1y +interval) stays beyond the
+        # final global watermark (+1y −delay), keeping the sentinel
+        # itself correctly buffered and out of the drained result.
+        row = {name: [None, None] for name in t.schema.names}
+        row["event_id"] = [-1, -2]
+        row["user_id"] = [-1, -1]
+        row["event_type"] = ["purchase", "click"]
+        row["ts"] = pa.array(
+            [mx + _dt.timedelta(days=365), mx + _dt.timedelta(days=730)],
+            type=ts_type,
+        )
+        sent = pa.table(
+            {
+                n: (
+                    row[n]
+                    if isinstance(row[n], pa.Array)
+                    else pa.array(row[n], type=t.schema.field(n).type)
+                )
+                for n in t.schema.names
+            }
+        )
+        pq.write_table(sent, os.path.join(root, "b_sentinel.parquet"))
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write("ok")
+        os.replace(tmp, marker)
+    return root
+
+
+@register(
+    "stream_stream_interval_left_join",
+    demoted=True,  # interval-join family driver-graded via the inner row
+    oracle="""
+    WITH p AS (SELECT user_id, event_id AS p_event_id, ts AS p_ts
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id AS c_user_id, event_id AS c_event_id, ts AS c_ts
+          FROM events WHERE event_type = 'click')
+    SELECT p.p_event_id, c.c_event_id, p.user_id,
+           strftime(p.p_ts, '%Y-%m-%d %H:%M:%S') AS p_ts_s,
+           CASE WHEN c.c_event_id IS NULL THEN NULL
+                ELSE strftime(c.c_ts, '%Y-%m-%d %H:%M:%S') END AS c_ts_s
+    FROM p LEFT JOIN c
+      ON p.user_id = c.c_user_id
+     AND c.c_ts >= p.p_ts AND c.c_ts <= p.p_ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_stream_interval_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join (late r10): purchases with
+    their within-the-hour clicks, PLUS a NULL row for purchases that got
+    none — the outer emission only a watermark can finalize (the engine
+    must prove no click can still arrive before emitting the NULL row;
+    inner matches still emit as rows meet).  The source is the
+    SENTINEL-extended stream (:func:`_ensure_sentineled_events`): a
+    far-future heartbeat file advances the watermark past every real
+    purchase's expiry, so ALL outer rows flush by drain time and the
+    result equals the plain batch LEFT JOIN — which is exactly what the
+    oracle runs.  Without the sentinel the tail would stay correctly
+    buffered (bounded-state semantics) and the drained set would depend
+    on the engine's internal eviction delay; the heartbeat is how real
+    deployments make outer joins complete too."""
+    from . import _harden
+
+    _harden(spark)
+    root = _ensure_sentineled_events(sf_dir)
+    purchases = (
+        ST.read_events_stream(spark, root, glob="*.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("p_event_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    clicks = (
+        ST.read_events_stream(spark, root, glob="*.parquet")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("c_event_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    joined = ST.interval_join(
+        purchases, clicks, "user_id", "c_user_id", "p_ts", "c_ts",
+        interval="1 hour", watermark="1 hour", how="left_outer",
+    )
+    # sentinel exclusion happens on the DRAINED batch result, never in
+    # the streaming plan: a pre-drain filter on the join key propagates
+    # to BOTH scans (constraint pushdown), dropping the sentinels before
+    # the watermark operators — which silently un-advances the watermark
+    result, _ = ST.run_stream_to_memory(joined, output_mode="append")
+    result = result.filter(F.col("user_id") >= 0)
+    return result.select(
+        "p_event_id",
+        "c_event_id",
+        "user_id",
+        F.date_format("p_ts", TS_FMT).alias("p_ts_s"),
+        F.date_format("c_ts", TS_FMT).alias("c_ts_s"),
+    )

@@ -160,9 +160,18 @@ def interval_join(
     both rows have arrived (no finalization wait; outer joins would emit
     NULL rows only at watermark).  Column names must be disjoint across
     the two inputs (rename before joining, as with any self-join).
+
+    ``watermark=None`` (late r10) skips the internal ``withWatermark`` —
+    for callers that watermarked UPSTREAM of a filter.  That placement
+    matters: the watermark is computed from rows flowing through the
+    watermark OPERATOR, so watermarking a filtered stream means a
+    heartbeat/sentinel row dropped by the filter advances nothing, and
+    the global watermark stalls at the filtered substream's max.  The
+    left-outer query row watermarks the RAW stream for exactly this
+    reason.
     """
-    l = left.withWatermark(left_ts, watermark)
-    r = right.withWatermark(right_ts, watermark)
+    l = left.withWatermark(left_ts, watermark) if watermark else left
+    r = right.withWatermark(right_ts, watermark) if watermark else right
     cond = (
         (F.col(left_key) == F.col(right_key))
         & (F.col(right_ts) >= F.col(left_ts))
