@@ -446,3 +446,93 @@ def ab_test_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("e", 4).alias("expected"),
         (F.col("chi2_q").cast("double") / 1e6).alias("chi2_total"),
     )
+
+
+@register(
+    "triangle_census_suppliers",
+    demoted=True,  # graph family driver-graded via dedup_connected_components
+    oracle="""
+    WITH e AS (
+        SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_partkey = l2.l_partkey AND l1.l_suppkey < l2.l_suppkey
+    ),
+    deg AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS d
+        FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+        GROUP BY v
+    ),
+    tri AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS t
+        FROM e e1
+        JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+        JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+    )
+    SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_vertices,
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT SUM(d * (d - 1) // 2) FROM deg) AS BIGINT) AS n_wedges,
+           (SELECT t FROM tri) AS n_triangles,
+           round(3.0 * (SELECT t FROM tri)
+                 / (SELECT SUM(d * (d - 1) // 2) FROM deg), 6) AS clustering_coeff
+    """,
+)
+def triangle_census_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census (late r10) of the supplier co-part graph (edge =
+    two suppliers ship at least one common part): vertices, edges,
+    wedges, triangles, global clustering coefficient — the classic
+    distributed-join graph statistic (Suri & Vassilvitskii 2011; see
+    operators/graph.triangle_stats for the plan and the skew escape
+    hatch).  Exact integer censuses; one double divide at the end."""
+    from . import load
+    from ..operators.graph import triangle_stats
+
+    li = load(spark, sf_dir, "lineitem")
+    l2 = li.select(
+        F.col("l_partkey").alias("pk2"), F.col("l_suppkey").alias("sk2")
+    )
+    edges = (
+        li.join(l2, (li.l_partkey == l2.pk2) & (li.l_suppkey < l2.sk2))
+        .select(F.col("l_suppkey").alias("src"), F.col("sk2").alias("dst"))
+    )
+    return triangle_stats(edges)
+
+
+@register(
+    "copurchase_top_pairs",
+    demoted=True,  # self-join co-occurrence family; joins driver-graded via q3/q5
+    oracle="""
+    SELECT l1.l_partkey AS part_a, l2.l_partkey AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS support
+    FROM lineitem l1 JOIN lineitem l2
+      ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+    GROUP BY part_a, part_b
+    ORDER BY support DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def copurchase_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair counts (late r10): the top co-purchased part
+    pairs by order co-occurrence — the support-counting core of frequent
+    itemset mining (Agrawal & Srikant's Apriori, VLDB 1994, at the k=2
+    level every recommender baseline starts from).  One equi self-join
+    on the basket key with the canonical part_a < part_b orientation
+    (each unordered pair counted once per co-occurring line pair), one
+    grouped count, deterministic top-20.  Per-basket fan-out is
+    (lines choose 2) — bounded by basket size, so the join output is
+    Σ lines²/order, linear in orders for bounded baskets (the TPC-H
+    shape); a power-law basket would cap lines per basket upstream."""
+    from . import load
+
+    li = load(spark, sf_dir, "lineitem")
+    l2 = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pk2")
+    )
+    return (
+        li.join(l2, (li.l_orderkey == l2.ok2) & (li.l_partkey < l2.pk2))
+        .groupBy(
+            F.col("l_partkey").alias("part_a"), F.col("pk2").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy(F.desc("support"), F.asc("part_a"), F.asc("part_b"))
+        .limit(20)
+    )

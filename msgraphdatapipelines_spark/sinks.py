@@ -937,6 +937,7 @@ STANDING_ARTIFACT_PREFIXES = (
     "msgdp_bloom_",  # late r10: Bloom-manifest layouts
     "msgdp_rc_",  # late r10: plan-fingerprint result cache
     "msgdp_bkt_",  # late r10: co-bucketed fact warehouse
+    "msgdp_sent_",  # late r10: sentinel-extended stream copies
 )
 
 

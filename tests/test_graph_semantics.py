@@ -162,3 +162,27 @@ def test_conform_strict_raises_on_missing(spark):
     target = T.StructType([T.StructField("missing_col", T.StringType())])
     with _pytest.raises(ValueError, match="missing_col"):
         project.conform(df, target, strict=True)
+
+
+def test_triangle_stats_crafted_graph(spark):
+    """late r10: known census on a crafted graph — K4 (4 triangles) plus
+    a pendant vertex and noisy input (dupes, self-loop, both
+    orientations) that canonicalization must absorb."""
+    from msgraphdatapipelines_spark.operators.graph import triangle_stats
+
+    edges = spark.createDataFrame(
+        [
+            # K4 on 1-4, some edges duplicated / reversed
+            (1, 2), (2, 1), (1, 3), (1, 4), (2, 3), (3, 2), (2, 4), (3, 4),
+            # pendant + self loop noise
+            (4, 5), (5, 5),
+        ],
+        "src long, dst long",
+    )
+    row = triangle_stats(edges).collect()[0]
+    assert row["n_vertices"] == 5
+    assert row["n_edges"] == 7  # K4's 6 + pendant
+    assert row["n_triangles"] == 4  # K4 has C(4,3)
+    # wedges: degrees 3,3,3,4,1 -> 3+3+3+6+0 = 15
+    assert row["n_wedges"] == 15
+    assert row["clustering_coeff"] == round(12 / 15, 6)
