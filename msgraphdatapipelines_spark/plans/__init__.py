@@ -114,3 +114,83 @@ def metrics_summary(df: DataFrame) -> dict[str, int]:
             if "Scan" in node and k == "numOutputRows" and v > 0
         ),
     }
+
+
+def lint(df: DataFrame, max_exchanges: int | None = None) -> list[dict]:
+    """Automated plan-quality gate (late r10): inspect a DataFrame's
+    physical plan for the scale hazards the test-suite pins catch one by
+    one, as a REUSABLE preflight any pipeline can call before burning a
+    cluster on a bad plan.  Returns a list of findings
+    ``{"rule", "severity", "detail"}`` — empty means clean.
+
+    Rules (each is a documented 100 TB failure mode):
+
+    - ``cartesian-product``: CartesianProduct / BroadcastNestedLoopJoin
+      in the plan — O(n·m) scoring pass; almost always a missing or
+      non-equi join key.  (Severity ``error`` — a deliberate bounded
+      nested loop, e.g. a broadcast brute-force scorer, should be
+      annotated at the call site and the finding filtered by the
+      caller.)
+    - ``single-partition-exchange``: ``Exchange SinglePartition`` — the
+      whole dataset through one task (global window / global sort
+      without a downstream limit).
+    - ``rowwise-python-udf``: ``BatchEvalPython`` — row-at-a-time Python
+      in the hot path (~10-100× slower than Arrow); use a pandas UDF.
+    - ``unfiltered-wide-scan``: a parquet scan reading ≥ ``12`` columns
+      with NO pushed filters — the symptom of a missing projection or a
+      filter stuck above a join (warning: some consumers legitimately
+      read everything).
+    - ``excessive-exchanges``: more shuffles than ``max_exchanges``
+      (only checked when the caller states a budget).
+    """
+    p = physical_plan(df)
+    findings: list[dict] = []
+    if "CartesianProduct" in p or "BroadcastNestedLoopJoin" in p:
+        node = "CartesianProduct" if "CartesianProduct" in p else "BroadcastNestedLoopJoin"
+        findings.append(
+            {
+                "rule": "cartesian-product",
+                "severity": "error",
+                "detail": f"{node} in plan: O(left x right) pass; join key missing or non-equi",
+            }
+        )
+    if "Exchange SinglePartition" in p:
+        findings.append(
+            {
+                "rule": "single-partition-exchange",
+                "severity": "error",
+                "detail": "all rows through ONE task (global window/sort?); "
+                "use two-phase bucketed forms",
+            }
+        )
+    if "BatchEvalPython" in p:
+        findings.append(
+            {
+                "rule": "rowwise-python-udf",
+                "severity": "warning",
+                "detail": "row-at-a-time Python UDF in plan; prefer a pandas/Arrow UDF",
+            }
+        )
+    for line in p.splitlines():
+        if "FileScan parquet" in line and "PushedFilters: []" in line:
+            m = re.search(r"FileScan parquet \[([^\]]*)\]", line)
+            ncols = len(m.group(1).split(",")) if m and m.group(1).strip() else 0
+            if ncols >= 12:
+                findings.append(
+                    {
+                        "rule": "unfiltered-wide-scan",
+                        "severity": "warning",
+                        "detail": f"scan reads {ncols} columns with no pushed filters",
+                    }
+                )
+    if max_exchanges is not None:
+        n = num_exchanges(df)
+        if n > max_exchanges:
+            findings.append(
+                {
+                    "rule": "excessive-exchanges",
+                    "severity": "warning",
+                    "detail": f"{n} exchanges > stated budget {max_exchanges}",
+                }
+            )
+    return findings

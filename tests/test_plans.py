@@ -817,3 +817,52 @@ def test_filtered_ann_scores_via_equi_join_on_predicate(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p
     assert "label" in p  # the predicate is the join key
     assert "WindowGroupLimit" in p
+
+
+def test_plan_lint_flags_each_hazard_and_passes_clean_plans(spark, sf_dir):
+    """late r10: plans.lint — each rule fires on a plan crafted to
+    exhibit its hazard and stays silent on a well-shaped query."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+    # clean: pushed filter + projected scan + bounded shuffles
+    clean = (
+        li.filter(F.col("l_quantity") > 10)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert plans.lint(clean) == []
+
+    # cartesian
+    cart = li.limit(5).crossJoin(o.limit(5))
+    assert any(f["rule"] == "cartesian-product" for f in plans.lint(cart))
+
+    # single-partition exchange (global window, no limit)
+    w = W.orderBy("l_orderkey")
+    glob = li.withColumn("rn", F.row_number().over(w))
+    assert any(
+        f["rule"] == "single-partition-exchange" for f in plans.lint(glob)
+    )
+
+    # row-wise python UDF
+    from pyspark.sql import types as T
+
+    slow = F.udf(lambda s: (s or "") + "!", T.StringType())
+    udfy = o.select(slow(F.col("o_orderpriority")).alias("x"))
+    assert any(f["rule"] == "rowwise-python-udf" for f in plans.lint(udfy))
+
+    # exchange budget
+    two = (
+        li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")).orderBy("n")
+    )
+    assert any(
+        f["rule"] == "excessive-exchanges"
+        for f in plans.lint(two, max_exchanges=1)
+    )
+    assert not any(
+        f["rule"] == "excessive-exchanges"
+        for f in plans.lint(two, max_exchanges=5)
+    )
