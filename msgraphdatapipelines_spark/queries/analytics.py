@@ -536,3 +536,80 @@ def copurchase_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("support"), F.asc("part_a"), F.asc("part_b"))
         .limit(20)
     )
+
+
+@register(
+    "association_rules_parts",
+    demoted=True,  # co-occurrence family; ratio discipline per q8/q14
+    oracle="""
+    WITH pb AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pair AS (
+        SELECT a.l_partkey AS ante, b.l_partkey AS cons,
+               CAST(COUNT(*) AS BIGINT) AS s_ab
+        FROM pb a JOIN pb b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY ante, cons
+    ),
+    sup AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS s FROM pb GROUP BY 1),
+    nb AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM pb)
+    SELECT ante, cons, s_ab,
+           round(CAST(s_ab AS DOUBLE) / CAST(sa.s AS DOUBLE), 6) AS confidence,
+           round(CAST(s_ab AS DOUBLE) * CAST(nb.n AS DOUBLE)
+                 / (CAST(sa.s AS DOUBLE) * CAST(sb.s AS DOUBLE)), 6) AS lift
+    FROM pair
+    JOIN sup sa ON ante = sa.l_partkey
+    JOIN sup sb ON cons = sb.l_partkey
+    CROSS JOIN nb
+    WHERE s_ab >= 3
+    ORDER BY lift DESC, ante, cons
+    LIMIT 20
+    """,
+)
+def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules (late r10): confidence and lift for part pairs
+    at basket-level support ≥ 3 — the rule-generation step above
+    ``copurchase_top_pairs``' raw counting (Agrawal & Srikant 1994;
+    lift per Brin et al. 1997).  All supports are exact basket-distinct
+    BIGINT counts; every ratio casts to DOUBLE before one multiply /
+    divide chain so both engines produce bit-identical IEEE results.
+    Plan: one distinct (order, part) projection feeds the pair
+    self-join, the two single-part supports broadcast back onto the
+    pair table (model-sized), and the basket total is a 1-row cross
+    join — one fact-sized shuffle total."""
+    from . import load
+
+    li = load(spark, sf_dir, "lineitem")
+    pb = li.select("l_orderkey", "l_partkey").distinct()
+    b = pb.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pk2")
+    )
+    pair = (
+        pb.join(b, (pb.l_orderkey == b.ok2) & (pb.l_partkey < b.pk2))
+        .groupBy(F.col("l_partkey").alias("ante"), F.col("pk2").alias("cons"))
+        .agg(F.count(F.lit(1)).alias("s_ab"))
+        .filter(F.col("s_ab") >= 3)
+    )
+    sup = pb.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
+    n_baskets = pb.select("l_orderkey").distinct().count()
+    sa = sup.select(F.col("l_partkey").alias("ante"), F.col("s").alias("sa"))
+    sb = sup.select(F.col("l_partkey").alias("cons"), F.col("s").alias("sb"))
+    return (
+        pair.join(F.broadcast(sa), "ante")
+        .join(F.broadcast(sb), "cons")
+        .select(
+            "ante",
+            "cons",
+            "s_ab",
+            F.round(
+                F.col("s_ab").cast("double") / F.col("sa").cast("double"), 6
+            ).alias("confidence"),
+            F.round(
+                F.col("s_ab").cast("double")
+                * F.lit(float(n_baskets))
+                / (F.col("sa").cast("double") * F.col("sb").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("ante"), F.asc("cons"))
+        .limit(20)
+    )
