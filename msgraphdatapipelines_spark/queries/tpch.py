@@ -1066,3 +1066,80 @@ def append_colocated_facts(
     lineitem_batch.write.mode("append").format("parquet").bucketBy(
         num_buckets, "l_orderkey"
     ).saveAsTable(t_l)
+
+
+# --- late r10: two more parser-surface shapes -------------------------------
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, t.o_orderkey,
+       CAST(t.o_totalprice AS DOUBLE) AS o_totalprice
+FROM customer c,
+     LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+              ORDER BY o_totalprice DESC, o_orderkey
+              LIMIT 2) t
+ORDER BY c.c_custkey, o_totalprice DESC, t.o_orderkey
+"""
+
+_RECURSIVE_SQL = """
+WITH RECURSIVE ordered AS (
+    SELECT o_custkey, o_orderkey,
+           lead(o_orderkey) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS next_key,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS rn
+    FROM orders
+),
+walk AS (
+    SELECT o_custkey, o_orderkey, 1 AS depth FROM ordered WHERE rn = 1
+    UNION ALL
+    SELECT w.o_custkey, o2.next_key AS o_orderkey, w.depth + 1
+    FROM walk w
+    JOIN ordered o2 ON o2.o_orderkey = w.o_orderkey
+    WHERE o2.next_key IS NOT NULL
+)
+SELECT o_custkey AS c_custkey, CAST(MAX(depth) AS BIGINT) AS chain_len
+FROM walk
+GROUP BY o_custkey
+ORDER BY c_custkey
+"""
+
+
+@register(
+    "lateral_topn_per_customer",
+    demoted=True,  # SQL-entry family driver-graded via q17
+    oracle=_LATERAL_SQL,
+)
+def lateral_topn_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery with LIMIT (late r10): each
+    customer's top-2 orders by price through the SQL-standard lateral
+    join — the per-row-subquery SURFACE whose efficient plan is the
+    windowed top-k (Catalyst's DecorrelateInnerQuery rewrites the
+    correlated LIMIT into a partitioned rank filter; executing the
+    subquery per customer row would be O(customers · orders)).  Same
+    answer as the window-function formulation the engine already grades
+    (top_orders_per_customer) — this row proves the PARSER PATH."""
+    from .. import sql as sqlmod
+
+    return sqlmod.sql(spark, sf_dir, _LATERAL_SQL)
+
+
+@register(
+    "recursive_cte_order_chains",
+    demoted=True,  # SQL-entry family driver-graded via q17
+    oracle=_RECURSIVE_SQL,
+)
+def recursive_cte_order_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (late r10, Spark 4's recursive CTE): walk each
+    customer's order chain (first order by date, then successor links
+    precomputed with lead()) accumulating depth; the chain length per
+    customer must equal their order count — a naturally-ACYCLIC
+    recursion with data-driven termination, exercised over real
+    successor edges rather than a toy series.  Both engines run the
+    IDENTICAL recursive text; the iterative operator under it is the
+    same per-round join+union shape as the engine's hand-built
+    transitive_reachability (operators/graph.py), now reachable from
+    plain SQL."""
+    from .. import sql as sqlmod
+
+    return sqlmod.sql(spark, sf_dir, _RECURSIVE_SQL)
