@@ -613,3 +613,105 @@ def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), F.asc("ante"), F.asc("cons"))
         .limit(20)
     )
+
+
+@register(
+    "drift_psi_order_price",
+    demoted=True,  # monitoring family; quantized-log discipline per DSIR/CCNet rows
+    oracle="""
+    WITH binned AS (
+        SELECT LEAST(CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT), 9) AS bin,
+               CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 0 ELSE 1 END AS period
+        FROM orders
+    ),
+    grid AS (
+        SELECT g.bin,
+               CAST(COALESCE(SUM(CASE WHEN period = 0 THEN 1 END), 0) + 1 AS BIGINT) AS a,
+               CAST(COALESCE(SUM(CASE WHEN period = 1 THEN 1 END), 0) + 1 AS BIGINT) AS b
+        FROM (SELECT unnest(generate_series(0, 9)) AS bin) g
+        LEFT JOIN binned USING (bin)
+        GROUP BY g.bin
+    ),
+    tot AS (SELECT CAST(SUM(a) AS BIGINT) AS ta, CAST(SUM(b) AS BIGINT) AS tb FROM grid),
+    terms AS (
+        SELECT bin, a, b,
+               (CAST(FLOOR(ln(CAST(a AS DOUBLE)) * 1000000) AS BIGINT)
+                + CAST(FLOOR(ln(CAST(tb AS DOUBLE)) * 1000000) AS BIGINT)
+                - CAST(FLOOR(ln(CAST(b AS DOUBLE)) * 1000000) AS BIGINT)
+                - CAST(FLOOR(ln(CAST(ta AS DOUBLE)) * 1000000) AS BIGINT)) AS lr_micro
+        FROM grid CROSS JOIN tot
+    )
+    SELECT round(
+        CAST(SUM((a * tb - b * ta) * lr_micro) AS DOUBLE)
+        / (CAST((SELECT ta FROM tot) AS DOUBLE)
+           * CAST((SELECT tb FROM tot) AS DOUBLE) * 1000000.0),
+        8) AS psi
+    FROM terms CROSS JOIN tot
+    """,
+)
+def drift_psi_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor (late r10): PSI of the
+    order-price distribution between two periods (pre/post 1998) over
+    ten fixed-width bins — the deployment-monitoring statistic every
+    production scoring pipeline watches (PSI = Σ (pᵢ−qᵢ)·ln(pᵢ/qᵢ),
+    the credit-scoring drift heuristic).
+
+    Determinism discipline (the DSIR/CCNet quantized-log pattern): bin
+    counts are exact integers (+1 smoothing makes empty bins finite);
+    each log-ratio is a SUM OF PER-TERM micro-nat quantizations
+    (floor(ln·10⁶) per count, identical formula both engines), and the
+    whole PSI numerator accumulates as one exact BIGINT before a single
+    double divide — so the engines agree bit-for-bit despite libm.  At
+    100 TB this is one scan → 10-bin agg → O(1) arithmetic."""
+    from . import load
+
+    o = load(spark, sf_dir, "orders")
+    binned = o.select(
+        F.least(F.floor(F.col("o_totalprice") / 50000.0).cast("long"), F.lit(9)).alias(
+            "bin"
+        ),
+        F.when(F.col("o_orderdate") < "1998-01-01", 0).otherwise(1).alias("period"),
+    )
+    grid = spark.range(10).select(F.col("id").alias("bin"))
+    counts = (
+        grid.join(binned, "bin", "left_outer")
+        .groupBy("bin")
+        .agg(
+            (
+                F.coalesce(F.sum(F.when(F.col("period") == 0, 1)), F.lit(0)) + 1
+            ).alias("a"),
+            (
+                F.coalesce(F.sum(F.when(F.col("period") == 1, 1)), F.lit(0)) + 1
+            ).alias("b"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("a").alias("ta"), F.sum("b").alias("tb")
+    )
+
+    def lnq(c):
+        return F.floor(F.log(c.cast("double")) * 1000000).cast("long")
+
+    terms = counts.crossJoin(F.broadcast(tot)).select(
+        "a",
+        "b",
+        "ta",
+        "tb",
+        (lnq(F.col("a")) + lnq(F.col("tb")) - lnq(F.col("b")) - lnq(F.col("ta"))).alias(
+            "lr_micro"
+        ),
+    )
+    return terms.agg(
+        F.round(
+            F.sum(
+                (F.col("a") * F.col("tb") - F.col("b") * F.col("ta"))
+                * F.col("lr_micro")
+            ).cast("double")
+            / (
+                F.first("ta").cast("double")
+                * F.first("tb").cast("double")
+                * F.lit(1000000.0)
+            ),
+            8,
+        ).alias("psi")
+    )
