@@ -104,8 +104,13 @@ def compare(name: str, s: pd.DataFrame, d: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    # --demoted: run the DEMOTED registry instead (promotion rehearsal —
+    # the same driver-hash-strict comparison, at the driver's sf, BEFORE
+    # a row is promoted; the pytest gate covers sf0.001 only)
+    args = [a for a in sys.argv[1:] if a != "--demoted"]
+    use_demoted = "--demoted" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     _ensure_loaded()
     spark = get_spark(cpus=8)
     con = duckdb.connect()
@@ -118,8 +123,11 @@ def main() -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
+    from msgraphdatapipelines_spark.queries import DEMOTED
+
+    registry = DEMOTED if use_demoted else REGISTRY
     failures = 0
-    for name, q in REGISTRY.items():
+    for name, q in registry.items():
         if only and name not in only:
             continue
         t0 = time.monotonic()
