@@ -312,3 +312,36 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         [(n_vertices, n_edges, int(wedges or 0), tri, coeff)],
         "n_vertices long, n_edges long, n_wedges long, n_triangles long, clustering_coeff double",
     )
+
+
+def cooccurrence_edges(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    max_items_per_group: int | None = None,
+) -> DataFrame:
+    """Distinct co-occurrence edges (a < b) between items sharing a group
+    (late r10) — the edge-derivation step in front of
+    :func:`triangle_stats` / clustering analyses, with its quadratic
+    hazard made a FIRST-CLASS knob: per-group pair fan-out is
+    (distinct items choose 2), so one hub group (a part every supplier
+    ships, a token every document contains) inflates the join toward
+    quadratic.  ``max_items_per_group`` excludes groups above the cap
+    BEFORE pairing — the set-similarity ``max_df`` discipline: a capped
+    hub contributes no edges (callers audit the excluded groups by
+    re-running the distinct count), keeping the derivation
+    Θ(Σ capped-group²) by construction."""
+    pairs_in = df.select(
+        F.col(group_col).alias("g"), F.col(item_col).alias("i")
+    ).distinct()
+    if max_items_per_group is not None:
+        sizes = pairs_in.groupBy("g").agg(F.count(F.lit(1)).alias("_gn"))
+        pairs_in = pairs_in.join(
+            F.broadcast(sizes.filter(F.col("_gn") <= max_items_per_group)), "g"
+        ).drop("_gn")
+    b = pairs_in.select(F.col("g").alias("g2"), F.col("i").alias("i2"))
+    return (
+        pairs_in.join(b, (pairs_in.g == b.g2) & (pairs_in.i < b.i2))
+        .select(F.col("i").alias("src"), F.col("i2").alias("dst"))
+        .distinct()
+    )

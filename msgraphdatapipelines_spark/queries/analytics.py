@@ -484,16 +484,13 @@ def triangle_census_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/graph.triangle_stats for the plan and the skew escape
     hatch).  Exact integer censuses; one double divide at the end."""
     from . import load
-    from ..operators.graph import triangle_stats
+    from ..operators.graph import cooccurrence_edges, triangle_stats
 
     li = load(spark, sf_dir, "lineitem")
-    l2 = li.select(
-        F.col("l_partkey").alias("pk2"), F.col("l_suppkey").alias("sk2")
-    )
-    edges = (
-        li.join(l2, (li.l_partkey == l2.pk2) & (li.l_suppkey < l2.sk2))
-        .select(F.col("l_suppkey").alias("src"), F.col("sk2").alias("dst"))
-    )
+    # uncapped here (fixture-sized); at 100 TB pass max_items_per_group —
+    # the co-part hub cap that keeps the derivation off the quadratic
+    # cliff (PERF.md sweep #3 note)
+    edges = cooccurrence_edges(li, "l_partkey", "l_suppkey")
     return triangle_stats(edges)
 
 

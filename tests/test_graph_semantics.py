@@ -186,3 +186,28 @@ def test_triangle_stats_crafted_graph(spark):
     # wedges: degrees 3,3,3,4,1 -> 3+3+3+6+0 = 15
     assert row["n_wedges"] == 15
     assert row["clustering_coeff"] == round(12 / 15, 6)
+
+
+def test_cooccurrence_edges_cap_excludes_hub_groups(spark):
+    """late r10: the max_items_per_group cap — a hub group contributes
+    no edges when over the cap; under the cap the derivation equals the
+    uncapped one; duplicate memberships collapse first."""
+    from msgraphdatapipelines_spark.operators.graph import cooccurrence_edges
+
+    rows = (
+        [("small", i) for i in (1, 2, 3)]
+        + [("small", 2)]  # duplicate membership
+        + [("hub", i) for i in range(10, 20)]
+    )
+    df = spark.createDataFrame(rows, "g string, i long")
+    full = {tuple(r) for r in cooccurrence_edges(df, "g", "i").collect()}
+    assert len(full) == 3 + 45  # C(3,2) + C(10,2)
+    capped = {
+        tuple(r)
+        for r in cooccurrence_edges(df, "g", "i", max_items_per_group=5).collect()
+    }
+    assert capped == {(1, 2), (1, 3), (2, 3)}  # hub gone, small intact
+    assert {
+        tuple(r)
+        for r in cooccurrence_edges(df, "g", "i", max_items_per_group=10).collect()
+    } == full
