@@ -712,3 +712,69 @@ def drift_psi_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("psi")
     )
+
+
+def _kmv_frac(col: str, digits: int = 12) -> str:
+    """Fraction in [0,1) from the first ``digits`` hex chars of an md5
+    string — Horner form over instr('0123456789abcdef', …), which has
+    the same signature and 1-based semantics in Spark SQL and DuckDB, so
+    the ONE shared text yields bit-identical doubles."""
+    # E-notation literals parse as DOUBLE in BOTH engines (plain 0.0 is
+    # DECIMAL in both, with engine-specific precision rules — the q17
+    # 5.0E0 discipline)
+    expr = "0.0E0"
+    for i in range(digits, 0, -1):
+        d = f"(instr('0123456789abcdef', substr({col}, {i}, 1)) - 1)"
+        expr = f"(({d} + {expr}) / 16.0E0)"
+    return expr
+
+
+_KMV_K = 64
+
+_KMV_SQL = f"""
+WITH a AS (SELECT DISTINCT md5(l_partkey || '') AS h
+           FROM lineitem WHERE year(l_shipdate) = 1996),
+b AS (SELECT DISTINCT md5(l_partkey || '') AS h
+      FROM lineitem WHERE year(l_shipdate) = 1999),
+ka AS (SELECT h FROM a ORDER BY h LIMIT {_KMV_K}),
+kb AS (SELECT h FROM b ORDER BY h LIMIT {_KMV_K}),
+u AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) t
+      ORDER BY h LIMIT {_KMV_K}),
+hits AS (SELECT CAST(COUNT(*) AS BIGINT) AS both_n FROM u
+         WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)),
+kth AS (SELECT MAX(h) AS h FROM u)
+SELECT CAST({_KMV_K} AS BIGINT) AS k,
+       round(CAST({_KMV_K} - 1 AS DOUBLE) / ({_kmv_frac("(SELECT h FROM kth)")}), 3)
+           AS est_union,
+       round(CAST((SELECT both_n FROM hits) AS DOUBLE) / {_KMV_K}, 6)
+           AS est_jaccard,
+       CAST((SELECT COUNT(*) FROM (SELECT h FROM a UNION SELECT h FROM b) z)
+            AS BIGINT) AS exact_union,
+       CAST((SELECT COUNT(*) FROM a WHERE h IN (SELECT h FROM b)) AS BIGINT)
+           AS exact_intersection
+"""
+
+
+@register(
+    "kmv_set_overlap_parts",
+    demoted=True,  # sketch family driver-graded via approx_distinct_stats
+    oracle=_KMV_SQL,
+)
+def kmv_set_overlap_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / bottom-k distinct sketches (late r10): estimate the union
+    size and Jaccard overlap of two part sets (parts shipped in 1996 vs
+    1999) from their 64 smallest md5 hashes — the mergeable
+    distinct-value set algebra of Bar-Yossef et al. 2002 / Beyer et al.
+    SIGMOD 2007 (union sketch = bottom-k of merged mins; overlap = share
+    of the union sketch present in both sides; union estimate =
+    (k−1)/kth-min as a [0,1) fraction).  Deterministic BY CONSTRUCTION:
+    md5 replaces the random permutation, so there is no seed, and both
+    engines run the identical shared text (instr-Horner hex fraction) —
+    estimates AND the exact counts they approximate ship in one row.
+    Scale: each sketch is one distinct + bottom-k (WindowGroupLimit
+    heap) over its partition of the fact; sketches are 64 strings —
+    model-sized state mergeable across any number of partitions or
+    days."""
+    from .. import sql as sqlmod
+
+    return sqlmod.sql(spark, sf_dir, _KMV_SQL)
