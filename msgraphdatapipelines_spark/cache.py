@@ -45,20 +45,32 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _input_signature(spark: SparkSession, inputs: list[str]) -> str:
-    """(name, size, mtime) of every input file, through the Hadoop FS API
-    (recursing one level into directories) — object-store-safe, same
-    identity discipline as the standing layouts."""
+    """(path, size, mtime) of every LEAF file under every input, through
+    the recursive Hadoop FS listing — object-store-safe (directory
+    entries on S3A/ABFS are synthetic with mtime 0, so directory mtimes
+    carry no information; only leaf-file identities do) and
+    nesting-safe (a file rewritten two partition levels deep changes
+    its own (len, mtime), which a one-level listing would miss)."""
     from .sinks import _fs_for
 
     parts = []
     for path in sorted(inputs):
         fs, p, _ = _fs_for(spark, path)
         stats = []
-        for st in fs.listStatus(p) if fs.getFileStatus(p).isDirectory() else [fs.getFileStatus(p)]:
-            name = st.getPath().getName()
-            if name.startswith(("_", ".")):
-                continue
-            stats.append(f"{name}|{st.getLen()}|{st.getModificationTime()}")
+        if fs.getFileStatus(p).isDirectory():
+            it = fs.listFiles(p, True)  # recursive: every leaf file
+            while it.hasNext():
+                st = it.next()
+                rel = st.getPath().toString()
+                name = st.getPath().getName()
+                if name.startswith(("_", ".")):
+                    continue
+                stats.append(f"{rel}|{st.getLen()}|{st.getModificationTime()}")
+        else:
+            st = fs.getFileStatus(p)
+            stats.append(
+                f"{st.getPath().toString()}|{st.getLen()}|{st.getModificationTime()}"
+            )
         parts.append(f"{path}::" + ",".join(sorted(stats)))
     return ";".join(parts)
 
@@ -95,6 +107,8 @@ def serve_cached(
     hit, rebuild."""
     from .sinks import _fs_for
 
+    import uuid
+
     fp = plan_fingerprint(spark, df, inputs)
     root = result_cache_root(fp, base_dir)
     marker = os.path.join(root, "_rc_ready")
@@ -102,10 +116,30 @@ def serve_cached(
     fs, _, jvm = _fs_for(spark, root)
     hpath = jvm.org.apache.hadoop.fs.Path
     if not fs.exists(hpath(marker)):
-        df.write.mode("overwrite").parquet(data)
-        tmp = hpath(f"{marker}.tmp")
-        out = fs.create(tmp, True)
-        out.write(bytearray(fp.encode()))
-        out.close()
-        fs.rename(tmp, hpath(marker))
+        # Concurrent-builder safety: never write into the final `data`
+        # directory.  Each builder materializes under a private
+        # data.<uuid> staging dir, then RENAMES it to `data` — rename is
+        # atomic per directory entry, so a reader that already saw the
+        # marker can never observe a half-overwritten artifact.  Exactly
+        # one racer's rename lands; losers see rename fail (or `data`
+        # already present), delete their staging copy, and fall through
+        # to the hit path.
+        staging = f"{data}.{uuid.uuid4().hex[:12]}"
+        df.write.mode("overwrite").parquet(staging)
+        if fs.exists(hpath(data)) or not fs.rename(hpath(staging), hpath(data)):
+            fs.delete(hpath(staging), True)  # lost the race: another builder won
+        # Hadoop rename() with an existing dst DIRECTORY nests src inside
+        # it instead of failing (HDFS semantics) — if a racer slipped
+        # between our exists-check and rename, evict the stray child so
+        # the winner's artifact stays byte-identical.
+        stray = hpath(os.path.join(data, os.path.basename(staging)))
+        if fs.exists(stray):
+            fs.delete(stray, True)
+        if not fs.exists(hpath(marker)):
+            tmp = hpath(f"{marker}.{uuid.uuid4().hex[:12]}.tmp")
+            out = fs.create(tmp, True)
+            out.write(bytearray(fp.encode()))
+            out.close()
+            if not fs.rename(tmp, hpath(marker)) and fs.exists(tmp):
+                fs.delete(tmp, False)
     return spark.read.parquet(data)

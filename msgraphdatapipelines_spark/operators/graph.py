@@ -294,9 +294,13 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     )
     n_vertices = deg.count()
     n_edges = e.count()
-    wedges = deg.agg(
-        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("w")
-    ).collect()[0]["w"]
+    # Integral all the way: sum d*(d-1) as long, halve after (the product
+    # is always even) — a per-row double intermediate would lose exactness
+    # past 2^53, which a 100-TB-scale wedge total can reach.
+    wedges_2x = deg.agg(
+        F.sum((F.col("d") * (F.col("d") - F.lit(1))).cast("long")).alias("w2")
+    ).collect()[0]["w2"]
+    wedges = (wedges_2x or 0) // 2
     e1 = e.select(F.col("a").alias("u"), F.col("b").alias("v1"))
     e2 = e.select(F.col("a").alias("u"), F.col("b").alias("v2"))
     closing = e.select(F.col("a").alias("v1"), F.col("b").alias("v2"))

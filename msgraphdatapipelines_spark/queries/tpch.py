@@ -974,9 +974,13 @@ def ensure_colocated_facts(
     import hashlib
     import os
 
-    st = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    # Fingerprint BOTH source files: regenerating lineitem alone must
+    # rotate the key too, or a metastore-backed deployment would keep
+    # serving the stale bucketed lineitem copy.
+    stats = [os.stat(os.path.join(sf_dir, f"{t}.parquet")) for t in ("orders", "lineitem")]
+    sig = "|".join(f"{s.st_size}:{s.st_mtime_ns}" for s in stats)
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}|{num_buckets}|bkt".encode()
+        f"{os.path.abspath(sf_dir)}|{sig}|{num_buckets}|bkt".encode()
     ).hexdigest()[:10]
     t_o, t_l = f"orders_bkt_{key}", f"lineitem_bkt_{key}"
     import tempfile

@@ -614,6 +614,21 @@ def _fs_for(spark: SparkSession, path: str):
     return p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()), p, jvm
 
 
+def _normalize_file_uri(uri: str) -> str:
+    """Canonical file identity for manifest diffing: strip the scheme
+    and collapse the authority slashes, so ``file:///a/b``,
+    ``file:/a/b`` and ``/a/b`` — the three spellings Spark's
+    ``input_file_name()`` and Hadoop's ``Path.toString()`` emit for one
+    file — compare equal.  URL-unquote because ``input_file_name()``
+    percent-encodes (e.g. ``=`` in partition dirs)."""
+    import re
+    from urllib.parse import unquote
+
+    u = unquote(uri)
+    u = re.sub(r"^[A-Za-z][A-Za-z0-9+.-]*:/+", "/", u)
+    return u
+
+
 def _list_numbered_dirs(spark: SparkSession, root: str, prefix: str) -> list[int]:
     """Sorted numeric suffixes of ``{prefix}N`` subdirectories of ``root``."""
     fs, p, _ = _fs_for(spark, root)
@@ -1419,7 +1434,8 @@ def scan_pruned(spark: SparkSession, path: str, col: str, lo, hi) -> DataFrame:
     if not files:
         return base.filter(F.lit(False))
     return (
-        spark.read.schema(base.schema)
+        spark.read.option("basePath", path)  # recover partition cols from nested paths
+        .schema(base.schema)
         .parquet(*files)
         .filter(F.col(col).between(lo, hi))
     )
@@ -1515,21 +1531,36 @@ def refresh_bloom_manifest(spark: SparkSession, path: str, col: str) -> dict:
     (bit_or over duplicate (file, word_idx) rows at probe time makes
     appends idempotent-safe), so unlike the zonemap no rewrite happens.
     Crash semantics mirror ``refresh_zonemap``: files appended before a
-    crash are pruned-invisible until the next refresh, never wrong."""
-    import os
+    crash are pruned-invisible until the next refresh, never wrong.
 
+    File identity is the FULL normalized path (scheme stripped, slashes
+    collapsed), never the basename — partitioned layouts legitimately
+    repeat basenames (``part-00000`` under every partition dir), and the
+    listing recurses so files in nested partition subdirectories join
+    the manifest too."""
     from pyspark.sql import functions as F  # noqa: F401
 
     root = f"{path}/_bloom_{col}"
     meta = spark.read.parquet(f"{root}/meta").first()
     words = spark.read.parquet(f"{root}/words")
-    known = {os.path.basename(r["file"]) for r in words.select("file").distinct().collect()}
+    known = {
+        _normalize_file_uri(r["file"])
+        for r in words.select("file").distinct().collect()
+    }
     fs, p, _ = _fs_for(spark, path)
+    base_n = _normalize_file_uri(fs.makeQualified(p).toString()).rstrip("/")
     new_files = []
-    for st in fs.listStatus(p):
-        name = st.getPath().getName()
-        if st.isFile() and not name.startswith(("_", ".")) and name not in known:
-            new_files.append(st.getPath().toString())
+    it = fs.listFiles(p, True)  # recursive: nested partition dirs included
+    while it.hasNext():
+        st = it.next()
+        full = st.getPath().toString()
+        full_n = _normalize_file_uri(full)
+        # skip files under hidden dirs (_bloom_*, _zonemap, .staging, …)
+        rel = full_n[len(base_n):].lstrip("/")
+        if any(seg.startswith(("_", ".")) for seg in rel.split("/")):
+            continue
+        if full_n not in known:
+            new_files.append(full)
     if new_files:
         fresh = spark.read.schema(spark.read.parquet(path).schema).parquet(*new_files)
         _bloom_words(fresh, col, meta["bits"], meta["k"]).write.mode("append").parquet(
@@ -1596,4 +1627,9 @@ def scan_bloom_pruned(spark: SparkSession, path: str, col: str, value) -> DataFr
     base = spark.read.parquet(path)
     if not files:
         return base.filter(F.lit(False))
-    return spark.read.schema(base.schema).parquet(*files).filter(F.col(col) == value)
+    return (
+        spark.read.option("basePath", path)  # recover partition cols from nested paths
+        .schema(base.schema)
+        .parquet(*files)
+        .filter(F.col(col) == value)
+    )

@@ -1053,3 +1053,142 @@ def test_snapshot_store_with_bloom_manifest_round_trip(spark, tmp_path):
     # a version published without bloom_cols serves via fallback
     v3 = sinks.write_snapshot(o, root)
     assert v3 == 3 and lookup(977) == want
+
+
+# --- r11: ADVICE-driven hardening of the standing stores --------------------
+
+
+def test_result_cache_nested_input_rotation(spark, tmp_path):
+    """r11 (ADVICE cache.py:61): the input signature must see LEAF files
+    recursively — rewriting a file two directory levels deep (same
+    top-level mtimes on object stores) must rotate the fingerprint."""
+    import shutil
+
+    from msgraphdatapipelines_spark import cache
+
+    root = tmp_path / "in"
+    deep = root / "ds=1" / "hr=2"
+    deep.mkdir(parents=True)
+    shutil.copyfile(
+        "/root/testdata/sf0.001/region.parquet", str(deep / "part-0.parquet")
+    )
+    fp1 = cache.plan_fingerprint(
+        spark, spark.read.parquet(str(root)).agg(F.count(F.lit(1)).alias("n")), [str(root)]
+    )
+    import os
+
+    os.utime(str(deep / "part-0.parquet"))  # deep leaf touched, dirs unchanged
+    fp2 = cache.plan_fingerprint(
+        spark, spark.read.parquet(str(root)).agg(F.count(F.lit(1)).alias("n")), [str(root)]
+    )
+    assert fp1 != fp2, "deep-file rewrite did not rotate the cache key"
+
+
+def test_result_cache_crash_between_data_and_marker_recovers(spark, tmp_path):
+    """r11 (ADVICE cache.py:105): publication goes through a private
+    staging dir + atomic rename.  Simulated crash (data published, marker
+    lost): the rebuilder must NOT corrupt or nest into the existing data
+    dir — it stages privately, detects data present, discards the staging
+    copy, and recommits the marker.  Reader-never-sees-partial."""
+    import os
+
+    from msgraphdatapipelines_spark import cache
+
+    src = "/root/testdata/sf0.001/orders.parquet"
+    base = str(tmp_path)
+
+    def build():
+        return (
+            spark.read.parquet(src)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    want = {(r["o_orderstatus"], r["n"]) for r in build().collect()}
+    cache.serve_cached(spark, build(), [src], base_dir=base)
+    fp = cache.plan_fingerprint(spark, build(), [src])
+    root = cache.result_cache_root(fp, base)
+    os.remove(os.path.join(root, "_rc_ready"))  # crash: marker lost
+    data_dir = os.path.join(root, "data")
+    before = sorted(os.listdir(data_dir))
+    served = cache.serve_cached(spark, build(), [src], base_dir=base)
+    assert {(r["o_orderstatus"], r["n"]) for r in served.collect()} == want
+    after = sorted(os.listdir(data_dir))
+    assert before == after, "recovery rewrote or nested into the live data dir"
+    # no stray staging dirs left behind
+    strays = [d for d in os.listdir(root) if d.startswith("data.")]
+    assert strays == [], f"staging dirs leaked: {strays}"
+    assert os.path.exists(os.path.join(root, "_rc_ready"))
+
+
+def test_bloom_manifest_nested_partitions_full_path_identity(spark, tmp_path):
+    """r11 (ADVICE sinks.py:1526): partitioned layouts repeat basenames
+    (part-00000 under every partition dir).  The manifest must key files
+    by FULL path — nested files join the manifest, same-basename files in
+    different partitions never alias, and refresh recurses."""
+    path = str(tmp_path / "orders_part")
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    o.withColumn("bucket", F.pmod(F.col("o_custkey"), F.lit(3)).cast("int")).coalesce(
+        1
+    ).write.partitionBy("bucket").parquet(path)
+    sinks.build_bloom_manifest(spark, path, ["o_orderkey"], bits=1 << 15, k=4)
+    # every partition dir holds a file named the same way; the manifest
+    # must hold one entry per FULL path
+    words = spark.read.parquet(f"{path}/_bloom_o_orderkey/words")
+    n_files = words.select("file").distinct().count()
+    assert n_files >= 3, "nested partition files missing from the manifest"
+    # idempotent refresh: full-path diff finds nothing new (basename diff
+    # would also find nothing here, so also append and check recursion)
+    assert sinks.refresh_bloom_manifest(spark, path, "o_orderkey")["new_files"] == []
+    batch = (
+        o.limit(4)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 2_000_000)
+        .withColumn("bucket", F.lit(1))
+    )
+    batch.coalesce(1).write.mode("append").partitionBy("bucket").parquet(path)
+    res = sinks.refresh_bloom_manifest(spark, path, "o_orderkey")
+    assert len(res["new_files"]) == 1, res["new_files"]
+    assert "bucket=1" in res["new_files"][0]
+    for r in batch.select("o_orderkey").collect():
+        got = sinks.scan_bloom_pruned(spark, path, "o_orderkey", r["o_orderkey"])
+        rows = got.collect()
+        assert len(rows) == 1
+        # basePath read recovers the partition column from the path
+        assert rows[0]["bucket"] == 1
+    assert sinks.refresh_bloom_manifest(spark, path, "o_orderkey")["new_files"] == []
+
+
+def test_colocated_fact_key_rotates_on_lineitem_change(spark, tmp_path):
+    """r11 (ADVICE tpch.py:977): the co-bucketed warehouse fingerprint
+    must cover BOTH fact files — regenerating lineitem alone rotates the
+    key (no stale bucketed copy served)."""
+    import os
+    import shutil
+
+    from msgraphdatapipelines_spark.queries import tpch
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    for t in ("orders", "lineitem"):
+        shutil.copyfile(
+            f"/root/testdata/sf0.001/{t}.parquet", str(sf / f"{t}.parquet")
+        )
+    t_o1, t_l1 = tpch.ensure_colocated_facts(spark, str(sf))
+    os.utime(str(sf / "lineitem.parquet"))  # lineitem regenerated, orders untouched
+    t_o2, t_l2 = tpch.ensure_colocated_facts(spark, str(sf))
+    assert (t_o1, t_l1) != (t_o2, t_l2), "stale bucketed lineitem would be served"
+
+
+def test_wedge_census_integral_arithmetic(spark):
+    """r11 (ADVICE graph.py:298): wedge count stays integral (no per-row
+    double) — star graph K_{1,4}: center degree 4 → 6 wedges, leaves
+    contribute 0, zero triangles."""
+    from msgraphdatapipelines_spark.operators.graph import triangle_stats
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "src int, dst int"
+    )
+    row = triangle_stats(edges).collect()[0]
+    assert row["n_wedges"] == 6
+    assert row["n_triangles"] == 0
+    assert row["clustering_coeff"] == 0.0
