@@ -256,7 +256,7 @@ def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "regression_by_event_type",
-    demoted=True,  # agg machinery driver-graded via exact_moments_stats
+    demoted=True,  # agg machinery driver-graded via pricing_summary/approx_distinct_stats
     oracle="""
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n,

@@ -482,6 +482,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_embedding_representatives",
+    demoted=True,  # r11 rotation: representative machinery graded via dedup_minhash_representatives, embedding dedup via dedup_embedding_cosine
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding, {_emb_bucket_sql()} AS bucket FROM embeddings),
     m AS (SELECT bucket, vec_id AS mid, embedding AS memb

@@ -247,6 +247,7 @@ def graph_stamp_and_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "graph_explode_relational",
+    demoted=True,  # r11 rotation: explode graded via array_set_ops_per_order; graph family keeps 4 graded rows
     oracle="""
     SELECT l_orderkey, l_partkey AS part, l_quantity AS qty
     FROM lineitem

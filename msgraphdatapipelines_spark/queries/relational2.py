@@ -108,6 +108,7 @@ def range_join_events_after_order(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register(
     "exact_moments_stats",
+    demoted=True,  # r11 rotation: agg/stats machinery graded via pricing_summary + approx_distinct_stats
     oracle="""
     WITH s AS (
         SELECT l_returnflag,
@@ -407,7 +408,7 @@ def _profile_oracle() -> str:
 @register(
     "profile_orders",
     oracle=_profile_oracle(),
-    demoted=True,  # stats family already holds graded rows exact_moments/approx_distinct
+    demoted=True,  # stats family already holds graded row approx_distinct_stats
 )
 def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass column profiling of ``orders`` (operators.profile): per

@@ -1238,8 +1238,7 @@ def ann_topk_served(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "ann_filtered_topk",
-    demoted=True,  # ANN family driver-graded via ann_bruteforce_topk
+    "ann_filtered_topk",  # promoted r11: metadata-filtered vector search, driver-graded
     oracle=f"""
     WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql
                FROM embeddings

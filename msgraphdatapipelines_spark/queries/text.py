@@ -1355,8 +1355,7 @@ def duplicated_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dedup_remove_spans_docs",
-    demoted=True,  # dedup family driver-graded via dedup_exact/minhash rows
+    "dedup_remove_spans_docs",  # promoted r11: exact-substring span REMOVAL, driver-graded
     oracle=f"""
     WITH base AS (
         SELECT doc_id, {_WS} AS w, len({_WS}) AS nt FROM documents

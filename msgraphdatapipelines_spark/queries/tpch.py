@@ -404,8 +404,7 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q21_sole_late_supplier",
-    demoted=True,  # SQL-entry family driver-graded via q17
+    "q21_sole_late_supplier",  # promoted r11: hardest decorrelation shape, driver-graded
     oracle=_Q21_SQL,
 )
 def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
