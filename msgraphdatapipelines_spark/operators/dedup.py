@@ -566,6 +566,35 @@ def set_similarity_candidates_prefix(
     All ceil'd τ-products subtract ``_CEIL_EPS`` first — exact-integer
     products otherwise round UP in IEEE and violate the zero-false-
     negative guarantee (r7 ADVICE item 3).
+
+    r11 plan note: the core now runs NARROW (see
+    ``set_similarity_candidate_ids``) — prefix rows and the pair-distinct
+    shuffle carry only (id, size, position, gram); the sorted gram
+    ARRAYS live in a doc-count-sized side table and are joined onto the
+    pruned, deduplicated pairs at the very end.  At τ=0.5 the old shape
+    pushed every document's full array through ~|s|/2 prefix rows AND
+    the pair shuffle — O(|s|²/2) bytes per document; the narrow shape is
+    O(|s|) both places.  This is also what makes the prefix tables
+    PERSISTABLE as a standing artifact (queries.dedup.ensure_prefix_gram_index).
+    """
+    sets, prefixes = set_similarity_prefix_tables(grams, id_col, gram_col, threshold)
+    ids = set_similarity_candidate_ids(prefixes, id_col, threshold, max_df=max_df)
+    return _attach_gram_arrays(ids, sets, id_col)
+
+
+def set_similarity_prefix_tables(
+    grams: DataFrame, id_col: str, gram_col: str, threshold: float
+) -> tuple[DataFrame, DataFrame]:
+    """The two corpus-derived tables the prefix join needs — built with
+    the ONLY corpus-sized aggregations in the whole algorithm, so
+    persisting them (ensure_prefix_gram_index) makes every later join a
+    pure serve:
+
+    - ``sets``: one row per id — (id, __sz, __garr) with the gram array
+      sorted under the global (document-frequency asc, gram asc) order.
+    - ``prefixes``: ≤ ``|s| − ⌈τ|s|⌉ + 1`` NARROW rows per id —
+      (id, __sz, __p, __pg, __pdf); no arrays, so the self-join shuffle
+      and the artifact stay O(prefix) not O(prefix·|s|).
     """
     freq = grams.groupBy(gram_col).agg(F.count("*").alias("__df"))
     keyed = grams.join(freq, gram_col)
@@ -575,31 +604,47 @@ def set_similarity_candidates_prefix(
         ).alias("__sorted")
     )
     sz = F.size("__sorted")
-    prefix_len = sz - _eps_ceil(F.lit(float(threshold)) * sz).cast("int") + F.lit(1)
-    pref = per_id.select(
+    sets = per_id.select(
         F.col(id_col),
         sz.alias("__sz"),
         F.transform("__sorted", lambda x: x["__g"]).alias("__garr"),
+    )
+    prefix_len = sz - _eps_ceil(F.lit(float(threshold)) * sz).cast("int") + F.lit(1)
+    prefixes = per_id.select(
+        F.col(id_col),
+        sz.alias("__sz"),
         F.posexplode(F.slice("__sorted", F.lit(1), prefix_len)).alias("__p", "__ps"),
     ).select(
-        id_col, "__sz", "__garr", "__p",
+        id_col, "__sz", "__p",
         F.col("__ps.__g").alias("__pg"), F.col("__ps.__df").alias("__pdf"),
     )
+    return sets, prefixes
+
+
+def set_similarity_candidate_ids(
+    prefixes: DataFrame,
+    id_col: str,
+    threshold: float,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Distinct candidate id pairs (id_a, id_b, __sza, __szb) from the
+    NARROW prefix table — the prefix-filter equi-join with the length +
+    PPJoin positional bounds, no arrays anywhere in the shuffle."""
     t = float(threshold)
     if max_df is None:
-        thin, fat_pairs = pref, None
+        thin, fat_pairs = prefixes, None
     else:
-        thin = pref.filter(F.col("__pdf") <= max_df)
+        thin = prefixes.filter(F.col("__pdf") <= max_df)
         fat_pairs = _fat_gram_pairs(
-            pref.filter(F.col("__pdf") > max_df), id_col, t
+            prefixes.filter(F.col("__pdf") > max_df), id_col, t
         )
     a = thin.select(
         F.col(id_col).alias("id_a"), F.col("__sz").alias("__sza"),
-        F.col("__garr").alias("__garr_a"), F.col("__p").alias("__pa"), "__pg",
+        F.col("__p").alias("__pa"), "__pg",
     )
     b = thin.select(
         F.col(id_col).alias("id_b"), F.col("__sz").alias("__szb"),
-        F.col("__garr").alias("__garr_b"), F.col("__p").alias("__pb"), "__pg",
+        F.col("__p").alias("__pb"), "__pg",
     )
     alpha = _eps_ceil(F.lit(t / (1.0 + t)) * (F.col("__sza") + F.col("__szb")))
     ubound = F.lit(1) + F.least(
@@ -616,15 +661,21 @@ def set_similarity_candidates_prefix(
             # PPJoin positional bound (posexplode __p is 0-based)
             & (ubound >= alpha)
         )
-        .select("id_a", "id_b", "__sza", "__szb", "__garr_a", "__garr_b")
+        .select("id_a", "id_b", "__sza", "__szb")
     )
     if fat_pairs is not None:
         pairs = pairs.unionByName(fat_pairs)
-    return pairs.groupBy("id_a", "id_b").agg(
-        F.first("__sza").alias("__sza"),
-        F.first("__szb").alias("__szb"),
-        F.first("__garr_a").alias("__garr_a"),
-        F.first("__garr_b").alias("__garr_b"),
+    return pairs.distinct()
+
+
+def _attach_gram_arrays(ids: DataFrame, sets: DataFrame, id_col: str) -> DataFrame:
+    """Join the per-doc sorted gram arrays onto the pruned candidate
+    pairs — two hash joins against the doc-count-sized ``sets`` table
+    AFTER the distinct, so arrays never ride the candidate shuffle."""
+    ga = sets.select(F.col(id_col).alias("id_a"), F.col("__garr").alias("__garr_a"))
+    gb = sets.select(F.col(id_col).alias("id_b"), F.col("__garr").alias("__garr_b"))
+    return ids.join(ga, "id_a").join(gb, "id_b").select(
+        "id_a", "id_b", "__sza", "__szb", "__garr_a", "__garr_b"
     )
 
 
@@ -635,21 +686,19 @@ def _fat_gram_pairs(fat: DataFrame, id_col: str, t: float) -> DataFrame:
     surviving pairs leave the executor — the shuffle carries O(df) member
     rows per fat gram instead of O(df²) joined candidate rows.  Same
     bounds (with the same epsilon-guarded ceils) as the join path, so the
-    union stays loss-less."""
+    union stays loss-less.  r11: emits NARROW (id_a, id_b, __sza, __szb)
+    rows — gram arrays are joined on later, with the thin path's."""
     import numpy as np
     import pandas as pd
 
     from pyspark.sql import types as T
 
     id_type = fat.schema[id_col].dataType
-    garr_type = fat.schema["__garr"].dataType
     out_schema = T.StructType([
         T.StructField("id_a", id_type),
         T.StructField("id_b", id_type),
         T.StructField("__sza", T.IntegerType()),
         T.StructField("__szb", T.IntegerType()),
-        T.StructField("__garr_a", garr_type),
-        T.StructField("__garr_b", garr_type),
     ])
 
     def gen(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -657,7 +706,6 @@ def _fat_gram_pairs(fat: DataFrame, id_col: str, t: float) -> DataFrame:
         szv = pdf["__sz"].to_numpy(dtype=np.float64)
         pv = pdf["__p"].to_numpy(dtype=np.float64)
         ids = pdf[id_col]
-        garr = pdf["__garr"]
         rows: list[tuple] = []
         for i in range(len(pdf) - 1):
             sza, pa = szv[i], pv[i]
@@ -672,11 +720,8 @@ def _fat_gram_pairs(fat: DataFrame, id_col: str, t: float) -> DataFrame:
                 rows.append((
                     ids.iloc[i], ids.iloc[j],
                     int(szv[i]), int(szv[j]),
-                    garr.iloc[i], garr.iloc[j],
                 ))
-        return pd.DataFrame(
-            rows, columns=["id_a", "id_b", "__sza", "__szb", "__garr_a", "__garr_b"]
-        )
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "__sza", "__szb"])
 
     return fat.groupBy("__pg").applyInPandas(gen, schema=out_schema)
 
@@ -707,6 +752,35 @@ def set_similarity_join(
     cands = set_similarity_candidates_prefix(
         grams, id_col, gram_col, threshold, max_df=max_df
     )
+    inter = F.size(F.array_intersect("__garr_a", "__garr_b"))
+    return (
+        cands.withColumn("__inter", inter)
+        .withColumn(
+            "jaccard",
+            F.col("__inter").cast("double")
+            / (F.col("__sza") + F.col("__szb") - F.col("__inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+def set_similarity_join_from_tables(
+    sets: DataFrame,
+    prefixes: DataFrame,
+    id_col: str,
+    threshold: float,
+    max_df: int | None = None,
+) -> DataFrame:
+    """``set_similarity_join`` served from pre-built prefix tables (r11,
+    r10 VERDICT item 3): when ``sets``/``prefixes`` come from a standing
+    artifact (queries.dedup.ensure_prefix_gram_index) the plan contains
+    ZERO corpus-sized aggregations — no gram-frequency agg, no per-id
+    sorted-set agg, no gram explode; just the narrow prefix self-join,
+    the pair distinct, and two doc-count-sized array joins for the
+    verify.  Exact same output as the direct path (same bounds, same
+    epsilon-guarded ceils)."""
+    ids = set_similarity_candidate_ids(prefixes, id_col, threshold, max_df=max_df)
+    cands = _attach_gram_arrays(ids, sets, id_col)
     inter = F.size(F.array_intersect("__garr_a", "__garr_b"))
     return (
         cands.withColumn("__inter", inter)

@@ -594,10 +594,81 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- r11: the STANDING PREFIX-GRAM INDEX (r10 VERDICT item 3) ---------------
+# The lexicon discipline applied to the PPJoin: the only corpus-sized work
+# in the exact-recall join is building the gram-frequency-ordered sets and
+# their prefix rows.  Persist both once per (corpus, n, τ) and every later
+# join — repeat compliance audits, contamination sweeps against the same
+# corpus — is a pure serve: narrow prefix self-join + verify, zero
+# corpus-sized aggregation in the plan.
+
+
+def prefix_index_root(sf_dir: str, n: int, threshold: float) -> str:
+    """Deterministic artifact location keyed on corpus identity (path +
+    documents.parquet size/mtime fingerprint) + the gram/threshold
+    parameters — a regenerated corpus or different τ can never serve a
+    stale table."""
+    import hashlib
+    import os
+    import tempfile
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    parts = []
+    if os.path.isdir(p):
+        for root_, _, files in sorted(os.walk(p)):
+            for fn in sorted(files):
+                st = os.stat(os.path.join(root_, fn))
+                parts.append(f"{fn}:{st.st_size}:{st.st_mtime_ns}")
+    else:
+        st = os.stat(p)
+        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{'|'.join(parts)}|ppj|n={n}|t={threshold}|v1".encode()
+    ).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), f"msgdp_ppj_{key}")
+
+
+def ensure_prefix_gram_index(
+    spark: SparkSession, sf_dir: str, n: int = 3, threshold: float = 0.5
+) -> str:
+    """Build-at-most-once prefix-gram artifact: ``sets`` (id, size,
+    df-ordered gram array — one row per doc) and ``prefixes`` (narrow
+    prefix rows with df keys) under a rename-committed ``_ready`` marker
+    (house crash-safety style: no marker → rebuild; a torn build is never
+    served).  First touch pays the two corpus-sized aggs the direct path
+    pays anyway, plus one artifact write."""
+    from .. import sinks
+
+    root = prefix_index_root(sf_dir, n, threshold)
+    fs, _, jvm = sinks._fs_for(spark, root)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    marker = f"{root}/_ready"
+    if not fs.exists(hpath(marker)):
+        docs = load(spark, sf_dir, "documents")
+        grams = docs.select(
+            "doc_id", F.explode(D.word_ngrams(F.lower(F.col("text")), n)).alias("g")
+        )
+        sets, prefixes = D.set_similarity_prefix_tables(grams, "doc_id", "g", threshold)
+        sets.write.mode("overwrite").parquet(f"{root}/sets")
+        # cluster prefix rows by their join key so the self-join reads
+        # co-partitioned row groups
+        prefixes.repartition(F.col("__pg")).sortWithinPartitions("__pg").write.mode(
+            "overwrite"
+        ).parquet(f"{root}/prefixes")
+        tmp = hpath(f"{marker}.tmp")
+        out = fs.create(tmp, True)
+        out.write(bytearray(b"ready"))
+        out.close()
+        fs.rename(tmp, hpath(marker))
+    return root
+
+
 @register(
     "set_similarity_join_docs",
     # r8: PROMOTED to driver-graded (r7 VERDICT item 9) — the exact-recall
-    # PPJoin flagship now graded at sf0.01; set_ops_customers demoted in trade
+    # PPJoin flagship now graded at sf0.01; set_ops_customers demoted in trade.
+    # r11: SERVED from the standing prefix-gram artifact (r10 VERDICT item 3)
+    # — oracle unchanged, first touch builds, every later run is pure serve.
     oracle="""
     WITH words AS (
         SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
@@ -637,14 +708,17 @@ def set_similarity_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     are the measured choice for this templated fixture: its closed bigram
     vocabulary (931 grams at sf0.1) kept 44% of all pairs as candidates,
     trigrams (27k grams) keep 2.5% (operator docstring caveat; PERF.md).
-    Plan: gram-frequency agg → sorted-set agg → ≤ (|s|−⌈τ|s|⌉+1)
-    posexploded prefix rows → ONE self equi-join on the prefix gram with
-    length + positional pruning → join-free array_intersect verify."""
-    docs = load(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id", F.explode(D.word_ngrams(F.lower(F.col("text")), 3)).alias("g")
-    )
-    return D.set_similarity_join(grams, "doc_id", "g", 0.5)
+
+    r11: served from the standing prefix-gram artifact — first touch
+    builds (gram-frequency agg → sorted-set agg → prefix explode →
+    persist), every later run reads the narrow prefix table, self-joins
+    it with length + positional pruning, and verifies via two
+    doc-count-sized array joins: ZERO corpus-sized aggregation in the
+    serve plan."""
+    root = ensure_prefix_gram_index(spark, sf_dir, n=3, threshold=0.5)
+    sets = spark.read.parquet(f"{root}/sets")
+    prefixes = spark.read.parquet(f"{root}/prefixes")
+    return D.set_similarity_join_from_tables(sets, prefixes, "doc_id", 0.5)
 
 
 @register(

@@ -866,3 +866,43 @@ def test_plan_lint_flags_each_hazard_and_passes_clean_plans(spark, sf_dir):
         f["rule"] == "excessive-exchanges"
         for f in plans.lint(two, max_exchanges=5)
     )
+
+
+def test_set_similarity_served_plan_has_zero_corpus_aggregation(spark, sf_dir, tmp_path):
+    """r11 (r10 VERDICT item 3): the standing prefix-gram artifact — the
+    served join's plan must read ONLY the msgdp_ppj_ artifact (no
+    documents scan, no gram-frequency agg, no sorted-set agg), must equal
+    the direct-path result exactly, and the artifact key must rotate when
+    the corpus changes."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from msgraphdatapipelines_spark.operators import dedup as D
+    from msgraphdatapipelines_spark.queries import dedup as QD
+    from msgraphdatapipelines_spark.queries import load
+
+    # private corpus copy so this test controls the fingerprint
+    my_sf = tmp_path / "sf"
+    my_sf.mkdir()
+    shutil.copyfile(f"{sf_dir}/documents.parquet", str(my_sf / "documents.parquet"))
+
+    served = QD.set_similarity_join_docs(spark, str(my_sf))
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "msgdp_ppj_" in plan
+    assert "documents.parquet" not in plan, "serve plan still scans the corpus"
+
+    docs = load(spark, str(my_sf), "documents")
+    grams = docs.select(
+        "doc_id", F.explode(D.word_ngrams(F.lower(F.col("text")), 3)).alias("g")
+    )
+    direct = D.set_similarity_join(grams, "doc_id", "g", 0.5)
+    key = lambda df: sorted((r["id_a"], r["id_b"], r["jaccard"]) for r in df.collect())  # noqa: E731
+    assert key(served) == key(direct)
+
+    # corpus rotation: touching the file rotates the artifact root
+    import os
+
+    r1 = QD.prefix_index_root(str(my_sf), 3, 0.5)
+    os.utime(str(my_sf / "documents.parquet"))
+    assert QD.prefix_index_root(str(my_sf), 3, 0.5) != r1
