@@ -116,6 +116,31 @@ def metrics_summary(df: DataFrame) -> dict[str, int]:
     }
 
 
+def _first_line(node) -> str:
+    return node.toString().split("\n", 1)[0]
+
+
+_UNGROUPED_AGG = re.compile(r"Aggregate\(keys?=\[\]")  # HashAggregate keys=[], SortAggregate key=[]
+# two-phase upstream half: partial_/merge_ functions, or NO functions at all
+# (the zero-width existence-check aggregate)
+_PARTIAL_FNS = re.compile(r"functions=\[\]|functions=\[[^\]]*(?:partial_|merge_)")
+
+
+def _subtree_is_scalar(node) -> bool:
+    """True when the subtree provably yields ≤ 1 row: it contains an
+    UNGROUPED final aggregate (``keys=[]``) with no join between it and
+    the root.  The pattern behind every legitimate 1-row broadcast —
+    corpus totals, χ² marginals, PSI reference mass, PageRank dangling
+    mass — which is a constant-size build side at ANY data scale."""
+    for d in _walk(node):
+        name = d.nodeName()
+        if "Join" in name and d is not node:
+            return False
+        if "Aggregate" in name and _UNGROUPED_AGG.search(_first_line(d)):
+            return True
+    return False
+
+
 def lint(df: DataFrame, max_exchanges: int | None = None) -> list[dict]:
     """Automated plan-quality gate (late r10): inspect a DataFrame's
     physical plan for the scale hazards the test-suite pins catch one by
@@ -129,11 +154,17 @@ def lint(df: DataFrame, max_exchanges: int | None = None) -> list[dict]:
       in the plan — O(n·m) scoring pass; almost always a missing or
       non-equi join key.  (Severity ``error`` — a deliberate bounded
       nested loop, e.g. a broadcast brute-force scorer, should be
-      annotated at the call site and the finding filtered by the
-      caller.)
+      annotated at the call site and the finding waived by the caller.)
+      r11 refinement: a nested-loop join whose BUILD side is provably
+      scalar (an ungrouped aggregate — 1 row at any scale) is the
+      benign broadcast-a-total pattern and is NOT flagged.
     - ``single-partition-exchange``: ``Exchange SinglePartition`` — the
       whole dataset through one task (global window / global sort
-      without a downstream limit).
+      without a downstream limit).  r11 refinement: the exchange INSIDE
+      a two-phase global aggregate (child is an ungrouped partial/merge
+      aggregate — one row PER PARTITION through the wire, never
+      data-sized) is how Spark plans every global total and is NOT
+      flagged.
     - ``rowwise-python-udf``: ``BatchEvalPython`` — row-at-a-time Python
       in the hot path (~10-100× slower than Arrow); use a pandas UDF.
     - ``unfiltered-wide-scan``: a parquet scan reading ≥ ``12`` columns
@@ -145,22 +176,62 @@ def lint(df: DataFrame, max_exchanges: int | None = None) -> list[dict]:
     """
     p = physical_plan(df)
     findings: list[dict] = []
-    if "CartesianProduct" in p or "BroadcastNestedLoopJoin" in p:
-        node = "CartesianProduct" if "CartesianProduct" in p else "BroadcastNestedLoopJoin"
+
+    root = df._jdf.queryExecution().executedPlan()  # noqa: SLF001
+    if root.nodeName() == "AdaptiveSparkPlan":
+        # AdaptiveSparkPlanExec is a LEAF node — unwrap to the current
+        # (post-execution) or initial (pre-execution) physical tree
+        try:
+            root = root.executedPlan()
+        except Exception:  # noqa: BLE001
+            root = root.initialPlan()
+    n_cartesian = 0
+    n_single = 0
+    for node in _walk(root):
+        name = node.nodeName()
+        if name in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+            first = _first_line(node)
+            kids = []
+            it = node.children().iterator()
+            while it.hasNext():
+                kids.append(it.next())
+            if name == "BroadcastNestedLoopJoin" and len(kids) == 2:
+                build = kids[0] if "BuildLeft" in first else kids[1]
+                if _subtree_is_scalar(build):
+                    continue  # 1-row broadcast: benign at any scale
+            elif name == "CartesianProduct" and any(
+                _subtree_is_scalar(k) for k in kids
+            ):
+                continue
+            n_cartesian += 1
+        elif name == "Exchange" and "SinglePartition" in _first_line(node):
+            it = node.children().iterator()
+            child = it.next() if it.hasNext() else None
+            if child is not None:
+                cf = _first_line(child)
+                if (
+                    "Aggregate" in child.nodeName()
+                    and _UNGROUPED_AGG.search(cf)
+                    and _PARTIAL_FNS.search(cf)
+                ):
+                    continue  # two-phase global aggregate: 1 row/partition
+            n_single += 1
+    if n_cartesian:
         findings.append(
             {
                 "rule": "cartesian-product",
                 "severity": "error",
-                "detail": f"{node} in plan: O(left x right) pass; join key missing or non-equi",
+                "detail": f"{n_cartesian} non-scalar nested-loop join node(s): "
+                "O(left x right) pass; join key missing or non-equi",
             }
         )
-    if "Exchange SinglePartition" in p:
+    if n_single:
         findings.append(
             {
                 "rule": "single-partition-exchange",
                 "severity": "error",
-                "detail": "all rows through ONE task (global window/sort?); "
-                "use two-phase bucketed forms",
+                "detail": f"{n_single} node(s): all rows through ONE task "
+                "(global window/sort?); use two-phase bucketed forms",
             }
         )
     if "BatchEvalPython" in p:

@@ -966,12 +966,30 @@ def ensure_colocated_facts(
     size).
 
     Keyed on the source fingerprint like the other standing layouts.
-    CAVEAT: bucket metadata lives in the session catalog — a
-    metastore-backed deployment persists it across sessions; this
-    sandbox's in-memory catalog re-registers per session (the rebuild is
-    one load-time shuffle, the thing being amortized)."""
+    r11: the DATA is built once per fingerprint (staged + marker-
+    committed, see sinks.ensure_bucketed_table) and later sessions —
+    or the loser of a concurrent-build race — only REGISTER the
+    existing files; previously every new session rewrote the files in
+    place, which both lost the amortization and could yank files out
+    from under a concurrent session's scan."""
+    from .. import sinks
+
+    t_o, t_l, root = _colocated_names(sf_dir, num_buckets)
+    sinks.ensure_bucketed_table(
+        spark, t_o, f"{root}/orders", "o_orderkey", num_buckets,
+        lambda: load(spark, sf_dir, "orders"),
+    )
+    sinks.ensure_bucketed_table(
+        spark, t_l, f"{root}/lineitem", "l_orderkey", num_buckets,
+        lambda: load(spark, sf_dir, "lineitem"),
+    )
+    return t_o, t_l
+
+
+def _colocated_names(sf_dir: str, num_buckets: int) -> tuple[str, str, str]:
     import hashlib
     import os
+    import tempfile
 
     # Fingerprint BOTH source files: regenerating lineitem alone must
     # rotate the key too, or a metastore-backed deployment would keep
@@ -981,29 +999,23 @@ def ensure_colocated_facts(
     key = hashlib.md5(
         f"{os.path.abspath(sf_dir)}|{sig}|{num_buckets}|bkt".encode()
     ).hexdigest()[:10]
-    t_o, t_l = f"orders_bkt_{key}", f"lineitem_bkt_{key}"
-    import tempfile
+    root = os.path.join(tempfile.gettempdir(), f"msgdp_bkt_{key}")
+    return f"orders_bkt_{key}", f"lineitem_bkt_{key}", root
 
+
+def drop_colocated_facts(spark: SparkSession, sf_dir: str, num_buckets: int = 8) -> None:
+    """Tear the standing bucketed store down COMPLETELY — catalog entries
+    AND files (a bare DROP TABLE on the external store leaves the files,
+    so the next ensure would re-register mutated data).  For tests and
+    explicit store resets."""
     from .. import sinks
 
-    root = os.path.join(tempfile.gettempdir(), f"msgdp_bkt_{key}")
-    if not spark.catalog.tableExists(t_o):
-        sinks.write_bucketed(
-            load(spark, sf_dir, "orders"),
-            t_o,
-            "o_orderkey",
-            num_buckets,
-            path=f"{root}/orders",
-        )
-    if not spark.catalog.tableExists(t_l):
-        sinks.write_bucketed(
-            load(spark, sf_dir, "lineitem"),
-            t_l,
-            "l_orderkey",
-            num_buckets,
-            path=f"{root}/lineitem",
-        )
-    return t_o, t_l
+    t_o, t_l, root = _colocated_names(sf_dir, num_buckets)
+    spark.sql(f"DROP TABLE IF EXISTS {t_o}")
+    spark.sql(f"DROP TABLE IF EXISTS {t_l}")
+    fs, p, _ = sinks._fs_for(spark, root)
+    if fs.exists(p):
+        fs.delete(p, True)
 
 
 @register(

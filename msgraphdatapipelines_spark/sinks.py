@@ -427,6 +427,58 @@ def write_bucketed(
     w.saveAsTable(table, format="parquet")
 
 
+def ensure_bucketed_table(
+    spark: SparkSession,
+    table: str,
+    path: str,
+    bucket_col: str,
+    num_buckets: int,
+    build,
+    sort_col: str | None = None,
+) -> None:
+    """Race-safe build-at-most-once BUCKETED store (r11): the data under
+    ``path`` is built ONCE (staged under a session-unique dir, renamed
+    into place, committed with a ``_bucketed_ready`` marker) and every
+    session — including the loser of a concurrent-build race —
+    REGISTERS the existing files instead of rewriting them (``CREATE
+    TABLE … CLUSTERED BY … LOCATION``; Spark derives bucket ids from the
+    saveAsTable file-name convention, which the rename preserves).
+
+    This fixes two defects of the naive rebuild-per-session flow: a
+    concurrent session could overwrite files another session was mid-scan
+    on (FileNotFoundException), and the cross-session amortization the
+    bucketed layout exists for was silently lost."""
+    import uuid
+
+    fs, _, jvm = _fs_for(spark, path)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    marker = f"{path}/_bucketed_ready"
+    if not fs.exists(hpath(marker)):
+        stage = f"{path}.stage.{uuid.uuid4().hex[:12]}"
+        tmp_name = f"{table}_stage_{uuid.uuid4().hex[:8]}"
+        w = build().write.mode("overwrite").bucketBy(num_buckets, bucket_col)
+        if sort_col:
+            w = w.sortBy(sort_col)
+        w.option("path", stage).saveAsTable(tmp_name, format="parquet")
+        spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")  # external: files stay
+        if fs.exists(hpath(path)) or not fs.rename(hpath(stage), hpath(path)):
+            fs.delete(hpath(stage), True)  # lost the race; winner's files serve
+        if not fs.exists(hpath(marker)):
+            tmpm = hpath(f"{marker}.{uuid.uuid4().hex[:8]}.tmp")
+            out = fs.create(tmpm, True)
+            out.write(bytearray(b"ready"))
+            out.close()
+            if not fs.rename(tmpm, hpath(marker)) and fs.exists(tmpm):
+                fs.delete(tmpm, False)
+    if not spark.catalog.tableExists(table):
+        ddl = spark.read.parquet(path)._jdf.schema().toDDL()  # noqa: SLF001
+        spark.sql(
+            f"CREATE TABLE {table} ({ddl}) USING parquet "
+            f"CLUSTERED BY ({bucket_col}) INTO {num_buckets} BUCKETS "
+            f"LOCATION '{path}'"
+        )
+
+
 def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "overwrite", **options) -> None:
     """L1 — bulk relational load (reference TVP stored-proc path,
     `Invoke…ps1:310-333`).  The JDBC writer batches rows (``batchsize``) —

@@ -800,9 +800,10 @@ def test_colocated_append_preserves_zero_exchange_join(spark, sf_dir):
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     finally:
-        # restore the standing tables for other tests: rebuild from source
-        spark.sql(f"DROP TABLE IF EXISTS {t_o}")
-        spark.sql(f"DROP TABLE IF EXISTS {t_l}")
+        # restore for other tests: the store persists across sessions now,
+        # so drop catalog entries AND files (a bare DROP TABLE would leave
+        # the appended rows to be re-registered by the next ensure)
+        tpch.drop_colocated_facts(spark, sf_dir)
 
 
 def test_filtered_ann_scores_via_equi_join_on_predicate(spark, sf_dir):
