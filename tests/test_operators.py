@@ -2439,3 +2439,19 @@ def test_bpe_apply_matches_sequential_reference(spark):
     assert toks and all(tok for tok in toks)
     joined = "".join(toks).replace("</w>", " ").strip()
     assert joined == "zzqqxx unseenword"
+
+
+def test_phash_wide_max_bucket_under_cap_equality(spark):
+    """r11 (r10 VERDICT item 1): on a corpus where every (band_id, band)
+    bucket is under the cap, the capped wide-hash join returns EXACTLY
+    the uncapped result (the cap only ever excludes, and only oversized
+    buckets); cap=0 kills all candidates."""
+    rows = [(i, f"wide doc {i} body " * 25) for i in range(24)]
+    hashed = M.perceptual_dhash_wide(_media_df(spark, rows))
+    key = lambda df: sorted(  # noqa: E731
+        (r["id_a"], r["id_b"], r["hamming"]) for r in df.collect()
+    )
+    full = key(M.phash_wide_near_dup_pairs(hashed, tau=15))
+    capped = key(M.phash_wide_near_dup_pairs(hashed, tau=15, max_bucket=10**6))
+    assert capped == full
+    assert M.phash_wide_near_dup_pairs(hashed, tau=15, max_bucket=0).count() == 0
