@@ -21,7 +21,11 @@ def spark():
     import os
 
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
-    s = get_spark("tests", cpus=4)
+    # r11 (r10 VERDICT item 5): 8 threads on the 32-core harness — the
+    # suite is hundreds of tiny distributed jobs, and 4 threads left the
+    # iterative operators (ANN builds, BFS rounds, streaming batches)
+    # scheduler-bound.  Overridable for constrained hosts.
+    s = get_spark("tests", cpus=int(os.environ.get("SPARK_GRAFT_TEST_CPUS", "8")))
     s.sparkContext.setLogLevel("ERROR")
     yield s
     s.stop()
