@@ -211,6 +211,9 @@ def read_odata(
     expand: str | None = None,
     orderby: str | None = None,
     top: int | None = None,
+    skip_url_template: str | None = None,
+    page_size: int | None = None,
+    count_url: str | None = None,
 ) -> DataFrame:
     """Read a full OData collection as a DataFrame.
 
@@ -241,6 +244,26 @@ def read_odata(
     DataSource options); custom fetchers keep the driver path.
     """
     url = build_url(first_url, select, filter_expr, expand, orderby, top)
+    if (
+        fetcher is file_fetcher
+        and HAS_PYTHON_DATASOURCE
+        and skip_url_template
+        and page_size
+    ):
+        # r11: the endpoint supports skip paging — plan page ranges from
+        # one count probe and fetch them in PARALLEL on executors; the
+        # driver never walks the cursor at all.
+        register_odata_source(spark)
+        reader = (
+            spark.read.format("odata")
+            .schema(schema)
+            .option("path", first_url)
+            .option("skip_url_template", skip_url_template)
+            .option("page_size", str(page_size))
+        )
+        if count_url:
+            reader = reader.option("count_url", count_url)
+        return _apply_client_side(reader.load(), select, filter_expr, expand, orderby, top)
     if fetcher is file_fetcher and HAS_PYTHON_DATASOURCE:
         probe = fetch_pages(url, fetcher, retry, sleeper, max_pages=datasource_page_threshold)
         last_next = json.loads(probe[-1]).get(NEXT_LINK) if probe else None
@@ -736,6 +759,32 @@ try:  # pragma: no cover - exercised in tests when the API exists
                 with open(manifest, encoding="utf-8") as f:
                     paths = [ln for ln in f.read().splitlines() if ln]
                 return [_PagePartition(p, path=p) for p in paths]
+            # r11 (r10 VERDICT item 9): PAGE-RANGE PLANNER — when the
+            # endpoint supports skip paging ($skip/$top, expressed as a
+            # URL template with {skip}/{top} holes) the driver does ONE
+            # count probe and emits ceil(count / page_size) partitions
+            # that executors fetch IN PARALLEL, instead of walking the
+            # inherently-sequential @odata.nextLink cursor driver-side.
+            # Cursor paging stays the default (Graph's delta endpoints
+            # are cursor-only); range paging is the throughput path for
+            # the plain collection reads the reference loops over.
+            template = self.options.get("skip_url_template")
+            page_size = int(self.options.get("page_size", "0") or 0)
+            if template and page_size > 0:
+                count_url = self.options.get("count_url")
+                if count_url:
+                    # Graph's /$count returns a bare integer body
+                    total = int(RetryPolicy().run(lambda: file_fetcher(count_url)).strip())
+                else:
+                    # $count=true rides the first page as @odata.count
+                    first = RetryPolicy().run(
+                        lambda: file_fetcher(template.format(skip=0, top=page_size))
+                    )
+                    total = int(json.loads(first)["@odata.count"])
+                return [
+                    _PagePartition(template.format(skip=skip, top=page_size))
+                    for skip in range(0, max(total, 1), page_size)
+                ]
             top = self.options.get("top")
             url = build_url(
                 self.options["path"],
@@ -776,6 +825,29 @@ try:  # pragma: no cover - exercised in tests when the API exists
             boolean tombstone flag populated from the record's ``@removed``
             marker; the other fields of a tombstone stay the NULLs Graph
             sends — the ``read_odata_delta`` envelope contract."""
+            trace = self.options.get("fetch_trace_dir")
+            if trace:
+                # fetch tracing (and the concurrency proof the tests use):
+                # drop a start marker, optionally rendezvous until a second
+                # concurrent fetch appears (bounded) — a sequential
+                # executor would pay the full rendezvous per partition,
+                # which is how the test distinguishes the two.
+                import os as _os
+                import time as _time
+                import uuid as _uuid
+
+                _os.makedirs(trace, exist_ok=True)
+                marker = _os.path.join(trace, f"start-{_uuid.uuid4().hex[:8]}")
+                with open(marker, "w", encoding="utf-8") as mf:
+                    mf.write(f"{_time.monotonic()}")
+                deadline = _time.monotonic() + float(
+                    self.options.get("fetch_trace_rendezvous_s", "0") or 0
+                )
+                while _time.monotonic() < deadline:
+                    n = sum(1 for f in _os.listdir(trace) if f.startswith("start-"))
+                    if n >= 2:
+                        break
+                    _time.sleep(0.05)
             if partition.body is not None:
                 body = partition.body
             elif partition.path is not None:

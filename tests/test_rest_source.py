@@ -751,3 +751,95 @@ def test_scd2_sync_stream_failed_round_preserves_history(
     rows = sinks.read_scd2_history(spark, history).collect()
     assert sorted(r["id"] for r in rows) == ["a", "b", "c"]
     assert all(r["is_current"] for r in rows)
+
+
+# --- r11 (r10 VERDICT item 9): page-range planner -----------------------------
+
+
+@pytest.fixture()
+def range_pages(tmp_path):
+    """Skip-paged fixture: 6 range files of 20 records + a /$count body +
+    the equivalent sequential nextLink chain over the SAME records."""
+    recs = [
+        {"id": f"r{i}", "operatingSystem": "Windows" if i % 2 == 0 else "macOS",
+         "osVersion": f"10.{i}", "errorCode": i}
+        for i in range(120)
+    ]
+    rdir = tmp_path / "ranges"
+    rdir.mkdir()
+    for skip in range(0, 120, 20):
+        (rdir / f"skip{skip}.json").write_text(
+            json.dumps({"value": recs[skip : skip + 20]})
+        )
+    (tmp_path / "count.txt").write_text("120\n")
+    seq = [tmp_path / f"seq{i}.json" for i in range(6)]
+    for i, p in enumerate(seq):
+        body = {"value": recs[i * 20 : (i + 1) * 20]}
+        if i < 5:
+            body["@odata.nextLink"] = str(seq[i + 1])
+        p.write_text(json.dumps(body))
+    template = str(rdir / "skip{skip}.json")
+    return template, str(tmp_path / "count.txt"), str(seq[0]), recs
+
+
+def test_page_range_planner_parallel_equals_sequential(spark, range_pages, tmp_path):
+    """The planner must (a) do ONE driver-side count probe and emit one
+    partition per range with NO body prefetch, (b) fetch ranges on
+    executors CONCURRENTLY (rendezvous proof: each fetch waits up to 10 s
+    for a second in-flight fetch — a sequential executor would pay the
+    full wait per partition, so a fast wall proves >1 concurrent fetch),
+    and (c) equal the sequential cursor read order-insensitively."""
+    import time
+
+    template, count_url, seq_first, recs = range_pages
+    if not rest.register_odata_source(spark):
+        pytest.skip("Python DataSource API unavailable")
+
+    # driver-side planning: one count fetch, range partitions, no bodies
+    reader = rest.ODataReader(
+        SCHEMA,
+        {"path": template, "skip_url_template": template, "page_size": "20",
+         "count_url": count_url},
+    )
+    parts = reader.partitions()
+    assert len(parts) == 6
+    assert all(p.body is None and p.path is None for p in parts)
+
+    trace = tmp_path / "trace"
+    t0 = time.monotonic()
+    df = (
+        spark.read.format("odata")
+        .schema(SCHEMA)
+        .option("path", template)
+        .option("skip_url_template", template)
+        .option("page_size", "20")
+        .option("count_url", count_url)
+        .option("fetch_trace_dir", str(trace))
+        .option("fetch_trace_rendezvous_s", "10")
+        .load()
+    )
+    got = sorted((r["id"], r["errorCode"]) for r in df.collect())
+    wall = time.monotonic() - t0
+    assert df.rdd.getNumPartitions() == 6
+    assert len(list(trace.glob("start-*"))) == 6
+    # sequential execution would pay ≥ 10 s rendezvous on the first fetch
+    assert wall < 8, f"range fetches ran sequentially (wall={wall:.1f}s)"
+
+    seq_df = rest.read_odata(spark, seq_first, SCHEMA)
+    want = sorted((r["id"], r["errorCode"]) for r in seq_df.collect())
+    assert got == want == sorted((r["id"], r["errorCode"]) for r in recs)
+
+
+def test_read_odata_auto_switches_to_range_planner(spark, range_pages):
+    """read_odata with skip_url_template + page_size goes straight to the
+    DSv2 range path (no sequential cursor walk) and returns the full
+    collection."""
+    template, count_url, _, recs = range_pages
+    if not rest.HAS_PYTHON_DATASOURCE:
+        pytest.skip("Python DataSource API unavailable")
+    df = rest.read_odata(
+        spark, template, SCHEMA,
+        skip_url_template=template, page_size=20, count_url=count_url,
+    )
+    assert df.rdd.getNumPartitions() == 6
+    assert sorted(r["id"] for r in df.collect()) == sorted(r["id"] for r in recs)
