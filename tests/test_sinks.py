@@ -1192,3 +1192,54 @@ def test_wedge_census_integral_arithmetic(spark):
     assert row["n_wedges"] == 6
     assert row["n_triangles"] == 0
     assert row["clustering_coeff"] == 0.0
+
+
+def test_result_cache_two_concurrent_builders_race_safely(spark, tmp_path):
+    """r11 (r10 VERDICT item 8 / ADVICE cache.py:105): two builders racing
+    the SAME uncached fingerprint must both serve correct results, leave
+    exactly one committed data dir, and leak no staging dirs — the
+    staged-publish + atomic-rename protocol's live proof (not just the
+    crash simulation)."""
+    import os
+    import threading
+
+    from msgraphdatapipelines_spark import cache
+
+    src = "/root/testdata/sf0.001/orders.parquet"
+    base = str(tmp_path)
+
+    def build():
+        return (
+            spark.read.parquet(src)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    want = {(r["o_orderpriority"], r["n"]) for r in build().collect()}
+    results: list[set | Exception] = [None, None]
+
+    def racer(i: int):
+        try:
+            got = cache.serve_cached(spark, build(), [src], base_dir=base)
+            results[i] = {(r["o_orderpriority"], r["n"]) for r in got.collect()}
+        except Exception as e:  # noqa: BLE001
+            results[i] = e
+
+    ts = [threading.Thread(target=racer, args=(i,)) for i in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=300)
+    assert results[0] == want, results[0]
+    assert results[1] == want, results[1]
+    fp = cache.plan_fingerprint(spark, build(), [src])
+    root = cache.result_cache_root(fp, base)
+    entries = sorted(os.listdir(root))
+    assert "data" in entries and "_rc_ready" in entries
+    strays = [d for d in entries if d.startswith("data.")]
+    assert strays == [], f"staging leaked: {strays}"
+    # nothing nested inside data either (the HDFS rename-into-dir hazard)
+    assert not [d for d in os.listdir(os.path.join(root, "data")) if d.startswith("data.")]
+    # and a later serve is a pure artifact hit
+    again = cache.serve_cached(spark, build(), [src], base_dir=base)
+    assert all("msgdp_rc_" in f for f in again.inputFiles())
