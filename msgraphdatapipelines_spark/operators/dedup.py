@@ -583,7 +583,11 @@ def set_similarity_candidates_prefix(
 
 
 def set_similarity_prefix_tables(
-    grams: DataFrame, id_col: str, gram_col: str, threshold: float
+    grams: DataFrame,
+    id_col: str,
+    gram_col: str,
+    threshold: float,
+    vocab: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The two corpus-derived tables the prefix join needs — built with
     the ONLY corpus-sized aggregations in the whole algorithm, so
@@ -595,9 +599,25 @@ def set_similarity_prefix_tables(
     - ``prefixes``: ≤ ``|s| − ⌈τ|s|⌉ + 1`` NARROW rows per id —
       (id, __sz, __p, __pg, __pdf); no arrays, so the self-join shuffle
       and the artifact stay O(prefix) not O(prefix·|s|).
-    """
-    freq = grams.groupBy(gram_col).agg(F.count("*").alias("__df"))
-    keyed = grams.join(freq, gram_col)
+
+    ``vocab`` (r11, incremental maintenance): a FROZEN (gram, __df)
+    table from a prior build.  The prefix-filter theorem needs one
+    CONSISTENT total order across every set it compares — not the
+    CURRENT document frequencies (rarest-first is merely the
+    candidate-minimizing choice) — so an appended batch sorted under the
+    frozen order composes exactly with the standing tables.  Grams the
+    frozen vocab has never seen take df=0 (sort first, ties by gram
+    text): still a total order, shared by construction with every other
+    appended batch, and a brand-new gram can only match other NEW docs
+    anyway.  Candidate optimality degrades as the true dfs drift —
+    recall never does; compact/rebuild restores the optimal order."""
+    if vocab is None:
+        vocab = grams.groupBy(gram_col).agg(F.count("*").alias("__df"))
+        keyed = grams.join(vocab, gram_col)
+    else:
+        keyed = grams.join(
+            vocab.select(gram_col, "__df"), gram_col, "left"
+        ).withColumn("__df", F.coalesce(F.col("__df"), F.lit(0)))
     per_id = keyed.groupBy(id_col).agg(
         F.sort_array(
             F.collect_list(F.struct(F.col("__df"), F.col(gram_col).alias("__g")))

@@ -603,7 +603,7 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus-sized aggregation in the plan.
 
 
-def prefix_index_root(sf_dir: str, n: int, threshold: float) -> str:
+def prefix_index_root(sf_dir: str, n: int, threshold: float, variant: str = "full") -> str:
     """Deterministic artifact location keyed on corpus identity (path +
     documents.parquet size/mtime fingerprint) + the gram/threshold
     parameters — a regenerated corpus or different τ can never serve a
@@ -623,7 +623,7 @@ def prefix_index_root(sf_dir: str, n: int, threshold: float) -> str:
         st = os.stat(p)
         parts.append(f"{st.st_size}:{st.st_mtime_ns}")
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{'|'.join(parts)}|ppj|n={n}|t={threshold}|v1".encode()
+        f"{os.path.abspath(sf_dir)}|{'|'.join(parts)}|ppj|n={n}|t={threshold}|{variant}|v2".encode()
     ).hexdigest()[:16]
     return os.path.join(tempfile.gettempdir(), f"msgdp_ppj_{key}")
 
@@ -648,7 +648,13 @@ def ensure_prefix_gram_index(
         grams = docs.select(
             "doc_id", F.explode(D.word_ngrams(F.lower(F.col("text")), n)).alias("g")
         )
-        sets, prefixes = D.set_similarity_prefix_tables(grams, "doc_id", "g", threshold)
+        # persist the vocab too: it is the FROZEN total order appends
+        # must sort under (prefix_index_append)
+        vocab = grams.groupBy("g").agg(F.count("*").alias("__df"))
+        vocab.write.mode("overwrite").parquet(f"{root}/vocab")
+        sets, prefixes = D.set_similarity_prefix_tables(
+            grams, "doc_id", "g", threshold, vocab=spark.read.parquet(f"{root}/vocab")
+        )
         sets.write.mode("overwrite").parquet(f"{root}/sets")
         # cluster prefix rows by their join key so the self-join reads
         # co-partitioned row groups
@@ -663,13 +669,57 @@ def ensure_prefix_gram_index(
     return root
 
 
-@register(
-    "set_similarity_join_docs",
-    # r8: PROMOTED to driver-graded (r7 VERDICT item 9) — the exact-recall
-    # PPJoin flagship now graded at sf0.01; set_ops_customers demoted in trade.
-    # r11: SERVED from the standing prefix-gram artifact (r10 VERDICT item 3)
-    # — oracle unchanged, first touch builds, every later run is pure serve.
-    oracle="""
+def read_prefix_index(spark: SparkSession, root: str) -> tuple[DataFrame, DataFrame]:
+    """(sets, prefixes) from a standing prefix-gram artifact — recursive
+    lookup so batch subdirectories published by ``prefix_index_append``
+    are included."""
+    sets = spark.read.option("recursiveFileLookup", "true").parquet(f"{root}/sets")
+    prefixes = spark.read.option("recursiveFileLookup", "true").parquet(
+        f"{root}/prefixes"
+    )
+    return sets, prefixes
+
+
+def prefix_index_append(
+    spark: SparkSession, root: str, docs: DataFrame, n: int = 3, threshold: float = 0.5
+) -> str:
+    """O(delta) maintenance for the prefix-gram artifact (r11): build the
+    batch's sets/prefix rows under the FROZEN vocab order (exactness
+    argument in set_similarity_prefix_tables) and publish them as
+    atomically-renamed batch subdirectories.
+
+    Crash semantics: the staged dirs rename one table at a time; a crash
+    between the two renames leaves a half-published batch whose docs are
+    INVISIBLE in results (candidates and the verify both INNER-join the
+    other table), never wrong — re-append the batch and GC the orphan
+    dir to repair.  Append-only contract (the lexicon's): a re-ingested
+    doc_id is the caller's upsert problem."""
+    import uuid
+
+    from .. import sinks
+
+    fs, _, jvm = sinks._fs_for(spark, root)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    vocab = spark.read.parquet(f"{root}/vocab")
+    grams = docs.select(
+        "doc_id", F.explode(D.word_ngrams(F.lower(F.col("text")), n)).alias("g")
+    )
+    sets, prefixes = D.set_similarity_prefix_tables(
+        grams, "doc_id", "g", threshold, vocab=vocab
+    )
+    bid = uuid.uuid4().hex[:12]
+    stage = f"{root}/stage.{bid}"
+    sets.write.parquet(f"{stage}/sets")
+    prefixes.repartition(F.col("__pg")).sortWithinPartitions("__pg").write.parquet(
+        f"{stage}/prefixes"
+    )
+    fs.rename(hpath(f"{stage}/sets"), hpath(f"{root}/sets/batch_{bid}"))
+    fs.rename(hpath(f"{stage}/prefixes"), hpath(f"{root}/prefixes/batch_{bid}"))
+    fs.delete(hpath(stage), True)
+    return bid
+
+
+_TRIGRAM_PPJOIN_ORACLE = """
     WITH words AS (
         SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
         FROM documents
@@ -691,7 +741,16 @@ def ensure_prefix_gram_index(
     JOIN sz sa ON sa.doc_id = i.id_a
     JOIN sz sb ON sb.doc_id = i.id_b
     WHERE CAST(i.cnt AS DOUBLE) / (sa.n + sb.n - i.cnt) >= 0.5
-    """,
+"""
+
+
+@register(
+    "set_similarity_join_docs",
+    # r8: PROMOTED to driver-graded (r7 VERDICT item 9) — the exact-recall
+    # PPJoin flagship now graded at sf0.01; set_ops_customers demoted in trade.
+    # r11: SERVED from the standing prefix-gram artifact (r10 VERDICT item 3)
+    # — oracle unchanged, first touch builds, every later run is pure serve.
+    oracle=_TRIGRAM_PPJOIN_ORACLE,
 )
 def set_similarity_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT-recall set-similarity self-join (r7): all document pairs with
@@ -716,8 +775,7 @@ def set_similarity_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-count-sized array joins: ZERO corpus-sized aggregation in the
     serve plan."""
     root = ensure_prefix_gram_index(spark, sf_dir, n=3, threshold=0.5)
-    sets = spark.read.parquet(f"{root}/sets")
-    prefixes = spark.read.parquet(f"{root}/prefixes")
+    sets, prefixes = read_prefix_index(spark, root)
     return D.set_similarity_join_from_tables(sets, prefixes, "doc_id", 0.5)
 
 
@@ -765,3 +823,64 @@ def set_similarity_join_docs_bigram_capped(spark: SparkSession, sf_dir: str) -> 
         "doc_id", F.explode(D.word_ngrams(F.lower(F.col("text")), 2)).alias("g")
     )
     return D.set_similarity_join(grams, "doc_id", "g", 0.5, max_df=25)
+
+def _ensure_incremental_prefix_index(
+    spark: SparkSession, sf_dir: str, split_frac: float = 0.8
+) -> str:
+    """The incremental-maintenance rehearsal artifact: build the prefix
+    index on the FIRST ~split_frac of documents, then append the rest
+    through prefix_index_append (frozen vocab order).  ONE end-to-end
+    marker commits build+append together, so a torn state can never
+    serve a half-appended index (and a re-run can never double-append)."""
+    from .. import sinks
+
+    root = prefix_index_root(sf_dir, 3, 0.5, variant="inc")
+    fs, _, jvm = sinks._fs_for(spark, root)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    marker = f"{root}/_inc_ready"
+    if not fs.exists(hpath(marker)):
+        if fs.exists(hpath(root)):
+            fs.delete(hpath(root), True)  # torn previous attempt: restart clean
+        docs = load(spark, sf_dir, "documents")
+        cut = docs.selectExpr(
+            f"percentile_approx(doc_id, {split_frac}, 10000) AS c"
+        ).first()["c"]
+        base = docs.filter(F.col("doc_id") <= cut)
+        rest = docs.filter(F.col("doc_id") > cut)
+        grams = base.select(
+            "doc_id", F.explode(D.word_ngrams(F.lower(F.col("text")), 3)).alias("g")
+        )
+        vocab = grams.groupBy("g").agg(F.count("*").alias("__df"))
+        vocab.write.mode("overwrite").parquet(f"{root}/vocab")
+        sets, prefixes = D.set_similarity_prefix_tables(
+            grams, "doc_id", "g", 0.5, vocab=spark.read.parquet(f"{root}/vocab")
+        )
+        sets.write.mode("overwrite").parquet(f"{root}/sets")
+        prefixes.repartition(F.col("__pg")).sortWithinPartitions("__pg").write.mode(
+            "overwrite"
+        ).parquet(f"{root}/prefixes")
+        prefix_index_append(spark, root, rest, n=3, threshold=0.5)
+        tmp = hpath(f"{marker}.tmp")
+        out = fs.create(tmp, True)
+        out.write(bytearray(b"ready"))
+        out.close()
+        fs.rename(tmp, hpath(marker))
+    return root
+
+
+@register(
+    "set_similarity_join_docs_incremental",
+    demoted=True,  # exactness twin of the graded served row; incremental ingest path
+    oracle=_TRIGRAM_PPJOIN_ORACLE,
+)
+def set_similarity_join_docs_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11: the INCREMENTALLY-MAINTAINED prefix-gram index must answer
+    exactly like a from-scratch build — index built on ~80% of the
+    corpus, the rest appended under the FROZEN vocab order (new grams
+    df=0; the prefix-filter theorem needs a consistent total order, not
+    the current frequencies — see set_similarity_prefix_tables), then
+    the standard served join.  The quadratic full-corpus oracle equality
+    IS the proof that frozen-order appends lose no recall."""
+    root = _ensure_incremental_prefix_index(spark, sf_dir)
+    sets, prefixes = read_prefix_index(spark, root)
+    return D.set_similarity_join_from_tables(sets, prefixes, "doc_id", 0.5)

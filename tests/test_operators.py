@@ -2455,3 +2455,72 @@ def test_phash_wide_max_bucket_under_cap_equality(spark):
     capped = key(M.phash_wide_near_dup_pairs(hashed, tau=15, max_bucket=10**6))
     assert capped == full
     assert M.phash_wide_near_dup_pairs(hashed, tau=15, max_bucket=0).count() == 0
+
+
+def test_prefix_index_frozen_order_append_equals_rebuild(spark, tmp_path):
+    """r11 incremental prefix-gram maintenance: an index built on part of
+    the corpus and appended with the rest (FROZEN vocab order, new grams
+    df=0) must answer the served join EXACTLY like a from-scratch build
+    AND like the direct operator; a half-published batch (one table's
+    subdir missing) must leave its docs invisible, never wrong."""
+    import shutil
+
+    from msgraphdatapipelines_spark.queries import dedup as QD
+    from msgraphdatapipelines_spark.queries import load
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    shutil.copyfile(
+        "/root/testdata/sf0.001/documents.parquet", str(sf / "documents.parquet")
+    )
+    docs = load(spark, str(sf), "documents")
+    base = docs.filter(F.col("doc_id") < 150)
+    rest = docs.filter(F.col("doc_id") >= 150)
+
+    # manual incremental build at a variant root
+    root = QD.prefix_index_root(str(sf), 3, 0.5, variant="pytest-inc")
+    grams = base.select(
+        "doc_id", F.explode(D.word_ngrams(F.lower(F.col("text")), 3)).alias("g")
+    )
+    vocab = grams.groupBy("g").agg(F.count("*").alias("__df"))
+    vocab.write.mode("overwrite").parquet(f"{root}/vocab")
+    sets, prefixes = D.set_similarity_prefix_tables(
+        grams, "doc_id", "g", 0.5, vocab=spark.read.parquet(f"{root}/vocab")
+    )
+    sets.write.mode("overwrite").parquet(f"{root}/sets")
+    prefixes.write.mode("overwrite").parquet(f"{root}/prefixes")
+    QD.prefix_index_append(spark, root, rest, n=3, threshold=0.5)
+
+    key = lambda df: sorted(  # noqa: E731
+        (r["id_a"], r["id_b"], r["jaccard"]) for r in df.collect()
+    )
+    s2, p2 = QD.read_prefix_index(spark, root)
+    incremental = key(D.set_similarity_join_from_tables(s2, p2, "doc_id", 0.5))
+    all_grams = docs.select(
+        "doc_id", F.explode(D.word_ngrams(F.lower(F.col("text")), 3)).alias("g")
+    )
+    direct = key(D.set_similarity_join(all_grams, "doc_id", "g", 0.5))
+    assert incremental == direct and len(direct) > 0
+
+    # half-published batch: prefixes subdir present, sets subdir missing
+    # -> the batch's docs drop out of results entirely (inner joins), and
+    # nothing else changes
+    import os
+
+    batch_dirs = [d for d in os.listdir(f"{root}/sets") if d.startswith("batch_")]
+    assert len(batch_dirs) == 1
+    shutil.rmtree(f"{root}/sets/{batch_dirs[0]}")
+    s3, p3 = QD.read_prefix_index(spark, root)
+    torn = key(D.set_similarity_join_from_tables(s3, p3, "doc_id", 0.5))
+    base_only = key(
+        D.set_similarity_join(
+            base.select(
+                "doc_id",
+                F.explode(D.word_ngrams(F.lower(F.col("text")), 3)).alias("g"),
+            ),
+            "doc_id",
+            "g",
+            0.5,
+        )
+    )
+    assert torn == base_only
