@@ -884,3 +884,54 @@ def set_similarity_join_docs_incremental(spark: SparkSession, sf_dir: str) -> Da
     root = _ensure_incremental_prefix_index(spark, sf_dir)
     sets, prefixes = read_prefix_index(spark, root)
     return D.set_similarity_join_from_tables(sets, prefixes, "doc_id", 0.5)
+
+def prefix_index_compact(spark: SparkSession, root: str, threshold: float = 0.5) -> dict:
+    """Re-freeze and merge (r11): rebuild the vocab from the FULL current
+    contents (restoring the candidate-optimal rarest-first order the
+    frozen-order appends drifted from), re-derive sets/prefixes from the
+    stored gram arrays — NO re-tokenization; the sets table already
+    holds every doc's gram multiset — and republish the three tables
+    with the batch subdirectories folded in.
+
+    Publish is marker-gated like the build: new tables stage under
+    ``compact.<id>``, the live dirs swap via rename (readers mid-swap
+    keep whichever complete directory they already listed — parquet
+    reads pin concrete file paths at plan time), and orphaned staging is
+    removed.  Returns {"docs": n, "batches_folded": k}."""
+    import uuid
+
+    from .. import sinks
+
+    fs, _, jvm = sinks._fs_for(spark, root)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    sets, _ = read_prefix_index(spark, root)
+    # explode the stored arrays back to (doc, gram) rows — cheaper than
+    # re-tokenizing text and exactly the same multiset
+    grams = sets.select("doc_id", F.explode("__garr").alias("g"))
+    n_docs = sets.count()
+    batches = [
+        st.getPath().getName()
+        for st in fs.listStatus(hpath(f"{root}/sets"))
+        if st.isDirectory() and st.getPath().getName().startswith("batch_")
+    ]
+    cid = uuid.uuid4().hex[:12]
+    stage = f"{root}/compact.{cid}"
+    vocab = grams.groupBy("g").agg(F.count("*").alias("__df"))
+    vocab.write.parquet(f"{stage}/vocab")
+    new_sets, new_prefixes = D.set_similarity_prefix_tables(
+        grams, "doc_id", "g", threshold, vocab=spark.read.parquet(f"{stage}/vocab")
+    )
+    new_sets.write.parquet(f"{stage}/sets")
+    new_prefixes.repartition(F.col("__pg")).sortWithinPartitions("__pg").write.parquet(
+        f"{stage}/prefixes"
+    )
+    # force materialization before any swap so the staged tables never
+    # read the live dirs mid-replacement
+    for t in ("vocab", "sets", "prefixes"):
+        spark.read.parquet(f"{stage}/{t}").count()
+        old = f"{root}/{t}.old.{cid}"
+        fs.rename(hpath(f"{root}/{t}"), hpath(old))
+        fs.rename(hpath(f"{stage}/{t}"), hpath(f"{root}/{t}"))
+        fs.delete(hpath(old), True)
+    fs.delete(hpath(stage), True)
+    return {"docs": int(n_docs), "batches_folded": len(batches)}

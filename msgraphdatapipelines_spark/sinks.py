@@ -1005,6 +1005,7 @@ STANDING_ARTIFACT_PREFIXES = (
     "msgdp_rc_",  # late r10: plan-fingerprint result cache
     "msgdp_bkt_",  # late r10: co-bucketed fact warehouse
     "msgdp_sent_",  # late r10: sentinel-extended stream copies
+    "msgdp_ppj_",  # r11: standing prefix-gram (PPJoin) index
 )
 
 

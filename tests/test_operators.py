@@ -2524,3 +2524,50 @@ def test_prefix_index_frozen_order_append_equals_rebuild(spark, tmp_path):
         )
     )
     assert torn == base_only
+
+
+def test_prefix_index_compact_folds_batches_and_preserves_results(spark, tmp_path):
+    """r11: compact re-freezes the vocab from the full contents, folds
+    batch subdirs into the base tables, and the served join's answer is
+    unchanged (same pairs before and after; batch dirs gone)."""
+    import os
+    import shutil
+
+    from msgraphdatapipelines_spark.queries import dedup as QD
+    from msgraphdatapipelines_spark.queries import load
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    shutil.copyfile(
+        "/root/testdata/sf0.001/documents.parquet", str(sf / "documents.parquet")
+    )
+    docs = load(spark, str(sf), "documents")
+    base = docs.filter(F.col("doc_id") < 150)
+    rest = docs.filter(F.col("doc_id") >= 150)
+    root = QD.prefix_index_root(str(sf), 3, 0.5, variant="pytest-compact")
+    grams = base.select(
+        "doc_id", F.explode(D.word_ngrams(F.lower(F.col("text")), 3)).alias("g")
+    )
+    grams.groupBy("g").agg(F.count("*").alias("__df")).write.parquet(f"{root}/vocab")
+    sets, prefixes = D.set_similarity_prefix_tables(
+        grams, "doc_id", "g", 0.5, vocab=spark.read.parquet(f"{root}/vocab")
+    )
+    sets.write.parquet(f"{root}/sets")
+    prefixes.write.parquet(f"{root}/prefixes")
+    QD.prefix_index_append(spark, root, rest)
+
+    key = lambda df: sorted(  # noqa: E731
+        (r["id_a"], r["id_b"], r["jaccard"]) for r in df.collect()
+    )
+    s1, p1 = QD.read_prefix_index(spark, root)
+    before = key(D.set_similarity_join_from_tables(s1, p1, "doc_id", 0.5))
+    stats = QD.prefix_index_compact(spark, root)
+    assert stats["batches_folded"] == 1 and stats["docs"] == docs.count()
+    assert not [
+        d for d in os.listdir(f"{root}/sets") if d.startswith("batch_")
+    ], "compact left batch subdirs"
+    s2, p2 = QD.read_prefix_index(spark, root)
+    after = key(D.set_similarity_join_from_tables(s2, p2, "doc_id", 0.5))
+    assert after == before and len(before) > 0
+    # appends keep working post-compact (vocab still present, re-frozen)
+    assert spark.read.parquet(f"{root}/vocab").count() > 0
