@@ -95,7 +95,14 @@ def _release_session_state():
 def test_demoted_query_matches_oracle(name, spark, sf_dir, duck):
     q = DEMOTED[name]
     assert q.oracle is not None, f"{name} demoted without an oracle"
-    got = q.fn(spark, sf_dir).toPandas()
+    df = q.fn(spark, sf_dir)
+    if "streaming" not in q.fn.__module__:
+        # r11: plan-lint gate rides the oracle gate — the DataFrame is
+        # already built, so linting every demoted row costs one plan walk
+        from lint_waivers import check_lint
+
+        check_lint(name, df)
+    got = df.toPandas()
     want = duck.execute(q.oracle).fetchdf()
     assert sorted(got.columns) == sorted(want.columns)
     assert len(got) == len(want), f"{name}: {len(got)} vs oracle {len(want)}"
