@@ -181,10 +181,23 @@ def test_ivf_pq_composed_prunes_and_recalls(spark, sf_dir):
     q = emb.filter(F.col("vec_id") < N_QUERIES)
     args = (q, emb, "vec_id", "vec_id", "embedding", "embedding")
 
+    # train ONCE, share across the four probe/rerank variants — training
+    # determinism/quality have their own tests (test_pq_training_*,
+    # test_kmeans_trains_*); this test's claims are about probe and
+    # rerank semantics, which only need consistent models (r11: was 5
+    # redundant trainings, the suite's single slowest test)
+    cents = S.kmeans_centroids(emb, "vec_id", "embedding", k=8)
+    books = S.pq_codebooks(emb, "vec_id", "embedding")
+    trained = {"centroids": cents, "codebooks": books}
+
     exact = _pairs(S.brute_force_topk(*args, k=K))
-    composed = _pairs(S.ivf_pq_topk(*args, k=K, n_centroids=8, nprobe=2))
-    composed_rr = _pairs(S.ivf_pq_topk(*args, k=K, n_centroids=8, nprobe=2, rerank=50))
-    full_probe = _pairs(S.ivf_pq_topk(*args, k=K, n_centroids=8, nprobe=8, rerank=50))
+    composed = _pairs(S.ivf_pq_topk(*args, k=K, n_centroids=8, nprobe=2, **trained))
+    composed_rr = _pairs(
+        S.ivf_pq_topk(*args, k=K, n_centroids=8, nprobe=2, rerank=50, **trained)
+    )
+    full_probe = _pairs(
+        S.ivf_pq_topk(*args, k=K, n_centroids=8, nprobe=8, rerank=50, **trained)
+    )
 
     # widening the probe set can only help (nprobe=8 == scan all lists ==
     # pure PQ-ADC + rerank universe)
@@ -196,7 +209,7 @@ def test_ivf_pq_composed_prunes_and_recalls(spark, sf_dir):
         (r["qid"], r["cid"]): r["score"]
         for r in S.brute_force_topk(*args, k=K).collect()
     }
-    for r in S.ivf_pq_topk(*args, k=K, nprobe=2, rerank=50).collect():
+    for r in S.ivf_pq_topk(*args, k=K, nprobe=2, rerank=50, **trained).collect():
         key = (r["qid"], r["cid"])
         if key in bf_scores:
             assert abs(bf_scores[key] - r["score"]) < 1e-9
