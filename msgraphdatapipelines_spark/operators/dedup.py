@@ -655,9 +655,17 @@ def set_similarity_candidate_ids(
         thin, fat_pairs = prefixes, None
     else:
         thin = prefixes.filter(F.col("__pdf") <= max_df)
-        fat_pairs = _fat_gram_pairs(
-            prefixes.filter(F.col("__pdf") > max_df), id_col, t
-        )
+        fat = prefixes.filter(F.col("__pdf") > max_df)
+        # The within-group pair generation is PYTHON-CPU-bound: its cost
+        # is quadratic in group size while its input BYTES are tiny, so
+        # AQE's byte-based shuffle coalescing would funnel the whole
+        # stage onto 1-2 cores when the input is a compact artifact
+        # (measured 2x on the served bigram row).  An EXPLICIT numbered
+        # repartition on the group key is exempt from AQE coalescing and
+        # satisfies FlatMapGroupsInPandas's distribution requirement, so
+        # the stage keeps full parallelism.
+        n_par = fat.sparkSession.sparkContext.defaultParallelism
+        fat_pairs = _fat_gram_pairs(fat.repartition(n_par, "__pg"), id_col, t)
     a = thin.select(
         F.col(id_col).alias("id_a"), F.col("__sz").alias("__sza"),
         F.col("__p").alias("__pa"), "__pg",

@@ -814,15 +814,16 @@ def set_similarity_join_docs_bigram_capped(spark: SparkSession, sf_dir: str) -> 
     cap bypass the df² self-join and go through the exact within-group
     ``applyInPandas`` fallback, which evaluates the same length +
     positional bounds group-locally and emits only surviving pairs.  The
-    QUADRATIC DuckDB oracle equality proves the guard kept exact recall
+    QUADRATIC DuckDB oracle equality proves the guard kept exact recall (r11:
+    also served from its own (n=2) standing prefix-gram artifact — max_df
+    routing happens at CANDIDATE time from the artifact's __pdf keys, so the
+    serve skips the same two corpus-sized aggs the trigram row skips)
     (zero false negatives) on the exact corpus shape that defeats plain
     prefix filtering; the shuffle now carries O(df) member rows per fat
     gram instead of O(df²) joined candidates."""
-    docs = load(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id", F.explode(D.word_ngrams(F.lower(F.col("text")), 2)).alias("g")
-    )
-    return D.set_similarity_join(grams, "doc_id", "g", 0.5, max_df=25)
+    root = ensure_prefix_gram_index(spark, sf_dir, n=2, threshold=0.5)
+    sets, prefixes = read_prefix_index(spark, root)
+    return D.set_similarity_join_from_tables(sets, prefixes, "doc_id", 0.5, max_df=25)
 
 def _ensure_incremental_prefix_index(
     spark: SparkSession, sf_dir: str, split_frac: float = 0.8
