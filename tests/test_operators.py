@@ -2569,5 +2569,17 @@ def test_prefix_index_compact_folds_batches_and_preserves_results(spark, tmp_pat
     s2, p2 = QD.read_prefix_index(spark, root)
     after = key(D.set_similarity_join_from_tables(s2, p2, "doc_id", 0.5))
     assert after == before and len(before) > 0
-    # appends keep working post-compact (vocab still present, re-frozen)
-    assert spark.read.parquet(f"{root}/vocab").count() > 0
+    # appends keep working post-compact: re-ingest a shifted copy of a
+    # planted near-dup pair's docs — the served join must find pairs
+    # between old and newly-appended docs
+    shifted = docs.filter(F.col("doc_id") < 10).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    QD.prefix_index_append(spark, root, shifted)
+    s3, p3 = QD.read_prefix_index(spark, root)
+    post = key(D.set_similarity_join_from_tables(s3, p3, "doc_id", 0.5))
+    # every original pair survives, and each shifted clone pairs with its
+    # original at jaccard 1.0
+    assert set(before) <= set(post)
+    clones = [(a, b, j) for a, b, j in post if b >= 1_000_000 and a == b - 1_000_000]
+    assert len(clones) == 10 and all(j == 1.0 for _, _, j in clones)
