@@ -936,3 +936,75 @@ def prefix_index_compact(spark: SparkSession, root: str, threshold: float = 0.5)
         fs.delete(hpath(old), True)
     fs.delete(hpath(stage), True)
     return {"docs": int(n_docs), "batches_folded": len(batches)}
+
+def _canonical_by_quality_oracle(threshold: float = 0.5) -> str:
+    """Clusters = the verified-pair closure (same CTE as the graded
+    components row); the kept representative is the QUALITY argmax —
+    exact-integer lexical-diversity score (distinct tokens, ties by
+    token count, then min doc_id), so both engines rank identically."""
+    return f"""
+    WITH RECURSIVE {_lsh_verify_ctes()},
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM verified WHERE jaccard >= {threshold}
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM verified WHERE jaccard >= {threshold}
+    ),
+    reach(id, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    comp AS (SELECT id AS doc_id, min(lab) AS component FROM reach GROUP BY id),
+    scored AS (
+        SELECT doc_id,
+               CAST(len(list_distinct(list_filter(string_split(lower(text), ' '), w -> w <> ''))) AS BIGINT) AS n_distinct_tok,
+               CAST(len(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS BIGINT) AS n_tok
+        FROM documents
+    )
+    SELECT c.doc_id, c.component, s.n_distinct_tok,
+           (row_number() OVER (PARTITION BY c.component
+                               ORDER BY s.n_distinct_tok DESC, s.n_tok DESC, c.doc_id) = 1) AS kept
+    FROM comp c JOIN scored s USING (doc_id)
+    """
+
+
+@register(
+    "dedup_canonical_by_quality",
+    demoted=True,  # clustering machinery driver-graded via dedup_connected_components
+    oracle=_canonical_by_quality_oracle(),
+)
+def dedup_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked canonicalization (r11): near-dup clusters keep their
+    HIGHEST-QUALITY member instead of the min-id one — the production
+    policy (Lee et al. 2022 keep-longest; CCNet keep-best-perplexity)
+    the min-id rows approximate.  Clusters are the same verified-pair
+    transitive closure as the graded components row; the representative
+    is the argmax of an exact-integer lexical-diversity score (distinct
+    tokens, ties by token count then min doc_id — deterministic in both
+    engines, no float ranking).  Plan: clustering as before + one
+    doc-scored join + one per-cluster window; the score is computed in
+    ONE scan with no shuffle beyond the clustering's own."""
+    grams = _doc_grams(spark, sf_dir)
+    sigs = D.minhash_signatures(grams, "doc_id", "g", num_hashes=8, hash_fn="md5")
+    cand = D.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=4)
+    verified = D.jaccard_verify(grams, cand, "doc_id", "g", threshold=0.5)
+    docs = load(spark, sf_dir, "documents")
+    comp = D.connected_components(
+        docs.select("doc_id"), verified.select("id_a", "id_b"), id_col="doc_id"
+    )
+    ws = F.filter(F.split(F.lower(F.col("text")), " "), lambda w: w != "")
+    scored = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(ws)).cast("long").alias("n_distinct_tok"),
+        F.size(ws).cast("long").alias("n_tok"),
+    )
+    joined = comp.join(scored, "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_distinct_tok"), F.desc("n_tok"), F.asc("doc_id")
+    )
+    return joined.select(
+        "doc_id",
+        "component",
+        "n_distinct_tok",
+        (F.row_number().over(w) == 1).alias("kept"),
+    )
