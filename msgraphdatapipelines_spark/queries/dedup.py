@@ -681,25 +681,40 @@ def read_prefix_index(spark: SparkSession, root: str) -> tuple[DataFrame, DataFr
 
 
 def prefix_index_append(
-    spark: SparkSession, root: str, docs: DataFrame, n: int = 3, threshold: float = 0.5
+    spark: SparkSession,
+    root: str,
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    bid: str | None = None,
 ) -> str:
     """O(delta) maintenance for the prefix-gram artifact (r11): build the
     batch's sets/prefix rows under the FROZEN vocab order (exactness
     argument in set_similarity_prefix_tables) and publish them as
     atomically-renamed batch subdirectories.
 
+    ``bid`` names the batch; passing a DETERMINISTIC id (e.g. the
+    streaming micro-batch id) makes the append IDEMPOTENT under replay —
+    a batch directory that already exists wins, and the replayer's
+    staging copy is discarded (the delta_sync_stream commit discipline).
+
     Crash semantics: the staged dirs rename one table at a time; a crash
     between the two renames leaves a half-published batch whose docs are
     INVISIBLE in results (candidates and the verify both INNER-join the
-    other table), never wrong — re-append the batch and GC the orphan
-    dir to repair.  Append-only contract (the lexicon's): a re-ingested
-    doc_id is the caller's upsert problem."""
+    other table), never wrong — re-append the batch under the SAME bid
+    and the missing half publishes.  Append-only contract (the
+    lexicon's): a re-ingested doc_id is the caller's upsert problem."""
     import uuid
 
     from .. import sinks
 
     fs, _, jvm = sinks._fs_for(spark, root)
     hpath = jvm.org.apache.hadoop.fs.Path
+    bid = bid or uuid.uuid4().hex[:12]
+    dst_sets = hpath(f"{root}/sets/batch_{bid}")
+    dst_pref = hpath(f"{root}/prefixes/batch_{bid}")
+    if fs.exists(dst_sets) and fs.exists(dst_pref):
+        return bid  # replay of a fully-published batch: no-op
     vocab = spark.read.parquet(f"{root}/vocab")
     grams = docs.select(
         "doc_id", F.explode(D.word_ngrams(F.lower(F.col("text")), n)).alias("g")
@@ -707,14 +722,15 @@ def prefix_index_append(
     sets, prefixes = D.set_similarity_prefix_tables(
         grams, "doc_id", "g", threshold, vocab=vocab
     )
-    bid = uuid.uuid4().hex[:12]
-    stage = f"{root}/stage.{bid}"
+    stage = f"{root}/stage.{uuid.uuid4().hex[:8]}.{bid}"
     sets.write.parquet(f"{stage}/sets")
     prefixes.repartition(F.col("__pg")).sortWithinPartitions("__pg").write.parquet(
         f"{stage}/prefixes"
     )
-    fs.rename(hpath(f"{stage}/sets"), hpath(f"{root}/sets/batch_{bid}"))
-    fs.rename(hpath(f"{stage}/prefixes"), hpath(f"{root}/prefixes/batch_{bid}"))
+    if fs.exists(dst_sets) or not fs.rename(hpath(f"{stage}/sets"), dst_sets):
+        pass  # racer/replayer already published this half
+    if fs.exists(dst_pref) or not fs.rename(hpath(f"{stage}/prefixes"), dst_pref):
+        pass
     fs.delete(hpath(stage), True)
     return bid
 

@@ -882,3 +882,92 @@ def test_bloom_table_stream_keeps_point_lookups_fresh(spark, tmp_path):
     n_files = len([f for f in _g.glob(f"{table}/*.parquet")])
     cand = sinks.bloom_candidate_files(spark, table, "k", 2001)
     assert 1 <= len(cand) < n_files
+
+
+def test_prefix_index_stream_ingest_equals_batch_build(spark, tmp_path):
+    """r11: streaming ingest into the standing prefix-gram index — docs
+    arriving as two micro-batches must leave the served exact-recall join
+    equal to the direct full-corpus operator, and a REPLAYED batch (same
+    deterministic bid) must be a no-op (no duplicate pairs)."""
+    import os
+    import shutil
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from msgraphdatapipelines_spark.operators import dedup as D
+    from msgraphdatapipelines_spark.queries import dedup as QD
+    from msgraphdatapipelines_spark.queries import load
+    from msgraphdatapipelines_spark.streaming.prefix_stream import prefix_index_stream
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    shutil.copyfile(
+        "/root/testdata/sf0.001/documents.parquet", str(sf / "documents.parquet")
+    )
+    docs = load(spark, str(sf), "documents")
+    base = docs.filter(F.col("doc_id") < 100)
+    rest1 = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 200))
+    rest2 = docs.filter(F.col("doc_id") >= 200)
+
+    # manual base build at a variant root (frozen vocab = base corpus)
+    root = QD.prefix_index_root(str(sf), 3, 0.5, variant="pytest-stream")
+    grams = base.select(
+        "doc_id", F.explode(D.word_ngrams(F.lower(F.col("text")), 3)).alias("g")
+    )
+    grams.groupBy("g").agg(F.count("*").alias("__df")).write.parquet(f"{root}/vocab")
+    sets, prefixes = D.set_similarity_prefix_tables(
+        grams, "doc_id", "g", 0.5, vocab=spark.read.parquet(f"{root}/vocab")
+    )
+    sets.write.parquet(f"{root}/sets")
+    prefixes.write.parquet(f"{root}/prefixes")
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    docs_dir = tmp_path / "arrivals"
+    docs_dir.mkdir()
+    now = _time.time()
+    for i, batch in enumerate((rest1, rest2)):
+        stage = tmp_path / f"stage{i}"
+        batch.select(*[f.name for f in schema.fields]).coalesce(1).write.parquet(
+            str(stage)
+        )
+        for f in stage.glob("*.parquet"):
+            dst = docs_dir / f"b{i}_{f.name}"
+            shutil.copy(f, dst)
+            os.utime(dst, (now + 60 * i, now + 60 * i))
+
+    q = prefix_index_stream(
+        spark, str(docs_dir), schema, root, str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    key = lambda df: sorted(  # noqa: E731
+        (r["id_a"], r["id_b"], r["jaccard"]) for r in df.collect()
+    )
+    s2, p2 = QD.read_prefix_index(spark, root)
+    streamed = key(D.set_similarity_join_from_tables(s2, p2, "doc_id", 0.5))
+    all_grams = docs.select(
+        "doc_id", F.explode(D.word_ngrams(F.lower(F.col("text")), 3)).alias("g")
+    )
+    direct = key(D.set_similarity_join(all_grams, "doc_id", "g", 0.5))
+    assert streamed == direct and len(direct) > 0
+    # two batch dirs landed
+    batches = sorted(
+        d for d in os.listdir(f"{root}/sets") if d.startswith("batch_")
+    )
+    assert batches == ["batch_b0", "batch_b1"]
+    # replay of batch 0 (same deterministic bid) is a no-op
+    QD.prefix_index_append(spark, root, rest1, bid="b0")
+    s3, p3 = QD.read_prefix_index(spark, root)
+    assert key(D.set_similarity_join_from_tables(s3, p3, "doc_id", 0.5)) == direct
