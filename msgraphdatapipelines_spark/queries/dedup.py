@@ -623,99 +623,211 @@ def prefix_index_root(sf_dir: str, n: int, threshold: float, variant: str = "ful
         st = os.stat(p)
         parts.append(f"{st.st_size}:{st.st_mtime_ns}")
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{'|'.join(parts)}|ppj|n={n}|t={threshold}|{variant}|v2".encode()
+        f"{os.path.abspath(sf_dir)}|{'|'.join(parts)}|ppj|n={n}|t={threshold}|{variant}|v3".encode()
     ).hexdigest()[:16]
     return os.path.join(tempfile.gettempdir(), f"msgdp_ppj_{key}")
 
 
-def ensure_prefix_gram_index(
-    spark: SparkSession, sf_dir: str, n: int = 3, threshold: float = 0.5
-) -> str:
-    """Build-at-most-once prefix-gram artifact: ``sets`` (id, size,
-    df-ordered gram array — one row per doc) and ``prefixes`` (narrow
-    prefix rows with df keys) under a rename-committed ``_ready`` marker
-    (house crash-safety style: no marker → rebuild; a torn build is never
-    served).  First touch pays the two corpus-sized aggs the direct path
-    pays anyway, plus one artifact write."""
+# ---------------------------------------------------------------------------
+# Generational publish protocol for the standing prefix-gram index (r12).
+#
+# r11 shipped the index with direct mode("overwrite") table writes before the
+# _ready marker (build) and three sequential per-table renames (compact) —
+# both let a crash or a concurrent writer expose a NEW-order vocab over
+# OLD-order sets/prefixes, silently breaking the prefix-filter
+# zero-false-negative guarantee.  r12 makes every transition one atomic
+# commit:
+#
+#   root/
+#     _ready                    # back-compat "index exists" signal
+#     gen-000042-<uid>/         # one GENERATION = one immutable vocab order
+#       _commit                 #   live iff this marker exists (single rename)
+#       vocab/ sets/ prefixes/  #   base tables, written staged then renamed
+#       sets/batch_<bid>/ ...   #   O(delta) appends under the frozen order
+#       _folded/<bid>           #   manifest: bids compacted into this base
+#     _compacting.<uid>         # compaction lease (fences in-flight appends)
+#
+# Readers resolve the MAX committed generation; compact writes a brand-new
+# generation and commits it with one marker — a crash anywhere leaves the
+# previous generation fully live, and a reader can never observe vocab and
+# prefixes from different orders.  The _folded manifest keeps
+# prefix_index_append replay-idempotent across compaction (a folded bid is
+# treated as already-published); the lease + post-publish generation re-check
+# close the append-vs-compact race in both directions.
+# ---------------------------------------------------------------------------
+
+_GEN_RE = __import__("re").compile(r"^gen-(\d{6})-[0-9a-f]+$")
+_LEASE_TTL_S = 600.0
+
+
+def _marker_commit(fs, hpath, path: str) -> None:
+    """Create a marker file via tmp-write + rename (atomic on every FS
+    the repo targets; parents auto-created by Hadoop create())."""
+    import uuid
+
+    tmp = hpath(f"{path}.tmp.{uuid.uuid4().hex[:6]}")
+    out = fs.create(tmp, True)
+    out.write(bytearray(b"ready"))
+    out.close()
+    fs.rename(tmp, hpath(path))
+
+
+def _committed_gens(fs, hpath, root: str) -> list[str]:
+    """Ascending names of committed generation dirs under ``root``."""
+    if not fs.exists(hpath(root)):
+        return []
+    out = []
+    for st in fs.listStatus(hpath(root)):
+        nm = st.getPath().getName()
+        if (
+            st.isDirectory()
+            and _GEN_RE.match(nm)
+            and fs.exists(hpath(f"{root}/{nm}/_commit"))
+        ):
+            out.append(nm)
+    return sorted(out)
+
+
+def prefix_index_current_gen(spark: SparkSession, root: str) -> str | None:
+    """Path of the live (max committed) generation, or None pre-build."""
     from .. import sinks
 
-    root = prefix_index_root(sf_dir, n, threshold)
     fs, _, jvm = sinks._fs_for(spark, root)
     hpath = jvm.org.apache.hadoop.fs.Path
-    marker = f"{root}/_ready"
-    if not fs.exists(hpath(marker)):
-        docs = load(spark, sf_dir, "documents")
-        grams = docs.select(
-            "doc_id", F.explode(D.word_ngrams(F.lower(F.col("text")), n)).alias("g")
-        )
-        # persist the vocab too: it is the FROZEN total order appends
-        # must sort under (prefix_index_append)
-        vocab = grams.groupBy("g").agg(F.count("*").alias("__df"))
-        vocab.write.mode("overwrite").parquet(f"{root}/vocab")
-        sets, prefixes = D.set_similarity_prefix_tables(
-            grams, "doc_id", "g", threshold, vocab=spark.read.parquet(f"{root}/vocab")
-        )
-        sets.write.mode("overwrite").parquet(f"{root}/sets")
-        # cluster prefix rows by their join key so the self-join reads
-        # co-partitioned row groups
-        prefixes.repartition(F.col("__pg")).sortWithinPartitions("__pg").write.mode(
-            "overwrite"
-        ).parquet(f"{root}/prefixes")
-        tmp = hpath(f"{marker}.tmp")
-        out = fs.create(tmp, True)
-        out.write(bytearray(b"ready"))
-        out.close()
-        fs.rename(tmp, hpath(marker))
-    return root
+    gens = _committed_gens(fs, hpath, root)
+    return f"{root}/{gens[-1]}" if gens else None
 
 
-def read_prefix_index(spark: SparkSession, root: str) -> tuple[DataFrame, DataFrame]:
-    """(sets, prefixes) from a standing prefix-gram artifact — recursive
-    lookup so batch subdirectories published by ``prefix_index_append``
-    are included."""
-    sets = spark.read.option("recursiveFileLookup", "true").parquet(f"{root}/sets")
-    prefixes = spark.read.option("recursiveFileLookup", "true").parquet(
-        f"{root}/prefixes"
+def _live_leases(fs, hpath, root: str) -> list[str]:
+    """Compaction lease files younger than the TTL (stale ones — a
+    crashed compactor — are ignored, so appends never wedge)."""
+    import time
+
+    if not fs.exists(hpath(root)):
+        return []
+    out = []
+    for st in fs.listStatus(hpath(root)):
+        nm = st.getPath().getName()
+        if nm.startswith("_compacting.") and not st.isDirectory():
+            if time.time() * 1000 - st.getModificationTime() < _LEASE_TTL_S * 1000:
+                out.append(nm)
+    return out
+
+
+def _wait_leases_clear(fs, hpath, root: str, timeout_s: float = 120.0) -> None:
+    import time
+
+    t0 = time.time()
+    while _live_leases(fs, hpath, root):
+        if time.time() - t0 > timeout_s:
+            raise TimeoutError(f"compaction lease on {root} held > {timeout_s}s")
+        time.sleep(0.2)
+
+
+def _write_gen_tables(spark: SparkSession, grams: DataFrame, threshold: float, stage: str) -> None:
+    """vocab/sets/prefixes under ``stage`` — the only corpus-sized aggs
+    in the algorithm.  Prefix rows cluster by their join key so the
+    self-join reads co-partitioned row groups."""
+    vocab = grams.groupBy("g").agg(F.count("*").alias("__df"))
+    vocab.write.parquet(f"{stage}/vocab")
+    sets, prefixes = D.set_similarity_prefix_tables(
+        grams, "doc_id", "g", threshold, vocab=spark.read.parquet(f"{stage}/vocab")
     )
-    return sets, prefixes
+    sets.write.parquet(f"{stage}/sets")
+    prefixes.repartition(F.col("__pg")).sortWithinPartitions("__pg").write.parquet(
+        f"{stage}/prefixes"
+    )
 
 
-def prefix_index_append(
-    spark: SparkSession,
-    root: str,
-    docs: DataFrame,
-    n: int = 3,
-    threshold: float = 0.5,
-    bid: str | None = None,
+def prefix_index_build(
+    spark: SparkSession, root: str, docs: DataFrame, n: int = 3, threshold: float = 0.5
 ) -> str:
-    """O(delta) maintenance for the prefix-gram artifact (r11): build the
-    batch's sets/prefix rows under the FROZEN vocab order (exactness
-    argument in set_similarity_prefix_tables) and publish them as
-    atomically-renamed batch subdirectories.
-
-    ``bid`` names the batch; passing a DETERMINISTIC id (e.g. the
-    streaming micro-batch id) makes the append IDEMPOTENT under replay —
-    a batch directory that already exists wins, and the replayer's
-    staging copy is discarded (the delta_sync_stream commit discipline).
-
-    Crash semantics: the staged dirs rename one table at a time; a crash
-    between the two renames leaves a half-published batch whose docs are
-    INVISIBLE in results (candidates and the verify both INNER-join the
-    other table), never wrong — re-append the batch under the SAME bid
-    and the missing half publishes.  Append-only contract (the
-    lexicon's): a re-ingested doc_id is the caller's upsert problem."""
+    """Staged, atomically-committed base build (the cache.serve_cached
+    staging discipline): tables are written under a uuid staging root,
+    renamed into a gen-000000 directory, and committed by the ``_commit``
+    marker — two concurrent builders each commit an identical generation
+    and the max name wins deterministically; neither can interleave
+    overwrites into the other's tables.  Returns the live gen path."""
     import uuid
 
     from .. import sinks
 
     fs, _, jvm = sinks._fs_for(spark, root)
     hpath = jvm.org.apache.hadoop.fs.Path
-    bid = bid or uuid.uuid4().hex[:12]
-    dst_sets = hpath(f"{root}/sets/batch_{bid}")
-    dst_pref = hpath(f"{root}/prefixes/batch_{bid}")
+    gens = _committed_gens(fs, hpath, root)
+    if not gens:
+        grams = docs.select(
+            "doc_id", F.explode(D.word_ngrams(F.lower(F.col("text")), n)).alias("g")
+        )
+        stage = f"{root}/stage.{uuid.uuid4().hex[:8]}"
+        _write_gen_tables(spark, grams, threshold, stage)
+        fs.mkdirs(hpath(f"{stage}/_folded"))
+        if _committed_gens(fs, hpath, root):
+            fs.delete(hpath(stage), True)  # race loser: discard staging
+        else:
+            gen = f"{root}/gen-000000-{uuid.uuid4().hex[:8]}"
+            fs.rename(hpath(stage), hpath(gen))
+            _marker_commit(fs, hpath, f"{gen}/_commit")
+        _marker_commit(fs, hpath, f"{root}/_ready")
+    return prefix_index_current_gen(spark, root)
+
+
+def ensure_prefix_gram_index(
+    spark: SparkSession, sf_dir: str, n: int = 3, threshold: float = 0.5
+) -> str:
+    """Build-at-most-once prefix-gram artifact for a corpus directory:
+    first touch pays the two corpus-sized aggs the direct path pays
+    anyway, plus one staged artifact write; every later call resolves the
+    committed generation and returns immediately."""
+    root = prefix_index_root(sf_dir, n, threshold)
+    if prefix_index_current_gen(spark, root) is None:
+        prefix_index_build(
+            spark, root, load(spark, sf_dir, "documents"), n=n, threshold=threshold
+        )
+    return root
+
+
+def read_prefix_index(spark: SparkSession, root: str) -> tuple[DataFrame, DataFrame]:
+    """(sets, prefixes) from the live generation — recursive lookup so
+    batch subdirectories published by ``prefix_index_append`` are
+    included.  Generations are immutable once committed (compact writes a
+    NEW one), so a plan built here can never see a torn vocab order."""
+    gen = prefix_index_current_gen(spark, root)
+    if gen is None:
+        raise FileNotFoundError(f"no committed prefix-gram generation under {root}")
+    sets = spark.read.option("recursiveFileLookup", "true").parquet(f"{gen}/sets")
+    prefixes = spark.read.option("recursiveFileLookup", "true").parquet(
+        f"{gen}/prefixes"
+    )
+    return sets, prefixes
+
+
+def _publish_batch(
+    spark: SparkSession,
+    fs,
+    hpath,
+    root: str,
+    gen: str,
+    docs: DataFrame,
+    n: int,
+    threshold: float,
+    bid: str,
+) -> None:
+    """The publish step of prefix_index_append in isolation: stage the
+    batch's tables under ``gen``'s frozen vocab and rename them into the
+    batch subdirs (exists-wins, so replays/racers no-op).  No lease wait,
+    no generation re-check — callers (and the compact race tests, which
+    use this to model an appender paused before its post-check) own
+    those."""
+    import uuid
+
+    dst_sets = hpath(f"{gen}/sets/batch_{bid}")
+    dst_pref = hpath(f"{gen}/prefixes/batch_{bid}")
+    if fs.exists(hpath(f"{gen}/_folded/{bid}")):
+        return  # compacted into this generation's base already
     if fs.exists(dst_sets) and fs.exists(dst_pref):
-        return bid  # replay of a fully-published batch: no-op
-    vocab = spark.read.parquet(f"{root}/vocab")
+        return  # replay of a fully-published batch
+    vocab = spark.read.parquet(f"{gen}/vocab")
     grams = docs.select(
         "doc_id", F.explode(D.word_ngrams(F.lower(F.col("text")), n)).alias("g")
     )
@@ -732,7 +844,57 @@ def prefix_index_append(
     if fs.exists(dst_pref) or not fs.rename(hpath(f"{stage}/prefixes"), dst_pref):
         pass
     fs.delete(hpath(stage), True)
-    return bid
+
+
+def prefix_index_append(
+    spark: SparkSession,
+    root: str,
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    bid: str | None = None,
+) -> str:
+    """O(delta) maintenance for the prefix-gram artifact (r11): build the
+    batch's sets/prefix rows under the live generation's FROZEN vocab
+    order (exactness argument in set_similarity_prefix_tables) and
+    publish them as atomically-renamed batch subdirectories.
+
+    ``bid`` names the batch; passing a DETERMINISTIC id (e.g. the
+    streaming micro-batch id) makes the append IDEMPOTENT under replay —
+    a batch directory that already exists wins, a bid recorded in the
+    generation's ``_folded`` manifest (compacted away) is treated as
+    already-published, and the replayer's staging copy is discarded.
+
+    Compact fencing (r12): after publishing, re-check the live
+    generation; if a compact committed meanwhile (possibly without seeing
+    this batch), wait out its lease and republish into the new generation
+    — where the manifest/batch-dir checks make the republish a no-op
+    whenever the compactor's straggler pass already folded us.
+
+    Crash semantics: the staged dirs rename one table at a time; a crash
+    between the two renames leaves a half-published batch whose docs are
+    INVISIBLE in results (candidates and the verify both INNER-join the
+    other table), never wrong — re-append the batch under the SAME bid
+    and the missing half publishes.  Append-only contract (the
+    lexicon's): a re-ingested doc_id is the caller's upsert problem."""
+    import uuid
+
+    from .. import sinks
+
+    fs, _, jvm = sinks._fs_for(spark, root)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    bid = bid or uuid.uuid4().hex[:12]
+    for _ in range(6):
+        gen = prefix_index_current_gen(spark, root)
+        if gen is None:
+            raise FileNotFoundError(f"append before build: no generation at {root}")
+        _publish_batch(spark, fs, hpath, root, gen, docs, n, threshold, bid)
+        _wait_leases_clear(fs, hpath, root)
+        if prefix_index_current_gen(spark, root) == gen:
+            return bid
+        # a compact committed while we were publishing: loop and republish
+        # into the new generation (no-op if its straggler pass folded us)
+    raise RuntimeError(f"prefix_index_append({bid}): generation kept moving")
 
 
 _TRIGRAM_PPJOIN_ORACLE = """
@@ -856,32 +1018,19 @@ def _ensure_incremental_prefix_index(
     hpath = jvm.org.apache.hadoop.fs.Path
     marker = f"{root}/_inc_ready"
     if not fs.exists(hpath(marker)):
-        if fs.exists(hpath(root)):
-            fs.delete(hpath(root), True)  # torn previous attempt: restart clean
         docs = load(spark, sf_dir, "documents")
         cut = docs.selectExpr(
             f"percentile_approx(doc_id, {split_frac}, 10000) AS c"
         ).first()["c"]
         base = docs.filter(F.col("doc_id") <= cut)
         rest = docs.filter(F.col("doc_id") > cut)
-        grams = base.select(
-            "doc_id", F.explode(D.word_ngrams(F.lower(F.col("text")), 3)).alias("g")
-        )
-        vocab = grams.groupBy("g").agg(F.count("*").alias("__df"))
-        vocab.write.mode("overwrite").parquet(f"{root}/vocab")
-        sets, prefixes = D.set_similarity_prefix_tables(
-            grams, "doc_id", "g", 0.5, vocab=spark.read.parquet(f"{root}/vocab")
-        )
-        sets.write.mode("overwrite").parquet(f"{root}/sets")
-        prefixes.repartition(F.col("__pg")).sortWithinPartitions("__pg").write.mode(
-            "overwrite"
-        ).parquet(f"{root}/prefixes")
-        prefix_index_append(spark, root, rest, n=3, threshold=0.5)
-        tmp = hpath(f"{marker}.tmp")
-        out = fs.create(tmp, True)
-        out.write(bytearray(b"ready"))
-        out.close()
-        fs.rename(tmp, hpath(marker))
+        # both steps are individually idempotent/crash-safe under the r12
+        # generational protocol (build commits once; append under a
+        # DETERMINISTIC bid replays as a no-op), so a torn previous
+        # attempt resumes instead of restarting
+        prefix_index_build(spark, root, base, n=3, threshold=0.5)
+        prefix_index_append(spark, root, rest, n=3, threshold=0.5, bid="inc0")
+        _marker_commit(fs, hpath, marker)
     return root
 
 
@@ -902,56 +1051,133 @@ def set_similarity_join_docs_incremental(spark: SparkSession, sf_dir: str) -> Da
     sets, prefixes = read_prefix_index(spark, root)
     return D.set_similarity_join_from_tables(sets, prefixes, "doc_id", 0.5)
 
-def prefix_index_compact(spark: SparkSession, root: str, threshold: float = 0.5) -> dict:
-    """Re-freeze and merge (r11): rebuild the vocab from the FULL current
-    contents (restoring the candidate-optimal rarest-first order the
-    frozen-order appends drifted from), re-derive sets/prefixes from the
-    stored gram arrays — NO re-tokenization; the sets table already
-    holds every doc's gram multiset — and republish the three tables
-    with the batch subdirectories folded in.
+def prefix_index_compact(
+    spark: SparkSession,
+    root: str,
+    threshold: float = 0.5,
+    _test_hook_after_list=None,
+    _test_hook_before_commit=None,
+) -> dict:
+    """Re-freeze and merge (r11, re-published r12 as a NEW generation):
+    rebuild the vocab from the FULL current contents (restoring the
+    candidate-optimal rarest-first order the frozen-order appends drifted
+    from), re-derive sets/prefixes from the stored gram arrays — NO
+    re-tokenization; the sets table already holds every doc's gram
+    multiset — with the batch subdirectories folded into the base.
 
-    Publish is marker-gated like the build: new tables stage under
-    ``compact.<id>``, the live dirs swap via rename (readers mid-swap
-    keep whichever complete directory they already listed — parquet
-    reads pin concrete file paths at plan time), and orphaned staging is
-    removed.  Returns {"docs": n, "batches_folded": k}."""
+    r12 protocol (closes the r11 ADVICE hazards):
+
+    - The new tables stage under a uuid root and become live via ONE
+      directory rename + ONE ``_commit`` marker rename — never three
+      sequential per-table swaps, so no reader or crash can observe a
+      new-order vocab over old-order prefixes, and concurrent readers
+      keep the previous generation (generations are immutable).
+    - Folded batch ids are recorded in the new generation's ``_folded``
+      manifest (carrying forward the old generation's), so a streaming
+      checkpoint REPLAY of an already-folded micro-batch is a no-op
+      instead of a silent double-append.
+    - A ``_compacting.<uid>`` lease fences in-flight appends: appenders
+      re-check the live generation after publishing and wait out the
+      lease; batches that completed publishing after our initial listing
+      (stragglers) are folded into the new generation as batch dirs
+      under the SAME bid, re-derived under the new vocab.  Half-published
+      stragglers are skipped — their appender republishes after commit.
+
+    The two ``_test_hook_*`` callables let tests interleave a live append
+    deterministically (after the batch listing / before the commit).
+    Returns {"docs": n, "batches_folded": k}."""
     import uuid
 
     from .. import sinks
 
     fs, _, jvm = sinks._fs_for(spark, root)
     hpath = jvm.org.apache.hadoop.fs.Path
-    sets, _ = read_prefix_index(spark, root)
-    # explode the stored arrays back to (doc, gram) rows — cheaper than
-    # re-tokenizing text and exactly the same multiset
-    grams = sets.select("doc_id", F.explode("__garr").alias("g"))
-    n_docs = sets.count()
-    batches = [
-        st.getPath().getName()
-        for st in fs.listStatus(hpath(f"{root}/sets"))
-        if st.isDirectory() and st.getPath().getName().startswith("batch_")
-    ]
-    cid = uuid.uuid4().hex[:12]
-    stage = f"{root}/compact.{cid}"
-    vocab = grams.groupBy("g").agg(F.count("*").alias("__df"))
-    vocab.write.parquet(f"{stage}/vocab")
-    new_sets, new_prefixes = D.set_similarity_prefix_tables(
-        grams, "doc_id", "g", threshold, vocab=spark.read.parquet(f"{stage}/vocab")
-    )
-    new_sets.write.parquet(f"{stage}/sets")
-    new_prefixes.repartition(F.col("__pg")).sortWithinPartitions("__pg").write.parquet(
-        f"{stage}/prefixes"
-    )
-    # force materialization before any swap so the staged tables never
-    # read the live dirs mid-replacement
-    for t in ("vocab", "sets", "prefixes"):
-        spark.read.parquet(f"{stage}/{t}").count()
-        old = f"{root}/{t}.old.{cid}"
-        fs.rename(hpath(f"{root}/{t}"), hpath(old))
-        fs.rename(hpath(f"{stage}/{t}"), hpath(f"{root}/{t}"))
-        fs.delete(hpath(old), True)
-    fs.delete(hpath(stage), True)
-    return {"docs": int(n_docs), "batches_folded": len(batches)}
+    if _live_leases(fs, hpath, root):
+        raise RuntimeError(f"compact already in progress under {root}")
+    lease = f"{root}/_compacting.{uuid.uuid4().hex[:8]}"
+    _marker_commit(fs, hpath, lease)
+    try:
+        gens = _committed_gens(fs, hpath, root)
+        if not gens:
+            raise FileNotFoundError(f"compact before build: no generation at {root}")
+        gen_name = gens[-1]
+        gen = f"{root}/{gen_name}"
+        seq = int(_GEN_RE.match(gen_name).group(1))
+
+        def _batch_bids() -> list[str]:
+            return sorted(
+                st.getPath().getName()[len("batch_") :]
+                for st in fs.listStatus(hpath(f"{gen}/sets"))
+                if st.isDirectory() and st.getPath().getName().startswith("batch_")
+            )
+
+        batches = _batch_bids()
+        if _test_hook_after_list is not None:
+            _test_hook_after_list()
+        prev_folded = (
+            [
+                st.getPath().getName()
+                for st in fs.listStatus(hpath(f"{gen}/_folded"))
+            ]
+            if fs.exists(hpath(f"{gen}/_folded"))
+            else []
+        )
+        # explode the stored arrays back to (doc, gram) rows — cheaper
+        # than re-tokenizing text and exactly the same multiset.  The read
+        # pins EXACTLY the base files + the bids listed above (not a
+        # recursive lookup at read time), so a straggler publishing
+        # between the listing and the read can't be double-counted by
+        # both the base and the straggler pass.
+        base_files = [
+            st.getPath().toString()
+            for st in fs.listStatus(hpath(f"{gen}/sets"))
+            if not st.isDirectory()
+            and not st.getPath().getName().startswith(("_", "."))
+        ]
+        sets = spark.read.parquet(
+            *base_files, *[f"{gen}/sets/batch_{b}" for b in batches]
+        )
+        grams = sets.select("doc_id", F.explode("__garr").alias("g"))
+        n_docs = sets.count()
+        stage = f"{root}/stage.compact.{uuid.uuid4().hex[:8]}"
+        _write_gen_tables(spark, grams, threshold, stage)
+        fs.mkdirs(hpath(f"{stage}/_folded"))
+        for b in sorted(set(batches) | set(prev_folded)):
+            _marker_commit(fs, hpath, f"{stage}/_folded/{b}")
+        # straggler fence: fully-published batches that appeared since the
+        # initial listing fold into the NEW generation as batch dirs
+        # (same bid — replay stays idempotent), re-sorted under the new
+        # frozen order
+        new_vocab = spark.read.parquet(f"{stage}/vocab")
+        for b in _batch_bids():
+            if b in batches:
+                continue
+            if not (
+                fs.exists(hpath(f"{gen}/sets/batch_{b}"))
+                and fs.exists(hpath(f"{gen}/prefixes/batch_{b}"))
+            ):
+                continue  # half-published: invisible; appender republishes
+            bsets = spark.read.parquet(f"{gen}/sets/batch_{b}")
+            bgrams = bsets.select("doc_id", F.explode("__garr").alias("g"))
+            s2, p2 = D.set_similarity_prefix_tables(
+                bgrams, "doc_id", "g", threshold, vocab=new_vocab
+            )
+            s2.write.parquet(f"{stage}/sets/batch_{b}")
+            p2.repartition(F.col("__pg")).sortWithinPartitions("__pg").write.parquet(
+                f"{stage}/prefixes/batch_{b}"
+            )
+        if _test_hook_before_commit is not None:
+            _test_hook_before_commit()
+        new_gen = f"{root}/gen-{seq + 1:06d}-{uuid.uuid4().hex[:8]}"
+        fs.rename(hpath(stage), hpath(new_gen))
+        _marker_commit(fs, hpath, f"{new_gen}/_commit")
+        # GC: keep the live + previous generations (a reader that resolved
+        # the old generation just before commit still has its files)
+        for g in _committed_gens(fs, hpath, root)[:-2]:
+            fs.delete(hpath(f"{root}/{g}"), True)
+        return {"docs": int(n_docs), "batches_folded": len(batches)}
+    finally:
+        fs.delete(hpath(lease), False)
 
 def _canonical_by_quality_oracle(threshold: float = 0.5) -> str:
     """Clusters = the verified-pair closure (same CTE as the graded

@@ -2477,18 +2477,9 @@ def test_prefix_index_frozen_order_append_equals_rebuild(spark, tmp_path):
     base = docs.filter(F.col("doc_id") < 150)
     rest = docs.filter(F.col("doc_id") >= 150)
 
-    # manual incremental build at a variant root
+    # incremental build at a variant root (staged generational protocol)
     root = QD.prefix_index_root(str(sf), 3, 0.5, variant="pytest-inc")
-    grams = base.select(
-        "doc_id", F.explode(D.word_ngrams(F.lower(F.col("text")), 3)).alias("g")
-    )
-    vocab = grams.groupBy("g").agg(F.count("*").alias("__df"))
-    vocab.write.mode("overwrite").parquet(f"{root}/vocab")
-    sets, prefixes = D.set_similarity_prefix_tables(
-        grams, "doc_id", "g", 0.5, vocab=spark.read.parquet(f"{root}/vocab")
-    )
-    sets.write.mode("overwrite").parquet(f"{root}/sets")
-    prefixes.write.mode("overwrite").parquet(f"{root}/prefixes")
+    QD.prefix_index_build(spark, root, base, n=3, threshold=0.5)
     QD.prefix_index_append(spark, root, rest, n=3, threshold=0.5)
 
     key = lambda df: sorted(  # noqa: E731
@@ -2507,9 +2498,10 @@ def test_prefix_index_frozen_order_append_equals_rebuild(spark, tmp_path):
     # nothing else changes
     import os
 
-    batch_dirs = [d for d in os.listdir(f"{root}/sets") if d.startswith("batch_")]
+    gen = QD.prefix_index_current_gen(spark, root)
+    batch_dirs = [d for d in os.listdir(f"{gen}/sets") if d.startswith("batch_")]
     assert len(batch_dirs) == 1
-    shutil.rmtree(f"{root}/sets/{batch_dirs[0]}")
+    shutil.rmtree(f"{gen}/sets/{batch_dirs[0]}")
     s3, p3 = QD.read_prefix_index(spark, root)
     torn = key(D.set_similarity_join_from_tables(s3, p3, "doc_id", 0.5))
     base_only = key(
@@ -2545,15 +2537,7 @@ def test_prefix_index_compact_folds_batches_and_preserves_results(spark, tmp_pat
     base = docs.filter(F.col("doc_id") < 150)
     rest = docs.filter(F.col("doc_id") >= 150)
     root = QD.prefix_index_root(str(sf), 3, 0.5, variant="pytest-compact")
-    grams = base.select(
-        "doc_id", F.explode(D.word_ngrams(F.lower(F.col("text")), 3)).alias("g")
-    )
-    grams.groupBy("g").agg(F.count("*").alias("__df")).write.parquet(f"{root}/vocab")
-    sets, prefixes = D.set_similarity_prefix_tables(
-        grams, "doc_id", "g", 0.5, vocab=spark.read.parquet(f"{root}/vocab")
-    )
-    sets.write.parquet(f"{root}/sets")
-    prefixes.write.parquet(f"{root}/prefixes")
+    QD.prefix_index_build(spark, root, base)
     QD.prefix_index_append(spark, root, rest)
 
     key = lambda df: sorted(  # noqa: E731
@@ -2563,8 +2547,9 @@ def test_prefix_index_compact_folds_batches_and_preserves_results(spark, tmp_pat
     before = key(D.set_similarity_join_from_tables(s1, p1, "doc_id", 0.5))
     stats = QD.prefix_index_compact(spark, root)
     assert stats["batches_folded"] == 1 and stats["docs"] == docs.count()
+    gen = QD.prefix_index_current_gen(spark, root)
     assert not [
-        d for d in os.listdir(f"{root}/sets") if d.startswith("batch_")
+        d for d in os.listdir(f"{gen}/sets") if d.startswith("batch_")
     ], "compact left batch subdirs"
     s2, p2 = QD.read_prefix_index(spark, root)
     after = key(D.set_similarity_join_from_tables(s2, p2, "doc_id", 0.5))
@@ -2583,3 +2568,157 @@ def test_prefix_index_compact_folds_batches_and_preserves_results(spark, tmp_pat
     assert set(before) <= set(post)
     clones = [(a, b, j) for a, b, j in post if b >= 1_000_000 and a == b - 1_000_000]
     assert len(clones) == 10 and all(j == 1.0 for _, _, j in clones)
+
+def _prefix_fixture(spark, tmp_path, variant):
+    """Shared setup for the compact-protocol tests: copy the corpus,
+    split it, build the base generation at a variant root."""
+    import shutil
+
+    from msgraphdatapipelines_spark.queries import dedup as QD
+    from msgraphdatapipelines_spark.queries import load
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    shutil.copyfile(
+        "/root/testdata/sf0.001/documents.parquet", str(sf / "documents.parquet")
+    )
+    docs = load(spark, str(sf), "documents")
+    base = docs.filter(F.col("doc_id") < 150)
+    rest = docs.filter(F.col("doc_id") >= 150)
+    root = QD.prefix_index_root(str(sf), 3, 0.5, variant=variant)
+    QD.prefix_index_build(spark, root, base)
+    return QD, docs, base, rest, root
+
+
+def _ppj_key(df):
+    return sorted((r["id_a"], r["id_b"], r["jaccard"]) for r in df.collect())
+
+
+def test_prefix_index_replay_of_folded_batch_is_noop(spark, tmp_path):
+    """r12 (ADVICE): compact folds batch subdirs into the base — a
+    streaming checkpoint REPLAY of an already-folded micro-batch must be
+    a no-op via the _folded manifest, not a silent double-append that
+    duplicates doc_id rows and join output."""
+    QD, docs, base, rest, root = _prefix_fixture(spark, tmp_path, "pytest-replay")
+    QD.prefix_index_append(spark, root, rest, bid="mb7")
+    s1, _ = QD.read_prefix_index(spark, root)
+    n_before = s1.count()
+    before = _ppj_key(D.set_similarity_join_from_tables(*QD.read_prefix_index(spark, root), "doc_id", 0.5))
+    QD.prefix_index_compact(spark, root)
+    gen = QD.prefix_index_current_gen(spark, root)
+    import os
+
+    assert os.path.exists(f"{gen}/_folded/mb7"), "folded manifest missing the bid"
+    # replay the folded batch: same bid, same docs
+    QD.prefix_index_append(spark, root, rest, bid="mb7")
+    s2, p2 = QD.read_prefix_index(spark, root)
+    assert s2.count() == n_before, "replay after compact duplicated doc rows"
+    assert s2.select("doc_id").distinct().count() == n_before
+    assert _ppj_key(D.set_similarity_join_from_tables(s2, p2, "doc_id", 0.5)) == before
+
+
+def test_prefix_index_compact_folds_straggler_batch(spark, tmp_path):
+    """r12 (ADVICE): a batch that finishes publishing AFTER compact's
+    initial listing (the straggler window) must not be silently dropped —
+    the straggler pass folds it into the new generation under the same
+    bid, and a later replay of that bid is still a no-op."""
+    QD, docs, base, rest, root = _prefix_fixture(spark, tmp_path, "pytest-straggler")
+    from msgraphdatapipelines_spark import sinks
+
+    fs, _, jvm = sinks._fs_for(spark, root)
+    hpath = jvm.org.apache.hadoop.fs.Path
+
+    def publish_straggler():
+        # models an appender that completed its publish but has not run
+        # its post-check yet (it would wait on our lease)
+        gen = QD.prefix_index_current_gen(spark, root)
+        QD._publish_batch(spark, fs, hpath, root, gen, rest, 3, 0.5, "late1")
+
+    QD.prefix_index_compact(spark, root, _test_hook_after_list=publish_straggler)
+    gen = QD.prefix_index_current_gen(spark, root)
+    import os
+
+    assert os.path.isdir(f"{gen}/sets/batch_late1"), "straggler not folded forward"
+    s, p = QD.read_prefix_index(spark, root)
+    got = _ppj_key(D.set_similarity_join_from_tables(s, p, "doc_id", 0.5))
+    all_grams = docs.select(
+        "doc_id", F.explode(D.word_ngrams(F.lower(F.col("text")), 3)).alias("g")
+    )
+    assert got == _ppj_key(D.set_similarity_join(all_grams, "doc_id", "g", 0.5))
+    # the straggler's appender loop would republish after our commit: no-op
+    n = s.count()
+    QD.prefix_index_append(spark, root, rest, bid="late1")
+    s2, _ = QD.read_prefix_index(spark, root)
+    assert s2.count() == n
+
+
+def test_prefix_index_compact_crash_before_commit_leaves_old_gen_live(spark, tmp_path):
+    """r12 (ADVICE): compact commits via ONE generation marker — a crash
+    after staging but before the commit leaves the previous generation
+    fully live (identical answers), releases the lease, and a re-run
+    compacts cleanly."""
+    import pytest
+
+    QD, docs, base, rest, root = _prefix_fixture(spark, tmp_path, "pytest-crash")
+    QD.prefix_index_append(spark, root, rest, bid="b1")
+    gen_before = QD.prefix_index_current_gen(spark, root)
+    before = _ppj_key(
+        D.set_similarity_join_from_tables(*QD.read_prefix_index(spark, root), "doc_id", 0.5)
+    )
+
+    def boom():
+        raise RuntimeError("injected crash before commit")
+
+    with pytest.raises(RuntimeError, match="injected crash"):
+        QD.prefix_index_compact(spark, root, _test_hook_before_commit=boom)
+    from msgraphdatapipelines_spark import sinks
+
+    fs, _, jvm = sinks._fs_for(spark, root)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    assert QD._live_leases(fs, hpath, root) == [], "crashed compact left its lease"
+    assert QD.prefix_index_current_gen(spark, root) == gen_before
+    mid = _ppj_key(
+        D.set_similarity_join_from_tables(*QD.read_prefix_index(spark, root), "doc_id", 0.5)
+    )
+    assert mid == before and len(before) > 0
+    stats = QD.prefix_index_compact(spark, root)
+    assert stats["batches_folded"] == 1
+    assert QD.prefix_index_current_gen(spark, root) != gen_before
+    after = _ppj_key(
+        D.set_similarity_join_from_tables(*QD.read_prefix_index(spark, root), "doc_id", 0.5)
+    )
+    assert after == before
+
+
+def test_prefix_index_concurrent_builders_commit_one_consistent_gen(spark, tmp_path):
+    """r12 (ADVICE): two concurrent builders on the same root must never
+    interleave overwrites into each other's tables — each stages under
+    its own uuid root and commits a whole immutable generation; the max
+    name wins and the reader sees ONE consistent vocab order (no
+    duplicate doc rows, join equals the direct operator)."""
+    import threading
+
+    QD, docs, base, rest, root0 = _prefix_fixture(spark, tmp_path, "pytest-racebuild")
+    # a fresh root for the race itself (the fixture already built root0)
+    root = root0 + "-race"
+    errs = []
+
+    def build():
+        try:
+            QD.prefix_index_build(spark, root, docs)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    ts = [threading.Thread(target=build) for _ in range(2)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert errs == []
+    s, p = QD.read_prefix_index(spark, root)
+    n = docs.count()
+    assert s.count() == n and s.select("doc_id").distinct().count() == n
+    all_grams = docs.select(
+        "doc_id", F.explode(D.word_ngrams(F.lower(F.col("text")), 3)).alias("g")
+    )
+    assert _ppj_key(
+        D.set_similarity_join_from_tables(s, p, "doc_id", 0.5)
+    ) == _ppj_key(D.set_similarity_join(all_grams, "doc_id", "g", 0.5))

@@ -910,17 +910,9 @@ def test_prefix_index_stream_ingest_equals_batch_build(spark, tmp_path):
     rest1 = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 200))
     rest2 = docs.filter(F.col("doc_id") >= 200)
 
-    # manual base build at a variant root (frozen vocab = base corpus)
+    # base build at a variant root (frozen vocab = base corpus)
     root = QD.prefix_index_root(str(sf), 3, 0.5, variant="pytest-stream")
-    grams = base.select(
-        "doc_id", F.explode(D.word_ngrams(F.lower(F.col("text")), 3)).alias("g")
-    )
-    grams.groupBy("g").agg(F.count("*").alias("__df")).write.parquet(f"{root}/vocab")
-    sets, prefixes = D.set_similarity_prefix_tables(
-        grams, "doc_id", "g", 0.5, vocab=spark.read.parquet(f"{root}/vocab")
-    )
-    sets.write.parquet(f"{root}/sets")
-    prefixes.write.parquet(f"{root}/prefixes")
+    QD.prefix_index_build(spark, root, base)
 
     schema = T.StructType(
         [
@@ -963,8 +955,9 @@ def test_prefix_index_stream_ingest_equals_batch_build(spark, tmp_path):
     direct = key(D.set_similarity_join(all_grams, "doc_id", "g", 0.5))
     assert streamed == direct and len(direct) > 0
     # two batch dirs landed
+    gen = QD.prefix_index_current_gen(spark, root)
     batches = sorted(
-        d for d in os.listdir(f"{root}/sets") if d.startswith("batch_")
+        d for d in os.listdir(f"{gen}/sets") if d.startswith("batch_")
     )
     assert batches == ["batch_b0", "batch_b1"]
     # replay of batch 0 (same deterministic bid) is a no-op
