@@ -126,18 +126,66 @@ _UNGROUPED_AGG = re.compile(r"Aggregate\(keys?=\[\]")  # HashAggregate keys=[], 
 _PARTIAL_FNS = re.compile(r"functions=\[\]|functions=\[[^\]]*(?:partial_|merge_)")
 
 
+# single-child nodes that preserve (or reduce) a 1-row stream — the only
+# nodes allowed between a scalar aggregate and the subtree root.  EXACT
+# names: a prefix match would let "Sort" swallow a grouped SortAggregate.
+_ROW_PRESERVING = frozenset(
+    {
+        "Project",
+        "Filter",
+        "Exchange",
+        "BroadcastExchange",
+        "ReusedExchange",
+        "Sort",
+        "InputAdapter",
+        "ColumnarToRow",
+        "RowToColumnar",
+        "AQEShuffleRead",
+        "CollectLimit",
+        "LocalLimit",
+        "GlobalLimit",
+        "Coalesce",
+        "AdaptiveSparkPlan",
+    }
+)
+
+
 def _subtree_is_scalar(node) -> bool:
-    """True when the subtree provably yields ≤ 1 row: it contains an
-    UNGROUPED final aggregate (``keys=[]``) with no join between it and
-    the root.  The pattern behind every legitimate 1-row broadcast —
-    corpus totals, χ² marginals, PSI reference mass, PageRank dangling
-    mass — which is a constant-size build side at ANY data scale."""
-    for d in _walk(node):
+    """True when the subtree PROVABLY yields ≤ 1 row: an UNGROUPED final
+    aggregate (``keys=[]``) at the root, allowing only single-child
+    row-preserving pass-through nodes above it.  The pattern behind every
+    legitimate 1-row broadcast — corpus totals, χ² marginals, PSI
+    reference mass, PageRank dangling mass — a constant-size build side
+    at ANY data scale.
+
+    r12 (ADVICE): the old version scanned the whole subtree pre-order and
+    returned True at the FIRST ungrouped aggregate found anywhere below —
+    wrongly classifying many-row shapes like ``Join(scalarAgg, bigTable)``
+    or ``Union(scalarAgg, bigScan)`` as scalar and suppressing the
+    cartesian-product lint.  Now the aggregate must BE the subtree modulo
+    pass-through nodes, so any Join/Union/Generate on the way down
+    disqualifies."""
+    d = node
+    while d is not None:
         name = d.nodeName()
-        if "Join" in name and d is not node:
-            return False
         if "Aggregate" in name and _UNGROUPED_AGG.search(_first_line(d)):
             return True
+        if "QueryStage" in name:
+            # AQE stage wrapper: subtree hangs off .plan(), not .children()
+            try:
+                d = d.plan()
+                continue
+            except Exception:  # noqa: BLE001 — stage not materialized yet
+                return False
+        if not (name in _ROW_PRESERVING or name.startswith("WholeStageCodegen")):
+            return False
+        it = d.children().iterator()
+        kids = []
+        while it.hasNext():
+            kids.append(it.next())
+        if len(kids) != 1:
+            return False
+        d = kids[0]
     return False
 
 

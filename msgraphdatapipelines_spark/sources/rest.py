@@ -89,6 +89,91 @@ class RetryPolicy:
         raise AssertionError("unreachable")
 
 
+def _fence_path(throttle_dir: str) -> str:
+    import os
+
+    return os.path.join(throttle_dir, "retry_after_fence")
+
+
+def _fence_wait(
+    throttle_dir: str,
+    sleeper: Callable[[float], None] = time.sleep,
+    now: Callable[[], float] = time.time,
+) -> None:
+    """Pause until the shared Retry-After fence (if any) has passed."""
+    try:
+        with open(_fence_path(throttle_dir), encoding="utf-8") as f:
+            until = float(f.read().strip() or 0)
+    except (FileNotFoundError, ValueError):
+        return
+    delay = until - now()
+    if delay > 0:
+        sleeper(delay)
+
+
+def _fence_raise(
+    throttle_dir: str, retry_after: float, now: Callable[[], float] = time.time
+) -> None:
+    """Record a server Retry-After so SIBLING partitions pause too.
+
+    Graph throttles PER APP, not per connection (`Invoke…ps1:138-148`
+    exists because of it) — so when one parallel page fetch is told to
+    back off, every other fetch hammering the same app budget should
+    honor the same hint.  Racers read-max-write; a lost update leaves a
+    still-valid (slightly shorter) server hint, never corruption (the
+    write is a tmp + atomic rename)."""
+    import os
+    import uuid
+
+    until = now() + retry_after
+    path = _fence_path(throttle_dir)
+    try:
+        with open(path, encoding="utf-8") as f:
+            if float(f.read().strip() or 0) >= until:
+                return
+    except (FileNotFoundError, ValueError):
+        pass
+    os.makedirs(throttle_dir, exist_ok=True)
+    tmp = f"{path}.{uuid.uuid4().hex[:6]}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(f"{until}")
+    os.replace(tmp, path)
+
+
+def fetch_with_shared_throttle(
+    url: str,
+    fetcher: Callable[[str], str] = None,  # type: ignore[assignment]
+    retry: "RetryPolicy | None" = None,
+    throttle_dir: str | None = None,
+    sleeper: Callable[[float], None] = time.sleep,
+) -> str:
+    """One page fetch under the SHARED throttle regime (r12, r11 VERDICT
+    item: the page-range planner's N parallel partitions each retried 429
+    independently, amplifying throttling against Graph's per-app limit).
+
+    With ``throttle_dir`` (a cluster-visible directory), every fetch
+    first waits out the shared Retry-After fence, and every 429 that
+    carries a Retry-After raises the fence for ALL partitions before the
+    caller's own RetryPolicy sleeps.  Without it, plain ``retry.run``."""
+    fetcher = fetcher or file_fetcher
+    retry = retry or RetryPolicy()
+    if not throttle_dir:
+        return retry.run(lambda: fetcher(url), sleeper)
+
+    def once() -> str:
+        _fence_wait(throttle_dir, sleeper)
+        try:
+            return fetcher(url)
+        except ThrottledError as e:
+            if e.retry_after is not None:
+                _fence_raise(
+                    throttle_dir, min(float(e.retry_after), retry.max_retry_after_s)
+                )
+            raise
+
+    return retry.run(once, sleeper)
+
+
 def file_fetcher(url: str) -> str:
     """Fetcher for local fixture pages (tests): url = filesystem path.
 
@@ -214,6 +299,8 @@ def read_odata(
     skip_url_template: str | None = None,
     page_size: int | None = None,
     count_url: str | None = None,
+    max_concurrent_fetch: int | None = None,
+    throttle_dir: str | None = None,
 ) -> DataFrame:
     """Read a full OData collection as a DataFrame.
 
@@ -263,6 +350,19 @@ def read_odata(
         )
         if count_url:
             reader = reader.option("count_url", count_url)
+        if top is not None and filter_expr is None and orderby is None:
+            # r12 (ADVICE): cap the planned skip range at $top — but only
+            # when no filter/orderby would make "first `top` raw rows" the
+            # wrong set (those are re-applied client-side AFTER fetching)
+            reader = reader.option("top_cap", str(top))
+        if max_concurrent_fetch:
+            # throttle governance (r12): Graph's 429 regime is PER APP, so
+            # unbounded parallel page fetches amplify throttling; the
+            # budget becomes the partition count (each task walks its
+            # chunk sequentially)
+            reader = reader.option("max_concurrent_fetch", str(max_concurrent_fetch))
+        if throttle_dir:
+            reader = reader.option("throttle_dir", throttle_dir)
         return _apply_client_side(reader.load(), select, filter_expr, expand, orderby, top)
     if fetcher is file_fetcher and HAS_PYTHON_DATASOURCE:
         probe = fetch_pages(url, fetcher, retry, sleeper, max_pages=datasource_page_threshold)
@@ -712,10 +812,21 @@ try:  # pragma: no cover - exercised in tests when the API exists
     from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
     class _PagePartition(InputPartition):
-        def __init__(self, url: str, body: str | None = None, path: str | None = None):
+        def __init__(
+            self,
+            url: str,
+            body: str | None = None,
+            path: str | None = None,
+            urls: list[str] | None = None,
+        ):
             self.url = url
             self.body = body  # embedded page body (small pages)
             self.path = path  # spill-file path (when spill_dir is set)
+            # r12: a CHUNK of page urls fetched sequentially by one task —
+            # how the planner bounds concurrent fetches structurally
+            # (partition count == concurrency budget; no cross-executor
+            # semaphore exists or is needed)
+            self.urls = urls
 
     class ODataDataSource(DataSource):
         """``spark.read.format("odata").schema(s).option("path", first_page)``
@@ -768,23 +879,57 @@ try:  # pragma: no cover - exercised in tests when the API exists
             # Cursor paging stays the default (Graph's delta endpoints
             # are cursor-only); range paging is the throughput path for
             # the plain collection reads the reference loops over.
+            # Skip-paging snapshot caveat (r12, ADVICE): the planned ranges
+            # assume a STABLE collection ordering between the count probe
+            # and the page fetches — rows inserted or deleted in between
+            # shift page boundaries, silently missing or duplicating rows
+            # at the seams, unlike the sequential nextLink cursor.  Prefer
+            # cursor paging for mutating collections; range paging is the
+            # throughput path for static/snapshot reads.
             template = self.options.get("skip_url_template")
             page_size = int(self.options.get("page_size", "0") or 0)
             if template and page_size > 0:
+                throttle_dir = self.options.get("throttle_dir")
                 count_url = self.options.get("count_url")
                 if count_url:
                     # Graph's /$count returns a bare integer body
-                    total = int(RetryPolicy().run(lambda: file_fetcher(count_url)).strip())
+                    total = int(
+                        fetch_with_shared_throttle(
+                            count_url, throttle_dir=throttle_dir
+                        ).strip()
+                    )
                 else:
                     # $count=true rides the first page as @odata.count
-                    first = RetryPolicy().run(
-                        lambda: file_fetcher(template.format(skip=0, top=page_size))
+                    first = fetch_with_shared_throttle(
+                        template.format(skip=0, top=page_size),
+                        throttle_dir=throttle_dir,
                     )
                     total = int(json.loads(first)["@odata.count"])
-                return [
-                    _PagePartition(template.format(skip=skip, top=page_size))
+                # r12 (ADVICE): don't plan the FULL collection when the
+                # caller asked for $top — read_odata forwards the cap only
+                # when no client-side $filter/$orderby reorders or thins
+                # the rows (capping the unfiltered prefix would then
+                # return the wrong set)
+                top_cap = int(self.options.get("top_cap", "0") or 0)
+                if top_cap > 0:
+                    total = min(total, top_cap)
+                urls = [
+                    template.format(skip=skip, top=page_size)
                     for skip in range(0, max(total, 1), page_size)
                 ]
+                # concurrency budget: at most max_concurrent_fetch tasks
+                # ever fetch simultaneously, because each task owns a
+                # contiguous chunk it walks sequentially
+                budget = int(self.options.get("max_concurrent_fetch", "0") or 0)
+                if budget > 0 and len(urls) > budget:
+                    per = -(-len(urls) // budget)  # ceil
+                    return [
+                        _PagePartition(chunk[0], urls=chunk)
+                        for chunk in (
+                            urls[i : i + per] for i in range(0, len(urls), per)
+                        )
+                    ]
+                return [_PagePartition(u) for u in urls]
             top = self.options.get("top")
             url = build_url(
                 self.options["path"],
@@ -848,37 +993,53 @@ try:  # pragma: no cover - exercised in tests when the API exists
                     if n >= 2:
                         break
                     _time.sleep(0.05)
+            throttle_dir = self.options.get("throttle_dir")
             if partition.body is not None:
-                body = partition.body
+                bodies = iter([partition.body])
             elif partition.path is not None:
                 with open(partition.path, encoding="utf-8") as f:
-                    body = f.read()
+                    bodies = iter([f.read()])
+            elif partition.urls:
+                # r12 chunked range fetch: sequential within the task (the
+                # concurrency budget), one body held at a time, every
+                # fetch under the shared Retry-After fence
+                bodies = (
+                    fetch_with_shared_throttle(u, throttle_dir=throttle_dir)
+                    for u in partition.urls
+                )
             else:
-                body = RetryPolicy().run(lambda: file_fetcher(partition.url))
-            recs = json.loads(body).get(VALUE, [])
+                bodies = iter(
+                    [
+                        fetch_with_shared_throttle(
+                            partition.url, throttle_dir=throttle_dir
+                        )
+                    ]
+                )
             delta = self.options.get("delta", "").lower() == "true"
             fields = [f.name for f in self.user_schema.fields]
             names = fields[:-1] if delta else fields
-            batch = None
-            try:
-                import pyarrow as pa
-                from pyspark.sql.pandas.types import to_arrow_schema
-
-                rows = [{n: rec.get(n) for n in names} for rec in recs]
-                if delta:
-                    for row, rec in zip(rows, recs):
-                        row[fields[-1]] = rec.get(REMOVED) is not None
-                batch = pa.RecordBatch.from_pylist(
-                    rows, schema=to_arrow_schema(self.user_schema)
-                )
-            except Exception:  # noqa: BLE001 — schema coercion failed: row fallback
+            for body in bodies:
+                recs = json.loads(body).get(VALUE, [])
                 batch = None
-            if batch is not None:
-                yield batch
-                return
-            for rec in recs:
-                t = tuple(rec.get(n) for n in names)
-                yield t + (rec.get(REMOVED) is not None,) if delta else t
+                try:
+                    import pyarrow as pa
+                    from pyspark.sql.pandas.types import to_arrow_schema
+
+                    rows = [{n: rec.get(n) for n in names} for rec in recs]
+                    if delta:
+                        for row, rec in zip(rows, recs):
+                            row[fields[-1]] = rec.get(REMOVED) is not None
+                    batch = pa.RecordBatch.from_pylist(
+                        rows, schema=to_arrow_schema(self.user_schema)
+                    )
+                except Exception:  # noqa: BLE001 — coercion failed: row fallback
+                    batch = None
+                if batch is not None:
+                    yield batch
+                    continue
+                for rec in recs:
+                    t = tuple(rec.get(n) for n in names)
+                    yield t + (rec.get(REMOVED) is not None,) if delta else t
 
     HAS_PYTHON_DATASOURCE = True
 except ImportError:  # pragma: no cover

@@ -869,6 +869,43 @@ def test_plan_lint_flags_each_hazard_and_passes_clean_plans(spark, sf_dir):
     )
 
 
+def test_lint_scalar_build_side_classifier(spark, sf_dir):
+    """r12 (ADVICE): _subtree_is_scalar must accept only a genuinely
+    ≤1-row build side.  A bare scalar aggregate (and one behind
+    pass-through Project/Filter) stays waived; a JOIN or UNION that merely
+    CONTAINS a scalar aggregate yields many rows and must be flagged —
+    the old pre-order scan returned True for those shapes."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+    # benign: broadcast a 1-row corpus total (with a projection above it)
+    total = li.agg(F.sum("l_quantity").alias("t")).select(
+        (F.col("t") / 100).alias("t100")
+    )
+    benign = li.crossJoin(F.broadcast(total)).select("l_orderkey", "t100")
+    assert not any(
+        f["rule"] == "cartesian-product" for f in plans.lint(benign)
+    ), "1-row broadcast total wrongly flagged"
+
+    # hazard: build side = Join(scalarAgg, bigTable) — many rows
+    fat_join = F.broadcast(total).crossJoin(o)
+    hazard1 = li.crossJoin(F.broadcast(fat_join))
+    assert any(
+        f["rule"] == "cartesian-product" for f in plans.lint(hazard1)
+    ), "Join(scalarAgg, bigTable) build side slipped the cartesian lint"
+
+    # hazard: build side = Union(scalarAgg, bigScan) — many rows
+    uni = total.select(F.col("t100").alias("v")).unionAll(
+        o.select(F.col("o_totalprice").alias("v"))
+    )
+    hazard2 = li.crossJoin(F.broadcast(uni))
+    assert any(
+        f["rule"] == "cartesian-product" for f in plans.lint(hazard2)
+    ), "Union(scalarAgg, bigScan) build side slipped the cartesian lint"
+
+
 def test_set_similarity_served_plan_has_zero_corpus_aggregation(spark, sf_dir, tmp_path):
     """r11 (r10 VERDICT item 3): the standing prefix-gram artifact — the
     served join's plan must read ONLY the msgdp_ppj_ artifact (no

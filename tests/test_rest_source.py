@@ -843,3 +843,144 @@ def test_read_odata_auto_switches_to_range_planner(spark, range_pages):
     )
     assert df.rdd.getNumPartitions() == 6
     assert sorted(r["id"] for r in df.collect()) == sorted(r["id"] for r in recs)
+
+# --- r12 (r11 VERDICT item 3): throttle governance for the range planner ------
+
+
+def test_page_range_concurrency_budget_bounds_parallel_fetches(
+    spark, range_pages, tmp_path
+):
+    """max_concurrent_fetch=N bounds simultaneous fetches STRUCTURALLY:
+    the planner emits exactly N partitions, each walking its chunk of
+    page urls sequentially — no semaphore, works on any cluster size —
+    and the result equals the unbounded plan."""
+    template, count_url, seq_first, recs = range_pages
+    if not rest.register_odata_source(spark):
+        pytest.skip("Python DataSource API unavailable")
+    reader = rest.ODataReader(
+        SCHEMA,
+        {"path": template, "skip_url_template": template, "page_size": "20",
+         "count_url": count_url, "max_concurrent_fetch": "2"},
+    )
+    parts = reader.partitions()
+    assert len(parts) == 2
+    assert sorted(u for p in parts for u in p.urls) == sorted(
+        template.format(skip=s, top=20) for s in range(0, 120, 20)
+    )
+    df = rest.read_odata(
+        spark, template, SCHEMA,
+        skip_url_template=template, page_size=20, count_url=count_url,
+        max_concurrent_fetch=2,
+    )
+    assert df.rdd.getNumPartitions() == 2
+    assert sorted(r["id"] for r in df.collect()) == sorted(r["id"] for r in recs)
+
+
+def test_page_range_top_cap_prunes_plan_only_when_safe(spark, range_pages):
+    """r12 (ADVICE): $top caps the planned skip range (3 pages for
+    top=50, not the full 6) — but NOT when a client-side $filter would
+    make 'first `top` raw rows' the wrong set; there the planner still
+    reads everything and filter→top apply client-side."""
+    template, count_url, _, recs = range_pages
+    if not rest.HAS_PYTHON_DATASOURCE:
+        pytest.skip("Python DataSource API unavailable")
+    # the planner prunes to ceil(50/20)=3 page partitions under the cap
+    # (the client-side limit() then collapses the RDD view, so assert on
+    # the reader's own planning)
+    reader = rest.ODataReader(
+        SCHEMA,
+        {"path": template, "skip_url_template": template, "page_size": "20",
+         "count_url": count_url, "top_cap": "50"},
+    )
+    assert len(reader.partitions()) == 3
+    capped = rest.read_odata(
+        spark, template, SCHEMA,
+        skip_url_template=template, page_size=20, count_url=count_url, top=50,
+    )
+    assert sorted(r["id"] for r in capped.collect()) == sorted(
+        r["id"] for r in recs[:50]
+    )
+    # filter + top: rows 100..119 match; a capped plan would return none
+    filtered = rest.read_odata(
+        spark, template, SCHEMA,
+        skip_url_template=template, page_size=20, count_url=count_url,
+        top=10, filter_expr="errorCode ge 100",
+    )
+    rows = filtered.collect()
+    assert len(rows) == 10 and all(r["errorCode"] >= 100 for r in rows)
+
+
+def test_shared_throttle_fence_across_partitions(tmp_path):
+    """r12: one partition's 429 Retry-After must pause SIBLING partitions
+    (Graph throttles per app), and the per-fetch retry budget stays
+    bounded.  Modeled with two simulated partitions sharing a
+    throttle_dir: A's 429 raises the fence; B — whose server would
+    answer instantly — first waits out A's hint."""
+    tdir = str(tmp_path / "throttle")
+    sleeps_a, sleeps_b = [], []
+    calls = {"a": 0, "b": 0}
+
+    def fetcher_a(url):
+        calls["a"] += 1
+        if calls["a"] == 1:
+            raise rest.ThrottledError(url, retry_after=5.0)
+        return '{"value": []}'
+
+    def fetcher_b(url):
+        calls["b"] += 1
+        return '{"value": []}'
+
+    policy = rest.RetryPolicy(max_retries=3, sleep_s=30.0)
+    body = rest.fetch_with_shared_throttle(
+        "u1", fetcher_a, policy, throttle_dir=tdir, sleeper=sleeps_a.append
+    )
+    assert body == '{"value": []}' and calls["a"] == 2
+    # A honored the server hint (5 s), not the 30 s policy interval
+    assert sleeps_a and sleeps_a[0] == 5.0
+    # B starts fresh — but the shared fence makes it wait ~the remaining
+    # Retry-After BEFORE its first fetch
+    rest.fetch_with_shared_throttle(
+        "u2", fetcher_b, policy, throttle_dir=tdir, sleeper=sleeps_b.append
+    )
+    assert calls["b"] == 1
+    assert len(sleeps_b) == 1 and 0 < sleeps_b[0] <= 5.0
+
+    # total-retry budget respected: an always-429 fetcher fails after
+    # max_retries+1 attempts, never loops on the fence
+    calls["c"] = 0
+
+    def fetcher_c(url):
+        calls["c"] += 1
+        raise rest.ThrottledError(url, retry_after=1.0)
+
+    with pytest.raises(rest.ThrottledError):
+        rest.fetch_with_shared_throttle(
+            "u3", fetcher_c, policy, throttle_dir=tdir, sleeper=lambda s: None
+        )
+    assert calls["c"] == policy.max_retries + 1
+
+
+def test_throttle_fence_without_hint_uses_policy_interval(tmp_path):
+    """A 429 with no Retry-After raises no fence (nothing to share) and
+    falls back to the policy's own interval."""
+    tdir = str(tmp_path / "throttle2")
+    sleeps = []
+    n = {"v": 0}
+
+    def fetcher(url):
+        n["v"] += 1
+        if n["v"] == 1:
+            raise rest.ThrottledError(url)
+        return "ok"
+
+    policy = rest.RetryPolicy(max_retries=2, sleep_s=7.0)
+    assert (
+        rest.fetch_with_shared_throttle(
+            "u", fetcher, policy, throttle_dir=tdir, sleeper=sleeps.append
+        )
+        == "ok"
+    )
+    assert sleeps == [7.0]
+    import os
+
+    assert not os.path.exists(os.path.join(tdir, "retry_after_fence"))
