@@ -736,6 +736,47 @@ def pq_topk(
     )
 
 
+def _adc_lut_expr(vcol: Column, ncol: Column, codebooks: list[list[list[float]]]) -> Column:
+    """The per-query ADC lookup table from ONE flat codebook literal
+    (r10): the unrolled form built m·ks per-codeword literal arrays
+    (~65k driver-side Column objects at the 16×256 config) and cost ~5 s
+    of plan construction per probe — pure driver overhead on the SERVE
+    path.  The per-entry dot keeps seq_dot's exact zip_with·aggregate
+    shape (same left-associated float order), so scores are
+    bit-identical and every generated oracle replays unchanged; the HOF
+    evaluation only runs on the broadcast query side."""
+    m = len(codebooks)
+    ks = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    unit = F.transform(vcol, lambda x: x / ncol)
+    flat_cb = _flat_double_array_literal(
+        [float(x) for s in range(m) for j in range(ks) for x in codebooks[s][j]]
+    )
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m * ks - 1)),
+        lambda e: F.aggregate(
+            F.zip_with(
+                F.slice(unit, (e / ks).cast("int") * dsub + 1, dsub),
+                F.slice(flat_cb, e * dsub + 1, dsub),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+
+
+def _adc_score_expr(m: int, ks: int) -> Column:
+    """Σ lut[s·ks + code[s]] — the asymmetric-distance score of one
+    indexed row against the joined query's lookup table."""
+    score = F.element_at(F.col("lut"), F.lit(1) + F.element_at(F.col("code"), 1))
+    for s in range(1, m):
+        score = score + F.element_at(
+            F.col("lut"), F.lit(s * ks + 1) + F.element_at(F.col("code"), s + 1)
+        )
+    return score
+
+
 def ivf_pq_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -810,30 +851,7 @@ def ivf_pq_topk(
         .withColumn("_n", F.sqrt(seq_dot(F.col("_v"), F.col("_v"))))
         .filter(F.col("_n") > 0)
     )
-    # LUT from ONE flat codebook literal (r10): the unrolled form built
-    # m·ks per-codeword literal arrays (~65k driver-side Column objects at
-    # the 16×256 config) and cost ~5 s of plan construction per probe —
-    # pure driver overhead on the SERVE path.  The per-entry dot keeps
-    # seq_dot's exact zip_with·aggregate shape (same left-associated float
-    # order), so scores are bit-identical and every generated oracle
-    # replays unchanged; the HOF evaluation only runs on the broadcast
-    # query side.
-    unit = F.transform(F.col("_v"), lambda x: x / F.col("_n"))
-    flat_cb = _flat_double_array_literal(
-        [float(x) for s in range(m) for j in range(ks) for x in codebooks[s][j]]
-    )
-    lut_col = F.transform(
-        F.sequence(F.lit(0), F.lit(m * ks - 1)),
-        lambda e: F.aggregate(
-            F.zip_with(
-                F.slice(unit, (e / ks).cast("int") * dsub + 1, dsub),
-                F.slice(flat_cb, e * dsub + 1, dsub),
-                lambda x, y: x * y,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ),
-    )
+    lut_col = _adc_lut_expr(F.col("_v"), F.col("_n"), codebooks)
     if len(usable) <= 64:
         # query-side probe only — flat-literal construction (r10)
         probed = F.slice(
@@ -866,11 +884,7 @@ def ivf_pq_topk(
         F.explode(F.transform(probed, lambda s: s["cent"])),
     ).select("qid", "cent", lut_col.alias("lut"))
 
-    score = F.element_at(F.col("lut"), F.lit(1) + F.element_at(F.col("code"), 1))
-    for s in range(1, m):
-        score = score + F.element_at(
-            F.col("lut"), F.lit(s * ks + 1) + F.element_at(F.col("code"), s + 1)
-        )
+    score = _adc_score_expr(m, ks)
     scored = (
         F.broadcast(q)
         .join(indexed, "cent")
@@ -1228,8 +1242,10 @@ def ivf_pq_index(
     centroids: list[tuple[int, list[float]]],
     codebooks: list[list[list[float]]],
     dim: int = 64,
+    meta_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """The persisted IVF+PQ index rows ``(cid, cent, code)`` for a corpus
+    """The persisted IVF+PQ index rows ``(cid, cent, code[, *meta_cols])``
+    for a corpus
     under FIXED trained models — exactly the artifact ``ivf_pq_topk``
     builds inline (similarity.py:733-741), factored out so it can be
     written once and APPENDED to incrementally (``ivf_incremental_append``)
@@ -1246,6 +1262,12 @@ def ivf_pq_index(
     standing index builds without the Catalyst expression-tree wall.
     One narrow map; no shuffle beyond the 1-row broadcast, no old-row
     access.
+
+    ``meta_cols`` (r12): corpus metadata columns carried into the index
+    layout verbatim — how the FILTERED serve path
+    (``filtered_ivf_pq_topk``) scopes probes to a predicate without
+    touching the corpus at query time (the vector-store "metadata
+    payload" pattern).
     """
     import math as _math
 
@@ -1257,7 +1279,10 @@ def ivf_pq_index(
         raise ValueError("ivf_pq_index: no non-zero-norm centroids")
     cv = F.col(vec_c).cast("array<double>")
     c = corpus.select(
-        F.col(id_c).alias("cid"), cv.alias("_cv"), F.sqrt(seq_dot(cv, cv)).alias("_cn")
+        F.col(id_c).alias("cid"),
+        cv.alias("_cv"),
+        F.sqrt(seq_dot(cv, cv)).alias("_cn"),
+        *[F.col(mc) for mc in meta_cols],
     ).filter(F.col("_cn") > 0)
     if len(usable) <= 64:
         entries = []
@@ -1280,7 +1305,7 @@ def ivf_pq_index(
             "cent",
         ).drop("_uv")
     enc = pq_encode(c.select("cid", F.col("_cv").alias("v")), "cid", "v", codebooks, dim=dim)
-    return c.select("cid", "cent").join(enc, "cid")
+    return c.select("cid", "cent", *meta_cols).join(enc, "cid")
 
 
 def ivf_incremental_append(
@@ -1291,6 +1316,7 @@ def ivf_incremental_append(
     centroids: list[tuple[int, list[float]]],
     codebooks: list[list[list[float]]],
     dim: int = 64,
+    meta_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Incremental ANN index maintenance — the similarity-side twin of
     ``dedup.lsh_incremental_assign``: a NEW vector batch is encoded under
@@ -1304,7 +1330,9 @@ def ivf_incremental_append(
     trained distribution (the published IVF re-balancing trade).
     ``index=None`` bootstraps an empty index (first batch).
     """
-    fresh = ivf_pq_index(new_vectors, id_c, vec_c, centroids, codebooks, dim=dim)
+    fresh = ivf_pq_index(
+        new_vectors, id_c, vec_c, centroids, codebooks, dim=dim, meta_cols=meta_cols
+    )
     return fresh if index is None else index.unionByName(fresh)
 
 
@@ -1396,4 +1424,142 @@ def filtered_brute_force_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select(F.col("qid"), F.col("cid"), F.round("score", 6).alias("score"), "rank")
+    )
+
+
+def filtered_ivf_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_q: str,
+    id_c: str,
+    vec_q: str,
+    vec_c: str,
+    label_q: str,
+    k: int = 5,
+    nprobe: int = 2,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    rerank: int = 50,
+    index: DataFrame | None = None,
+    label_lists: DataFrame | None = None,
+    dim: int = 64,
+) -> DataFrame:
+    """Metadata-FILTERED retrieval served FROM the standing IVF+PQ index
+    (r12, r11 VERDICT item 1): per query, probe the ``nprobe`` nearest
+    centroids WHOSE (label, cent) LIST IS NON-EMPTY and ADC-score only
+    the index rows matching the query's label — the per-list predicate
+    probe every production vector store runs for "search within a
+    filter", replacing the exact-but-brute-force
+    :func:`filtered_brute_force_topk` scan at scale.
+
+    Inputs beyond :func:`ivf_pq_topk`:
+
+    - ``index`` must carry the label payload column (built with
+      ``ivf_pq_index(..., meta_cols=(label,))``) — the probe join
+      filters on it directly, so the corpus is never consulted for
+      metadata at query time;
+    - ``label_lists`` is the persisted MODEL-SIZED (label, cent) summary
+      (≤ |labels|·|centroids| rows) that steers each query's probe to
+      centroids that actually contain its label — without it, a
+      selective label whose members live in unprobed lists would return
+      zero candidates (the post-filtering recall trap this operator
+      exists to avoid).
+
+    Plan: broadcast(label→cents map, model-sized) → per-query ranked
+    centroid structs filtered to the label's cents → slice nprobe →
+    explode → broadcast equi-join against the index on cent + label
+    equality (the probe touches nprobe label-scoped lists, never the
+    corpus) → ADC score → top-``rerank`` pool → exact cosine rerank (the
+    only corpus access: a candidate-sized id-lookup join for full
+    vectors, identical to ``ivf_pq_topk``'s rerank).  Recall caveat is
+    the standard IVF one scoped per label: exact within the probed
+    lists; raise nprobe (or rerank) for selective labels — at fixture
+    scale nprobe=2 of 8 lists reproduces the exact filtered ranking
+    (pinned by test_similarity's recall assertion).
+    """
+    if index is None or label_lists is None or centroids is None or codebooks is None:
+        raise ValueError(
+            "filtered_ivf_pq_topk serves from a standing artifact: pass index "
+            "(with the label payload), label_lists, centroids and codebooks"
+        )
+    m = len(codebooks)
+    ks = len(codebooks[0])
+    usable = [
+        (cid, cvec, math.sqrt(sum(x * x for x in cvec))) for cid, cvec in centroids
+    ]
+    usable = [t for t in usable if t[2] > 0]
+    if not usable:
+        raise ValueError("filtered_ivf_pq_topk: no non-zero-norm centroids")
+
+    qv = F.col(vec_q).cast("array<double>")
+    qn = (
+        queries.select(
+            F.col(id_q).alias("qid"), qv.alias("_v"), F.col(label_q).alias("_ql")
+        )
+        .withColumn("_n", F.sqrt(seq_dot(F.col("_v"), F.col("_v"))))
+        .filter(F.col("_n") > 0)
+    )
+    # label → cents-with-members, one broadcast row per label (model-sized)
+    ll = label_lists.groupBy(F.col(label_q).alias("_ql")).agg(
+        F.collect_set("cent").alias("_ll_cents")
+    )
+    qp = qn.join(F.broadcast(ll), "_ql")
+    if len(usable) <= 64:
+        ranked = _centroid_probe_structs(F.col("_v"), F.col("_n"), usable)
+    else:
+        # large-k path: centroids as broadcast data (ivf_pq_topk's
+        # Catalyst-tree-wall escape), identical (-cos, cent) ordering
+        cent_rows = [([(int(cid), [float(x) for x in cvec], float(cn))
+                       for cid, cvec, cn in usable],)]
+        cent_df = queries.sparkSession.createDataFrame(
+            cent_rows,
+            "_cents array<struct<cent: long, vec: array<double>, cn: double>>",
+        )
+        ranked = F.sort_array(
+            F.transform(
+                F.col("_cents"),
+                lambda c: F.struct(
+                    (-(seq_dot(F.col("_v"), c["vec"]) / (F.col("_n") * c["cn"]))).alias("ns"),
+                    c["cent"].alias("cent"),
+                ),
+            )
+        )
+        qp = qp.crossJoin(F.broadcast(cent_df))
+    probed = F.slice(
+        F.filter(ranked, lambda s: F.array_contains(F.col("_ll_cents"), s["cent"])),
+        1,
+        nprobe,
+    )
+    q = qp.withColumn(
+        "cent", F.explode(F.transform(probed, lambda s: s["cent"]))
+    ).select("qid", "_ql", "cent", _adc_lut_expr(F.col("_v"), F.col("_n"), codebooks).alias("lut"))
+
+    scored = (
+        F.broadcast(q)
+        .join(index, (q["cent"] == index["cent"]) & (q["_ql"] == index[label_q]))
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn("score", _adc_score_expr(m, ks))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
+    cand = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= rerank)
+        .select("qid", "cid")
+    )
+    cv = F.col(vec_c).cast("array<double>")
+    cfull = corpus.select(
+        F.col(id_c).alias("cid"), cv.alias("cv"), F.sqrt(seq_dot(cv, cv)).alias("cn")
+    ).filter(F.col("cn") > 0)
+    qfull = queries.select(F.col(id_q).alias("qid"), qv.alias("qv")).withColumn(
+        "qn", F.sqrt(seq_dot(F.col("qv"), F.col("qv")))
+    ).filter(F.col("qn") > 0)
+    exact = (
+        cand.join(F.broadcast(qfull), "qid")
+        .join(cfull, "cid")
+        .withColumn("score", seq_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", F.round("score", 6).alias("score"), "rank")
     )

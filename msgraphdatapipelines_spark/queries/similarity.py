@@ -819,15 +819,17 @@ def ann_srp_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_M, _PQ_KS = 8, 16
 
 
-def _ivf_pq_indexed_ctes(k: int, nprobe: int = NPROBE, rerank: int = 50) -> str:
-    """DuckDB replay of the index-backed retrieval path, ending in CTE
-    ``ivfpq`` = (qid, cid, score, rank): trained coarse quantizer
-    (``_kmeans_trained_cte``, bit-identical cross-engine) → corpus list
-    assignment + seed-codebook PQ encoding (the persisted index content)
-    → per-query nprobe probe → ADC scoring of probed lists only → exact
-    cosine rerank of the top-``rerank`` pool → top-``k``.  Every float
-    expression mirrors the Spark operator's accumulation order (the
-    ann_pq_topk / ann_kmeans_ivf_topk proofs composed)."""
+def _adc_score_sql(m: int = _PQ_M, ks: int = _PQ_KS) -> str:
+    return " + ".join(f"l.lut[{s}*{ks} + e.code[{s + 1}] + 1]" for s in range(m))
+
+
+def _ivf_pq_common_ctes() -> str:
+    """The serve replays' shared prefix, ending in CTE ``lut``: trained
+    coarse quantizer (``_kmeans_trained_cte``, bit-identical
+    cross-engine) → corpus list assignment + seed-codebook PQ encoding
+    (the persisted index content) → per-query ADC lookup tables.  Every
+    float expression mirrors the Spark operator's accumulation order
+    (the ann_pq_topk / ann_kmeans_ivf_topk proofs composed)."""
     m, ks = _PQ_M, _PQ_KS
     dsub = DIM // m
     d2 = " + ".join(
@@ -837,7 +839,6 @@ def _ivf_pq_indexed_ctes(k: int, nprobe: int = NPROBE, rerank: int = 50) -> str:
     lutdot = " + ".join(
         f"(q.u[b.s*{dsub}+{i}] * b.cw[{i}])" for i in range(1, dsub + 1)
     )
-    score = " + ".join(f"l.lut[{s}*{ks} + e.code[{s + 1}] + 1]" for s in range(m))
     subs = ", ".join(str(s) for s in range(m))
     return f"""{_kmeans_trained_cte()},
     trained_nz AS MATERIALIZED (
@@ -886,7 +887,17 @@ def _ivf_pq_indexed_ctes(k: int, nprobe: int = NPROBE, rerank: int = 50) -> str:
             WHERE q.vec_id < {N_QUERIES}
         )
         GROUP BY qid
-    ),
+    )"""
+
+
+def _ivf_pq_indexed_ctes(k: int, nprobe: int = NPROBE, rerank: int = 50) -> str:
+    """DuckDB replay of the index-backed retrieval path, ending in CTE
+    ``ivfpq`` = (qid, cid, score, rank): the shared prefix
+    (``_ivf_pq_common_ctes``) → per-query nprobe probe → ADC scoring of
+    probed lists only → exact cosine rerank of the top-``rerank`` pool →
+    top-``k``."""
+    score = _adc_score_sql()
+    return f"""{_ivf_pq_common_ctes()},
     qprobe AS MATERIALIZED (
         SELECT qid, cent FROM (
             SELECT q.vec_id AS qid, trained_nz.cent,
@@ -919,6 +930,64 @@ def _ivf_pq_indexed_ctes(k: int, nprobe: int = NPROBE, rerank: int = 50) -> str:
                    row_number() OVER (PARTITION BY c.qid
                                       ORDER BY {_cos('q.embedding', 'e.embedding')} DESC, c.cid) AS rn
             FROM ivfpq_cand c
+            JOIN embeddings q ON q.vec_id = c.qid
+            JOIN embeddings e ON e.vec_id = c.cid) t
+        WHERE rn <= {k}
+    )"""
+
+
+def _ivf_pq_filtered_ctes(k: int, nprobe: int = NPROBE, rerank: int = 50) -> str:
+    """DuckDB replay of the FILTERED serve path (r12), ending in CTE
+    ``ivfpq_f``: shared prefix → model-sized (label, cent) list summary →
+    per-query probe of the nprobe nearest centroids WHOSE LIST CONTAINS
+    THE QUERY'S LABEL → ADC scoring restricted to same-label rows of the
+    probed lists → exact cosine rerank of the pooled top-``rerank`` →
+    top-``k``.  Mirrors ``operators.similarity.filtered_ivf_pq_topk``
+    term by term (probe tie-break (cos DESC, cent), ADC accumulation
+    order, rerank (score DESC, cid))."""
+    score = _adc_score_sql()
+    return f"""{_ivf_pq_common_ctes()},
+    lab AS (SELECT vec_id, label FROM embeddings),
+    label_lists AS MATERIALIZED (
+        SELECT DISTINCT l.label, a.cent
+        FROM ix_assign a JOIN lab l ON l.vec_id = a.cid
+    ),
+    qprobe_f AS MATERIALIZED (
+        SELECT qid, label, cent FROM (
+            SELECT q.vec_id AS qid, ql.label, t.cent,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_cos('q.embedding', 'cvec')} DESC, t.cent) AS rn
+            FROM embeddings q
+            JOIN lab ql ON ql.vec_id = q.vec_id
+            JOIN label_lists ll ON ll.label = ql.label
+            JOIN trained_nz t ON t.cent = ll.cent
+            WHERE q.vec_id < {N_QUERIES} AND {_norm_pos('q.embedding')}) t
+        WHERE rn <= {nprobe}
+    ),
+    pq_scored_f AS MATERIALIZED (
+        SELECT l.qid, a.cid, {score} AS score
+        FROM lut l
+        JOIN qprobe_f p ON l.qid = p.qid
+        JOIN ix_assign a ON a.cent = p.cent
+        JOIN lab cl ON cl.vec_id = a.cid AND cl.label = p.label
+        JOIN enc e ON e.vec_id = a.cid
+        WHERE l.qid <> a.cid
+    ),
+    cand_f AS (
+        SELECT qid, cid FROM (
+            SELECT qid, cid,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY score DESC, cid) AS rn
+            FROM pq_scored_f) t
+        WHERE rn <= {rerank}
+    ),
+    ivfpq_f AS MATERIALIZED (
+        SELECT qid, cid, score, CAST(rn AS BIGINT) AS rank FROM (
+            SELECT c.qid, c.cid, {_cos('q.embedding', 'e.embedding')} AS score,
+                   row_number() OVER (PARTITION BY c.qid
+                                      ORDER BY {_cos('q.embedding', 'e.embedding')} DESC, c.cid) AS rn
+            FROM cand_f c
             JOIN embeddings q ON q.vec_id = c.qid
             JOIN embeddings e ON e.vec_id = c.cid) t
         WHERE rn <= {k}
@@ -969,7 +1038,7 @@ def standing_index_root(sf_dir: str, n_centroids: int = N_CENTROIDS) -> str:
 
     key = hashlib.md5(
         f"{os.path.abspath(sf_dir)}|{_corpus_fingerprint(sf_dir)}"
-        f"|{n_centroids}|{_PQ_M}|{_PQ_KS}|{DIM}|v1".encode()
+        f"|{n_centroids}|{_PQ_M}|{_PQ_KS}|{DIM}|v2".encode()
     ).hexdigest()[:16]
     return os.path.join(tempfile.gettempdir(), f"msgdp_ivfpq_{key}")
 
@@ -1019,9 +1088,22 @@ def ensure_standing_index(
         os.makedirs(root, exist_ok=True)
         with open(f"{root}/models.json", "w") as fh:
             json.dump({"centroids": cents, "codebooks": books}, fh)
-        S.ivf_pq_index(emb, "vec_id", "embedding", cents, books, dim=DIM).write.mode(
-            "overwrite"
-        ).parquet(f"{root}/batches/batch_id=0")
+        # r12: the index rows carry the label payload (meta_cols) so the
+        # FILTERED serve path probes the artifact alone — no corpus
+        # metadata access at query time
+        S.ivf_pq_index(
+            emb, "vec_id", "embedding", cents, books, dim=DIM, meta_cols=("label",)
+        ).write.mode("overwrite").parquet(f"{root}/batches/batch_id=0")
+        # model-sized probe steering table for filtered search: which
+        # centroid lists are non-empty per label (≤ |labels|·|centroids|
+        # rows).  Written BEFORE the snapshot pointer flip — the flip is
+        # the build's commit marker, so a crash here leaves no pointer
+        # and the next call rebuilds everything consistently.
+        from ..streaming.ann_stream import read_ann_index
+
+        read_ann_index(spark, f"{root}/batches").groupBy("label", "cent").agg(
+            F.count("*").alias("n")
+        ).write.mode("overwrite").parquet(f"{root}/label_lists")
         compact_ann_index(spark, f"{root}/batches", snap)
     with open(f"{root}/models.json") as fh:
         models = json.load(fh)
@@ -1274,4 +1356,56 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         K,
         match_cols=("label",),
+    )
+
+
+@register(
+    "ann_filtered_topk_served",
+    demoted=True,  # approximate twin: ann_filtered_topk (exact) is driver-graded
+    oracle=f"""
+    WITH {_ivf_pq_filtered_ctes(k=K, nprobe=2 * NPROBE)}
+    SELECT qid, cid, round(score, 6) AS score, rank FROM ivfpq_f
+    """,
+)
+def ann_filtered_topk_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search served FROM THE STANDING IVF+PQ
+    ARTIFACT (r12, r11 VERDICT item 1): the production twin of the graded
+    ``ann_filtered_topk``, which is exact brute force within the label
+    slice.  The artifact's index rows carry the label payload
+    (``meta_cols``) and a model-sized (label, cent) list summary steers
+    each query's nprobe probe to centroids that actually hold its label —
+    so serve cost tracks nprobe · label-scoped list size, never corpus
+    size, and a selective label cannot silently return zero candidates
+    (the post-filtering recall trap).  After first touch the query does
+    no corpus-sized aggregation: pointer resolve, label_lists read
+    (model-sized), probe, ADC, exact rerank of ≤50 candidates (full
+    vectors fetched by id — the only corpus access, identical to
+    ``ann_topk_served``).  The oracle replays the filtered probe against
+    the same deterministic artifact content; recall-vs-exact is pinned
+    separately in test_similarity against the brute-force row.
+
+    nprobe runs at 2× the unfiltered default — the standard vector-store
+    move under a filter, because the predicate thins each probed list so
+    the same candidate budget needs more lists.  Measured recall@5 vs
+    the exact row on this fixture (sf0.01): nprobe 2 → 0.57, 4 → 0.78,
+    6 → 0.92 — the knob a selective-label caller turns."""
+    emb = load(spark, sf_dir, "embeddings")
+    persisted, cents, books = ensure_standing_index(spark, sf_dir, emb)
+    ll = spark.read.parquet(f"{standing_index_root(sf_dir)}/label_lists")
+    return S.filtered_ivf_pq_topk(
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        emb,
+        "vec_id",
+        "vec_id",
+        "embedding",
+        "embedding",
+        "label",
+        k=K,
+        nprobe=2 * NPROBE,
+        centroids=cents,
+        codebooks=books,
+        rerank=50,
+        index=persisted,
+        label_lists=ll,
+        dim=DIM,
     )

@@ -80,10 +80,13 @@ def read_ann_index(spark: SparkSession, index_dir: str):
 
     df = spark.read.option("basePath", index_dir).parquet(index_dir)
     w = Window.partitionBy("cid").orderBy(F.desc("batch_id"))
+    # r12: keep any metadata payload columns (ivf_pq_index meta_cols —
+    # e.g. the filtered-serve label) alongside the core (cid, cent, code)
+    keep = [c for c in df.columns if c not in ("batch_id", "__rn")]
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter((F.col("__rn") == 1) & (F.col("cent") >= 0))
-        .select("cid", "cent", "code")
+        .select(*keep)
     )
 
 
