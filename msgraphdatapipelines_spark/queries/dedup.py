@@ -223,7 +223,14 @@ def _minhash_representatives_oracle(num_hashes: int = 8, bands: int = 4) -> str:
     """
 
 
-@register("dedup_minhash_representatives", oracle=_minhash_representatives_oracle())
+@register(
+    "dedup_minhash_representatives",
+    # r12: demoted in the rotation that promoted dedup_canonical_by_quality
+    # (same family, strictly richer policy: closure + quality argmax vs
+    # min-id representative); dedup_minhash_lsh stays driver-graded
+    demoted=True,
+    oracle=_minhash_representatives_oracle(),
+)
 def dedup_minhash_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O(n) near-dup representative selection (r4, found by the 100× sweep):
     the pair-emitting dedup_minhash_lsh is output-bound Θ(m²) per m-member
@@ -482,7 +489,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_embedding_representatives",
-    demoted=True,  # r11 rotation: representative machinery graded via dedup_minhash_representatives, embedding dedup via dedup_embedding_cosine
+    demoted=True,  # representative machinery graded via dedup_canonical_by_quality (r12), embedding dedup via dedup_embedding_cosine
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding, {_emb_bucket_sql()} AS bucket FROM embeddings),
     m AS (SELECT bucket, vec_id AS mid, embedding AS memb
@@ -1036,7 +1043,9 @@ def _ensure_incremental_prefix_index(
 
 @register(
     "set_similarity_join_docs_incremental",
-    demoted=True,  # exactness twin of the graded served row; incremental ingest path
+    # r12: PROMOTED to driver-graded (r11 VERDICT item 2) — the
+    # incremental-maintenance exactness claim (frozen-order appends lose
+    # no recall) faces the driver; array_set_ops_per_order demoted in trade.
     oracle=_TRIGRAM_PPJOIN_ORACLE,
 )
 def set_similarity_join_docs_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1212,7 +1221,9 @@ def _canonical_by_quality_oracle(threshold: float = 0.5) -> str:
 
 @register(
     "dedup_canonical_by_quality",
-    demoted=True,  # clustering machinery driver-graded via dedup_connected_components
+    # r12: PROMOTED to driver-graded (r11 VERDICT item 2) — the
+    # production keep-best policy (closure + exact-integer quality argmax);
+    # dedup_minhash_representatives (min-id policy, same family) demoted in trade.
     oracle=_canonical_by_quality_oracle(),
 )
 def dedup_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -48,6 +48,11 @@ def _bucket_expr(col: str, num_planes: int = 8) -> str:
 
 @register(
     "ann_bruteforce_topk",
+    # r12: demoted in the rotation that promoted ann_topk_served — the
+    # exact linear baseline stays oracle-checked under the pytest gate;
+    # it is also every recall row's ground truth, so its correctness is
+    # double-pinned
+    demoted=True,
     oracle=f"""
     WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
                WHERE vec_id < {N_QUERIES} AND {_norm_pos('embedding')}),
@@ -1293,7 +1298,9 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_topk_served",
-    demoted=True,  # retrieval family driver-graded via the ANN rows
+    # r12: PROMOTED to driver-graded (r11 VERDICT item 2) — the engine's
+    # flagship standing-index serving posture faces the driver directly;
+    # ann_bruteforce_topk (the linear baseline it replaces) demoted in trade.
     oracle=f"""
     WITH {_ivf_pq_indexed_ctes(k=K)}
     SELECT qid, cid, round(score, 6) AS score, rank FROM ivfpq
