@@ -11,6 +11,31 @@ from msgraphdatapipelines_spark.session import get_spark
 
 SF_DIR = "/root/testdata/sf0.001"
 
+# r12 (r11 VERDICT item 6): the two-lane protocol.  The full 17-minute
+# suite is structurally dominated by per-job scheduling latency across
+# ~400 tiny Spark jobs (measured r11; thread-count sweeps rejected), so
+# instead of cutting coverage the inner loop gets a `-m quick` lane:
+# plan lints over the graded surface, store/publish-protocol semantics,
+# and the source/sink unit modules.  The heavy lanes (111-row demoted
+# oracle gate, ANN/streaming e2e, operator batteries) stay in the full
+# suite, which remains the pre-commit/round gate.
+_QUICK_MODULES = {
+    "test_lint_gate",
+    "test_plans",
+    "test_graph_semantics",
+    "test_odata_filter_property",
+    "test_auth_and_rest_sink",
+    "test_files_and_skew",
+    "test_rest_source",
+    "test_sinks",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in _QUICK_MODULES:
+            item.add_marker(pytest.mark.quick)
+
 
 @pytest.fixture(scope="session")
 def spark():

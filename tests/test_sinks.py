@@ -1243,3 +1243,75 @@ def test_result_cache_two_concurrent_builders_race_safely(spark, tmp_path):
     # and a later serve is a pure artifact hit
     again = cache.serve_cached(spark, build(), [src], base_dir=base)
     assert all("msgdp_rc_" in f for f in again.inputFiles())
+
+
+def test_result_cache_misses_after_gdpr_erasure(spark, tmp_path):
+    """r12 (r11 VERDICT item 8): the result cache keys on recursive
+    leaf-file signatures, so a GDPR erasure REWRITE of the underlying
+    store must invalidate cached results naturally — re-serving the same
+    query after forget_keys (snapshot store) or scd2_forget_keys (SCD2
+    history store) is a MISS returning the scrubbed answer; a cache hit
+    here would resurrect forgotten rows, defeating the erasure."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from msgraphdatapipelines_spark import cache, sinks
+
+    base = str(tmp_path)
+
+    # --- snapshot store -------------------------------------------------
+    snap = str(tmp_path / "snap")
+    sinks.write_snapshot(
+        spark.createDataFrame([(i, f"u{i}") for i in range(50)], "id long, user string"),
+        snap,
+    )
+
+    def q_snap():
+        return sinks.read_snapshot(spark, snap).agg(F.count(F.lit(1)).alias("n"))
+
+    fp1 = cache.plan_fingerprint(spark, q_snap(), [snap])
+    assert cache.serve_cached(spark, q_snap(), [snap], base_dir=base).collect()[0]["n"] == 50
+    res = sinks.forget_keys(
+        spark, snap, ["id"], spark.createDataFrame([(7,), (13,)], "id long")
+    )
+    assert res["rows_removed"] == 2 and res["erased_versions"]
+    fp2 = cache.plan_fingerprint(spark, q_snap(), [snap])
+    assert fp2 != fp1, "erasure did not rotate the snapshot cache fingerprint"
+    assert cache.serve_cached(spark, q_snap(), [snap], base_dir=base).collect()[0]["n"] == 48
+
+    # --- SCD2 history store ----------------------------------------------
+    schema = T.StructType(
+        [T.StructField("id", T.StringType()), T.StructField("val", T.StringType())]
+    )
+    hist = str(tmp_path / "hist")
+    t1, t2 = dt.datetime(2024, 1, 1), dt.datetime(2024, 6, 1)
+    for eff, rows in ((t1, [("a", "1"), ("b", "1")]), (t2, [("a", "2"), ("b", "2")])):
+        cur, v = sinks.scd2_store_begin_round(spark, hist, schema)
+        upd = spark.createDataFrame(rows, schema).select(
+            "id", "val",
+            F.lit(eff).cast("timestamp").alias("effective_ts"),
+            F.lit(False).alias("_removed"),
+        )
+        merged = sinks.apply_scd2(cur, upd, ["id"], removed_col="_removed")
+        sinks.scd2_store_commit_round(spark, hist, merged, v)
+
+    def q_hist():
+        return (
+            sinks.read_scd2_history(spark, hist, schema)
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("versions"))
+        )
+
+    hfp1 = cache.plan_fingerprint(spark, q_hist(), [hist])
+    first = {(r["id"], r["versions"]) for r in
+             cache.serve_cached(spark, q_hist(), [hist], base_dir=base).collect()}
+    assert first == {("a", 2), ("b", 2)}
+    sinks.scd2_forget_keys(
+        spark, hist, ["id"], spark.createDataFrame([("a",)], "id string"), schema=schema
+    )
+    hfp2 = cache.plan_fingerprint(spark, q_hist(), [hist])
+    assert hfp2 != hfp1, "erasure did not rotate the SCD2 cache fingerprint"
+    fresh = {(r["id"], r["versions"]) for r in
+             cache.serve_cached(spark, q_hist(), [hist], base_dir=base).collect()}
+    assert fresh == {("b", 2)}, f"cache served resurrected rows: {fresh}"
