@@ -944,3 +944,42 @@ def test_set_similarity_served_plan_has_zero_corpus_aggregation(spark, sf_dir, t
     r1 = QD.prefix_index_root(str(my_sf), 3, 0.5)
     os.utime(str(my_sf / "documents.parquet"))
     assert QD.prefix_index_root(str(my_sf), 3, 0.5) != r1
+
+
+def test_canonical_by_quality_adds_one_narrow_exchange_over_closure(spark, sf_dir):
+    """r12 (r11 VERDICT item 9): the keep-best-quality policy on top of
+    the transitive closure must not re-shuffle the corpus.  Pin the plan:
+    the doc-score side JOINs as a BROADCAST (scores are two longs per
+    doc, no shuffle), and the only exchange added vs the plain closure
+    row is the window's hashpartitioning(component) over the NARROW
+    (doc_id, component, 2×long) frame — document text never enters a
+    shuffle."""
+    import re
+
+    from msgraphdatapipelines_spark.queries import REGISTRY
+
+    closure = REGISTRY["dedup_connected_components"].fn(spark, sf_dir)
+    canonical = REGISTRY["dedup_canonical_by_quality"].fn(spark, sf_dir)
+    p_closure = closure._jdf.queryExecution().executedPlan().toString()
+    p_canon = canonical._jdf.queryExecution().executedPlan().toString()
+
+    def shuffles(p):
+        return len(re.findall(r"Exchange hashpartitioning", p))
+
+    assert shuffles(p_canon) <= shuffles(p_closure) + 1, (
+        f"canonical added {shuffles(p_canon) - shuffles(p_closure)} shuffles"
+    )
+    # the exchange feeding the window is component-keyed (never a corpus
+    # /text re-shuffle); closure's localCheckpoint may absorb one of its
+    # own exchanges, hence <= above
+    added = [
+        ln for ln in p_canon.splitlines()
+        if "Exchange hashpartitioning(component" in ln
+    ]
+    assert added, "expected the window's component exchange"
+    # the quality scores reach the join as a broadcast
+    assert "BroadcastHashJoin" in p_canon or "BroadcastExchange" in p_canon
+    # no text column in any exchange line (narrow rows only)
+    for ln in p_canon.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "text#" not in ln, f"text shuffled: {ln.strip()[:120]}"
