@@ -10,10 +10,15 @@ corpus arrives batch by batch.
 Crash safety follows the house foreachBatch discipline (dedup_stream,
 ann_stream): each micro-batch appends under the DETERMINISTIC batch id,
 so a replayed batch finds its directories already published and becomes
-a no-op — no double-append, no duplicate pairs.  All heavy work is
-ordinary batch Spark inside ``foreachBatch``; the operator's exactness
-argument (a consistent total order preserves the prefix-filter theorem)
-applies to every batch identically.
+a no-op — no double-append, no duplicate pairs.  Under the r12
+generational protocol this idempotency survives COMPACTION too: a
+folded batch id lands in the new generation's ``_folded`` manifest, so
+a checkpoint replay of a compacted-away micro-batch is still a no-op,
+and an append racing a compact re-publishes into the new generation
+after waiting out the compaction lease (queries.dedup.prefix_index_append).
+All heavy work is ordinary batch Spark inside ``foreachBatch``; the
+operator's exactness argument (a consistent total order preserves the
+prefix-filter theorem) applies to every batch identically.
 """
 
 from __future__ import annotations
@@ -35,9 +40,9 @@ def prefix_index_stream(
     """Start the ingest stream: ``docs_dir`` is watched as a parquet file
     stream (one arriving file = one micro-batch); each batch's sets and
     prefix rows publish under ``batch_b<id>`` subdirs of the standing
-    index at ``root`` (which must already exist — built by
-    ensure_prefix_gram_index or an equivalent manual build, since the
-    frozen vocab is the order every batch sorts under)."""
+    index's LIVE GENERATION at ``root`` (which must already exist —
+    built by ensure_prefix_gram_index / prefix_index_build, since the
+    generation's frozen vocab is the order every batch sorts under)."""
     from ..queries.dedup import prefix_index_append
 
     def append(batch_df, batch_id: int) -> None:
