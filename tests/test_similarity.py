@@ -574,3 +574,45 @@ def test_filtered_serve_from_standing_index(spark, sf_dir, tmp_path):
     got = {(r["qid"], r["cid"]) for r in rows}
     recall = len(got & exact) / len(exact)
     assert recall >= 0.7, f"filtered-serve recall {recall:.2f} below floor"
+
+
+def test_filtered_ivf_pq_large_k_table_path(spark):
+    """r12: above 64 centroids filtered_ivf_pq_topk switches to the
+    broadcast centroid-table probe (the Catalyst-tree-wall escape).  Pin
+    that the filtered probe on that path (a) returns only same-label
+    hits, (b) only probes centroids holding the query's label, and (c)
+    with nprobe covering every list equals the label-sliced exact
+    brute-force ranking."""
+    import random
+
+    rng = random.Random(11)
+    dim = 8
+    n = 150
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(dim)], i % 3) for i in range(n)]
+    emb = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>, label int"
+    )
+    cents = [(ci, v) for ci, (_, v, _) in enumerate(vecs[:70])]  # k=70 > 64
+    books = S.pq_codebooks(emb, "vec_id", "embedding", m=2, ks=4, dim=dim)
+    ix = S.ivf_pq_index(
+        emb, "vec_id", "embedding", cents, books, dim=dim, meta_cols=("label",)
+    )
+    ll = ix.groupBy("label", "cent").count().select("label", "cent")
+    queries = emb.filter(F.col("vec_id") < 6)
+    got = S.filtered_ivf_pq_topk(
+        queries, emb, "vec_id", "vec_id", "embedding", "embedding", "label",
+        k=3, nprobe=70, centroids=cents, codebooks=books, rerank=n,
+        index=ix, label_lists=ll, dim=dim,
+    )
+    rows = got.collect()
+    labels = {i: lab for i, _, lab in vecs}
+    assert rows and all(labels[r["qid"]] == labels[r["cid"]] for r in rows)
+    # nprobe = all lists + rerank = corpus: must equal exact within slice
+    exact = S.filtered_brute_force_topk(
+        queries, emb, "vec_id", "vec_id", "embedding", "embedding",
+        k=3, match_cols=("label",),
+    )
+    key = lambda df: sorted(  # noqa: E731
+        (r["qid"], r["cid"], r["score"], r["rank"]) for r in df.collect()
+    )
+    assert key(got) == key(exact)
