@@ -1099,17 +1099,15 @@ def ensure_standing_index(
         S.ivf_pq_index(
             emb, "vec_id", "embedding", cents, books, dim=DIM, meta_cols=("label",)
         ).write.mode("overwrite").parquet(f"{root}/batches/batch_id=0")
-        # model-sized probe steering table for filtered search: which
-        # centroid lists are non-empty per label (≤ |labels|·|centroids|
-        # rows).  Written BEFORE the snapshot pointer flip — the flip is
-        # the build's commit marker, so a crash here leaves no pointer
-        # and the next call rebuilds everything consistently.
-        from ..streaming.ann_stream import read_ann_index
-
-        read_ann_index(spark, f"{root}/batches").groupBy("label", "cent").agg(
-            F.count("*").alias("n")
-        ).write.mode("overwrite").parquet(f"{root}/label_lists")
-        compact_ann_index(spark, f"{root}/batches", snap)
+        # compact publishes the model-sized (label, cent) probe-steering
+        # summary for filtered search BEFORE the snapshot pointer flips
+        # (the build's commit marker) — a crash in between leaves no
+        # pointer and the next call rebuilds everything consistently; a
+        # streaming-appended index refreshes the summary the same way at
+        # its next compaction
+        compact_ann_index(
+            spark, f"{root}/batches", snap, label_lists_path=f"{root}/label_lists"
+        )
     with open(f"{root}/models.json") as fh:
         models = json.load(fh)
     cents = [(int(c), v) for c, v in models["centroids"]]

@@ -40,19 +40,25 @@ def ann_index_stream(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    meta_cols: tuple[str, ...] = (),
 ) -> StreamingQuery:
     """Start the index-maintenance stream over an embedding file stream.
 
     ``vectors_dir`` is watched as a parquet file stream
     (``maxFilesPerTrigger=1`` — one arriving file = one batch).  Each
     batch: ``ivf_pq_index`` under the frozen models → index rows to
-    ``{index_dir}/batch_id=N/``.
+    ``{index_dir}/batch_id=N/``.  ``meta_cols`` (r12) carries metadata
+    payload columns (e.g. the filtered-serve label) into the appended
+    rows, matching a base index built with the same payload.
     """
 
     def append(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        rows = S.ivf_pq_index(batch_df, id_col, vec_col, centroids, codebooks, dim=dim)
+        rows = S.ivf_pq_index(
+            batch_df, id_col, vec_col, centroids, codebooks, dim=dim,
+            meta_cols=meta_cols,
+        )
         rows.write.mode("overwrite").parquet(f"{index_dir}/batch_id={batch_id}")
 
     return (
@@ -90,7 +96,13 @@ def read_ann_index(spark: SparkSession, index_dir: str):
     )
 
 
-def compact_ann_index(spark: SparkSession, index_dir: str, snapshot_root: str) -> int:
+def compact_ann_index(
+    spark: SparkSession,
+    index_dir: str,
+    snapshot_root: str,
+    label_lists_path: str | None = None,
+    label_col: str = "label",
+) -> int:
     """Materialize the batch-partitioned index's CURRENT view into a
     snapshot-versioned table (r8): the maintenance pass that keeps probe
     plans cheap once grow-only ``batch_id=N`` appends accumulate —
@@ -101,10 +113,36 @@ def compact_ann_index(spark: SparkSession, index_dir: str, snapshot_root: str) -
     ``sinks.read_snapshot(spark, snapshot_root)`` directly — no ranking
     window at query time — while the streaming appender keeps writing new
     batch partitions (compact again at the next window).  Returns the
-    published version."""
+    published version.
+
+    ``label_lists_path`` (r12): when the index carries a metadata payload
+    for FILTERED serving, the model-sized (label, cent) probe-steering
+    summary must track the compacted view — a stale summary would steer
+    a label's queries away from lists its NEW documents landed in
+    (silent recall loss, the staleness twin of the post-filtering trap).
+    The refresh publishes via staged write + rename BEFORE the snapshot
+    pointer flips, so a reader never resolves a newer snapshot with an
+    older summary."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
     from .. import sinks
 
-    return sinks.write_snapshot(read_ann_index(spark, index_dir), snapshot_root)
+    view = read_ann_index(spark, index_dir)
+    if label_lists_path is not None and label_col in view.columns:
+        fs, _, jvm = sinks._fs_for(spark, label_lists_path)
+        hpath = jvm.org.apache.hadoop.fs.Path
+        stage = f"{label_lists_path}.stage.{uuid.uuid4().hex[:8]}"
+        view.groupBy(label_col, "cent").agg(F.count("*").alias("n")).write.parquet(
+            stage
+        )
+        old = f"{label_lists_path}.old.{uuid.uuid4().hex[:8]}"
+        if fs.exists(hpath(label_lists_path)):
+            fs.rename(hpath(label_lists_path), hpath(old))
+        fs.rename(hpath(stage), hpath(label_lists_path))
+        fs.delete(hpath(old), True)
+    return sinks.write_snapshot(view, snapshot_root)
 
 
 def cm_rollup_stream(

@@ -616,3 +616,56 @@ def test_filtered_ivf_pq_large_k_table_path(spark):
         (r["qid"], r["cid"], r["score"], r["rank"]) for r in df.collect()
     )
     assert key(got) == key(exact)
+
+
+def test_compact_refreshes_label_lists_for_filtered_serve(spark, tmp_path):
+    """r12: a streaming-appended index batch introducing a NEW label must
+    become servable after the next compaction — compact_ann_index
+    refreshes the (label, cent) probe-steering summary from the resolved
+    view (staged rename, before the pointer flip), so filtered queries
+    for the new label probe the lists its documents landed in instead of
+    silently missing (the staleness twin of the post-filtering trap)."""
+    import random
+
+    from msgraphdatapipelines_spark import sinks
+    from msgraphdatapipelines_spark.streaming.ann_stream import compact_ann_index
+
+    rng = random.Random(3)
+    dim = 8
+    base = [(i, [rng.uniform(-1, 1) for _ in range(dim)], i % 2) for i in range(60)]
+    emb0 = spark.createDataFrame(base, "vec_id long, embedding array<double>, label int")
+    cents = [(ci, v) for ci, (_, v, _) in enumerate(base[:4])]
+    books = S.pq_codebooks(emb0, "vec_id", "embedding", m=2, ks=4, dim=dim)
+    root = str(tmp_path / "ix")
+    snap = f"{root}/snapshot"
+    ll_path = f"{root}/label_lists"
+    S.ivf_pq_index(
+        emb0, "vec_id", "embedding", cents, books, dim=dim, meta_cols=("label",)
+    ).write.parquet(f"{root}/batches/batch_id=0")
+    compact_ann_index(spark, f"{root}/batches", snap, label_lists_path=ll_path)
+    ll1 = spark.read.parquet(ll_path)
+    assert {r["label"] for r in ll1.select("label").distinct().collect()} == {0, 1}
+
+    # a later batch introduces label 2 (the streaming append shape)
+    newer = [
+        (100 + i, [rng.uniform(-1, 1) for _ in range(dim)], 2) for i in range(12)
+    ]
+    emb1 = spark.createDataFrame(newer, "vec_id long, embedding array<double>, label int")
+    S.ivf_pq_index(
+        emb1, "vec_id", "embedding", cents, books, dim=dim, meta_cols=("label",)
+    ).write.parquet(f"{root}/batches/batch_id=1")
+    compact_ann_index(spark, f"{root}/batches", snap, label_lists_path=ll_path)
+    ll2 = spark.read.parquet(ll_path)
+    assert 2 in {r["label"] for r in ll2.select("label").distinct().collect()}
+
+    # filtered serve for the new label finds its neighbors
+    all_emb = emb0.unionByName(emb1)
+    got = S.filtered_ivf_pq_topk(
+        emb1.limit(3), all_emb, "vec_id", "vec_id", "embedding", "embedding",
+        "label", k=3, nprobe=4, centroids=cents, codebooks=books, rerank=20,
+        index=sinks.read_snapshot(spark, snap), label_lists=ll2, dim=dim,
+    )
+    rows = got.collect()
+    assert rows and all(r["cid"] >= 100 for r in rows), (
+        "new-label hits must come from the appended batch"
+    )
