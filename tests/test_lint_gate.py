@@ -34,3 +34,22 @@ def test_every_graded_query_plan_passes_lint(spark, sf_dir):
         if "streaming" in q.fn.__module__:
             continue  # construction executes a stream; plans are memory-sink scans
         check_lint(name, q.fn(spark, sf_dir))
+
+
+def test_doc_surface_counts_match_runtime_registry():
+    """r12 (the recurring doc-drift item, now machine-enforced): every
+    count README/COVERAGE state for the query surface must equal the
+    runtime registry — the stale-count class of finding (r10 README:453,
+    r11 158-vs-160) can no longer recur silently."""
+    from msgraphdatapipelines_spark.queries import DEMOTED, REGISTRY
+
+    n_reg, n_dem = len(REGISTRY), len(DEMOTED)
+    total = n_reg + n_dem
+    for path in ("README.md", "COVERAGE.md"):
+        text = open(path, encoding="utf-8").read()
+        claim = f"{total} oracle-checked queries"
+        assert claim in text, (
+            f"{path} does not state '{claim}' (registry: {n_reg} graded "
+            f"+ {n_dem} demoted) — update the doc or the registry"
+        )
+        assert f"{n_reg} driver-graded" in text

@@ -2722,3 +2722,50 @@ def test_prefix_index_concurrent_builders_commit_one_consistent_gen(spark, tmp_p
     assert _ppj_key(
         D.set_similarity_join_from_tables(s, p, "doc_id", 0.5)
     ) == _ppj_key(D.set_similarity_join(all_grams, "doc_id", "g", 0.5))
+
+
+def test_prefix_index_stale_lease_is_ignored_and_gc_keeps_two_gens(spark, tmp_path):
+    """r12 protocol edges: (a) a lease file older than the TTL (a crashed
+    compactor) must not wedge appends — _wait_leases_clear returns
+    immediately; (b) repeated compaction keeps only the live + previous
+    generations (readers that resolved just before a commit still have
+    their files; older generations are swept)."""
+    import os
+    import time
+
+    from msgraphdatapipelines_spark import sinks
+    from msgraphdatapipelines_spark.queries import dedup as QD
+
+    QD2, docs, base, rest, root = _prefix_fixture(spark, tmp_path, "pytest-ttl")
+    fs, _, jvm = sinks._fs_for(spark, root)
+    hpath = jvm.org.apache.hadoop.fs.Path
+
+    # stale lease: mtime pushed past the TTL
+    stale = f"{root}/_compacting.deadbeef"
+    QD._marker_commit(fs, hpath, stale)
+    os.utime(stale, (time.time() - 2 * QD._LEASE_TTL_S,) * 2)
+    t0 = time.monotonic()
+    QD._wait_leases_clear(fs, hpath, root, timeout_s=5)
+    assert time.monotonic() - t0 < 2, "stale lease wedged the waiter"
+    # and appends proceed under it
+    QD.prefix_index_append(spark, root, rest, bid="ttl1")
+    os.remove(stale)
+
+    # three compacts → generations 1, 2, 3; only the last two survive
+    gens_seen = []
+    for _ in range(3):
+        QD.prefix_index_compact(spark, root)
+        gens_seen.append(os.path.basename(QD.prefix_index_current_gen(spark, root)))
+    live = sorted(
+        d for d in os.listdir(root)
+        if d.startswith("gen-") and os.path.exists(f"{root}/{d}/_commit")
+    )
+    assert len(live) == 2, f"GC kept {live}"
+    assert gens_seen[-1] in live and gens_seen[-2] in live
+    # the served answer is unchanged through all of it
+    s, p = QD.read_prefix_index(spark, root)
+    got = _ppj_key(D.set_similarity_join_from_tables(s, p, "doc_id", 0.5))
+    all_grams = docs.select(
+        "doc_id", F.explode(D.word_ngrams(F.lower(F.col("text")), 3)).alias("g")
+    )
+    assert got == _ppj_key(D.set_similarity_join(all_grams, "doc_id", "g", 0.5))
