@@ -1443,6 +1443,7 @@ def filtered_ivf_pq_topk(
     index: DataFrame | None = None,
     label_lists: DataFrame | None = None,
     dim: int = 64,
+    min_candidates: int = 0,
 ) -> DataFrame:
     """Metadata-FILTERED retrieval served FROM the standing IVF+PQ index
     (r12, r11 VERDICT item 1): per query, probe the ``nprobe`` nearest
@@ -1476,6 +1477,18 @@ def filtered_ivf_pq_topk(
     lists; raise nprobe (or rerank) for selective labels — at fixture
     scale nprobe=2 of 8 lists reproduces the exact filtered ranking
     (pinned by test_similarity's recall assertion).
+
+    ``min_candidates`` (r12): the CANDIDATE-BUDGET probe — the automatic
+    form of "raise nprobe under a selective filter".  When > 0 (requires
+    ``label_lists`` to carry per-list counts ``n``), each query keeps
+    extending past its ``nprobe`` nearest label-scoped lists until the
+    kept lists' cumulative membership reaches the budget (or the label's
+    lists are exhausted — then the search is exhaustive within the label
+    and exact).  A thin, scattered label automatically probes more
+    lists; a dense label stays at nprobe — per-query probe cost adapts
+    to predicate selectivity instead of a global knob.  The cumulative
+    cut is a higher-order fold over the MODEL-SIZED ranked-list array,
+    so it adds no corpus work and no shuffle.
     """
     if index is None or label_lists is None or centroids is None or codebooks is None:
         raise ValueError(
@@ -1500,9 +1513,23 @@ def filtered_ivf_pq_topk(
         .filter(F.col("_n") > 0)
     )
     # label → cents-with-members, one broadcast row per label (model-sized)
-    ll = label_lists.groupBy(F.col(label_q).alias("_ql")).agg(
-        F.collect_set("cent").alias("_ll_cents")
-    )
+    aggs = [F.collect_set("cent").alias("_ll_cents")]
+    if min_candidates > 0:
+        if "n" not in label_lists.columns:
+            raise ValueError(
+                "min_candidates requires label_lists with per-list counts ('n')"
+            )
+        aggs.append(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        F.col("cent").cast("long").alias("cent"),
+                        F.col("n").cast("long").alias("n"),
+                    )
+                )
+            ).alias("_ll_n")
+        )
+    ll = label_lists.groupBy(F.col(label_q).alias("_ql")).agg(*aggs)
     qp = qn.join(F.broadcast(ll), "_ql")
     if len(usable) <= 64:
         ranked = _centroid_probe_structs(F.col("_v"), F.col("_n"), usable)
@@ -1525,11 +1552,33 @@ def filtered_ivf_pq_topk(
             )
         )
         qp = qp.crossJoin(F.broadcast(cent_df))
-    probed = F.slice(
-        F.filter(ranked, lambda s: F.array_contains(F.col("_ll_cents"), s["cent"])),
-        1,
-        nprobe,
+    filtered = F.filter(
+        ranked, lambda s: F.array_contains(F.col("_ll_cents"), s["cent"])
     )
+    if min_candidates > 0:
+        # candidate-budget cut: keep the smallest ranked prefix whose
+        # cumulative list membership reaches the budget (never fewer
+        # than nprobe lists) — one fold over a ≤|centroids| array
+        counts = F.transform(
+            filtered, lambda s: F.element_at(F.col("_ll_n"), s["cent"].cast("long"))
+        )
+        keep = F.aggregate(
+            counts,
+            F.struct(
+                F.lit(0).cast("long").alias("cum"), F.lit(0).cast("int").alias("m")
+            ),
+            lambda acc, c: F.when(
+                acc["cum"] < F.lit(min_candidates),
+                F.struct(
+                    (acc["cum"] + c).alias("cum"), (acc["m"] + F.lit(1)).alias("m")
+                ),
+            ).otherwise(acc),
+            lambda acc: acc["m"],
+        )
+        probe_len = F.greatest(F.lit(nprobe), keep)
+    else:
+        probe_len = F.lit(nprobe)
+    probed = F.slice(filtered, 1, probe_len)
     q = qp.withColumn(
         "cent", F.explode(F.transform(probed, lambda s: s["cent"]))
     ).select("qid", "_ql", "cent", _adc_lut_expr(F.col("_v"), F.col("_n"), codebooks).alias("lut"))

@@ -669,3 +669,57 @@ def test_compact_refreshes_label_lists_for_filtered_serve(spark, tmp_path):
     assert rows and all(r["cid"] >= 100 for r in rows), (
         "new-label hits must come from the appended batch"
     )
+
+
+def test_filtered_probe_candidate_budget(spark, sf_dir, tmp_path):
+    """r12: min_candidates — the candidate-budget probe.  Brackets: with
+    budget 0 output is identical to the plain nprobe probe; with a budget
+    covering every label slice the probe is exhaustive within each label
+    and must EQUAL the exact brute-force filtered ranking (recall 1.0 by
+    construction — the adaptive knob's correctness ceiling)."""
+    from msgraphdatapipelines_spark.queries.similarity import (
+        DIM,
+        K,
+        N_QUERIES,
+        ensure_standing_index,
+        standing_index_root,
+    )
+
+    sf = sf_dir
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    persisted, cents, books = ensure_standing_index(spark, sf, emb)
+    ll = spark.read.parquet(f"{standing_index_root(sf)}/label_lists")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+
+    def serve(label_lists=None, **kw):
+        return S.filtered_ivf_pq_topk(
+            queries, emb, "vec_id", "vec_id", "embedding", "embedding", "label",
+            k=K, nprobe=2, centroids=cents, codebooks=books, rerank=50,
+            index=persisted, label_lists=ll if label_lists is None else label_lists,
+            dim=DIM, **kw,
+        )
+
+    key = lambda df: sorted(  # noqa: E731
+        (r["qid"], r["cid"], r["score"], r["rank"]) for r in df.collect()
+    )
+    assert key(serve(min_candidates=0)) == key(serve())
+
+    # budget >= the whole corpus: every label's lists all probed; with
+    # rerank >= slice size the result is exact within each label
+    n = emb.count()
+    exhaustive = S.filtered_ivf_pq_topk(
+        queries, emb, "vec_id", "vec_id", "embedding", "embedding", "label",
+        k=K, nprobe=2, centroids=cents, codebooks=books, rerank=int(n),
+        index=persisted, label_lists=ll, dim=DIM, min_candidates=int(n),
+    )
+    exact = S.filtered_brute_force_topk(
+        queries, emb, "vec_id", "vec_id", "embedding", "embedding", K,
+        match_cols=("label",),
+    )
+    assert key(exhaustive) == key(exact)
+
+    # missing counts -> loud error, not silent nprobe fallback
+    import pytest
+
+    with pytest.raises(ValueError, match="per-list counts"):
+        serve(min_candidates=10, label_lists=ll.select("label", "cent")).collect()
