@@ -964,3 +964,85 @@ def test_prefix_index_stream_ingest_equals_batch_build(spark, tmp_path):
     QD.prefix_index_append(spark, root, rest1, bid="b0")
     s3, p3 = QD.read_prefix_index(spark, root)
     assert key(D.set_similarity_join_from_tables(s3, p3, "doc_id", 0.5)) == direct
+
+
+def test_ann_index_stream_with_label_payload_serves_filtered(spark, tmp_path):
+    """r12 composed e2e: vectors arrive as two micro-batches with the
+    label payload (ann_index_stream meta_cols) → compact refreshes the
+    (label, cent) summary → the FILTERED serve over the compacted
+    snapshot equals the same serve over a one-shot batch index (and
+    every hit is same-label)."""
+    import os
+    import shutil
+    import time as _time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from msgraphdatapipelines_spark import sinks
+    from msgraphdatapipelines_spark.operators import similarity as S
+    from msgraphdatapipelines_spark.streaming.ann_stream import (
+        ann_index_stream,
+        compact_ann_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(200)
+    cents = S.kmeans_centroids(emb, "vec_id", "embedding", k=4, iters=1)
+    cb = S.pq_codebooks(emb, "vec_id", "embedding")
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    vec_dir = tmp_path / "vectors"
+    vec_dir.mkdir()
+    emb.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.parquet(str(tmp_path / "s1"))
+    emb.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.parquet(str(tmp_path / "s2"))
+    now = _time.time()
+    for i, stage in enumerate(("s1", "s2")):
+        for f in (tmp_path / stage).glob("*.parquet"):
+            dst = vec_dir / f"batch{i}_{f.name}"
+            shutil.copy(f, dst)
+            os.utime(dst, (now + 60 * i, now + 60 * i))
+
+    index_dir = str(tmp_path / "index")
+    q = ann_index_stream(
+        spark, str(vec_dir), schema, index_dir, str(tmp_path / "ckpt"),
+        cents, cb, meta_cols=("label",),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    snap = str(tmp_path / "snap")
+    ll_path = str(tmp_path / "label_lists")
+    compact_ann_index(spark, index_dir, snap, label_lists_path=ll_path)
+    ll = spark.read.parquet(ll_path)
+    snap_ix = sinks.read_snapshot(spark, snap)
+    assert "label" in snap_ix.columns
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    key = lambda df: sorted(  # noqa: E731
+        (r["qid"], r["cid"], r["score"], r["rank"]) for r in df.collect()
+    )
+    served = S.filtered_ivf_pq_topk(
+        queries, emb, "vec_id", "vec_id", "embedding", "embedding", "label",
+        k=3, nprobe=2, centroids=cents, codebooks=cb, rerank=30,
+        index=snap_ix, label_lists=ll,
+    )
+    batch_ix = S.ivf_pq_index(
+        emb, "vec_id", "embedding", cents, cb, meta_cols=("label",)
+    )
+    batch_ll = batch_ix.groupBy("label", "cent").agg(F.count("*").alias("n"))
+    direct = S.filtered_ivf_pq_topk(
+        queries, emb, "vec_id", "vec_id", "embedding", "embedding", "label",
+        k=3, nprobe=2, centroids=cents, codebooks=cb, rerank=30,
+        index=batch_ix, label_lists=batch_ll,
+    )
+    got = key(served)
+    assert got == key(direct) and len(got) > 0
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    assert all(labels[a] == labels[b] for a, b, _, _ in got)
