@@ -941,7 +941,9 @@ def _ivf_pq_indexed_ctes(k: int, nprobe: int = NPROBE, rerank: int = 50) -> str:
     )"""
 
 
-def _ivf_pq_filtered_ctes(k: int, nprobe: int = NPROBE, rerank: int = 50) -> str:
+def _ivf_pq_filtered_ctes(
+    k: int, nprobe: int = NPROBE, rerank: int = 50, min_candidates: int = 0
+) -> str:
     """DuckDB replay of the FILTERED serve path (r12), ending in CTE
     ``ivfpq_f``: shared prefix → model-sized (label, cent) list summary →
     per-query probe of the nprobe nearest centroids WHOSE LIST CONTAINS
@@ -949,26 +951,42 @@ def _ivf_pq_filtered_ctes(k: int, nprobe: int = NPROBE, rerank: int = 50) -> str
     probed lists → exact cosine rerank of the pooled top-``rerank`` →
     top-``k``.  Mirrors ``operators.similarity.filtered_ivf_pq_topk``
     term by term (probe tie-break (cos DESC, cent), ADC accumulation
-    order, rerank (score DESC, cid))."""
+    order, rerank (score DESC, cid)).
+
+    ``min_candidates`` replays the CANDIDATE-BUDGET probe: a ranked list
+    is kept iff its rank ≤ nprobe OR the membership of lists ranked
+    BEFORE it has not yet reached the budget (a running-sum window —
+    exactly the operator's fold, where element i is kept while
+    Σ n[0..i-1] < budget)."""
     score = _adc_score_sql()
+    if min_candidates > 0:
+        probe_pred = f"""rn <= {nprobe}
+               OR coalesce(sum(n) OVER (PARTITION BY qid ORDER BY rn
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  < {min_candidates}"""
+    else:
+        probe_pred = f"rn <= {nprobe}"
     return f"""{_ivf_pq_common_ctes()},
     lab AS (SELECT vec_id, label FROM embeddings),
     label_lists AS MATERIALIZED (
-        SELECT DISTINCT l.label, a.cent
+        SELECT l.label, a.cent, count(*) AS n
         FROM ix_assign a JOIN lab l ON l.vec_id = a.cid
+        GROUP BY 1, 2
     ),
     qprobe_f AS MATERIALIZED (
         SELECT qid, label, cent FROM (
-            SELECT q.vec_id AS qid, ql.label, t.cent,
-                   row_number() OVER (
-                       PARTITION BY q.vec_id
-                       ORDER BY {_cos('q.embedding', 'cvec')} DESC, t.cent) AS rn
-            FROM embeddings q
-            JOIN lab ql ON ql.vec_id = q.vec_id
-            JOIN label_lists ll ON ll.label = ql.label
-            JOIN trained_nz t ON t.cent = ll.cent
-            WHERE q.vec_id < {N_QUERIES} AND {_norm_pos('q.embedding')}) t
-        WHERE rn <= {nprobe}
+            SELECT *, {probe_pred} AS keep FROM (
+                SELECT q.vec_id AS qid, ql.label, t.cent, ll.n,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {_cos('q.embedding', 'cvec')} DESC, t.cent) AS rn
+                FROM embeddings q
+                JOIN lab ql ON ql.vec_id = q.vec_id
+                JOIN label_lists ll ON ll.label = ql.label
+                JOIN trained_nz t ON t.cent = ll.cent
+                WHERE q.vec_id < {N_QUERIES} AND {_norm_pos('q.embedding')}) r
+        ) t
+        WHERE keep
     ),
     pq_scored_f AS MATERIALIZED (
         SELECT l.qid, a.cid, {score} AS score
@@ -1413,4 +1431,44 @@ def ann_filtered_topk_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         index=persisted,
         label_lists=ll,
         dim=DIM,
+    )
+
+
+@register(
+    "ann_filtered_topk_budget",
+    demoted=True,  # adaptive-probe twin of ann_filtered_topk_served
+    oracle=f"""
+    WITH {_ivf_pq_filtered_ctes(k=K, nprobe=NPROBE, min_candidates=25)}
+    SELECT qid, cid, round(score, 6) AS score, rank FROM ivfpq_f
+    """,
+)
+def ann_filtered_topk_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CANDIDATE-BUDGET filtered search (r12): like
+    ``ann_filtered_topk_served`` but the probe extends past nprobe until
+    the kept label-scoped lists hold ≥ 25 candidates — the automatic
+    selectivity adaptation (a thin scattered label probes more lists, a
+    dense one stays at nprobe), replayed in the oracle as a running-sum
+    window over the ranked (label, cent, n) lists.  The budget fold runs
+    over the model-sized ranked array on the broadcast query side: no
+    corpus work, no extra shuffle vs the fixed-nprobe row."""
+    emb = load(spark, sf_dir, "embeddings")
+    persisted, cents, books = ensure_standing_index(spark, sf_dir, emb)
+    ll = spark.read.parquet(f"{standing_index_root(sf_dir)}/label_lists")
+    return S.filtered_ivf_pq_topk(
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        emb,
+        "vec_id",
+        "vec_id",
+        "embedding",
+        "embedding",
+        "label",
+        k=K,
+        nprobe=NPROBE,
+        centroids=cents,
+        codebooks=books,
+        rerank=50,
+        index=persisted,
+        label_lists=ll,
+        dim=DIM,
+        min_candidates=25,
     )
