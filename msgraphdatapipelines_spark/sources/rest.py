@@ -154,7 +154,14 @@ def fetch_with_shared_throttle(
     With ``throttle_dir`` (a cluster-visible directory), every fetch
     first waits out the shared Retry-After fence, and every 429 that
     carries a Retry-After raises the fence for ALL partitions before the
-    caller's own RetryPolicy sleeps.  Without it, plain ``retry.run``."""
+    caller's own RetryPolicy sleeps.  Without it, plain ``retry.run``.
+
+    ``throttle_dir`` must be a POSIX-accessible shared path (local dir
+    in local mode; NFS/EFS on a cluster): the fence is read inside
+    executor Python workers, which have no JVM gateway — object-store
+    URIs (s3://, abfs://) are not supported here.  Losing the fence
+    degrades gracefully to per-partition retries (the r11 behavior),
+    never to dropped pages."""
     fetcher = fetcher or file_fetcher
     retry = retry or RetryPolicy()
     if not throttle_dir:

@@ -723,3 +723,45 @@ def test_filtered_probe_candidate_budget(spark, sf_dir, tmp_path):
 
     with pytest.raises(ValueError, match="per-list counts"):
         serve(min_candidates=10, label_lists=ll.select("label", "cent")).collect()
+
+
+def test_filtered_serve_composite_predicate_via_derived_payload(spark):
+    """r12: multi-column filtered search composes through ONE derived
+    payload column — build the index with a concat-derived key (the
+    vector-store 'composite filter as a single payload' pattern) and
+    serve with the query's derived key; every hit matches BOTH columns,
+    and exhaustive-within-slice equals exact brute force on the pair."""
+    import random
+
+    rng = random.Random(5)
+    dim = 8
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)], i % 2, ("en", "de")[i % 3 == 0])
+        for i in range(120)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, tenant int, lang string"
+    ).withColumn("pk", F.concat_ws("\x1f", F.col("tenant"), F.col("lang")))
+    cents = [(ci, v) for ci, (_, v, _, _) in enumerate(rows[:5])]
+    books = S.pq_codebooks(emb, "vec_id", "embedding", m=2, ks=4, dim=dim)
+    ix = S.ivf_pq_index(
+        emb, "vec_id", "embedding", cents, books, dim=dim, meta_cols=("pk",)
+    )
+    ll = ix.groupBy("pk", "cent").agg(F.count("*").alias("n"))
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = S.filtered_ivf_pq_topk(
+        queries, emb, "vec_id", "vec_id", "embedding", "embedding", "pk",
+        k=3, nprobe=5, centroids=cents, codebooks=books, rerank=120,
+        index=ix, label_lists=ll, dim=dim,
+    )
+    res = got.collect()
+    meta = {i: (t, lg) for i, _, t, lg in rows}
+    assert res and all(meta[r["qid"]] == meta[r["cid"]] for r in res)
+    exact = S.filtered_brute_force_topk(
+        queries, emb, "vec_id", "vec_id", "embedding", "embedding", 3,
+        match_cols=("tenant", "lang"),
+    )
+    key = lambda df: sorted(  # noqa: E731
+        (r["qid"], r["cid"], r["score"], r["rank"]) for r in df.collect()
+    )
+    assert key(got) == key(exact)
