@@ -721,9 +721,16 @@ def _live_leases(fs, hpath, root: str) -> list[str]:
     return out
 
 
-def _wait_leases_clear(fs, hpath, root: str, timeout_s: float = 120.0) -> None:
+def _wait_leases_clear(fs, hpath, root: str, timeout_s: float | None = None) -> None:
+    """Block until no live compaction lease remains.  The default bound
+    is the lease TTL plus slack: a legitimate long compact (the 100×
+    fold runs minutes) must not make waiting appenders raise spuriously,
+    and a crashed compactor's lease goes stale at the TTL anyway — so
+    waiting longer than TTL+slack can never be necessary."""
     import time
 
+    if timeout_s is None:
+        timeout_s = _LEASE_TTL_S + 60.0
     t0 = time.time()
     while _live_leases(fs, hpath, root):
         if time.time() - t0 > timeout_s:
@@ -1105,6 +1112,26 @@ def prefix_index_compact(
         raise RuntimeError(f"compact already in progress under {root}")
     lease = f"{root}/_compacting.{uuid.uuid4().hex[:8]}"
     _marker_commit(fs, hpath, lease)
+    # heartbeat: a compact legitimately outlives the lease TTL (the 100×
+    # fold runs minutes), and a stale lease would release waiting
+    # appenders mid-compact — exactly the lost-batch window the lease
+    # exists to close.  Renew the mtime every TTL/4 until commit/abort;
+    # a CRASHED compactor stops renewing and goes stale at the TTL.
+    import threading
+    import time as _time
+
+    stop_hb = threading.Event()
+
+    def _heartbeat() -> None:
+        while not stop_hb.wait(_LEASE_TTL_S / 4):
+            try:
+                now_ms = int(_time.time() * 1000)
+                fs.setTimes(hpath(lease), now_ms, now_ms)
+            except Exception:  # noqa: BLE001 — lease deleted: exit quietly
+                return
+
+    hb = threading.Thread(target=_heartbeat, daemon=True)
+    hb.start()
     try:
         gens = _committed_gens(fs, hpath, root)
         if not gens:
@@ -1186,6 +1213,7 @@ def prefix_index_compact(
             fs.delete(hpath(f"{root}/{g}"), True)
         return {"docs": int(n_docs), "batches_folded": len(batches)}
     finally:
+        stop_hb.set()
         fs.delete(hpath(lease), False)
 
 def _canonical_by_quality_oracle(threshold: float = 0.5) -> str:

@@ -2769,3 +2769,30 @@ def test_prefix_index_stale_lease_is_ignored_and_gc_keeps_two_gens(spark, tmp_pa
         "doc_id", F.explode(D.word_ngrams(F.lower(F.col("text")), 3)).alias("g")
     )
     assert got == _ppj_key(D.set_similarity_join(all_grams, "doc_id", "g", 0.5))
+
+
+def test_compact_lease_heartbeat_outlives_ttl(spark, tmp_path, monkeypatch):
+    """r12: a compact running LONGER than the lease TTL must keep its
+    lease fresh (heartbeat renewal) — otherwise waiting appenders would
+    release mid-compact and their batches could be silently dropped, the
+    exact window the lease closes.  Shrink the TTL, hold the compact in
+    a hook past it, and assert the lease is still live from inside."""
+    import time
+
+    from msgraphdatapipelines_spark import sinks
+    from msgraphdatapipelines_spark.queries import dedup as QD
+
+    QD2, docs, base, rest, root = _prefix_fixture(spark, tmp_path, "pytest-hb")
+    fs, _, jvm = sinks._fs_for(spark, root)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    monkeypatch.setattr(QD, "_LEASE_TTL_S", 2.0)
+    seen = {}
+
+    def hold_past_ttl():
+        time.sleep(5.0)  # 2.5× the shrunken TTL
+        seen["live"] = QD._live_leases(fs, hpath, root)
+
+    stats = QD.prefix_index_compact(spark, root, _test_hook_after_list=hold_past_ttl)
+    assert stats["docs"] > 0
+    assert seen["live"], "lease went stale mid-compact despite the heartbeat"
+    assert QD._live_leases(fs, hpath, root) == [], "lease not released after commit"
