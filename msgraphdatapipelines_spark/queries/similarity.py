@@ -1382,6 +1382,33 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _load_label_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted (label, cent, n) probe-steering summary — with
+    crash-window recovery: compact_ann_index swaps the summary via two
+    renames, so a crash in between leaves the path briefly absent while
+    the snapshot is live; re-derive from the snapshot (one index-sized
+    agg — the same work compact would have done) and republish staged."""
+    import uuid
+
+    from .. import sinks
+
+    root = standing_index_root(sf_dir)
+    path = f"{root}/label_lists"
+    fs, _, jvm = sinks._fs_for(spark, path)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    if not fs.exists(hpath(path)):
+        ll = (
+            sinks.read_snapshot(spark, f"{root}/snapshot")
+            .groupBy("label", "cent")
+            .agg(F.count("*").alias("n"))
+        )
+        stage = f"{path}.stage.{uuid.uuid4().hex[:8]}"
+        ll.write.parquet(stage)
+        if fs.exists(hpath(path)) or not fs.rename(hpath(stage), hpath(path)):
+            fs.delete(hpath(stage), True)  # racer recovered first
+    return spark.read.parquet(path)
+
+
 @register(
     "ann_filtered_topk_served",
     demoted=True,  # approximate twin: ann_filtered_topk (exact) is driver-graded
@@ -1414,7 +1441,7 @@ def ann_filtered_topk_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     6 → 0.92 — the knob a selective-label caller turns."""
     emb = load(spark, sf_dir, "embeddings")
     persisted, cents, books = ensure_standing_index(spark, sf_dir, emb)
-    ll = spark.read.parquet(f"{standing_index_root(sf_dir)}/label_lists")
+    ll = _load_label_lists(spark, sf_dir)
     return S.filtered_ivf_pq_topk(
         emb.filter(F.col("vec_id") < N_QUERIES),
         emb,
@@ -1453,7 +1480,7 @@ def ann_filtered_topk_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus work, no extra shuffle vs the fixed-nprobe row."""
     emb = load(spark, sf_dir, "embeddings")
     persisted, cents, books = ensure_standing_index(spark, sf_dir, emb)
-    ll = spark.read.parquet(f"{standing_index_root(sf_dir)}/label_lists")
+    ll = _load_label_lists(spark, sf_dir)
     return S.filtered_ivf_pq_topk(
         emb.filter(F.col("vec_id") < N_QUERIES),
         emb,

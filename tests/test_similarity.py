@@ -765,3 +765,39 @@ def test_filtered_serve_composite_predicate_via_derived_payload(spark):
         (r["qid"], r["cid"], r["score"], r["rank"]) for r in df.collect()
     )
     assert key(got) == key(exact)
+
+
+def test_label_lists_crash_window_recovery(spark, tmp_path):
+    """r12: if the (label, cent) summary vanishes in compact's two-rename
+    crash window while the snapshot stays live, the filtered rows must
+    self-heal — _load_label_lists re-derives from the snapshot and
+    republishes, and the served answer is unchanged."""
+    import shutil
+
+    from msgraphdatapipelines_spark.queries.similarity import (
+        _load_label_lists,
+        ann_filtered_topk_served,
+        ensure_standing_index,
+        standing_index_root,
+    )
+
+    my_sf = tmp_path / "sf"
+    my_sf.mkdir()
+    shutil.copyfile(
+        "/root/testdata/sf0.001/embeddings.parquet", str(my_sf / "embeddings.parquet")
+    )
+    emb = spark.read.parquet(f"{my_sf}/embeddings.parquet")
+    ensure_standing_index(spark, str(my_sf), emb)
+    root = standing_index_root(str(my_sf))
+    key = lambda df: sorted(  # noqa: E731
+        (r["qid"], r["cid"], r["score"], r["rank"]) for r in df.collect()
+    )
+    before = key(ann_filtered_topk_served(spark, str(my_sf)))
+
+    shutil.rmtree(f"{root}/label_lists")  # simulate the crash window
+    ll = _load_label_lists(spark, str(my_sf))
+    assert ll.count() > 0
+    import os
+
+    assert os.path.isdir(f"{root}/label_lists"), "recovery did not republish"
+    assert key(ann_filtered_topk_served(spark, str(my_sf))) == before
