@@ -1289,3 +1289,49 @@ def dedup_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_distinct_tok",
         (F.row_number().over(w) == 1).alias("kept"),
     )
+
+
+def _ensure_compacted_prefix_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-80% → append-20% → COMPACT rehearsal artifact: the full
+    maintenance lifecycle under one end-to-end marker, so the served
+    answer after a re-freeze faces the quadratic oracle (the pytest
+    compact tests pin protocol mechanics; this row pins the MATH —
+    re-deriving sets/prefixes from stored gram arrays under the new
+    frozen order loses nothing)."""
+    from .. import sinks
+
+    root = prefix_index_root(sf_dir, 3, 0.5, variant="inccompact")
+    fs, _, jvm = sinks._fs_for(spark, root)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    marker = f"{root}/_cmp_ready"
+    if not fs.exists(hpath(marker)):
+        docs = load(spark, sf_dir, "documents")
+        cut = docs.selectExpr(
+            "percentile_approx(doc_id, 0.8, 10000) AS c"
+        ).first()["c"]
+        prefix_index_build(spark, root, docs.filter(F.col("doc_id") <= cut))
+        prefix_index_append(
+            spark, root, docs.filter(F.col("doc_id") > cut), bid="cmp0"
+        )
+        prefix_index_compact(spark, root)
+        _marker_commit(fs, hpath, marker)
+    return root
+
+
+@register(
+    "set_similarity_join_docs_compacted",
+    demoted=True,  # lifecycle twin of the graded served + incremental rows
+    oracle=_TRIGRAM_PPJOIN_ORACLE,
+)
+def set_similarity_join_docs_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12: the COMPACTED prefix-gram index must answer exactly like a
+    from-scratch build — build on ~80% of the corpus, append the rest
+    under the frozen order, re-freeze via prefix_index_compact (new
+    generation, rarest-first order restored, batches folded), then the
+    standard served join.  The quadratic full-corpus oracle equality is
+    the proof that compaction's array-rederivation under a NEW total
+    order is lossless — closing the maintenance lifecycle
+    (build → append → compact → serve) at the oracle level."""
+    root = _ensure_compacted_prefix_index(spark, sf_dir)
+    sets, prefixes = read_prefix_index(spark, root)
+    return D.set_similarity_join_from_tables(sets, prefixes, "doc_id", 0.5)
