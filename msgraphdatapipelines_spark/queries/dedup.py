@@ -1335,3 +1335,72 @@ def set_similarity_join_docs_compacted(spark: SparkSession, sf_dir: str) -> Data
     root = _ensure_compacted_prefix_index(spark, sf_dir)
     sets, prefixes = read_prefix_index(spark, root)
     return D.set_similarity_join_from_tables(sets, prefixes, "doc_id", 0.5)
+
+
+def read_prefix_index_bucketed(
+    spark: SparkSession, root: str, num_buckets: int = 32
+) -> tuple[DataFrame, DataFrame]:
+    """(sets, prefixes) with the PREFIX side served from a BUCKETED
+    standing table on the self-join key (r12, the PERF r12-addendum
+    lever): the served join's only corpus-sized shuffle is the prefix
+    self-join's 2× exchange on ``__pg`` (measured 830 MB of narrow rows
+    at 100×), which Spark re-creates every serve because parquet carries
+    no distribution metadata.  Registering the prefix rows once as a
+    CLUSTERED BY (__pg) external table (sinks.ensure_bucketed_table —
+    staged build, rename commit, DDL-only re-registration) removes that
+    exchange from every later serve.
+
+    Composition with the generational protocol: the bucketed layout
+    lives INSIDE the live generation directory, keyed by the generation
+    name + the exact batch-dir set it folded — an append or compact
+    mints a new key, so a stale bucketed snapshot can never serve (first
+    touch after a change pays one repartition pass, the same cost class
+    as the append itself).  Generations are immutable, so the bucketed
+    copy never drifts from its source rows."""
+    import hashlib
+
+    from .. import sinks
+
+    gen = prefix_index_current_gen(spark, root)
+    if gen is None:
+        raise FileNotFoundError(f"no committed prefix-gram generation under {root}")
+    fs, _, jvm = sinks._fs_for(spark, gen)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    bids = sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(hpath(f"{gen}/prefixes"))
+        if st.isDirectory() and st.getPath().getName().startswith("batch_")
+    )
+    sig = hashlib.md5(f"{gen}|{'|'.join(bids)}|b={num_buckets}".encode()).hexdigest()[:12]
+    path = f"{gen}/prefixes_bucketed_{sig}"
+    table = f"msgdp_ppjb_{sig}"
+    sinks.ensure_bucketed_table(
+        spark,
+        table,
+        path,
+        "__pg",
+        num_buckets,
+        build=lambda: spark.read.option("recursiveFileLookup", "true").parquet(
+            f"{gen}/prefixes"
+        ),
+        sort_col="__pg",
+    )
+    sets = spark.read.option("recursiveFileLookup", "true").parquet(f"{gen}/sets")
+    return sets, spark.table(table)
+
+
+@register(
+    "set_similarity_join_docs_bucketed",
+    demoted=True,  # shuffle-elimination twin of the graded served row
+    oracle=_TRIGRAM_PPJOIN_ORACLE,
+)
+def set_similarity_join_docs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12: the served exact-recall join with the prefix self-join's
+    shuffle ELIMINATED — prefixes registered once per (generation, batch
+    set) as a bucketed external table on ``__pg``, so both join sides
+    read co-bucketed files and Catalyst plans the equi-join with no
+    Exchange under it (plan-pinned in test_plans).  Answers must equal
+    the quadratic oracle exactly, like every other lifecycle row."""
+    root = ensure_prefix_gram_index(spark, sf_dir, n=3, threshold=0.5)
+    sets, prefixes = read_prefix_index_bucketed(spark, root)
+    return D.set_similarity_join_from_tables(sets, prefixes, "doc_id", 0.5)

@@ -983,3 +983,41 @@ def test_canonical_by_quality_adds_one_narrow_exchange_over_closure(spark, sf_di
     for ln in p_canon.splitlines():
         if "Exchange hashpartitioning" in ln:
             assert "text#" not in ln, f"text shuffled: {ln.strip()[:120]}"
+
+
+def test_bucketed_prefix_serve_eliminates_self_join_shuffle(spark, sf_dir, tmp_path):
+    """r12 (PERF r12-addendum lever): the bucketed standing prefix table
+    removes BOTH __pg exchanges from the served self-join (the measured
+    830 MB at 100×).  Broadcast is disabled for the comparison because
+    at fixture scale AQE would broadcast one side and hide the shuffle
+    the pin is about; results must match the plain path exactly."""
+    import re
+    import shutil
+
+    from msgraphdatapipelines_spark.operators import dedup as D
+    from msgraphdatapipelines_spark.queries import dedup as QD
+
+    my_sf = tmp_path / "sf"
+    my_sf.mkdir()
+    shutil.copyfile(f"{sf_dir}/documents.parquet", str(my_sf / "documents.parquet"))
+    root = QD.ensure_prefix_gram_index(spark, str(my_sf))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        def probe(reader):
+            sets, prefixes = reader(spark, root)
+            out = D.set_similarity_join_from_tables(sets, prefixes, "doc_id", 0.5)
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            n = len(re.findall(r"Exchange hashpartitioning\(__pg", plan))
+            rows = sorted(
+                (r["id_a"], r["id_b"], r["jaccard"]) for r in out.collect()
+            )
+            return n, rows
+
+        n_plain, r_plain = probe(QD.read_prefix_index)
+        n_buck, r_buck = probe(QD.read_prefix_index_bucketed)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert n_plain == 2, f"plain path shape changed (pg exchanges={n_plain})"
+    assert n_buck == 0, f"bucketed serve still shuffles on __pg ({n_buck})"
+    assert r_buck == r_plain and len(r_plain) > 0
