@@ -777,6 +777,86 @@ def _adc_score_expr(m: int, ks: int) -> Column:
     return score
 
 
+def _probe_cent_frame(
+    qn: DataFrame, usable, nprobe: int, payload: Column | None = None
+) -> DataFrame:
+    """``(qid, cent[, lut])`` — one row per (query, probed coarse list),
+    from a prepared ``(qid, _v, _n)`` query frame.  THE single definition
+    of which lists a query batch probes: ``ivf_pq_topk``'s candidate join
+    and :func:`probed_cent_values`' pushdown set both come from here, so
+    a pruned artifact scan can never miss a list the join would have
+    probed (divergence would be silent recall loss, not an error — the
+    join on ``cent`` simply finds no rows for the missing list).
+
+    ≤64 centroids: the flat-literal probe expression (r10) — the
+    oracle-replayable graded configuration.  Above: the broadcast
+    centroid-table path (r9: centroids as DATA through one O(1)-size
+    higher-order expression — the Catalyst-tree-wall escape; k=256
+    literal trees destabilized the driver, PERF.md late-r6).  Both score
+    by the identical (-cos, cent) lexicographic sort → same lowest-id
+    tie-break."""
+    if len(usable) <= 64:
+        probed = F.slice(
+            _centroid_probe_structs(F.col("_v"), F.col("_n"), usable), 1, nprobe
+        )
+        qp = qn
+    else:
+        cent_rows = [([(int(cid), [float(x) for x in cvec], float(cn))
+                       for cid, cvec, cn in usable],)]
+        cent_df = qn.sparkSession.createDataFrame(
+            cent_rows,
+            "_cents array<struct<cent: long, vec: array<double>, cn: double>>",
+        )
+        scored_tab = F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                (-(seq_dot(F.col("_v"), c["vec"]) / (F.col("_n") * c["cn"]))).alias("ns"),
+                c["cent"].alias("cent"),
+            ),
+        )
+        probed = F.slice(F.sort_array(scored_tab), 1, nprobe)
+        qp = qn.crossJoin(F.broadcast(cent_df))
+    out = qp.withColumn("cent", F.explode(F.transform(probed, lambda s: s["cent"])))
+    cols = ["qid", "cent"] + ([payload.alias("lut")] if payload is not None else [])
+    return out.select(*cols)
+
+
+def probed_cent_values(
+    queries: DataFrame,
+    id_q: str,
+    vec_q: str,
+    centroids: list[tuple[int, list[float]]],
+    nprobe: int,
+) -> list[int]:
+    """The DISTINCT coarse lists a query batch will probe, collected as a
+    sorted int list — PLANNING-sized state (≤ min(|Q|·nprobe, n_centroids)
+    values; the same class as the centroid/codebook collects), costing one
+    query-batch-sized job.
+
+    This is the probe-list-pushdown handle (late r12): a standing IVF+PQ
+    artifact published clustered by ``cent`` with a zone-map manifest
+    (``compact_ann_index(cluster_col="cent")``) is then read through
+    ``sinks.read_snapshot_pruned_in(snapshot, "cent", probed_cent_values
+    (...))`` — only the files holding probed lists open, instead of the
+    broadcast join scanning the whole artifact to drop ~(1 − nprobe/k) of
+    it.  Computed by the SAME :func:`_probe_cent_frame` expression the
+    join probes with, so pushdown and probe cannot disagree."""
+    usable = [
+        (cid, cvec, math.sqrt(sum(x * x for x in cvec))) for cid, cvec in centroids
+    ]
+    usable = [t for t in usable if t[2] > 0]
+    if not usable:
+        raise ValueError("probed_cent_values: no non-zero-norm centroids")
+    qv = F.col(vec_q).cast("array<double>")
+    qn = (
+        queries.select(F.col(id_q).alias("qid"), qv.alias("_v"))
+        .withColumn("_n", F.sqrt(seq_dot(F.col("_v"), F.col("_v"))))
+        .filter(F.col("_n") > 0)
+    )
+    frame = _probe_cent_frame(qn, usable, nprobe)
+    return sorted(r["cent"] for r in frame.select("cent").distinct().collect())
+
+
 def ivf_pq_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -852,37 +932,7 @@ def ivf_pq_topk(
         .filter(F.col("_n") > 0)
     )
     lut_col = _adc_lut_expr(F.col("_v"), F.col("_n"), codebooks)
-    if len(usable) <= 64:
-        # query-side probe only — flat-literal construction (r10)
-        probed = F.slice(
-            _centroid_probe_structs(F.col("_v"), F.col("_n"), usable), 1, nprobe
-        )
-        qp = qn
-    else:
-        # large-k probe (r9): centroids as BROADCAST DATA, one O(1)-size
-        # higher-order expression — same Catalyst-tree-wall escape as
-        # _with_nearest_centroid's table path (k=256 literal trees
-        # destabilized the driver, PERF.md late-r6); identical scoring
-        # ((-cos, cent) lexicographic sort → same lowest-id tie-break)
-        cent_rows = [([(int(cid), [float(x) for x in cvec], float(cn))
-                       for cid, cvec, cn in usable],)]
-        cent_df = queries.sparkSession.createDataFrame(
-            cent_rows,
-            "_cents array<struct<cent: long, vec: array<double>, cn: double>>",
-        )
-        scored_tab = F.transform(
-            F.col("_cents"),
-            lambda c: F.struct(
-                (-(seq_dot(F.col("_v"), c["vec"]) / (F.col("_n") * c["cn"]))).alias("ns"),
-                c["cent"].alias("cent"),
-            ),
-        )
-        probed = F.slice(F.sort_array(scored_tab), 1, nprobe)
-        qp = qn.crossJoin(F.broadcast(cent_df))
-    q = qp.withColumn(
-        "cent",
-        F.explode(F.transform(probed, lambda s: s["cent"])),
-    ).select("qid", "cent", lut_col.alias("lut"))
+    q = _probe_cent_frame(qn, usable, nprobe, payload=lut_col)
 
     score = _adc_score_expr(m, ks)
     scored = (

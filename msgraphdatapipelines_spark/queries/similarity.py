@@ -1061,7 +1061,7 @@ def standing_index_root(sf_dir: str, n_centroids: int = N_CENTROIDS) -> str:
 
     key = hashlib.md5(
         f"{os.path.abspath(sf_dir)}|{_corpus_fingerprint(sf_dir)}"
-        f"|{n_centroids}|{_PQ_M}|{_PQ_KS}|{DIM}|v2".encode()
+        f"|{n_centroids}|{_PQ_M}|{_PQ_KS}|{DIM}|v3".encode()
     ).hexdigest()[:16]
     return os.path.join(tempfile.gettempdir(), f"msgdp_ivfpq_{key}")
 
@@ -1123,8 +1123,18 @@ def ensure_standing_index(
         # pointer and the next call rebuilds everything consistently; a
         # streaming-appended index refreshes the summary the same way at
         # its next compaction
+        # late r12: the compaction publishes the snapshot CLUSTERED by the
+        # coarse list id (range-partitioned + sorted + zonemap manifest),
+        # sized so a file holds a handful of lists — the layout the
+        # probe-list pushdown path (ann_topk_served_pruned) skips files
+        # through; the key version above ("v3") retired pre-clustered
+        # artifacts so every standing index carries the manifest
         compact_ann_index(
-            spark, f"{root}/batches", snap, label_lists_path=f"{root}/label_lists"
+            spark,
+            f"{root}/batches",
+            snap,
+            label_lists_path=f"{root}/label_lists",
+            cluster_files=max(8, kc // 4),
         )
     with open(f"{root}/models.json") as fh:
         models = json.load(fh)
@@ -1337,6 +1347,85 @@ def ann_topk_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     rerank grew 1.36× at 100× corpus vs 15.8× for brute force)."""
     emb = load(spark, sf_dir, "embeddings")
     cand = indexed_candidates(spark, emb, k=K, sf_dir=sf_dir)
+    return cand.select(
+        "qid", "cid", F.round("score", 6).alias("score"), "rank"
+    )
+
+
+def indexed_candidates_pruned(
+    spark: SparkSession,
+    emb: DataFrame,
+    k: int,
+    nprobe: int = NPROBE,
+    rerank: int = 50,
+    sf_dir: str | None = None,
+) -> DataFrame:
+    """``indexed_candidates`` with PROBE-LIST PUSHDOWN (late r12): the
+    query batch's probed lists (``operators.similarity.probed_cent_values``
+    — planning-sized, computed by the same expression the join probes
+    with) prune the standing artifact's scan to only the files holding
+    those lists, through the zone-map manifest the clustered compaction
+    publishes (``sinks.read_snapshot_pruned_in``).
+
+    The candidate join already restricts to probed lists, so results are
+    IDENTICAL to the unpruned serve — what changes is I/O: the plain path
+    scans the whole artifact and lets the broadcast join drop
+    ~(1 − nprobe/n_centroids) of it; this path never reads those bytes.
+    At 100 TB with √n lists that is the difference between "scan the
+    index" and "read the probed slice" per query batch — the contiguous-
+    inverted-list access pattern FAISS/Milvus serve from, expressed as
+    clustered parquet + manifest pruning."""
+    if sf_dir is None:
+        raise ValueError(
+            "indexed_candidates_pruned serves from the standing artifact — "
+            "pass sf_dir (the corpus identity ensure_standing_index keys on)"
+        )
+    from .. import sinks
+
+    _, cents, books = ensure_standing_index(spark, sf_dir, emb)
+    probe_lists = S.probed_cent_values(
+        emb.filter(F.col("vec_id") < N_QUERIES), "vec_id", "embedding", cents, nprobe
+    )
+    pruned = sinks.read_snapshot_pruned_in(
+        spark, f"{standing_index_root(sf_dir)}/snapshot", "cent", probe_lists
+    )
+    return S.ivf_pq_topk(
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        emb,
+        "vec_id",
+        "vec_id",
+        "embedding",
+        "embedding",
+        k=k,
+        nprobe=nprobe,
+        centroids=cents,
+        codebooks=books,
+        rerank=rerank,
+        index=pruned,
+        dim=DIM,
+    )
+
+
+@register(
+    "ann_topk_served_pruned",
+    demoted=True,  # I/O twin of the driver-graded ann_topk_served (same oracle)
+    oracle=f"""
+    WITH {_ivf_pq_indexed_ctes(k=K)}
+    SELECT qid, cid, round(score, 6) AS score, rank FROM ivfpq
+    """,
+)
+def ann_topk_served_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ann_topk_served`` through probe-list pushdown (late r12): same
+    standing compacted IVF+PQ artifact, same probe, same rerank — but the
+    artifact scan opens ONLY the files whose zone-map interval holds a
+    probed list (the compaction clusters the snapshot by ``cent`` and
+    commits the manifest with the version).  The oracle is ann_topk_
+    served's verbatim: pruning is I/O elision, so the hash match proves
+    the file-skipped serve returns byte-identical results to the
+    full-scan serve — the safety argument for making pushdown the default
+    serving posture at scale."""
+    emb = load(spark, sf_dir, "embeddings")
+    cand = indexed_candidates_pruned(spark, emb, k=K, sf_dir=sf_dir)
     return cand.select(
         "qid", "cid", F.round("score", 6).alias("score"), "rank"
     )

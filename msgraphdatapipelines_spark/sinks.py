@@ -1494,6 +1494,67 @@ def scan_pruned(spark: SparkSession, path: str, col: str, lo, hi) -> DataFrame:
     )
 
 
+def scan_pruned_in(spark: SparkSession, path: str, col: str, values) -> DataFrame:
+    """IN-set scan through the zonemap (r12): open ONLY files whose
+    [min, max] interval contains at least one of ``values``, then apply
+    the residual ``isin`` filter — the set-membership sibling of
+    :func:`scan_pruned`'s single range.
+
+    The consumer this exists for is PROBE-LIST PUSHDOWN on a layout
+    clustered by a key whose interesting predicate is a small set, not a
+    range: an IVF index published sorted by list id (``compact_ann_index``)
+    is probed with the query batch's ``nprobe`` lists per query — a
+    model-sized int set — and this scan turns "read the whole artifact,
+    join drops the rest" into "open only the files holding probed lists"
+    (what FAISS/Milvus get from contiguous per-list storage).  Results are
+    identical to a full-scan ``isin`` — pruning is I/O elision, never a
+    semantic change.
+
+    ``values`` must be planning-sized (probe lists, bucket ids — the same
+    contract as the manifest collect): the overlap test is built as one
+    OR-of-intervals expression over the manifest, so thousands of values
+    belong in a Bloom manifest instead (:func:`scan_bloom_pruned`)."""
+    vals = sorted(set(values))
+    base = spark.read.parquet(path)
+    if not vals:
+        return base.filter(F.lit(False))
+    zm = spark.read.parquet(f"{path}/_zonemap")
+    cond = None
+    for v in vals:
+        c = (F.col(f"min_{col}") <= F.lit(v)) & (F.col(f"max_{col}") >= F.lit(v))
+        cond = c if cond is None else (cond | c)
+    files = [r["file"] for r in zm.filter(cond).select("file").collect()]
+    if not files:
+        return base.filter(F.lit(False))
+    return (
+        spark.read.option("basePath", path)
+        .schema(base.schema)
+        .parquet(*files)
+        .filter(F.col(col).isin(vals))
+    )
+
+
+def read_snapshot_pruned_in(
+    spark: SparkSession, root: str, col: str, values, version: int | None = None
+) -> DataFrame:
+    """IN-set scan of a snapshot-versioned table through its committed
+    zone-map manifest — :func:`read_snapshot_pruned`'s set-membership
+    sibling (see :func:`scan_pruned_in`).  Falls back to a plain
+    ``isin``-filtered read when the version carries no manifest (pruning
+    is an optimization, never a requirement — an artifact compacted
+    before the layout carried zonemaps still serves correctly)."""
+    if version is None:
+        version = _read_latest_version(spark, root)
+    vdir = f"{root}/v={version}"
+    fs, _, jvm = _fs_for(spark, vdir)
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{vdir}/_zonemap")):
+        vals = sorted(set(values))
+        return spark.read.parquet(vdir).filter(
+            F.col(col).isin(vals) if vals else F.lit(False)
+        )
+    return scan_pruned_in(spark, vdir, col, values)
+
+
 # --- late r10: file-level Bloom-filter manifests ---------------------------
 # The equality-pruning sibling of the zone-map layer above.  Zone maps
 # (min/max) prune RANGE predicates but are useless for point lookups on a

@@ -102,6 +102,8 @@ def compact_ann_index(
     snapshot_root: str,
     label_lists_path: str | None = None,
     label_col: str = "label",
+    cluster_col: str | None = "cent",
+    cluster_files: int | None = None,
 ) -> int:
     """Materialize the batch-partitioned index's CURRENT view into a
     snapshot-versioned table (r8): the maintenance pass that keeps probe
@@ -122,7 +124,23 @@ def compact_ann_index(
     (silent recall loss, the staleness twin of the post-filtering trap).
     The refresh publishes via staged write + rename BEFORE the snapshot
     pointer flips, so a reader never resolves a newer snapshot with an
-    older summary."""
+    older summary.
+
+    ``cluster_col`` (late r12): the compacted view is range-repartitioned
+    and sorted by the coarse list id and published WITH a zone-map
+    manifest (``write_snapshot(zonemap_cols=…)``), so each file covers a
+    narrow contiguous slice of lists — the contiguous-inverted-list
+    layout every production ANN store keeps, here expressed as plain
+    clustered parquet + the existing manifest layer.  A probe can then
+    push its list set into the scan (``sinks.read_snapshot_pruned_in``)
+    and open only the files holding probed lists, instead of scanning the
+    whole artifact for the broadcast join to drop ~(1 − nprobe/k) of it.
+    Compaction pays ONE extra shuffle for this (the maintenance window is
+    where clustering always gets paid — same trade as compact_snapshot's
+    Z-order); ``cluster_files=None`` lets the range partitioner size the
+    output from ``spark.sql.shuffle.partitions``, a standing index sizes
+    it ∝ n_centroids so a file holds a handful of lists.  ``None``
+    disables clustering (identical to the pre-r12 layout)."""
     import uuid
 
     from pyspark.sql import functions as F
@@ -142,6 +160,13 @@ def compact_ann_index(
             fs.rename(hpath(label_lists_path), hpath(old))
         fs.rename(hpath(stage), hpath(label_lists_path))
         fs.delete(hpath(old), True)
+    if cluster_col is not None and cluster_col in view.columns:
+        view = (
+            view.repartitionByRange(cluster_files, F.col(cluster_col))
+            if cluster_files
+            else view.repartitionByRange(F.col(cluster_col))
+        ).sortWithinPartitions(cluster_col)
+        return sinks.write_snapshot(view, snapshot_root, zonemap_cols=[cluster_col])
     return sinks.write_snapshot(view, snapshot_root)
 
 

@@ -801,3 +801,63 @@ def test_label_lists_crash_window_recovery(spark, tmp_path):
 
     assert os.path.isdir(f"{root}/label_lists"), "recovery did not republish"
     assert key(ann_filtered_topk_served(spark, str(my_sf))) == before
+
+
+def test_pruned_serve_identical_and_skips_files(spark, sf_dir, tmp_path):
+    """late r12: probe-list pushdown for the standing-index serve.  Pins
+    (a) the full-batch pruned serve is row-identical to the plain serve
+    (pruning is I/O elision — the same guarantee the shared oracle hash
+    proves at sf0.01); (b) the clustered compaction committed the
+    zone-map manifest WITH the snapshot version; (c) a narrow query batch
+    opens STRICTLY fewer artifact files than the full scan while reading
+    every probed list that exists in the index — the superset-safety
+    argument (a pruned read missing a probed list would be silent recall
+    loss; equality with the unpruned frame rules it out)."""
+    import os
+    import shutil
+
+    from msgraphdatapipelines_spark import sinks
+    from msgraphdatapipelines_spark.operators.similarity import probed_cent_values
+    from msgraphdatapipelines_spark.queries.similarity import (
+        NPROBE,
+        ann_topk_served,
+        ann_topk_served_pruned,
+        ensure_standing_index,
+        standing_index_root,
+    )
+
+    my_sf = tmp_path / "sf"
+    my_sf.mkdir()
+    shutil.copyfile(
+        f"{sf_dir}/embeddings.parquet", str(my_sf / "embeddings.parquet")
+    )
+    sf = str(my_sf)
+
+    key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert key(ann_topk_served_pruned(spark, sf)) == key(ann_topk_served(spark, sf))
+
+    emb = spark.read.parquet(f"{my_sf}/embeddings.parquet")
+    _, cents, _ = ensure_standing_index(spark, sf, emb)
+    root = standing_index_root(sf)
+    v = sinks._read_latest_version(spark, f"{root}/snapshot")
+    assert os.path.isdir(f"{root}/snapshot/v={v}/_zonemap"), (
+        "clustered compaction did not commit the zone-map manifest"
+    )
+
+    # 3 queries x nprobe=2 probe at most 6 of the 8 lists: strict subset
+    probe = probed_cent_values(
+        emb.filter(F.col("vec_id") < 3), "vec_id", "embedding", cents, NPROBE
+    )
+    assert 0 < len(probe) < len(cents)
+    full = sinks.read_snapshot(spark, f"{root}/snapshot")
+    pruned = sinks.read_snapshot_pruned_in(spark, f"{root}/snapshot", "cent", probe)
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    got = {r["cent"] for r in pruned.select("cent").distinct().collect()}
+    expect = {
+        r["cent"]
+        for r in full.filter(F.col("cent").isin(probe))
+        .select("cent")
+        .distinct()
+        .collect()
+    }
+    assert got == expect and got <= set(probe)

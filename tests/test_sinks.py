@@ -1315,3 +1315,47 @@ def test_result_cache_misses_after_gdpr_erasure(spark, tmp_path):
     fresh = {(r["id"], r["versions"]) for r in
              cache.serve_cached(spark, q_hist(), [hist], base_dir=base).collect()}
     assert fresh == {("b", 2)}, f"cache served resurrected rows: {fresh}"
+
+
+def test_scan_pruned_in_set_membership(spark, tmp_path):
+    """late r12: IN-set zonemap pruning (scan_pruned_in /
+    read_snapshot_pruned_in — the probe-list-pushdown consumer layer).
+    A key-clustered layout opens ONLY the files whose [min, max] holds a
+    probed value, results equal the full-scan isin, the empty set yields
+    an empty frame, and a manifest-less snapshot version falls back to a
+    plain filtered read (pruning optional, never required)."""
+    from pyspark.sql import functions as F
+
+    from msgraphdatapipelines_spark import sinks
+
+    df = spark.range(0, 400).withColumn("k", (F.col("id") / 100).cast("long"))
+    path = str(tmp_path / "t")
+    # directory-partitioned by k: exactly one key per file, deterministic
+    df.repartition(1).write.partitionBy("k").parquet(path)
+    sinks.build_zonemap(spark, path, ["k"])
+
+    pr = sinks.scan_pruned_in(spark, path, "k", [3, 0])
+    assert len(pr.inputFiles()) == 2  # two probed keys -> two files opened
+    assert pr.count() == 200
+    assert {r["k"] for r in pr.select("k").distinct().collect()} == {0, 3}
+    assert sinks.scan_pruned_in(spark, path, "k", []).count() == 0
+    # values outside every file interval: nothing opens, empty result
+    assert sinks.scan_pruned_in(spark, path, "k", [99]).count() == 0
+
+    # snapshot WITHOUT a manifest: correct fallback (plain isin read)
+    snap = str(tmp_path / "snap")
+    sinks.write_snapshot(df, snap)
+    fb = sinks.read_snapshot_pruned_in(spark, snap, "k", [1, 2])
+    assert fb.count() == 200
+
+    # snapshot WITH a manifest: committed with the version, prunes
+    snap2 = str(tmp_path / "snap2")
+    sinks.write_snapshot(
+        df.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        snap2,
+        zonemap_cols=["k"],
+    )
+    full = sinks.read_snapshot(spark, snap2)
+    pr2 = sinks.read_snapshot_pruned_in(spark, snap2, "k", [2])
+    assert len(pr2.inputFiles()) < len(full.inputFiles())
+    assert pr2.count() == 100
