@@ -874,6 +874,7 @@ def ivf_pq_topk(
     codebooks: list[list[list[float]]] | None = None,
     rerank: int = 0,
     index: DataFrame | None = None,
+    index_pruner=None,
 ) -> DataFrame:
     """IVF + PQ — the composed billion-scale ANN shape: the coarse
     quantizer (IVF centroids) restricts each query to its ``nprobe``
@@ -919,11 +920,9 @@ def ivf_pq_topk(
     # the persisted artifact, maintained incrementally with
     # ivf_incremental_append and passed in via ``index=`` (r7); rebuilt
     # only when the models retrain
-    indexed = (
-        index
-        if index is not None
-        else ivf_pq_index(corpus, id_c, vec_c, centroids, codebooks, dim=dim)
-    )
+    indexed = index
+    if indexed is None and index_pruner is None:
+        indexed = ivf_pq_index(corpus, id_c, vec_c, centroids, codebooks, dim=dim)
 
     qv = F.col(vec_q).cast("array<double>")
     qn = (
@@ -933,6 +932,16 @@ def ivf_pq_topk(
     )
     lut_col = _adc_lut_expr(F.col("_v"), F.col("_n"), codebooks)
     q = _probe_cent_frame(qn, usable, nprobe, payload=lut_col)
+    if index_pruner is not None:
+        # probe-list pushdown (late r12): collect THE JOIN'S OWN probe
+        # frame's distinct lists (query-batch-sized job, planning-sized
+        # result) and let the caller hand back a file-pruned slice of the
+        # standing artifact (sinks.read_snapshot_pruned_in) — exact by
+        # construction, because the pruning set and the join probe the
+        # same frame.  Overrides ``index``: the pruner IS the artifact.
+        indexed = index_pruner(
+            sorted(r["cent"] for r in q.select("cent").distinct().collect())
+        )
 
     score = _adc_score_expr(m, ks)
     scored = (
@@ -1494,6 +1503,7 @@ def filtered_ivf_pq_topk(
     label_lists: DataFrame | None = None,
     dim: int = 64,
     min_candidates: int = 0,
+    index_pruner=None,
 ) -> DataFrame:
     """Metadata-FILTERED retrieval served FROM the standing IVF+PQ index
     (r12, r11 VERDICT item 1): per query, probe the ``nprobe`` nearest
@@ -1540,10 +1550,16 @@ def filtered_ivf_pq_topk(
     cut is a higher-order fold over the MODEL-SIZED ranked-list array,
     so it adds no corpus work and no shuffle.
     """
-    if index is None or label_lists is None or centroids is None or codebooks is None:
+    if (
+        (index is None and index_pruner is None)
+        or label_lists is None
+        or centroids is None
+        or codebooks is None
+    ):
         raise ValueError(
             "filtered_ivf_pq_topk serves from a standing artifact: pass index "
-            "(with the label payload), label_lists, centroids and codebooks"
+            "(with the label payload) or index_pruner, label_lists, centroids "
+            "and codebooks"
         )
     m = len(codebooks)
     ks = len(codebooks[0])
@@ -1633,6 +1649,15 @@ def filtered_ivf_pq_topk(
         "cent", F.explode(F.transform(probed, lambda s: s["cent"]))
     ).select("qid", "_ql", "cent", _adc_lut_expr(F.col("_v"), F.col("_n"), codebooks).alias("lut"))
 
+    if index_pruner is not None:
+        # probe-list pushdown (late r12), same contract as ivf_pq_topk's:
+        # the collected set comes from THE JOIN'S OWN probe frame — after
+        # label steering AND any candidate-budget extension — so the
+        # pruned artifact slice can never miss a list this query batch
+        # joins on.  Overrides ``index``.
+        index = index_pruner(
+            sorted(r["cent"] for r in q.select("cent").distinct().collect())
+        )
     scored = (
         F.broadcast(q)
         .join(index, (q["cent"] == index["cent"]) & (q["_ql"] == index[label_q]))

@@ -1361,11 +1361,11 @@ def indexed_candidates_pruned(
     sf_dir: str | None = None,
 ) -> DataFrame:
     """``indexed_candidates`` with PROBE-LIST PUSHDOWN (late r12): the
-    query batch's probed lists (``operators.similarity.probed_cent_values``
-    — planning-sized, computed by the same expression the join probes
-    with) prune the standing artifact's scan to only the files holding
-    those lists, through the zone-map manifest the clustered compaction
-    publishes (``sinks.read_snapshot_pruned_in``).
+    operator collects its OWN probe frame's distinct lists (query-batch-
+    sized job, planning-sized result — ``ivf_pq_topk(index_pruner=…)``)
+    and reads back only the artifact files holding those lists, through
+    the zone-map manifest the clustered compaction publishes
+    (``sinks.read_snapshot_pruned_in``).
 
     The candidate join already restricts to probed lists, so results are
     IDENTICAL to the unpruned serve — what changes is I/O: the plain path
@@ -1383,12 +1383,7 @@ def indexed_candidates_pruned(
     from .. import sinks
 
     _, cents, books = ensure_standing_index(spark, sf_dir, emb)
-    probe_lists = S.probed_cent_values(
-        emb.filter(F.col("vec_id") < N_QUERIES), "vec_id", "embedding", cents, nprobe
-    )
-    pruned = sinks.read_snapshot_pruned_in(
-        spark, f"{standing_index_root(sf_dir)}/snapshot", "cent", probe_lists
-    )
+    snap = f"{standing_index_root(sf_dir)}/snapshot"
     return S.ivf_pq_topk(
         emb.filter(F.col("vec_id") < N_QUERIES),
         emb,
@@ -1401,7 +1396,9 @@ def indexed_candidates_pruned(
         centroids=cents,
         codebooks=books,
         rerank=rerank,
-        index=pruned,
+        index_pruner=lambda cents_: sinks.read_snapshot_pruned_in(
+            spark, snap, "cent", cents_
+        ),
         dim=DIM,
     )
 
@@ -1527,10 +1524,20 @@ def ann_filtered_topk_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     move under a filter, because the predicate thins each probed list so
     the same candidate budget needs more lists.  Measured recall@5 vs
     the exact row on this fixture (sf0.01): nprobe 2 → 0.57, 4 → 0.78,
-    6 → 0.92 — the knob a selective-label caller turns."""
+    6 → 0.92 — the knob a selective-label caller turns.
+
+    Late r12: the artifact read goes through PROBE-LIST PUSHDOWN
+    (``index_pruner`` → ``sinks.read_snapshot_pruned_in``): only files
+    holding the label-steered probe's lists open.  Pure I/O elision —
+    the oracle hash is unchanged, and the pruning set is collected from
+    the operator's own probe frame, so it is exact under steering and
+    budget extension alike."""
+    from .. import sinks
+
     emb = load(spark, sf_dir, "embeddings")
-    persisted, cents, books = ensure_standing_index(spark, sf_dir, emb)
+    _, cents, books = ensure_standing_index(spark, sf_dir, emb)
     ll = _load_label_lists(spark, sf_dir)
+    snap = f"{standing_index_root(sf_dir)}/snapshot"
     return S.filtered_ivf_pq_topk(
         emb.filter(F.col("vec_id") < N_QUERIES),
         emb,
@@ -1544,7 +1551,9 @@ def ann_filtered_topk_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids=cents,
         codebooks=books,
         rerank=50,
-        index=persisted,
+        index_pruner=lambda cents_: sinks.read_snapshot_pruned_in(
+            spark, snap, "cent", cents_
+        ),
         label_lists=ll,
         dim=DIM,
     )
@@ -1566,10 +1575,16 @@ def ann_filtered_topk_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense one stays at nprobe), replayed in the oracle as a running-sum
     window over the ranked (label, cent, n) lists.  The budget fold runs
     over the model-sized ranked array on the broadcast query side: no
-    corpus work, no extra shuffle vs the fixed-nprobe row."""
+    corpus work, no extra shuffle vs the fixed-nprobe row.  Late r12:
+    served through probe-list pushdown like the fixed-nprobe row — the
+    pruning set is collected AFTER the budget extension (the operator's
+    own probe frame), so extended lists are always in the pruned read."""
+    from .. import sinks
+
     emb = load(spark, sf_dir, "embeddings")
-    persisted, cents, books = ensure_standing_index(spark, sf_dir, emb)
+    _, cents, books = ensure_standing_index(spark, sf_dir, emb)
     ll = _load_label_lists(spark, sf_dir)
+    snap = f"{standing_index_root(sf_dir)}/snapshot"
     return S.filtered_ivf_pq_topk(
         emb.filter(F.col("vec_id") < N_QUERIES),
         emb,
@@ -1583,7 +1598,9 @@ def ann_filtered_topk_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids=cents,
         codebooks=books,
         rerank=50,
-        index=persisted,
+        index_pruner=lambda cents_: sinks.read_snapshot_pruned_in(
+            spark, snap, "cent", cents_
+        ),
         label_lists=ll,
         dim=DIM,
         min_candidates=25,

@@ -43,10 +43,13 @@ def test_doc_surface_counts_match_runtime_registry():
     r11 158-vs-160) can no longer recur silently."""
     from msgraphdatapipelines_spark.queries import DEMOTED, REGISTRY
 
+    from pathlib import Path
+
     n_reg, n_dem = len(REGISTRY), len(DEMOTED)
     total = n_reg + n_dem
-    for path in ("README.md", "COVERAGE.md"):
-        text = open(path, encoding="utf-8").read()
+    root = Path(__file__).resolve().parents[1]  # cwd-independent (par runner)
+    for path in (root / "README.md", root / "COVERAGE.md"):
+        text = path.read_text(encoding="utf-8")
         claim = f"{total} oracle-checked queries"
         assert claim in text, (
             f"{path} does not state '{claim}' (registry: {n_reg} graded "
