@@ -1429,6 +1429,86 @@ def ann_topk_served_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_index_list_stats",
+    demoted=True,  # operational monitor over the artifact the serve rows probe
+    oracle=f"""
+    WITH {_ivf_pq_common_ctes()},
+    lc AS (SELECT cent, count(*) AS n FROM ix_assign GROUP BY cent)
+    SELECT cent, n,
+           CAST(round(n * 1000000.0 / (SELECT sum(n) FROM lc)) AS BIGINT) AS share_ppm
+    FROM lc
+    """,
+)
+def ann_index_list_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-list occupancy monitor for the standing IVF+PQ index (late
+    r12) — the operational loop ``ivf_incremental_append``'s contract
+    prescribes in prose ("monitor per-list counts, retrain + rebuild when
+    appended batches drift off the trained distribution"), as an
+    oracle-checked query: one ARTIFACT-sized aggregation over the
+    compacted snapshot (never the corpus) yielding each list's row count
+    and corpus share in ppm.  At scale this is the rebalance dashboard a
+    vector store keeps: skewed shares mean probe cost concentrates
+    (nprobe lists no longer ≈ nprobe/k of the corpus) and the coarse
+    quantizer wants retraining.  The oracle replays the corpus→list
+    assignment and aggregates it identically — a hash match proves the
+    PERSISTED index content carries exactly the trained assignment."""
+    emb = load(spark, sf_dir, "embeddings")
+    persisted, _, _ = ensure_standing_index(spark, sf_dir, emb)
+    lc = persisted.groupBy("cent").agg(F.count(F.lit(1)).alias("n"))
+    total = lc.agg(F.sum("n").alias("_total"))
+    return lc.crossJoin(F.broadcast(total)).select(
+        "cent",
+        "n",
+        F.round(F.col("n") * F.lit(1000000.0) / F.col("_total"))
+        .cast("long")
+        .alias("share_ppm"),
+    )
+
+
+@register(
+    "contamination_semantic_served",
+    demoted=True,  # embedding-space twin of the graded n-gram contamination_check
+    oracle=f"""
+    WITH {_ivf_pq_indexed_ctes(k=K)}
+    SELECT cid,
+           count(*) AS n_benchmarks_hit,
+           max(round(score, 6)) AS max_score
+    FROM ivfpq
+    WHERE round(score, 6) >= 0.25
+    GROUP BY cid
+    """,
+)
+def contamination_semantic_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination served from the standing index (late
+    r12): treat the query set as HELD-OUT BENCHMARK embeddings and flag
+    every corpus vector whose exact-reranked cosine to any benchmark
+    vector reaches the threshold among the served top-k candidates — the
+    embedding-space twin of the graded n-gram ``contamination_check``
+    (surface overlap misses paraphrases; embedding overlap catches them,
+    the decontamination pass modern pretraining pipelines run alongside
+    exact matching).  Output is per flagged corpus vector: how many
+    benchmark items it collides with and the worst score — the review
+    queue a curation run quarantines before training.
+
+    Cost shape is the serve row's: probe nprobe lists of the standing
+    artifact (probe-list pushdown), ADC, exact rerank — never a
+    corpus × benchmark cross product (the brute-force twin exists as
+    ``ann_bruteforce_topk``'s shape and is what the oracle replays
+    through the same index CTEs).  Threshold 0.25 is fixture-calibrated
+    (random-embedding cosines top out ~0.5); production sets it from a
+    held-out duplicate-pair ROC."""
+    emb = load(spark, sf_dir, "embeddings")
+    cand = indexed_candidates_pruned(spark, emb, k=K, sf_dir=sf_dir)
+    hits = cand.withColumn("score_r", F.round("score", 6)).filter(
+        F.col("score_r") >= 0.25
+    )
+    return hits.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_benchmarks_hit"),
+        F.max("score_r").alias("max_score"),
+    )
+
+
+@register(
     "ann_filtered_topk",  # promoted r11: metadata-filtered vector search, driver-graded
     oracle=f"""
     WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql

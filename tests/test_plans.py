@@ -926,9 +926,13 @@ def test_set_similarity_served_plan_has_zero_corpus_aggregation(spark, sf_dir, t
     shutil.copyfile(f"{sf_dir}/documents.parquet", str(my_sf / "documents.parquet"))
 
     served = QD.set_similarity_join_docs(spark, str(my_sf))
-    plan = served._jdf.queryExecution().executedPlan().toString()
-    assert "msgdp_ppj_" in plan
-    assert "documents.parquet" not in plan, "serve plan still scans the corpus"
+    # inputFiles, not plan-string substrings: scan Locations truncate at
+    # ~100 chars, so path pins are unreliable under long scratch roots
+    files = served.inputFiles()
+    assert any("msgdp_ppj_" in f for f in files)
+    assert not any("documents.parquet" in f for f in files), (
+        "serve plan still scans the corpus"
+    )
 
     docs = load(spark, str(my_sf), "documents")
     grams = docs.select(

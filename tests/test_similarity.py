@@ -545,9 +545,17 @@ def test_filtered_serve_from_standing_index(spark, sf_dir, tmp_path):
     )
 
     served = ann_filtered_topk_served(spark, str(my_sf))
-    plan = served._jdf.queryExecution().executedPlan().toString()
-    assert "msgdp_ivfpq_" in plan, "serve plan does not read the standing artifact"
-    assert "label_lists" in plan, "probe not steered by the persisted label lists"
+    # inputFiles, not plan-string substrings: Spark truncates each scan's
+    # Location at spark.sql.maxMetadataStringLength (~100 chars), so a
+    # path-SUFFIX pin silently breaks under a long TMPDIR (found by the
+    # parallel runner's per-worker scratch roots)
+    files = served.inputFiles()
+    assert any("msgdp_ivfpq_" in f for f in files), (
+        "serve plan does not read the standing artifact"
+    )
+    assert any("label_lists" in f for f in files), (
+        "probe not steered by the persisted label lists"
+    )
 
     rows = served.collect()
     root = standing_index_root(str(my_sf))

@@ -57,7 +57,10 @@ def _timed(fn, runs: int = 3) -> float:
 def main() -> None:
     k_scale = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     base = "/root/testdata/sf0.1"
-    scaled = str(ROOT / ".tmp" / f"sf_sweep_{k_scale}x")
+    # optional explicit scaled dir (e.g. an embeddings-only replication)
+    scaled = sys.argv[2] if len(sys.argv) > 2 else str(
+        ROOT / ".tmp" / f"sf_sweep_{k_scale}x"
+    )
     spark = get_spark("pruned-serve-sweep")
     spark.sparkContext.setLogLevel("ERROR")
 
