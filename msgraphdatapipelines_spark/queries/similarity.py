@@ -1087,7 +1087,18 @@ def ensure_standing_index(
     (ann_index_stream's grow-only layout, so the streaming appender can
     keep extending it), then ``compact_ann_index`` publishes the resolved
     view with the atomic pointer flip as the commit marker — a crash
-    mid-build leaves no pointer and the next call rebuilds."""
+    mid-build leaves no pointer and the next call rebuilds.
+
+    Late r12 (the serve_cached / prefix-index staging discipline applied
+    here too): the whole build — models.json, encoded batches, compacted
+    snapshot, label_lists — happens under a uuid-suffixed STAGING root
+    and publishes as ONE directory rename onto the final root.  Two
+    concurrent builders on the same (corpus, config) key can no longer
+    interleave writes into the live root and commit a pointer over torn
+    tables: POSIX rename onto an existing non-empty directory fails, so
+    exactly one stage wins and race losers discard their copy (the same
+    local-filesystem-path constraint the prefix index's generational
+    protocol documents — object stores need a lease instead)."""
     import json
 
     from .. import sinks
@@ -1102,27 +1113,28 @@ def ensure_standing_index(
     root = standing_index_root(sf_dir, kc)
     snap = f"{root}/snapshot"
     if not sinks.snapshot_exists(spark, snap):
+        import os
+        import shutil
+        import uuid
+
         cents = S.kmeans_centroids(
             emb, "vec_id", "embedding", k=kc, iters=1, dim=DIM, exact_mean=True
         )
         books = S.pq_codebooks(emb, "vec_id", "embedding", m=_PQ_M, ks=_PQ_KS, dim=DIM)
-        import os
-
-        os.makedirs(root, exist_ok=True)
-        with open(f"{root}/models.json", "w") as fh:
+        stage = f"{root}.stage.{uuid.uuid4().hex[:8]}"
+        os.makedirs(stage, exist_ok=True)
+        with open(f"{stage}/models.json", "w") as fh:
             json.dump({"centroids": cents, "codebooks": books}, fh)
         # r12: the index rows carry the label payload (meta_cols) so the
         # FILTERED serve path probes the artifact alone — no corpus
         # metadata access at query time
         S.ivf_pq_index(
             emb, "vec_id", "embedding", cents, books, dim=DIM, meta_cols=("label",)
-        ).write.mode("overwrite").parquet(f"{root}/batches/batch_id=0")
+        ).write.mode("overwrite").parquet(f"{stage}/batches/batch_id=0")
         # compact publishes the model-sized (label, cent) probe-steering
-        # summary for filtered search BEFORE the snapshot pointer flips
-        # (the build's commit marker) — a crash in between leaves no
-        # pointer and the next call rebuilds everything consistently; a
-        # streaming-appended index refreshes the summary the same way at
-        # its next compaction
+        # summary for filtered search BEFORE the snapshot pointer flips;
+        # within the stage a crash just leaves an orphan stage dir that
+        # the next builder ignores (root still has no pointer → rebuild)
         # late r12: the compaction publishes the snapshot CLUSTERED by the
         # coarse list id (range-partitioned + sorted + zonemap manifest),
         # sized so a file holds a handful of lists — the layout the
@@ -1131,11 +1143,26 @@ def ensure_standing_index(
         # artifacts so every standing index carries the manifest
         compact_ann_index(
             spark,
-            f"{root}/batches",
-            snap,
-            label_lists_path=f"{root}/label_lists",
+            f"{stage}/batches",
+            f"{stage}/snapshot",
+            label_lists_path=f"{stage}/label_lists",
             cluster_files=max(8, kc // 4),
         )
+        try:
+            os.rename(stage, root)  # one-shot publish; racer-won root → OSError
+        except OSError:
+            if sinks.snapshot_exists(spark, snap):
+                shutil.rmtree(stage, ignore_errors=True)  # racer published first
+            else:
+                # pointer-less debris root: only a crash predating the
+                # staged protocol can leave one (the rename itself is
+                # atomic).  No pointer → no reader can be serving it →
+                # safe to replace.
+                shutil.rmtree(root, ignore_errors=True)
+                try:
+                    os.rename(stage, root)
+                except OSError:
+                    shutil.rmtree(stage, ignore_errors=True)  # racer won retry
     with open(f"{root}/models.json") as fh:
         models = json.load(fh)
     cents = [(int(c), v) for c, v in models["centroids"]]

@@ -869,3 +869,60 @@ def test_pruned_serve_identical_and_skips_files(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == expect and got <= set(probe)
+
+
+def test_standing_index_two_builder_race_and_debris_recovery(spark, sf_dir, tmp_path):
+    """late r12: the staged-rename publish for ensure_standing_index.
+    (a) Two concurrent builders on the same fresh (corpus, config) key
+    both return a servable artifact with identical models — exactly one
+    stage wins the rename, the loser discards, no torn root.  (b) A
+    pointer-less debris root (crash predating the staged protocol) does
+    not wedge the build: the next call replaces it and publishes."""
+    import os
+    import shutil
+    import threading
+
+    from msgraphdatapipelines_spark import sinks
+    from msgraphdatapipelines_spark.queries.similarity import (
+        ensure_standing_index,
+        standing_index_root,
+    )
+
+    my_sf = tmp_path / "sf"
+    my_sf.mkdir()
+    shutil.copyfile(
+        f"{sf_dir}/embeddings.parquet", str(my_sf / "embeddings.parquet")
+    )
+    sf = str(my_sf)
+    root = standing_index_root(sf)
+
+    results, errors = [], []
+
+    def build():
+        try:
+            ix, cents, books = ensure_standing_index(spark, sf)
+            results.append((ix.count(), cents, books))
+        except Exception as e:  # noqa: BLE001 — the test reports any racer failure
+            errors.append(e)
+
+    ts = [threading.Thread(target=build) for _ in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errors, errors
+    assert len(results) == 2
+    assert results[0] == results[1], "racers saw different artifact content"
+    assert results[0][0] > 0
+    # exactly one committed root, no leftover stages
+    parent = os.path.dirname(root)
+    stages = [d for d in os.listdir(parent) if d.startswith(os.path.basename(root) + ".stage.")]
+    assert stages == [], f"race loser left a stage dir: {stages}"
+    v1 = sinks._read_latest_version(spark, f"{root}/snapshot")
+
+    # (b) debris recovery: wreck the root into a pointer-less state
+    shutil.rmtree(f"{root}/snapshot")
+    assert not sinks.snapshot_exists(spark, f"{root}/snapshot")
+    ix, cents, books = ensure_standing_index(spark, sf)
+    assert ix.count() == results[0][0] and cents == results[0][1]
+    assert sinks.snapshot_exists(spark, f"{root}/snapshot")

@@ -142,9 +142,14 @@ def main() -> int:
             if suite is not None:
                 for k in totals:
                     totals[k] += int(suite.get(k, 0))
-                # per-module wall from per-test times (classname prefix)
+                # per-module wall from per-test times (classname is a
+                # dotted path like "tests.test_similarity[.TestClass]")
                 for case in suite.iter("testcase"):
-                    mod = (case.get("classname") or "").split(".")[0]
+                    parts = (case.get("classname") or "").split(".")
+                    mod = next(
+                        (p for p in parts if p.startswith("test_")),
+                        parts[0] or "unknown",
+                    )
                     measured[mod] = measured.get(mod, 0.0) + float(case.get("time", 0))
         tail = (scratch / f"worker{i}.log").read_text().strip().splitlines()
         print(f"worker {i} rc={rc}: {tail[-1] if tail else '(no output)'}")
