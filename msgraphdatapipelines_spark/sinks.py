@@ -1461,6 +1461,33 @@ def append_zonemap(
     return refresh_zonemap(spark, path, cols)
 
 
+def _current_paths(base: DataFrame, files: list[str], path: str) -> list[str]:
+    """Map manifest-recorded file paths onto the table's CURRENT listing.
+
+    Manifests record absolute ``input_file_name()`` paths, and a
+    staged-rename publish (the standing ANN index,
+    ``ensure_standing_index``) RELOCATES the table after its manifest was
+    built — the recorded prefix then dangles into the dead ``.stage.*``
+    path (PATH_NOT_FOUND on read).  The table-relative identity of a file
+    is everything after the table directory's OWN name, which survives
+    any ancestor rename; bare basenames are NOT enough (one task writing
+    a ``partitionBy`` layout puts the same part-file name into every
+    partition directory).  The anchor match uses the LAST occurrence of
+    ``/<table-dir>/`` — partition directories are always ``col=val`` form
+    so they can never alias it.  Cost is one driver-side file listing,
+    the same planning class as the manifest collect."""
+    import os
+
+    anchor = "/" + os.path.basename(os.path.normpath(path)) + "/"
+
+    def suffix(p: str) -> str:
+        i = p.rfind(anchor)
+        return p[i + len(anchor):] if i >= 0 else os.path.basename(p)
+
+    wanted = {suffix(f) for f in files}
+    return [f for f in base.inputFiles() if suffix(f) in wanted]
+
+
 def scan_pruned(spark: SparkSession, path: str, col: str, lo, hi) -> DataFrame:
     """Range scan through the zonemap: read ONLY files whose [min, max]
     interval overlaps [lo, hi], then apply the residual filter (identical
@@ -1484,6 +1511,7 @@ def scan_pruned(spark: SparkSession, path: str, col: str, lo, hi) -> DataFrame:
         .collect()
     ]
     base = spark.read.parquet(path)
+    files = _current_paths(base, files, path)  # manifest paths may predate a rename
     if not files:
         return base.filter(F.lit(False))
     return (
@@ -1524,6 +1552,7 @@ def scan_pruned_in(spark: SparkSession, path: str, col: str, values) -> DataFram
         c = (F.col(f"min_{col}") <= F.lit(v)) & (F.col(f"max_{col}") >= F.lit(v))
         cond = c if cond is None else (cond | c)
     files = [r["file"] for r in zm.filter(cond).select("file").collect()]
+    files = _current_paths(base, files, path)  # manifest paths may predate a rename
     if not files:
         return base.filter(F.lit(False))
     return (
@@ -1739,6 +1768,7 @@ def scan_bloom_pruned(spark: SparkSession, path: str, col: str, value) -> DataFr
 
     files = bloom_candidate_files(spark, path, col, value)
     base = spark.read.parquet(path)
+    files = _current_paths(base, files, path)  # manifest paths may predate a rename
     if not files:
         return base.filter(F.lit(False))
     return (

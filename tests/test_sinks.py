@@ -1359,3 +1359,39 @@ def test_scan_pruned_in_set_membership(spark, tmp_path):
     pr2 = sinks.read_snapshot_pruned_in(spark, snap2, "k", [2])
     assert len(pr2.inputFiles()) < len(full.inputFiles())
     assert pr2.count() == 100
+
+
+def test_pruned_reads_survive_directory_rename(spark, tmp_path):
+    """late r12 (found by the serial gate, not by any single-test run):
+    file manifests record absolute input_file_name() paths, but a
+    staged-rename publish (ensure_standing_index) RELOCATES the table
+    after its manifest was built — a pruned read must resolve files by
+    table-relative identity, not the recorded prefix, or it dangles into
+    the dead stage path (PATH_NOT_FOUND).  Covers the zonemap range scan,
+    the IN-set scan, and the Bloom point lookup, on a partitionBy layout
+    where bare basenames are NOT unique across partition dirs."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from msgraphdatapipelines_spark import sinks
+
+    df = spark.range(0, 400).withColumn("k", (F.col("id") / 100).cast("long"))
+    stage = tmp_path / "stage"
+    (stage / "t").parent.mkdir(parents=True, exist_ok=True)
+    old = str(stage / "t")
+    # one task -> identical part-file basename in EVERY k= dir
+    df.repartition(1).write.partitionBy("k").parquet(old)
+    sinks.build_zonemap(spark, old, ["k"])
+    sinks.build_bloom_manifest(spark, old, ["id"])
+
+    live = tmp_path / "live"
+    os.rename(stage, live)  # the staged-publish relocation
+    new = str(live / "t")
+
+    pr_in = sinks.scan_pruned_in(spark, new, "k", [2])
+    assert pr_in.count() == 100 and len(pr_in.inputFiles()) == 1
+    pr_rng = sinks.scan_pruned(spark, new, "k", 1, 2)
+    assert pr_rng.count() == 200 and len(pr_rng.inputFiles()) == 2
+    pr_bl = sinks.scan_bloom_pruned(spark, new, "id", 123)
+    assert [r["id"] for r in pr_bl.collect()] == [123]

@@ -20,15 +20,23 @@ worker that needs them (a few seconds each at fixture scale) — the price
 of never exercising cross-process races the two-builder tests already
 cover in-process.
 
-Scheduling is longest-first (LPT) over per-module durations measured on
-the PREVIOUS run (``tools/module_durations.json``, refreshed from each
-run's junit output — first run falls back to recorded estimates), one
-pytest invocation per worker so each JVM starts once.
+Modules whose measured duration exceeds ``--split`` seconds are SHARDED
+below module granularity: their test ids are collected up front
+(``pytest --collect-only``, so new tests are always included and stale
+recorded ids can never be scheduled) and LPT-packed into chunks by
+per-test durations from the previous run.  Tests within a module must be
+order-independent — they already are (the serial suite runs them in
+whatever order pytest picks, and per-test fixtures own their state);
+session fixtures (the SparkSession) rebuild per process as always.
+
+Scheduling is longest-first (LPT) over durations measured on the
+PREVIOUS run (``tools/module_durations.json``, refreshed from each run's
+junit output — first run falls back to recorded estimates).
 
 Usage:
-    python tools/par_pytest.py [-n WORKERS] [pytest args passed through]
+    python tools/par_pytest.py [-n WORKERS] [--split SECS] [pytest args]
 
-Exit status is non-zero if any worker failed; the per-worker tails and a
+Exit status is non-zero if any worker failed; per-worker tails and a
 combined pass/fail summary print at the end.  The serial ``python -m
 pytest tests/`` remains the canonical gate; this runner exists for wall
 clock, and any failure here reproduces serially.
@@ -38,6 +46,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import os
 import subprocess
 import sys
@@ -48,57 +57,104 @@ from pathlib import Path
 ROOT = Path(__file__).resolve().parent.parent
 DUR_FILE = ROOT / "tools" / "module_durations.json"
 
-# fallback weights for the first run (seconds, from the r12 serial run's
-# rough per-module shares); replaced by measured numbers afterwards
+# fallback module weights for the first run (seconds); replaced by
+# measured numbers afterwards
 _SEED = {
-    "test_demoted_oracles": 420,
-    "test_operators": 150,
-    "test_streaming_stateful": 90,
-    "test_streaming": 80,
-    "test_similarity": 80,
-    "test_curation_pipeline": 60,
-    "test_sinks": 60,
-    "test_plans": 50,
-    "test_pipeline_e2e": 40,
-    "test_lint_gate": 30,
-    "test_graph_semantics": 20,
-    "test_files_and_skew": 20,
-    "test_rest_source": 15,
-    "test_odata_filter_property": 15,
-    "test_auth_and_rest_sink": 10,
+    "test_operators": 410,
+    "test_demoted_oracles": 375,
+    "test_similarity": 370,
+    "test_lint_gate": 100,
+    "test_streaming": 95,
+    "test_sinks": 85,
+    "test_curation_pipeline": 67,
+    "test_plans": 59,
+    "test_rest_source": 21,
+    "test_streaming_stateful": 13,
+    "test_pipeline_e2e": 9,
+    "test_odata_filter_property": 8,
+    "test_files_and_skew": 6,
+    "test_graph_semantics": 4,
+    "test_auth_and_rest_sink": 2,
 }
 
 
-def _load_durations() -> dict[str, float]:
+def _load_durations() -> tuple[dict[str, float], dict[str, float]]:
+    """(per-module, per-test) durations from the previous run; the file
+    is either the flat v1 {module: secs} or v2 {"modules": …, "tests": …}."""
     if DUR_FILE.exists():
         try:
-            return json.loads(DUR_FILE.read_text())
+            d = json.loads(DUR_FILE.read_text())
+            if "modules" in d:
+                return dict(d["modules"]), dict(d.get("tests", {}))
+            return dict(d), {}
         except Exception:
             pass
-    return dict(_SEED)
+    return dict(_SEED), {}
 
 
-def _lpt_bins(mods: list[Path], durs: dict[str, float], n: int) -> list[list[Path]]:
-    """Longest-processing-time-first greedy: heaviest module to the
-    currently lightest bin."""
-    bins: list[list[Path]] = [[] for _ in range(n)]
+def _collect_ids(mod: Path) -> list[str]:
+    """Current test node ids of a module (repo-relative), via pytest's
+    collector — so sharding can never skip a new test or schedule a
+    renamed-away one."""
+    out = subprocess.run(
+        [sys.executable, "-m", "pytest", "--collect-only", "-q",
+         "-p", "no:cacheprovider", str(mod.relative_to(ROOT))],
+        capture_output=True, text=True, cwd=ROOT,
+    )
+    return [
+        line.strip()
+        for line in out.stdout.splitlines()
+        if "::" in line and not line.startswith(("=", "<", " "))
+    ]
+
+
+def _lpt(items: list[tuple[float, list[str]]], n: int) -> list[list[tuple[float, list[str]]]]:
+    bins: list[list[tuple[float, list[str]]]] = [[] for _ in range(n)]
     loads = [0.0] * n
-    for m in sorted(mods, key=lambda p: -durs.get(p.stem, 30.0)):
+    for est, payload in sorted(items, key=lambda t: -t[0]):
         i = loads.index(min(loads))
-        bins[i].append(m)
-        loads[i] += durs.get(m.stem, 30.0)
+        bins[i].append((est, payload))
+        loads[i] += est
     return [b for b in bins if b]
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("-n", "--workers", type=int, default=int(os.environ.get("PAR_WORKERS", "4")))
+    ap.add_argument("-n", "--workers", type=int,
+                    default=int(os.environ.get("PAR_WORKERS", "4")))
+    ap.add_argument("--split", type=float, default=240.0,
+                    help="shard modules whose measured duration exceeds this")
+    ap.add_argument("--target", type=float, default=150.0,
+                    help="aim for shards of about this many seconds")
     args, passthrough = ap.parse_known_args()
-    args.rest = passthrough
 
     mods = sorted((ROOT / "tests").glob("test_*.py"))
-    durs = _load_durations()
-    bins = _lpt_bins(mods, durs, args.workers)
+    mod_durs, test_durs = _load_durations()
+
+    # work items: (estimated seconds, [pytest args]); heavy modules shard
+    items: list[tuple[float, list[str]]] = []
+    for m in mods:
+        est = mod_durs.get(m.stem, 30.0)
+        if args.workers > 1 and est > args.split and not passthrough:
+            ids = _collect_ids(m)
+            if len(ids) > 1:
+                nshards = max(2, math.ceil(est / args.target))
+                per_test = [
+                    (test_durs.get(i, est / len(ids)), i) for i in ids
+                ]
+                shards: list[list[str]] = [[] for _ in range(nshards)]
+                loads = [0.0] * nshards
+                for t, i in sorted(per_test, reverse=True):
+                    j = loads.index(min(loads))
+                    shards[j].append(i)
+                    loads[j] += t
+                for j, shard in enumerate(shards):
+                    if shard:
+                        items.append((loads[j], [str(ROOT / i) for i in shard]))
+                continue
+        items.append((est, [str(m)]))
+
+    bins = _lpt(items, args.workers)
     cpus = max(2, 32 // max(len(bins), 1))
 
     scratch = ROOT / ".tmp" / f"par_pytest_{int(time.time())}"
@@ -115,23 +171,26 @@ def main() -> int:
             PYTHONPATH=str(ROOT),
             SPARK_GRAFT_TEST_CPUS=str(cpus),
         )
+        targets = [a for _, payload in group for a in payload]
         cmd = [
             sys.executable, "-m", "pytest",
-            *[str(m) for m in group],
+            *targets,
             "-q", "-p", "no:cacheprovider",
             f"--junitxml={scratch}/junit{i}.xml",
-            *args.rest,
+            *passthrough,
         ]
         log = open(scratch / f"worker{i}.log", "w")
-        procs.append((i, group, subprocess.Popen(cmd, env=env, cwd=cwd_i, stdout=log, stderr=subprocess.STDOUT), log))
-        print(f"worker {i}: {len(group)} modules "
-              f"(~{sum(durs.get(m.stem, 30.0) for m in group):.0f}s est): "
-              f"{', '.join(m.stem for m in group)}")
+        procs.append((i, subprocess.Popen(
+            cmd, env=env, cwd=cwd_i, stdout=log, stderr=subprocess.STDOUT), log))
+        est_total = sum(e for e, _ in group)
+        print(f"worker {i}: {len(group)} items / {len(targets)} targets "
+              f"(~{est_total:.0f}s est)")
 
     failed = False
     totals = {"tests": 0, "failures": 0, "errors": 0, "skipped": 0}
-    measured: dict[str, float] = {}
-    for i, group, p, log in procs:
+    meas_mod: dict[str, float] = {}
+    meas_test: dict[str, float] = {}
+    for i, p, log in procs:
         rc = p.wait()
         log.close()
         if rc not in (0, 5):  # 5 = no tests collected (empty -m filter)
@@ -142,15 +201,22 @@ def main() -> int:
             if suite is not None:
                 for k in totals:
                     totals[k] += int(suite.get(k, 0))
-                # per-module wall from per-test times (classname is a
-                # dotted path like "tests.test_similarity[.TestClass]")
+                # classname is a dotted path "tests.test_x[.TestClass]"
                 for case in suite.iter("testcase"):
                     parts = (case.get("classname") or "").split(".")
                     mod = next(
-                        (p for p in parts if p.startswith("test_")),
+                        (p_ for p_ in parts if p_.startswith("test_")),
                         parts[0] or "unknown",
                     )
-                    measured[mod] = measured.get(mod, 0.0) + float(case.get("time", 0))
+                    t = float(case.get("time", 0))
+                    meas_mod[mod] = meas_mod.get(mod, 0.0) + t
+                    # rebuild the repo-relative node id for shard packing
+                    idx = parts.index(mod)
+                    cls = "::".join(parts[idx + 1:])
+                    nid = f"tests/{mod}.py::" + (f"{cls}::" if cls else "") + (
+                        case.get("name") or ""
+                    )
+                    meas_test[nid] = meas_test.get(nid, 0.0) + t
         tail = (scratch / f"worker{i}.log").read_text().strip().splitlines()
         print(f"worker {i} rc={rc}: {tail[-1] if tail else '(no output)'}")
         if rc not in (0, 5):
@@ -163,8 +229,12 @@ def main() -> int:
         f"{totals['skipped']} skipped in {wall:.0f}s across {len(bins)} workers "
         f"(logs: {scratch})"
     )
-    if measured and not failed:
-        DUR_FILE.write_text(json.dumps(dict(sorted(measured.items())), indent=1))
+    if meas_mod and not failed and not passthrough:
+        DUR_FILE.write_text(json.dumps(
+            {"modules": {k: round(v, 1) for k, v in sorted(meas_mod.items())},
+             "tests": {k: round(v, 2) for k, v in sorted(meas_test.items())}},
+            indent=1,
+        ))
     return 1 if failed else 0
 
 
