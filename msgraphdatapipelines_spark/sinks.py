@@ -1405,12 +1405,16 @@ def refresh_zonemap(spark: SparkSession, path: str, cols: list[str]) -> dict:
     (``build_zonemap`` rescans the whole table; at 100 TB that defeats
     the point of appending).
 
-    New files are found by a Hadoop FS listing diffed against the
-    manifest's file names (part-file names are write-UUID-unique, so
-    basename identity is exact); their stats aggregate from an EXPLICIT
-    file-list read — by construction no already-manifested file is
-    opened.  The refreshed manifest republishes as one overwrite of the
-    model-sized ``_zonemap`` table.
+    New files are found by a RECURSIVE Hadoop FS listing (late r12:
+    partitioned layouts keep data in ``col=val`` subdirectories a
+    top-level listing never sees — appends there previously stayed
+    pruned-invisible FOREVER, not just until the next refresh) diffed
+    against the manifest by table-relative identity
+    (:func:`_table_suffix` — same-named part files in different
+    partition dirs are distinct; a relocated table still matches); their
+    stats aggregate from an EXPLICIT file-list read — by construction no
+    already-manifested file is opened.  The refreshed manifest
+    republishes as one overwrite of the model-sized ``_zonemap`` table.
 
     This is also the CRASH RECOVERY for ``append_zonemap``: data files
     appended before a crash that never reached the manifest are exactly
@@ -1424,21 +1428,30 @@ def refresh_zonemap(spark: SparkSession, path: str, cols: list[str]) -> dict:
 
     zm_path = f"{path}/_zonemap"
     old = spark.read.parquet(zm_path)
-    import os
 
-    known = {os.path.basename(r["file"]) for r in old.select("file").collect()}
+    known = {_table_suffix(path, r["file"]) for r in old.select("file").collect()}
     fs, p, _ = _fs_for(spark, path)
     new_files = []
-    for st in fs.listStatus(p):
-        name = st.getPath().getName()
-        if st.isFile() and not name.startswith(("_", ".")) and name not in known:
-            new_files.append(st.getPath().toString())
+    stack = [p]
+    while stack:
+        d = stack.pop()
+        for st in fs.listStatus(d):
+            name = st.getPath().getName()
+            if name.startswith(("_", ".")):
+                continue
+            if st.isDirectory():
+                stack.append(st.getPath())
+            elif st.isFile() and _table_suffix(
+                path, st.getPath().toString()
+            ) not in known:
+                new_files.append(st.getPath().toString())
     if new_files:
         aggs = [F.count(F.lit(1)).alias("n_rows")]
         for c in cols:
             aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
         fresh = (
-            spark.read.schema(spark.read.parquet(path).schema)
+            spark.read.option("basePath", path)  # recover partition cols
+            .schema(spark.read.parquet(path).schema)
             .parquet(*new_files)
             .groupBy(F.input_file_name().alias("file"))
             .agg(*aggs)
@@ -1461,6 +1474,20 @@ def append_zonemap(
     return refresh_zonemap(spark, path, cols)
 
 
+def _table_suffix(table_path: str, p: str) -> str:
+    """A file's identity RELATIVE to its table directory: everything
+    after the last ``/<table-dir-name>/`` in the path.  Survives ancestor
+    renames (staged publishes) and distinguishes same-named part files
+    across partition directories — the two ways absolute paths and bare
+    basenames each fail.  Partition directories are always ``col=val``
+    form, so they can never alias the anchor."""
+    import os
+
+    anchor = "/" + os.path.basename(os.path.normpath(table_path)) + "/"
+    i = p.rfind(anchor)
+    return p[i + len(anchor):] if i >= 0 else os.path.basename(p)
+
+
 def _current_paths(base: DataFrame, files: list[str], path: str) -> list[str]:
     """Map manifest-recorded file paths onto the table's CURRENT listing.
 
@@ -1472,20 +1499,11 @@ def _current_paths(base: DataFrame, files: list[str], path: str) -> list[str]:
     is everything after the table directory's OWN name, which survives
     any ancestor rename; bare basenames are NOT enough (one task writing
     a ``partitionBy`` layout puts the same part-file name into every
-    partition directory).  The anchor match uses the LAST occurrence of
-    ``/<table-dir>/`` — partition directories are always ``col=val`` form
-    so they can never alias it.  Cost is one driver-side file listing,
-    the same planning class as the manifest collect."""
-    import os
-
-    anchor = "/" + os.path.basename(os.path.normpath(path)) + "/"
-
-    def suffix(p: str) -> str:
-        i = p.rfind(anchor)
-        return p[i + len(anchor):] if i >= 0 else os.path.basename(p)
-
-    wanted = {suffix(f) for f in files}
-    return [f for f in base.inputFiles() if suffix(f) in wanted]
+    partition directory).  See :func:`_table_suffix`.  Cost is one
+    driver-side file listing, the same planning class as the manifest
+    collect."""
+    wanted = {_table_suffix(path, f) for f in files}
+    return [f for f in base.inputFiles() if _table_suffix(path, f) in wanted]
 
 
 def scan_pruned(spark: SparkSession, path: str, col: str, lo, hi) -> DataFrame:

@@ -1395,3 +1395,38 @@ def test_pruned_reads_survive_directory_rename(spark, tmp_path):
     assert pr_rng.count() == 200 and len(pr_rng.inputFiles()) == 2
     pr_bl = sinks.scan_bloom_pruned(spark, new, "id", 123)
     assert [r["id"] for r in pr_bl.collect()] == [123]
+
+
+def test_refresh_zonemap_finds_nested_partition_appends(spark, tmp_path):
+    """late r12: refresh_zonemap previously listed only the table's top
+    level, so appends into a partitionBy layout's col=val subdirectories
+    stayed pruned-INVISIBLE FOREVER (silent permanent staleness, worse
+    than the documented crash-window kind).  The recursive listing +
+    table-relative file identity must manifest nested new files exactly
+    once, and pruned reads must then see the appended rows."""
+    from pyspark.sql import functions as F
+
+    from msgraphdatapipelines_spark import sinks
+
+    df = spark.range(0, 300).withColumn("k", (F.col("id") / 100).cast("long"))
+    path = str(tmp_path / "t")
+    df.repartition(1).write.partitionBy("k").parquet(path)
+    sinks.build_zonemap(spark, path, ["id"])
+    base_rows = sinks.scan_pruned(spark, path, "id", 0, 1000).count()
+    assert base_rows == 300
+
+    # nested append: new rows land in a NEW k=3 dir and an EXISTING k=0 dir
+    more = spark.createDataFrame(
+        [(1000 + i, i % 2 * 3) for i in range(40)], "id long, k long"
+    )
+    more.repartition(1).write.mode("append").partitionBy("k").parquet(path)
+    res = sinks.refresh_zonemap(spark, path, ["id"])
+    assert len(res["new_files"]) >= 2, res  # one per touched partition dir
+
+    pr = sinks.scan_pruned(spark, path, "id", 1000, 2000)
+    assert pr.count() == 40  # appended rows pruned-visible
+    assert {r["k"] for r in pr.select("k").distinct().collect()} == {0, 3}
+    # second refresh is a no-op (identity is exact: nothing re-manifested)
+    res2 = sinks.refresh_zonemap(spark, path, ["id"])
+    assert res2["new_files"] == []
+    assert res2["manifest_rows"] == res["manifest_rows"]
