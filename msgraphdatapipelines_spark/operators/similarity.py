@@ -939,9 +939,17 @@ def ivf_pq_topk(
         # standing artifact (sinks.read_snapshot_pruned_in) — exact by
         # construction, because the pruning set and the join probe the
         # same frame.  Overrides ``index``: the pruner IS the artifact.
-        indexed = index_pruner(
-            sorted(r["cent"] for r in q.select("cent").distinct().collect())
+        # q is evaluated twice (prune-set collect + join); a recomputed
+        # NON-deterministic source could otherwise probe a list the
+        # frozen prune set dropped — silent recall loss.  The isin clamp
+        # below makes "prune set ⊇ join probe set" structural (a no-op
+        # filter for deterministic sources), so the pruned slice can
+        # never miss a list the join actually probes.
+        probed_lists = sorted(
+            r["cent"] for r in q.select("cent").distinct().collect()
         )
+        q = q.filter(F.col("cent").isin(probed_lists))
+        indexed = index_pruner(probed_lists)
 
     score = _adc_score_expr(m, ks)
     scored = (
@@ -1654,10 +1662,14 @@ def filtered_ivf_pq_topk(
         # the collected set comes from THE JOIN'S OWN probe frame — after
         # label steering AND any candidate-budget extension — so the
         # pruned artifact slice can never miss a list this query batch
-        # joins on.  Overrides ``index``.
-        index = index_pruner(
-            sorted(r["cent"] for r in q.select("cent").distinct().collect())
+        # joins on.  Overrides ``index``.  The isin clamp makes the
+        # containment structural against a non-deterministic source
+        # recomputing q differently in the join (see ivf_pq_topk).
+        probed_lists = sorted(
+            r["cent"] for r in q.select("cent").distinct().collect()
         )
+        q = q.filter(F.col("cent").isin(probed_lists))
+        index = index_pruner(probed_lists)
     scored = (
         F.broadcast(q)
         .join(index, (q["cent"] == index["cent"]) & (q["_ql"] == index[label_q]))

@@ -1156,13 +1156,30 @@ def ensure_standing_index(
             else:
                 # pointer-less debris root: only a crash predating the
                 # staged protocol can leave one (the rename itself is
-                # atomic).  No pointer → no reader can be serving it →
-                # safe to replace.
-                shutil.rmtree(root, ignore_errors=True)
+                # atomic).  No pointer → no reader can be serving it.
+                # CLAIM the debris by atomic rename-aside instead of
+                # rmtree on the live root path: two builders in this
+                # branch could otherwise interleave so the slower one
+                # rmtree's the racer's freshly COMMITTED root (TOCTOU) —
+                # os.rename can never delete a committed publish, it just
+                # fails.  The aside copy is deleted LAST, after the
+                # publish question is settled.
+                aside = f"{root}.debris.{uuid.uuid4().hex[:8]}"
                 try:
-                    os.rename(stage, root)
+                    os.rename(root, aside)
                 except OSError:
-                    shutil.rmtree(stage, ignore_errors=True)  # racer won retry
+                    aside = None  # racer claimed the debris (or it vanished)
+                # re-check immediately before any destructive step: the
+                # racer may have published while we claimed the debris
+                if sinks.snapshot_exists(spark, snap):
+                    shutil.rmtree(stage, ignore_errors=True)
+                else:
+                    try:
+                        os.rename(stage, root)
+                    except OSError:
+                        shutil.rmtree(stage, ignore_errors=True)  # racer won retry
+                if aside is not None:
+                    shutil.rmtree(aside, ignore_errors=True)
     with open(f"{root}/models.json") as fh:
         models = json.load(fh)
     cents = [(int(c), v) for c, v in models["centroids"]]

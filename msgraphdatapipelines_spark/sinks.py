@@ -1479,13 +1479,34 @@ def _table_suffix(table_path: str, p: str) -> str:
     after the last ``/<table-dir-name>/`` in the path.  Survives ancestor
     renames (staged publishes) and distinguishes same-named part files
     across partition directories — the two ways absolute paths and bare
-    basenames each fail.  Partition directories are always ``col=val``
-    form, so they can never alias the anchor."""
+    basenames each fail.  A partition directory CAN alias the anchor (the
+    snapshot layout's own ``v=N`` dirs are handed here as table paths, a
+    ``col=val``-form anchor) — the guarantee rests on ``rfind`` picking
+    the occurrence NEAREST the file symmetrically on both the manifest
+    and listing sides, so both resolve the same innermost anchor."""
     import os
 
     anchor = "/" + os.path.basename(os.path.normpath(table_path)) + "/"
     i = p.rfind(anchor)
     return p[i + len(anchor):] if i >= 0 else os.path.basename(p)
+
+
+def _warn_stale(e: "StaleManifestError") -> None:
+    import warnings
+
+    warnings.warn(
+        f"pruned scan fell back to a FULL filtered scan: {e}",
+        RuntimeWarning,
+        stacklevel=3,
+    )
+
+
+class StaleManifestError(RuntimeError):
+    """A zonemap/Bloom manifest references files absent from the table's
+    current listing — data files were deleted or rewritten OUTSIDE the
+    refresh protocol.  Pruned reads must never be silently incomplete
+    (the layer's invariant is "stale, never WRONG"), so the scan either
+    falls back to a full filtered scan or surfaces this."""
 
 
 def _current_paths(base: DataFrame, files: list[str], path: str) -> list[str]:
@@ -1501,9 +1522,23 @@ def _current_paths(base: DataFrame, files: list[str], path: str) -> list[str]:
     a ``partitionBy`` layout puts the same part-file name into every
     partition directory).  See :func:`_table_suffix`.  Cost is one
     driver-side file listing, the same planning class as the manifest
-    collect."""
+    collect.
+
+    Raises :class:`StaleManifestError` when a wanted suffix has NO match
+    in the current listing: a rename moves every file identically, so an
+    unmatched entry means deletion/rewrite outside the refresh protocol —
+    dropping it silently would return incomplete pruned results.  Callers
+    catch it and fall back to a full filtered scan (always correct)."""
     wanted = {_table_suffix(path, f) for f in files}
-    return [f for f in base.inputFiles() if _table_suffix(path, f) in wanted]
+    matched = [f for f in base.inputFiles() if _table_suffix(path, f) in wanted]
+    if len({_table_suffix(path, f) for f in matched}) < len(wanted):
+        missing = sorted(wanted - {_table_suffix(path, f) for f in matched})
+        raise StaleManifestError(
+            f"{len(missing)} manifest entr{'y' if len(missing) == 1 else 'ies'} "
+            f"dangle at {path} (deleted/rewritten outside the refresh protocol); "
+            f"first: {missing[:3]}"
+        )
+    return matched
 
 
 def scan_pruned(spark: SparkSession, path: str, col: str, lo, hi) -> DataFrame:
@@ -1529,7 +1564,11 @@ def scan_pruned(spark: SparkSession, path: str, col: str, lo, hi) -> DataFrame:
         .collect()
     ]
     base = spark.read.parquet(path)
-    files = _current_paths(base, files, path)  # manifest paths may predate a rename
+    try:
+        files = _current_paths(base, files, path)  # manifest paths may predate a rename
+    except StaleManifestError as e:
+        _warn_stale(e)
+        return base.filter(F.col(col).between(lo, hi))
     if not files:
         return base.filter(F.lit(False))
     return (
@@ -1570,7 +1609,11 @@ def scan_pruned_in(spark: SparkSession, path: str, col: str, values) -> DataFram
         c = (F.col(f"min_{col}") <= F.lit(v)) & (F.col(f"max_{col}") >= F.lit(v))
         cond = c if cond is None else (cond | c)
     files = [r["file"] for r in zm.filter(cond).select("file").collect()]
-    files = _current_paths(base, files, path)  # manifest paths may predate a rename
+    try:
+        files = _current_paths(base, files, path)  # manifest paths may predate a rename
+    except StaleManifestError as e:
+        _warn_stale(e)
+        return base.filter(F.col(col).isin(vals))
     if not files:
         return base.filter(F.lit(False))
     return (
@@ -1786,7 +1829,11 @@ def scan_bloom_pruned(spark: SparkSession, path: str, col: str, value) -> DataFr
 
     files = bloom_candidate_files(spark, path, col, value)
     base = spark.read.parquet(path)
-    files = _current_paths(base, files, path)  # manifest paths may predate a rename
+    try:
+        files = _current_paths(base, files, path)  # manifest paths may predate a rename
+    except StaleManifestError as e:
+        _warn_stale(e)
+        return base.filter(F.col(col) == value)
     if not files:
         return base.filter(F.lit(False))
     return (

@@ -1397,6 +1397,47 @@ def test_pruned_reads_survive_directory_rename(spark, tmp_path):
     assert [r["id"] for r in pr_bl.collect()] == [123]
 
 
+def test_pruned_reads_fall_back_loudly_on_dangling_manifest(spark, tmp_path):
+    """r13 (ADVICE): a manifest entry with NO match in the current
+    listing means files were deleted/rewritten OUTSIDE the refresh
+    protocol — a rename moves every file identically, so a dangling
+    entry can't be a relocation.  Silently dropping it returned
+    incomplete pruned results; now the scan warns and falls back to a
+    FULL filtered scan (always correct), preserving the layer's
+    'stale, never WRONG' invariant."""
+    import glob
+    import os
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from msgraphdatapipelines_spark import sinks
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 400).withColumn("k", (F.col("id") / 100).cast("long"))
+    df.repartition("k").write.parquet(path)
+    sinks.build_zonemap(spark, path, ["k"])
+    sinks.build_bloom_manifest(spark, path, ["id"])
+
+    # rewrite the data files outside the protocol: same rows, NEW file
+    # names — every manifest entry now dangles
+    tmp2 = str(tmp_path / "t2")
+    spark.read.parquet(path).write.parquet(tmp2)
+    for f in glob.glob(f"{path}/part-*"):
+        os.remove(f)
+    for f in glob.glob(f"{tmp2}/part-*"):
+        os.rename(f, f"{path}/rewritten-{os.path.basename(f)}")
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert sinks.scan_pruned(spark, path, "k", 1, 2).count() == 200
+        assert sinks.scan_pruned_in(spark, path, "k", [2]).count() == 100
+        got = sinks.scan_bloom_pruned(spark, path, "id", 123).collect()
+    assert [r["id"] for r in got] == [123]
+    msgs = [str(w.message) for w in caught if issubclass(w.category, RuntimeWarning)]
+    assert len(msgs) >= 3 and all("FULL filtered scan" in m for m in msgs)
+
+
 def test_refresh_zonemap_finds_nested_partition_appends(spark, tmp_path):
     """late r12: refresh_zonemap previously listed only the table's top
     level, so appends into a partitionBy layout's col=val subdirectories
