@@ -942,6 +942,10 @@ _TRIGRAM_PPJOIN_ORACLE = """
     # PPJoin flagship now graded at sf0.01; set_ops_customers demoted in trade.
     # r11: SERVED from the standing prefix-gram artifact (r10 VERDICT item 3)
     # — oracle unchanged, first touch builds, every later run is pure serve.
+    # r13: DEMOTED in trade for the bucketed twin — the driver now grades the
+    # shuffle-eliminated serve plan; this plain-path row keeps the identical
+    # oracle under the demoted gate.
+    demoted=True,
     oracle=_TRIGRAM_PPJOIN_ORACLE,
 )
 def set_similarity_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1053,6 +1057,9 @@ def _ensure_incremental_prefix_index(
     # r12: PROMOTED to driver-graded (r11 VERDICT item 2) — the
     # incremental-maintenance exactness claim (frozen-order appends lose
     # no recall) faces the driver; array_set_ops_per_order demoted in trade.
+    # r13: rotated back to the demoted gate after its green graded round —
+    # the compacted lifecycle twin takes the driver slot this round.
+    demoted=True,
     oracle=_TRIGRAM_PPJOIN_ORACLE,
 )
 def set_similarity_join_docs_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1320,7 +1327,11 @@ def _ensure_compacted_prefix_index(spark: SparkSession, sf_dir: str) -> str:
 
 @register(
     "set_similarity_join_docs_compacted",
-    demoted=True,  # lifecycle twin of the graded served + incremental rows
+    # r13: PROMOTED to driver-graded (r12 VERDICT item 1 rotation) — the
+    # generational compaction lifecycle (build → frozen-order append →
+    # re-freeze → fold) answers the driver with the from-scratch oracle;
+    # set_similarity_join_docs_incremental rotated back in trade after its
+    # green r12 graded round.  One round of demoted-gate history (r12).
     oracle=_TRIGRAM_PPJOIN_ORACLE,
 )
 def set_similarity_join_docs_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1391,7 +1402,10 @@ def read_prefix_index_bucketed(
 
 @register(
     "set_similarity_join_docs_bucketed",
-    demoted=True,  # shuffle-elimination twin of the graded served row
+    # r13: PROMOTED to driver-graded (r12 VERDICT item 1 rotation) — the
+    # bucketed prefix table eliminates the self-join's __pg exchanges (25×
+    # shuffle reduction, plan-pinned); set_similarity_join_docs (plain serve)
+    # demoted in trade.  One round of demoted-gate history (r12).
     oracle=_TRIGRAM_PPJOIN_ORACLE,
 )
 def set_similarity_join_docs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:

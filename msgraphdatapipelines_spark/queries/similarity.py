@@ -1553,7 +1553,11 @@ def contamination_semantic_served(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
-    "ann_filtered_topk",  # promoted r11: metadata-filtered vector search, driver-graded
+    "ann_filtered_topk",  # promoted r11; r13: DEMOTED in trade for the served
+    # candidate-budget twin (ann_filtered_topk_budget) — the driver now grades
+    # the production serve path; this exact brute-force-within-label baseline
+    # keeps its identical oracle under the demoted gate.
+    demoted=True,
     oracle=f"""
     WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql
                FROM embeddings
@@ -1685,7 +1689,11 @@ def ann_filtered_topk_served(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_filtered_topk_budget",
-    demoted=True,  # adaptive-probe twin of ann_filtered_topk_served
+    # r13: PROMOTED to driver-graded (r12 VERDICT item 1 rotation) — the
+    # adaptive-probe serve path is the production default for filtered
+    # vector search; ann_filtered_topk (exact brute baseline) demoted in
+    # trade after its r11+r12 graded history.  One round of demoted-gate
+    # history (r12: sf0.001 hash-strict + sf0.01 driver-strict rehearsal).
     oracle=f"""
     WITH {_ivf_pq_filtered_ctes(k=K, nprobe=NPROBE, min_candidates=25)}
     SELECT qid, cid, round(score, 6) AS score, rank FROM ivfpq_f
