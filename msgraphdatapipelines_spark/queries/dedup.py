@@ -663,36 +663,23 @@ def prefix_index_root(sf_dir: str, n: int, threshold: float, variant: str = "ful
 # close the append-vs-compact race in both directions.
 # ---------------------------------------------------------------------------
 
-_GEN_RE = __import__("re").compile(r"^gen-(\d{6})-[0-9a-f]+$")
-_LEASE_TTL_S = 600.0
+# r13 (r12 VERDICT item 3): the protocol primitives moved to the shared
+# ``genstore`` module — ONE commit discipline for every standing store
+# (prefix-gram index here, the BM25 lexicon, the ANN rebalance path).
+# These thin wrappers keep this module's historical names AND read
+# ``_LEASE_TTL_S`` at call time so tests can monkeypatch the TTL.
+from .. import genstore as _gs
+
+_GEN_RE = _gs.GEN_RE
+_LEASE_TTL_S = _gs.LEASE_TTL_S
 
 
 def _marker_commit(fs, hpath, path: str) -> None:
-    """Create a marker file via tmp-write + rename (atomic on every FS
-    the repo targets; parents auto-created by Hadoop create())."""
-    import uuid
-
-    tmp = hpath(f"{path}.tmp.{uuid.uuid4().hex[:6]}")
-    out = fs.create(tmp, True)
-    out.write(bytearray(b"ready"))
-    out.close()
-    fs.rename(tmp, hpath(path))
+    _gs.marker_commit(fs, hpath, path)
 
 
 def _committed_gens(fs, hpath, root: str) -> list[str]:
-    """Ascending names of committed generation dirs under ``root``."""
-    if not fs.exists(hpath(root)):
-        return []
-    out = []
-    for st in fs.listStatus(hpath(root)):
-        nm = st.getPath().getName()
-        if (
-            st.isDirectory()
-            and _GEN_RE.match(nm)
-            and fs.exists(hpath(f"{root}/{nm}/_commit"))
-        ):
-            out.append(nm)
-    return sorted(out)
+    return _gs.committed_gens(fs, hpath, root)
 
 
 def prefix_index_current_gen(spark: SparkSession, root: str) -> str | None:
@@ -700,42 +687,15 @@ def prefix_index_current_gen(spark: SparkSession, root: str) -> str | None:
     from .. import sinks
 
     fs, _, jvm = sinks._fs_for(spark, root)
-    hpath = jvm.org.apache.hadoop.fs.Path
-    gens = _committed_gens(fs, hpath, root)
-    return f"{root}/{gens[-1]}" if gens else None
+    return _gs.current_gen(fs, jvm.org.apache.hadoop.fs.Path, root)
 
 
 def _live_leases(fs, hpath, root: str) -> list[str]:
-    """Compaction lease files younger than the TTL (stale ones — a
-    crashed compactor — are ignored, so appends never wedge)."""
-    import time
-
-    if not fs.exists(hpath(root)):
-        return []
-    out = []
-    for st in fs.listStatus(hpath(root)):
-        nm = st.getPath().getName()
-        if nm.startswith("_compacting.") and not st.isDirectory():
-            if time.time() * 1000 - st.getModificationTime() < _LEASE_TTL_S * 1000:
-                out.append(nm)
-    return out
+    return _gs.live_leases(fs, hpath, root, ttl_s=_LEASE_TTL_S)
 
 
 def _wait_leases_clear(fs, hpath, root: str, timeout_s: float | None = None) -> None:
-    """Block until no live compaction lease remains.  The default bound
-    is the lease TTL plus slack: a legitimate long compact (the 100×
-    fold runs minutes) must not make waiting appenders raise spuriously,
-    and a crashed compactor's lease goes stale at the TTL anyway — so
-    waiting longer than TTL+slack can never be necessary."""
-    import time
-
-    if timeout_s is None:
-        timeout_s = _LEASE_TTL_S + 60.0
-    t0 = time.time()
-    while _live_leases(fs, hpath, root):
-        if time.time() - t0 > timeout_s:
-            raise TimeoutError(f"compaction lease on {root} held > {timeout_s}s")
-        time.sleep(0.2)
+    _gs.wait_leases_clear(fs, hpath, root, timeout_s=timeout_s, ttl_s=_LEASE_TTL_S)
 
 
 def _write_gen_tables(spark: SparkSession, grams: DataFrame, threshold: float, stage: str) -> None:
@@ -1115,31 +1075,11 @@ def prefix_index_compact(
 
     fs, _, jvm = sinks._fs_for(spark, root)
     hpath = jvm.org.apache.hadoop.fs.Path
-    if _live_leases(fs, hpath, root):
-        raise RuntimeError(f"compact already in progress under {root}")
-    lease = f"{root}/_compacting.{uuid.uuid4().hex[:8]}"
-    _marker_commit(fs, hpath, lease)
-    # heartbeat: a compact legitimately outlives the lease TTL (the 100×
-    # fold runs minutes), and a stale lease would release waiting
-    # appenders mid-compact — exactly the lost-batch window the lease
-    # exists to close.  Renew the mtime every TTL/4 until commit/abort;
-    # a CRASHED compactor stops renewing and goes stale at the TTL.
-    import threading
-    import time as _time
-
-    stop_hb = threading.Event()
-
-    def _heartbeat() -> None:
-        while not stop_hb.wait(_LEASE_TTL_S / 4):
-            try:
-                now_ms = int(_time.time() * 1000)
-                fs.setTimes(hpath(lease), now_ms, now_ms)
-            except Exception:  # noqa: BLE001 — lease deleted: exit quietly
-                return
-
-    hb = threading.Thread(target=_heartbeat, daemon=True)
-    hb.start()
-    try:
+    # lease + heartbeat discipline via the shared protocol module (r13):
+    # a LIVE compact renews the lease mtime every TTL/4 (a long fold must
+    # not release waiting appenders into the lost-batch window); a
+    # CRASHED compactor stops renewing and goes stale at the TTL.
+    with _gs.compaction_lease(fs, hpath, root, ttl_s=_LEASE_TTL_S):
         gens = _committed_gens(fs, hpath, root)
         if not gens:
             raise FileNotFoundError(f"compact before build: no generation at {root}")
@@ -1219,9 +1159,6 @@ def prefix_index_compact(
         for g in _committed_gens(fs, hpath, root)[:-2]:
             fs.delete(hpath(f"{root}/{g}"), True)
         return {"docs": int(n_docs), "batches_folded": len(batches)}
-    finally:
-        stop_hb.set()
-        fs.delete(hpath(lease), False)
 
 def _canonical_by_quality_oracle(threshold: float = 0.5) -> str:
     """Clusters = the verified-pair closure (same CTE as the graded

@@ -1437,120 +1437,212 @@ def lexicon_root(sf_dir: str) -> str:
         st = os.stat(p)
         parts.append(f"{st.st_size}:{st.st_mtime_ns}")
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{'|'.join(parts)}|lex|v2".encode()
+        # v3 (r13): generational layout — bumping the key retires v2
+        # meta.json-commit artifacts instead of carrying a legacy reader
+        f"{os.path.abspath(sf_dir)}|{'|'.join(parts)}|lex|v3".encode()
     ).hexdigest()[:16]
     return os.path.join(tempfile.gettempdir(), f"msgdp_lex_{key}")
 
 
-def _lex_batch_ids(spark: SparkSession, root: str) -> list[int]:
-    """Sorted batch ids under ``batches/tf`` via the Hadoop FS API (r10,
-    r9 VERDICT item 7: ``os.listdir`` breaks the moment the root is an
-    object store — every store probe goes through the same FS layer as
-    the snapshot sinks)."""
+def _lex_batch_ids(spark: SparkSession, root: str, table: str = "tf") -> list[int]:
+    """Sorted batch ids under ``batches/<table>`` via the Hadoop FS API
+    (r10, r9 VERDICT item 7: ``os.listdir`` breaks the moment the root
+    is an object store — every store probe goes through the same FS
+    layer as the snapshot sinks)."""
     from .. import sinks
 
-    return sinks._list_numbered_dirs(spark, f"{root}/batches/tf", "batch_id=")
+    return sinks._list_numbered_dirs(spark, f"{root}/batches/{table}", "batch_id=")
 
 
-def lexicon_append_batch(spark: SparkSession, root: str, docs: DataFrame) -> int:
-    """Append a NEW-document batch to the lexicon's grow-only store (r9):
-    per-batch tf and dl increments land under ``batches/{tf,dl}/
-    batch_id=K`` — the ann_index_stream layout, so ingestion never
-    rewrites existing postings.  Batches become servable at the next
-    ``lexicon_compact``.  Append-only corpus contract: a re-ingested
-    doc_id is the caller's upsert problem (route through the SCD sinks),
-    not the lexicon's."""
+def lexicon_append_batch(
+    spark: SparkSession, root: str, docs: DataFrame, bid: int | None = None
+) -> int:
+    """Append a NEW-document batch to the lexicon's grow-only store (r9;
+    r13 staged-pair publish): per-batch tf and dl increments land under
+    ``batches/{tf,dl}/batch_id=K`` — the ann_index_stream layout, so
+    ingestion never rewrites existing postings.  Batches become servable
+    at the next ``lexicon_compact``.
+
+    ``bid`` (r13) names the batch deterministically (e.g. the streaming
+    micro-batch id), making the append IDEMPOTENT under checkpoint
+    replay: a fully-published batch id no-ops.  Both tables stage under
+    one uuid dir and rename into place half-by-half (exists-wins) — a
+    crash between the renames leaves a HALF-published batch that
+    ``lexicon_compact`` skips (full pairs only) and a same-bid re-append
+    completes; the torn-directory window of the old direct
+    ``mode("overwrite")`` writes is gone.  Append-only corpus contract:
+    a re-ingested doc_id is the caller's upsert problem (route through
+    the SCD sinks), not the lexicon's."""
+    import uuid
+
+    from .. import sinks
+
+    fs, _, jvm = sinks._fs_for(spark, root)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    existing = _lex_batch_ids(spark, root)
+    k = bid if bid is not None else ((existing[-1] + 1) if existing else 0)
+    dst_tf = hpath(f"{root}/batches/tf/batch_id={k}")
+    dst_dl = hpath(f"{root}/batches/dl/batch_id={k}")
+    if fs.exists(dst_tf) and fs.exists(dst_dl):
+        return k  # replay of a fully-published batch
     ws = F.filter(F.split("text", " "), lambda w: w != "")
     toks = docs.select("doc_id", F.explode(ws).alias("tok"))
-    existing = _lex_batch_ids(spark, root)
-    k = (existing[-1] + 1) if existing else 0
-    toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")).write.mode(
-        "overwrite"
-    ).parquet(f"{root}/batches/tf/batch_id={k}")
-    toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")).write.mode(
-        "overwrite"
-    ).parquet(f"{root}/batches/dl/batch_id={k}")
+    stage = f"{root}/stage.append.{uuid.uuid4().hex[:8]}"
+    toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")).write.parquet(
+        f"{stage}/tf"
+    )
+    toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")).write.parquet(
+        f"{stage}/dl"
+    )
+    fs.mkdirs(hpath(f"{root}/batches/tf"))
+    fs.mkdirs(hpath(f"{root}/batches/dl"))
+    if fs.exists(dst_tf) or not fs.rename(hpath(f"{stage}/tf"), dst_tf):
+        pass  # racer/replayer already published this half
+    if fs.exists(dst_dl) or not fs.rename(hpath(f"{stage}/dl"), dst_dl):
+        pass
+    fs.delete(hpath(stage), True)
     return k
 
 
-def lexicon_compact(spark: SparkSession, root: str) -> dict:
-    """Publish the servable lexicon from ALL appended batches: postings
-    REPARTITIONED BY TERM + sorted within partitions (probe ``tok IN``
-    pushdown skips row groups — the parquet analog of reading only the
-    queried postings lists), docstats, and termstats each as a
-    snapshot-versioned table (atomic ``_LATEST`` flips), then
-    ``meta.json`` — exact-integer {n_docs, sum_dl, n_batches} — written
-    LAST via Hadoop FS create+rename as the overall commit marker.  A
-    crash anywhere mid-compact leaves the previous meta/snapshots
-    serving."""
+def _lex_full_bids(spark: SparkSession, root: str) -> list[int]:
+    """Batch ids published in BOTH tables — compact folds full pairs
+    only; a half-published batch (appender crashed between renames) is
+    invisible until its same-bid re-append completes."""
+    return sorted(
+        set(_lex_batch_ids(spark, root, "tf")) & set(_lex_batch_ids(spark, root, "dl"))
+    )
+
+
+def _lex_read_meta(fs, hpath, gen: str) -> dict:
     import json
 
+    stream = fs.open(hpath(f"{gen}/meta.json"))
+    try:
+        return json.loads(bytes(stream.readAllBytes()).decode("ascii"))
+    finally:
+        stream.close()
+
+
+def lexicon_compact(spark: SparkSession, root: str) -> dict:
+    """Publish the servable lexicon from all fully-appended batches as
+    ONE committed generation (r13, r12 VERDICT item 3 — the meta.json
+    commit discipline retired for the shared ``genstore`` protocol the
+    prefix-gram index pioneered): postings REPARTITIONED BY TERM +
+    sorted within partitions (probe ``tok IN`` pushdown skips row groups
+    — the parquet analog of reading only the queried postings lists),
+    docstats, termstats and the exact-integer meta {n_docs, sum_dl,
+    n_batches} all staged under one uuid dir and committed by ONE
+    ``_commit`` marker rename.  A crash anywhere mid-compact leaves the
+    previous generation fully live; a reader can never observe postings
+    and meta from different rebuilds (the torn-commit window the old
+    three-snapshot-flips-then-meta sequence left open).
+
+    The generation's ``_folded`` manifest records the folded batch ids:
+    a compact whose visible batch set equals the live generation's
+    manifest NO-OPS (returns the live meta — rebuilds are corpus-sized,
+    so idempotent re-compacts shouldn't pay one), and replayed appends
+    stay idempotent against it.  The ``_compacting`` lease serializes
+    rebuilds (heartbeat-renewed; stale leases from crashed compactors
+    are ignored)."""
+    import json
+
+    from .. import genstore as _gs
     from .. import sinks
 
-    tf = spark.read.parquet(f"{root}/batches/tf")
-    dl = spark.read.parquet(f"{root}/batches/dl")
-    sinks.write_snapshot(
-        tf.repartition(F.col("tok")).sortWithinPartitions("tok"),
-        f"{root}/postings",
-    )
-    sinks.write_snapshot(dl, f"{root}/docstats")
-    sinks.write_snapshot(
-        tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df")), f"{root}/termstats"
-    )
-    agg = dl.agg(F.count(F.lit(1)), F.sum("dl")).collect()[0]
-    n_batches = len(_lex_batch_ids(spark, root))
-    meta = {"n_docs": int(agg[0]), "sum_dl": int(agg[1]), "n_batches": n_batches}
     fs, _, jvm = sinks._fs_for(spark, root)
-    tmp = jvm.org.apache.hadoop.fs.Path(f"{root}/meta.json.tmp")
-    out = fs.create(tmp, True)
-    try:
-        out.write(bytearray(json.dumps(meta).encode("ascii")))
-    finally:
-        out.close()
-    final = jvm.org.apache.hadoop.fs.Path(f"{root}/meta.json")
-    fs.delete(final, False)
-    fs.rename(tmp, final)  # atomic commit marker on HDFS/local
-    return meta
+    hpath = jvm.org.apache.hadoop.fs.Path
+    with _gs.compaction_lease(fs, hpath, root):
+        bids = _lex_full_bids(spark, root)
+        if not bids:
+            raise FileNotFoundError(f"compact before append: no batches at {root}")
+        live = _gs.current_gen(fs, hpath, root)
+        if live is not None and {str(b) for b in bids} == set(
+            _gs.gen_folded_bids(fs, hpath, live)
+        ):
+            return _lex_read_meta(fs, hpath, live)  # nothing new: no-op
+        tf = spark.read.parquet(*[f"{root}/batches/tf/batch_id={b}" for b in bids])
+        dl = spark.read.parquet(*[f"{root}/batches/dl/batch_id={b}" for b in bids])
+        import uuid
+
+        stage = f"{root}/stage.compact.{uuid.uuid4().hex[:8]}"
+        tf.repartition(F.col("tok")).sortWithinPartitions("tok").write.parquet(
+            f"{stage}/postings"
+        )
+        dl.write.parquet(f"{stage}/docstats")
+        tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).write.parquet(
+            f"{stage}/termstats"
+        )
+        agg = dl.agg(F.count(F.lit(1)), F.sum("dl")).collect()[0]
+        meta = {"n_docs": int(agg[0]), "sum_dl": int(agg[1]), "n_batches": len(bids)}
+        out = fs.create(hpath(f"{stage}/meta.json"), True)
+        try:
+            out.write(bytearray(json.dumps(meta).encode("ascii")))
+        finally:
+            out.close()
+        fs.mkdirs(hpath(f"{stage}/_folded"))
+        for b in bids:
+            _gs.marker_commit(fs, hpath, f"{stage}/_folded/{b}")
+        _gs.commit_generation(
+            fs, hpath, root, stage, _gs.next_gen_name(fs, hpath, root)
+        )
+        # GC: keep live + previous generations (a reader that resolved the
+        # old generation just before commit still has its files)
+        for g in _gs.committed_gens(fs, hpath, root)[:-2]:
+            fs.delete(hpath(f"{root}/{g}"), True)
+        # non-authoritative convenience copy at the root: build-once
+        # observability (tests witness its mtime) and ad-hoc inspection;
+        # readers resolve the GENERATION's meta, never this file
+        tmp = hpath(f"{root}/meta.json.tmp.{uuid.uuid4().hex[:6]}")
+        out = fs.create(tmp, True)
+        try:
+            out.write(bytearray(json.dumps(meta).encode("ascii")))
+        finally:
+            out.close()
+        fs.delete(hpath(f"{root}/meta.json"), False)
+        fs.rename(tmp, hpath(f"{root}/meta.json"))
+        return meta
 
 
 def read_lexicon(spark: SparkSession, root: str):
-    """(postings, docstats, termstats, meta) — the compacted servable
-    view; pure snapshot resolves + one tiny json read (through the Hadoop
-    FS API, so the root may be an object-store prefix), no corpus work."""
-    import json
-
+    """(postings, docstats, termstats, meta) — the live generation's
+    servable view: one committed-generation resolve + one tiny json read
+    (through the Hadoop FS API, so the root may be an object-store
+    prefix), no corpus work.  Generations are immutable once committed,
+    so a plan built here keeps a consistent (postings, meta) pair even
+    if a compact publishes meanwhile."""
+    from .. import genstore as _gs
     from .. import sinks
 
     fs, _, jvm = sinks._fs_for(spark, root)
-    stream = fs.open(jvm.org.apache.hadoop.fs.Path(f"{root}/meta.json"))
-    try:
-        meta = json.loads(bytes(stream.readAllBytes()).decode("ascii"))
-    finally:
-        stream.close()
+    hpath = jvm.org.apache.hadoop.fs.Path
+    gen = _gs.current_gen(fs, hpath, root)
+    if gen is None:
+        raise FileNotFoundError(f"no committed lexicon generation under {root}")
     return (
-        sinks.read_snapshot(spark, f"{root}/postings"),
-        sinks.read_snapshot(spark, f"{root}/docstats"),
-        sinks.read_snapshot(spark, f"{root}/termstats"),
-        meta,
+        spark.read.parquet(f"{gen}/postings"),
+        spark.read.parquet(f"{gen}/docstats"),
+        spark.read.parquet(f"{gen}/termstats"),
+        _lex_read_meta(fs, hpath, gen),
     )
 
 
 def ensure_standing_lexicon(spark: SparkSession, sf_dir: str, docs: DataFrame | None = None):
     """Build-at-most-once standing lexicon for a warehouse corpus:
     first touch ingests the whole ``documents`` table as batch 0 and
-    compacts; afterwards every call is a pure snapshot resolve
+    compacts; afterwards every call is a pure generation resolve
     (``read_lexicon``).  Incremental growth goes through
     ``lexicon_append_batch`` + ``lexicon_compact`` on the same root —
     the ANN standing-index maintenance pattern applied to the lexical
     branch."""
+    from .. import genstore as _gs
     from .. import sinks
 
     root = lexicon_root(sf_dir)
     fs, _, jvm = sinks._fs_for(spark, root)
-    if not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{root}/meta.json")):
+    if _gs.current_gen(fs, jvm.org.apache.hadoop.fs.Path, root) is None:
         if docs is None:
             docs = load(spark, sf_dir, "documents")
-        lexicon_append_batch(spark, root, docs)
+        lexicon_append_batch(spark, root, docs, bid=0)
         lexicon_compact(spark, root)
     return read_lexicon(spark, root)
 
