@@ -189,6 +189,7 @@ def kmeans_centroids(
     dim: int = 64,
     exact_mean: bool = False,
     assign: str = "auto",
+    seed_vectors: list[list[float]] | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Distributed Lloyd k-means over an embedding column — the coarse
     quantizer trainer for ``ivf_topk`` (pass the result as its
@@ -226,13 +227,24 @@ def kmeans_centroids(
         raise ValueError(f"assign must be auto|literal|table, got {assign!r}")
     use_table = assign == "table" or (assign == "auto" and k > 64)
     cv = F.col(vec_c).cast("array<double>")
-    seed = [
-        [float(x) for x in r["_v"]]
-        for r in corpus.select(F.col(id_c).alias("_id"), cv.alias("_v"))
-        .orderBy("_id")
-        .limit(k)
-        .collect()
-    ]
+    if seed_vectors is not None:
+        # caller-supplied init (r13): the automated rebalance seeds
+        # proportionally to CURRENT list occupancy — lowest-id-global
+        # seeding would seat every seed in the historical corpus and
+        # Lloyd could never split a drifted clump, however many lists
+        # it overflows.  Still deterministic: the caller derives seeds
+        # deterministically from the artifact.
+        seed = [[float(x) for x in v] for v in seed_vectors]
+        if len(seed) != k:
+            raise ValueError(f"k={k} centroids requested but {len(seed)} seeds given")
+    else:
+        seed = [
+            [float(x) for x in r["_v"]]
+            for r in corpus.select(F.col(id_c).alias("_id"), cv.alias("_v"))
+            .orderBy("_id")
+            .limit(k)
+            .collect()
+        ]
     if len(seed) < k:
         raise ValueError(f"k={k} centroids requested but corpus has only {len(seed)} rows")
     if dim != len(seed[0]):

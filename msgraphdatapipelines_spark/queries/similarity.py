@@ -1180,10 +1180,232 @@ def ensure_standing_index(
                         shutil.rmtree(stage, ignore_errors=True)  # racer won retry
                 if aside is not None:
                     shutil.rmtree(aside, ignore_errors=True)
-    with open(f"{root}/models.json") as fh:
-        models = json.load(fh)
+    # r13 (rebalance support): resolve the snapshot version ONCE and load
+    # the VERSION-MATCHED models — a rebalance publishes models.v{N}.json
+    # + label_lists.v{N} + snapshot v=N behind one _LATEST flip, so a
+    # reader that resolved version N can never pair new centroids with an
+    # old snapshot (or vice versa).  models.json is the v1 (initial
+    # build) layout; versioned files only exist once a rebalance ran.
+    version = sinks._read_latest_version(spark, snap)
+    models = _load_models_for(spark, root, version)
     cents = [(int(c), v) for c, v in models["centroids"]]
-    return sinks.read_snapshot(spark, snap), cents, models["codebooks"]
+    return sinks.read_snapshot(spark, snap, version=version), cents, models["codebooks"]
+
+
+def _read_json_fs(fs, hpath, path: str) -> dict:
+    import json
+
+    stream = fs.open(hpath(path))
+    try:
+        return json.loads(bytes(stream.readAllBytes()).decode("ascii"))
+    finally:
+        stream.close()
+
+
+def _write_json_atomic(fs, hpath, path: str, obj: dict) -> None:
+    import json
+    import uuid
+
+    tmp = hpath(f"{path}.tmp.{uuid.uuid4().hex[:6]}")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(obj).encode("ascii")))
+    finally:
+        out.close()
+    fs.delete(hpath(path), False)
+    fs.rename(tmp, hpath(path))
+
+
+def _load_models_for(spark: SparkSession, root: str, version: int) -> dict:
+    """The (centroids, codebooks) trained for snapshot ``version``:
+    ``models.v{version}.json`` when a rebalance published it, else the
+    initial build's ``models.json`` (the v1 layout)."""
+    from .. import sinks
+
+    fs, _, jvm = sinks._fs_for(spark, root)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    p = f"{root}/models.v{version}.json"
+    return _read_json_fs(fs, hpath, p if fs.exists(hpath(p)) else f"{root}/models.json")
+
+
+def ann_rebalance_if_skewed(
+    spark: SparkSession,
+    root: str,
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    meta_cols: tuple[str, ...] = ("label",),
+    max_share_ratio: float = 4.0,
+    n_centroids: int | None = None,
+    dim: int = DIM,
+) -> dict:
+    """AUTOMATED IVF rebalance (r13, r12 VERDICT item 2): the action the
+    ``ann_index_list_stats`` occupancy monitor and
+    ``ivf_incremental_append``'s prose contract ("retrain + rebuild when
+    appended batches drift off the trained distribution") prescribed but
+    nothing triggered — at 100 TB with drifting ingest, skewed lists
+    silently degrade recall-per-nprobe until a human reads the dashboard.
+
+    Trigger: one artifact-sized aggregation over the resolved batch view
+    (never the corpus) — when the fullest list holds more than
+    ``max_share_ratio`` × the uniform share (n/k), the coarse quantizer
+    no longer reflects the data and probes concentrate.  Below the
+    threshold this is a pure monitor call: stats dict, no writes.
+
+    Retrain + republish (under the shared ``genstore`` compaction lease,
+    so rebalances serialize and appenders using the same discipline can
+    fence):
+
+    1. retrain centroids on the CURRENT vectors with k ∝ √n (the
+       module's standing scale rule); PQ codebooks are kept — subspace
+       quantization is independent of the coarse partition, so re-coding
+       vectors would buy nothing and cost a corpus pass,
+    2. re-assign + encode every vector under the new centroids into a
+       STAGED batches dir, write ``models.v{N+1}.json``, then swap the
+       grow-only batches dir (future appends/compactions build on the
+       retrained assignment),
+    3. ``compact_ann_index`` publishes snapshot ``v=N+1`` clustered by
+       the new list ids with its zonemap manifest and the VERSIONED
+       label-steering summary ``label_lists.v{N+1}`` — all of it becomes
+       visible through the single ``_LATEST`` pointer flip, the same
+       one-commit rule every standing store here follows.  A reader that
+       resolved version N keeps a fully consistent (snapshot, models,
+       label_lists) triple; one that resolves N+1 gets the retrained
+       triple.  Crash before the flip: version N keeps serving, debris
+       is an uncommitted ``v=N+1`` dir + unreferenced model/summary
+       files.
+
+    Returns the stats dict (occupancy before, and after when retrained).
+    Serve-equality and recall-restoration are pinned in
+    tests/test_similarity.py::test_ann_rebalance_*."""
+    import math
+    import uuid
+
+    from .. import genstore as _gs
+    from .. import sinks
+    from ..streaming.ann_stream import compact_ann_index, read_ann_index
+
+    fs, _, jvm = sinks._fs_for(spark, root)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    view = read_ann_index(spark, f"{root}/batches")
+    row = (
+        view.groupBy("cent")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.max("n").alias("mx"),
+            F.sum("n").alias("total"),
+            F.count(F.lit(1)).alias("k"),
+        )
+        .collect()[0]
+    )
+    n_total, k_cur, mx = int(row["total"]), int(row["k"]), int(row["mx"])
+    share = mx * k_cur / n_total  # 1.0 == perfectly uniform occupancy
+    out = {
+        "n_vectors": n_total,
+        "lists": k_cur,
+        "max_list_rows": mx,
+        "max_share_ratio": round(share, 3),
+        "retrained": False,
+    }
+    if share <= max_share_ratio:
+        return out
+    with _gs.compaction_lease(fs, hpath, root):
+        snap = f"{root}/snapshot"
+        version = sinks._read_latest_version(spark, snap)
+        next_v = version + 1
+        kc = n_centroids if n_centroids is not None else max(2, round(math.sqrt(n_total)))
+        # occupancy-proportional seeding: pick the kc rows with the
+        # smallest within-list rank FRACTION (rank-1)/list_size — each
+        # list contributes seeds ∝ its occupancy, so the overfull list
+        # gets enough of them for one Lloyd pass to actually split it
+        # (lowest-id-global seeding seats every seed in the historical
+        # corpus and leaves a drifted clump as one fat list forever).
+        # Rank order within a list is md5(cid) — a DETERMINISTIC
+        # pseudo-random draw; plain cid order would bias every seed into
+        # the list's oldest members (exactly the pre-drift rows, since
+        # appends carry higher ids) and the drift mass would again be
+        # seedless and unsplittable.
+        from pyspark.sql import Window
+
+        wn = Window.partitionBy("cent").orderBy(
+            F.md5(F.col("cid").cast("string")), "cid"
+        )
+        lc = view.groupBy("cent").agg(F.count(F.lit(1)).alias("_ln"))
+        seed_ids = [
+            r["cid"]
+            for r in view.select("cid", "cent")
+            .withColumn("_rn", F.row_number().over(wn))
+            .join(F.broadcast(lc), "cent")
+            .withColumn("_frac", (F.col("_rn") - 1) / F.col("_ln"))
+            .orderBy("_frac", "cid")
+            .limit(kc)
+            .collect()
+        ]
+        by_id = {
+            r["_i"]: [float(x) for x in r["_v"]]
+            for r in vectors.select(
+                F.col(id_col).alias("_i"),
+                F.col(vec_col).cast("array<double>").alias("_v"),
+            )
+            .filter(F.col(id_col).isin(seed_ids))
+            .collect()
+        }
+        seeds = [by_id[i] for i in seed_ids if i in by_id]
+        if len(seeds) < kc:
+            # index rows absent from the handed corpus (caller passed a
+            # subset): top up deterministically from the lowest-id rows
+            have = set(seed_ids) & set(by_id)
+            extra = (
+                vectors.select(
+                    F.col(id_col).alias("_i"),
+                    F.col(vec_col).cast("array<double>").alias("_v"),
+                )
+                .filter(~F.col("_i").isin(list(have)))
+                .orderBy("_i")
+                .limit(kc - len(seeds))
+                .collect()
+            )
+            seeds += [[float(x) for x in r["_v"]] for r in extra]
+        cents = S.kmeans_centroids(
+            vectors, id_col, vec_col, k=kc, iters=1, dim=dim, exact_mean=True,
+            seed_vectors=seeds,
+        )
+        books = _load_models_for(spark, root, version)["codebooks"]
+        keep = [mc for mc in meta_cols if mc in vectors.columns]
+        stage = f"{root}/batches.stage.{uuid.uuid4().hex[:8]}"
+        S.ivf_pq_index(
+            vectors, id_col, vec_col, cents, books, dim=dim, meta_cols=tuple(keep)
+        ).write.parquet(f"{stage}/batch_id=0")
+        _write_json_atomic(
+            fs, hpath, f"{root}/models.v{next_v}.json",
+            {"centroids": cents, "codebooks": books},
+        )
+        old = f"{root}/batches.old.{uuid.uuid4().hex[:8]}"
+        fs.rename(hpath(f"{root}/batches"), hpath(old))
+        fs.rename(hpath(stage), hpath(f"{root}/batches"))
+        compact_ann_index(
+            spark,
+            f"{root}/batches",
+            snap,
+            label_lists_path=f"{root}/label_lists.v{next_v}" if keep else None,
+            cluster_files=max(8, kc // 4),
+        )
+        fs.delete(hpath(old), True)
+        after = (
+            sinks.read_snapshot(spark, snap, version=next_v)
+            .groupBy("cent")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n").alias("mx"), F.count(F.lit(1)).alias("k"))
+            .collect()[0]
+        )
+        out.update(
+            retrained=True,
+            version=next_v,
+            lists_after=int(after["k"]),
+            max_list_rows_after=int(after["mx"]),
+            max_share_ratio_after=round(int(after["mx"]) * int(after["k"]) / n_total, 3),
+        )
+        return out
 
 
 def indexed_candidates(
@@ -1426,8 +1648,15 @@ def indexed_candidates_pruned(
         )
     from .. import sinks
 
-    _, cents, books = ensure_standing_index(spark, sf_dir, emb)
-    snap = f"{standing_index_root(sf_dir)}/snapshot"
+    ensure_standing_index(spark, sf_dir, emb)  # build-at-most-once
+    root = standing_index_root(sf_dir)
+    snap = f"{root}/snapshot"
+    # resolve the version ONCE and pin models + pruned read to it — a
+    # rebalance flipping the pointer between the two resolves could
+    # otherwise pair new models with an old snapshot slice (r13)
+    version = sinks._read_latest_version(spark, snap)
+    models = _load_models_for(spark, root, version)
+    cents = [(int(c), v) for c, v in models["centroids"]]
     return S.ivf_pq_topk(
         emb.filter(F.col("vec_id") < N_QUERIES),
         emb,
@@ -1438,10 +1667,10 @@ def indexed_candidates_pruned(
         k=k,
         nprobe=nprobe,
         centroids=cents,
-        codebooks=books,
+        codebooks=models["codebooks"],
         rerank=rerank,
         index_pruner=lambda cents_: sinks.read_snapshot_pruned_in(
-            spark, snap, "cent", cents_
+            spark, snap, "cent", cents_, version=version
         ),
         dim=DIM,
     )
@@ -1596,23 +1825,36 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _load_label_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The persisted (label, cent, n) probe-steering summary — with
-    crash-window recovery: compact_ann_index swaps the summary via two
-    renames, so a crash in between leaves the path briefly absent while
-    the snapshot is live; re-derive from the snapshot (one index-sized
-    agg — the same work compact would have done) and republish staged."""
+def _load_label_lists(
+    spark: SparkSession, sf_dir: str, version: int | None = None
+) -> DataFrame:
+    """The persisted (label, cent, n) probe-steering summary for snapshot
+    ``version`` — version-exact since r13 (rebalance publishes
+    ``label_lists.v{N}`` with snapshot ``v=N``; the unversioned path is
+    the v1 initial-build layout).  A WRONG-version summary is worse than
+    a missing one: after a retrain the cent id space changes entirely, so
+    steering with the old summary probes lists that no longer exist —
+    the recovery therefore re-derives from the RESOLVED snapshot (one
+    index-sized agg, the same work compact would have done) and
+    republishes staged at the version-exact path, rather than ever
+    falling back across versions."""
     import uuid
 
     from .. import sinks
 
     root = standing_index_root(sf_dir)
-    path = f"{root}/label_lists"
-    fs, _, jvm = sinks._fs_for(spark, path)
+    fs, _, jvm = sinks._fs_for(spark, root)
     hpath = jvm.org.apache.hadoop.fs.Path
+    if version is None:
+        version = sinks._read_latest_version(spark, f"{root}/snapshot")
+    # v1 = the initial build's unversioned layout; rebalances publish
+    # version-suffixed summaries alongside their snapshot versions
+    path = (
+        f"{root}/label_lists" if version == 1 else f"{root}/label_lists.v{version}"
+    )
     if not fs.exists(hpath(path)):
         ll = (
-            sinks.read_snapshot(spark, f"{root}/snapshot")
+            sinks.read_snapshot(spark, f"{root}/snapshot", version=version)
             .groupBy("label", "cent")
             .agg(F.count("*").alias("n"))
         )
@@ -1663,9 +1905,15 @@ def ann_filtered_topk_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .. import sinks
 
     emb = load(spark, sf_dir, "embeddings")
-    _, cents, books = ensure_standing_index(spark, sf_dir, emb)
-    ll = _load_label_lists(spark, sf_dir)
-    snap = f"{standing_index_root(sf_dir)}/snapshot"
+    ensure_standing_index(spark, sf_dir, emb)  # build-at-most-once
+    root = standing_index_root(sf_dir)
+    snap = f"{root}/snapshot"
+    # one version resolve pins models + label steering + pruned read to a
+    # single consistent generation of the artifact (r13, rebalance-safe)
+    version = sinks._read_latest_version(spark, snap)
+    models = _load_models_for(spark, root, version)
+    cents = [(int(c), v) for c, v in models["centroids"]]
+    ll = _load_label_lists(spark, sf_dir, version=version)
     return S.filtered_ivf_pq_topk(
         emb.filter(F.col("vec_id") < N_QUERIES),
         emb,
@@ -1677,10 +1925,10 @@ def ann_filtered_topk_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=K,
         nprobe=2 * NPROBE,
         centroids=cents,
-        codebooks=books,
+        codebooks=models["codebooks"],
         rerank=50,
         index_pruner=lambda cents_: sinks.read_snapshot_pruned_in(
-            spark, snap, "cent", cents_
+            spark, snap, "cent", cents_, version=version
         ),
         label_lists=ll,
         dim=DIM,
@@ -1714,9 +1962,13 @@ def ann_filtered_topk_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .. import sinks
 
     emb = load(spark, sf_dir, "embeddings")
-    _, cents, books = ensure_standing_index(spark, sf_dir, emb)
-    ll = _load_label_lists(spark, sf_dir)
-    snap = f"{standing_index_root(sf_dir)}/snapshot"
+    ensure_standing_index(spark, sf_dir, emb)  # build-at-most-once
+    root = standing_index_root(sf_dir)
+    snap = f"{root}/snapshot"
+    version = sinks._read_latest_version(spark, snap)
+    models = _load_models_for(spark, root, version)
+    cents = [(int(c), v) for c, v in models["centroids"]]
+    ll = _load_label_lists(spark, sf_dir, version=version)
     return S.filtered_ivf_pq_topk(
         emb.filter(F.col("vec_id") < N_QUERIES),
         emb,
@@ -1728,10 +1980,10 @@ def ann_filtered_topk_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=K,
         nprobe=NPROBE,
         centroids=cents,
-        codebooks=books,
+        codebooks=models["codebooks"],
         rerank=50,
         index_pruner=lambda cents_: sinks.read_snapshot_pruned_in(
-            spark, snap, "cent", cents_
+            spark, snap, "cent", cents_, version=version
         ),
         label_lists=ll,
         dim=DIM,
