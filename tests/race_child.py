@@ -1,0 +1,88 @@
+"""Child process for the ``-m race`` lane (r13, r12 VERDICT item 5).
+
+The in-process two-builder tests (threads sharing one SparkSession)
+exercise the publish protocols' logic, but the parallel runner's TMPDIR
+isolation means no test ever raced two REAL processes on a SHARED
+artifact root — the deployment shape where crash/race protocols earn
+their keep.  This script is one such process: it synchronizes with a
+sibling through a file barrier (so the builds genuinely overlap), builds
+the artifact for ``mode`` on the shared corpus, and prints one
+``RESULT <fingerprint>`` line the parent compares across processes.
+
+Usage: python tests/race_child.py <mode> <shared_sf_dir> <barrier_dir> <proc_id>
+Modes: ann (ensure_standing_index), prefix (ensure_prefix_gram_index),
+cache (cache.serve_cached).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+
+def main() -> None:
+    mode, shared, barrier, pid = sys.argv[1:5]
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .appName(f"race-{mode}-{pid}")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # barrier: announce readiness AFTER session startup (the slow part),
+    # then spin until the sibling is ready too — maximal build overlap
+    with open(os.path.join(barrier, f"ready-{pid}"), "w", encoding="utf-8") as f:
+        f.write("1")
+    deadline = time.time() + 180
+    while sum(1 for f in os.listdir(barrier) if f.startswith("ready-")) < 2:
+        if time.time() > deadline:
+            raise SystemExit("barrier timeout")
+        time.sleep(0.02)
+
+    if mode == "ann":
+        from msgraphdatapipelines_spark.queries.similarity import (
+            ensure_standing_index,
+        )
+
+        ix, cents, books = ensure_standing_index(spark, shared)
+        rows = sorted((r["cid"], r["cent"], tuple(r["code"])) for r in ix.collect())
+        fp = hashlib.md5(str((rows, cents, books)).encode()).hexdigest()
+        print("RESULT", len(rows), fp)
+    elif mode == "prefix":
+        from msgraphdatapipelines_spark.queries.dedup import (
+            ensure_prefix_gram_index,
+            read_prefix_index,
+        )
+
+        root = ensure_prefix_gram_index(spark, shared)
+        sets, prefixes = read_prefix_index(spark, root)
+        s = sorted((r["doc_id"], tuple(sorted(r["__garr"]))) for r in sets.collect())
+        p = prefixes.count()
+        print("RESULT", len(s), p, hashlib.md5(str(s).encode()).hexdigest())
+    elif mode == "cache":
+        from msgraphdatapipelines_spark import cache
+
+        df = (
+            spark.read.parquet(f"{shared}/orders.parquet")
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        out = cache.serve_cached(spark, df, [f"{shared}/orders.parquet"])
+        rows = sorted(tuple(r) for r in out.collect())
+        # pin that the serve really reads the cache artifact
+        assert any("msgdp_rc_" in f for f in out.inputFiles()), out.inputFiles()
+        print("RESULT", rows)
+    else:
+        raise SystemExit(f"unknown mode {mode!r}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
