@@ -1506,6 +1506,98 @@ def filtered_brute_force_topk(
     )
 
 
+def range_filtered_ivf_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_q: str,
+    id_c: str,
+    vec_q: str,
+    vec_c: str,
+    lo,
+    hi,
+    k: int = 5,
+    nprobe: int = 2,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    rerank: int = 50,
+    range_lists: DataFrame | None = None,
+    index: DataFrame | None = None,
+    index_pruner=None,
+    dim: int = 64,
+) -> DataFrame:
+    """NUMERIC-RANGE filtered vector search (r13, r12 VERDICT item 6):
+    top-``k`` cosine neighbors among corpus rows with ``lo <= id <= hi``
+    — the "search only this id/time window" pattern (recency-filtered
+    retrieval), the range sibling of ``filtered_ivf_pq_topk``'s label
+    equality.
+
+    Steering: ``range_lists`` is the persisted MODEL-SIZED per-list
+    (cent, min_id, max_id) zonemap riding the same manifest discipline
+    as the label summary — the probe keeps only lists whose id interval
+    OVERLAPS [lo, hi] (no false negatives: a list that might hold an
+    in-range row is kept) and ranks the survivors by query-centroid
+    cosine, so nprobe is never wasted on lists the residual filter would
+    empty out.  On an ingest where ids correlate with arrival (the
+    common case: monotonic ids, time-clustered upserts) the per-list
+    intervals are tight and a narrow window prunes most lists; on
+    id-uniform ingest every list overlaps and steering degrades to the
+    plain probe — correct either way, because membership is re-checked
+    by the residual ``BETWEEN`` on the candidates.
+
+    Composition (same contract as the label path): ``index`` /
+    ``index_pruner`` hand in the standing artifact (pruner wins); the
+    residual range filter applies to the artifact rows BEFORE ADC
+    ranking and the exact rerank joins only in-range corpus vectors, so
+    rank ≤ rerank counts in-range candidates only.  The kept-list
+    collect is model-sized (≤ n_centroids rows) — no corpus-sized
+    planning work."""
+    if range_lists is None:
+        raise ValueError("range_filtered_ivf_pq_topk requires the range_lists summary")
+    if centroids is None or codebooks is None:
+        raise ValueError("range_filtered_ivf_pq_topk requires trained models")
+    allowed = {
+        int(r["cent"])
+        for r in range_lists.filter(
+            (F.col("min_id") <= F.lit(hi)) & (F.col("max_id") >= F.lit(lo))
+        )
+        .select("cent")
+        .collect()
+    }
+    cents_allowed = [(cid, v) for cid, v in centroids if int(cid) in allowed]
+    if not cents_allowed:
+        # empty window: no list can hold an in-range row
+        return (
+            queries.select(F.col(id_q).alias("qid"))
+            .withColumn("cid", F.col("qid"))
+            .withColumn("score", F.lit(0.0))
+            .withColumn("rank", F.lit(0).cast("long"))
+            .filter(F.lit(False))
+        )
+    in_range = F.col("cid").between(F.lit(lo), F.lit(hi))
+    if index_pruner is not None:
+        pruner = lambda cents_: index_pruner(cents_).filter(in_range)  # noqa: E731
+        idx = None
+    else:
+        pruner = None
+        idx = index.filter(in_range) if index is not None else None
+    return ivf_pq_topk(
+        queries,
+        corpus.filter(F.col(id_c).between(F.lit(lo), F.lit(hi))),
+        id_q,
+        id_c,
+        vec_q,
+        vec_c,
+        k=k,
+        nprobe=nprobe,
+        centroids=cents_allowed,
+        codebooks=codebooks,
+        rerank=rerank,
+        index=idx,
+        index_pruner=pruner,
+        dim=dim,
+    )
+
+
 def filtered_ivf_pq_topk(
     queries: DataFrame,
     corpus: DataFrame,

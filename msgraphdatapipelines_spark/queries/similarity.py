@@ -1865,6 +1865,161 @@ def _load_label_lists(
     return spark.read.parquet(path)
 
 
+def _load_range_lists(
+    spark: SparkSession, sf_dir: str, version: int | None = None
+) -> DataFrame:
+    """The persisted per-list (cent, min_id, max_id, n) id-zonemap for
+    RANGE-filtered search — the numeric sibling of ``_load_label_lists``,
+    same version-exact discipline (v1 unversioned, rebalances versioned)
+    and the same derive-if-missing recovery: one index-sized agg over the
+    RESOLVED snapshot, republished staged, never a cross-version
+    fallback (a retrained index has a different cent space)."""
+    import uuid
+
+    from .. import sinks
+
+    root = standing_index_root(sf_dir)
+    fs, _, jvm = sinks._fs_for(spark, root)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    if version is None:
+        version = sinks._read_latest_version(spark, f"{root}/snapshot")
+    path = (
+        f"{root}/range_lists" if version == 1 else f"{root}/range_lists.v{version}"
+    )
+    if not fs.exists(hpath(path)):
+        rl = (
+            sinks.read_snapshot(spark, f"{root}/snapshot", version=version)
+            .groupBy("cent")
+            .agg(
+                F.min("cid").alias("min_id"),
+                F.max("cid").alias("max_id"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        stage = f"{path}.stage.{uuid.uuid4().hex[:8]}"
+        rl.write.parquet(stage)
+        if fs.exists(hpath(path)) or not fs.rename(hpath(stage), hpath(path)):
+            fs.delete(hpath(stage), True)  # racer recovered first
+    return spark.read.parquet(path)
+
+
+# id window for the registered range-filtered row: in-range at every
+# driver scale (embeddings has 500 rows at sf0.001, 5000 at sf0.01) and
+# disjoint from the query ids (vec_id < 20)
+RANGE_LO, RANGE_HI = 100, 400
+
+
+def _ivf_pq_range_ctes(k: int, nprobe: int, lo: int, hi: int, rerank: int = 50) -> str:
+    """DuckDB replay of the RANGE-filtered serve path (r13), ending in
+    CTE ``ivfpq_r``: shared prefix → per-list (min, max) id zonemap →
+    per-query probe of the nprobe nearest centroids whose interval
+    OVERLAPS [lo, hi] → ADC scoring of probed lists' IN-RANGE rows →
+    exact cosine rerank of the pooled top-``rerank`` → top-``k``.
+    Mirrors ``operators.similarity.range_filtered_ivf_pq_topk`` term by
+    term (probe tie-break (cos DESC, cent), residual BETWEEN before ADC
+    ranking, rerank (score DESC, cid))."""
+    score = _adc_score_sql()
+    return f"""{_ivf_pq_common_ctes()},
+    range_lists AS MATERIALIZED (
+        SELECT cent, min(cid) AS min_id, max(cid) AS max_id
+        FROM ix_assign GROUP BY cent
+    ),
+    qprobe_r AS MATERIALIZED (
+        SELECT qid, cent FROM (
+            SELECT q.vec_id AS qid, t.cent,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_cos('q.embedding', 'cvec')} DESC, t.cent) AS rn
+            FROM embeddings q
+            CROSS JOIN (SELECT cent FROM range_lists
+                        WHERE min_id <= {hi} AND max_id >= {lo}) rl
+            JOIN trained_nz t ON t.cent = rl.cent
+            WHERE q.vec_id < {N_QUERIES} AND {_norm_pos('q.embedding')}) r
+        WHERE rn <= {nprobe}
+    ),
+    pq_scored_r AS MATERIALIZED (
+        SELECT l.qid, a.cid, {score} AS score
+        FROM lut l
+        JOIN qprobe_r p ON l.qid = p.qid
+        JOIN ix_assign a ON a.cent = p.cent
+        JOIN enc e ON e.vec_id = a.cid
+        WHERE l.qid <> a.cid AND a.cid BETWEEN {lo} AND {hi}
+    ),
+    cand_r AS (
+        SELECT qid, cid FROM (
+            SELECT qid, cid,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY score DESC, cid) AS rn
+            FROM pq_scored_r) t
+        WHERE rn <= {rerank}
+    ),
+    ivfpq_r AS MATERIALIZED (
+        SELECT qid, cid, score, CAST(rn AS BIGINT) AS rank FROM (
+            SELECT c.qid, c.cid, {_cos('q.embedding', 'e.embedding')} AS score,
+                   row_number() OVER (PARTITION BY c.qid
+                                      ORDER BY {_cos('q.embedding', 'e.embedding')} DESC, c.cid) AS rn
+            FROM cand_r c
+            JOIN embeddings q ON q.vec_id = c.qid
+            JOIN embeddings e ON e.vec_id = c.cid) t
+        WHERE rn <= {k}
+    )"""
+
+
+@register(
+    "ann_range_filtered_topk_served",
+    demoted=True,  # range sibling of ann_filtered_topk_budget (graded)
+    oracle=f"""
+    WITH {_ivf_pq_range_ctes(k=K, nprobe=2 * NPROBE, lo=RANGE_LO, hi=RANGE_HI)}
+    SELECT qid, cid, round(score, 6) AS score, rank FROM ivfpq_r
+    """,
+)
+def ann_range_filtered_topk_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NUMERIC-RANGE filtered vector search SERVED from the standing
+    IVF+PQ artifact (r13, r12 VERDICT item 6): top-k among corpus rows
+    with ``vec_id`` in [RANGE_LO, RANGE_HI] — the recency-window
+    retrieval every production vector store offers next to label
+    filtering.  The probe is steered by the persisted per-list (min,
+    max) id zonemap (``_load_range_lists`` — model-sized, version-exact
+    with the snapshot) to lists OVERLAPPING the window; candidates are
+    residual-filtered BEFORE ADC ranking so the rerank budget counts
+    in-range rows only; the artifact read composes with probe-list
+    pushdown (the pruner slice is filtered by the same BETWEEN).  After
+    first touch: pointer resolve + two model-sized summary reads + probe
+    + ADC + exact rerank of ≤50 in-range candidates — zero corpus-sized
+    aggregation.  Recall floor vs the exact in-range brute force is
+    pinned in test_similarity."""
+    from .. import sinks
+
+    emb = load(spark, sf_dir, "embeddings")
+    ensure_standing_index(spark, sf_dir, emb)  # build-at-most-once
+    root = standing_index_root(sf_dir)
+    snap = f"{root}/snapshot"
+    version = sinks._read_latest_version(spark, snap)
+    models = _load_models_for(spark, root, version)
+    cents = [(int(c), v) for c, v in models["centroids"]]
+    rl = _load_range_lists(spark, sf_dir, version=version)
+    return S.range_filtered_ivf_pq_topk(
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        emb,
+        "vec_id",
+        "vec_id",
+        "embedding",
+        "embedding",
+        RANGE_LO,
+        RANGE_HI,
+        k=K,
+        nprobe=2 * NPROBE,
+        centroids=cents,
+        codebooks=models["codebooks"],
+        rerank=50,
+        range_lists=rl,
+        index_pruner=lambda cents_: sinks.read_snapshot_pruned_in(
+            spark, snap, "cent", cents_, version=version
+        ),
+        dim=DIM,
+    )
+
+
 @register(
     "ann_filtered_topk_served",
     demoted=True,  # approximate twin: ann_filtered_topk (exact) is driver-graded
