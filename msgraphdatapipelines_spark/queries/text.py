@@ -1639,11 +1639,23 @@ def ensure_standing_lexicon(spark: SparkSession, sf_dir: str, docs: DataFrame | 
 
     root = lexicon_root(sf_dir)
     fs, _, jvm = sinks._fs_for(spark, root)
-    if _gs.current_gen(fs, jvm.org.apache.hadoop.fs.Path, root) is None:
+    hpath = jvm.org.apache.hadoop.fs.Path
+    if _gs.current_gen(fs, hpath, root) is None:
         if docs is None:
             docs = load(spark, sf_dir, "documents")
-        lexicon_append_batch(spark, root, docs, bid=0)
-        lexicon_compact(spark, root)
+        lexicon_append_batch(spark, root, docs, bid=0)  # bid 0: replay no-op
+        try:
+            lexicon_compact(spark, root)
+        except RuntimeError as e:
+            if "compact already in progress" not in str(e):
+                raise
+            # a RACING builder holds the compaction lease over the same
+            # single batch: wait its commit out and serve its generation
+            # (identical content — both compacts fold exactly batch 0);
+            # if it crashed pre-commit its lease goes stale and we build
+            _gs.wait_leases_clear(fs, hpath, root)
+            if _gs.current_gen(fs, hpath, root) is None:
+                lexicon_compact(spark, root)
     return read_lexicon(spark, root)
 
 

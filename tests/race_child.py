@@ -66,6 +66,15 @@ def main() -> None:
         s = sorted((r["doc_id"], tuple(sorted(r["__garr"]))) for r in sets.collect())
         p = prefixes.count()
         print("RESULT", len(s), p, hashlib.md5(str(s).encode()).hexdigest())
+    elif mode == "lex":
+        from msgraphdatapipelines_spark.queries.text import (
+            ensure_standing_lexicon,
+        )
+
+        postings, dl, dfreq, meta = ensure_standing_lexicon(spark, shared)
+        p = sorted(tuple(r) for r in postings.collect())
+        fp = hashlib.md5(str((p, meta)).encode()).hexdigest()
+        print("RESULT", meta["n_docs"], meta["sum_dl"], fp)
     elif mode == "cache":
         from msgraphdatapipelines_spark import cache
 

@@ -112,6 +112,40 @@ def test_race_two_processes_prefix_gram_index(tmp_path):
     assert stages == [], f"race left staging dirs: {stages}"
 
 
+def test_race_two_processes_lexicon(tmp_path):
+    """ensure_standing_lexicon on the r13 generational layout: two
+    processes racing append(bid=0) + compact must converge on ONE
+    committed generation serving identical postings/meta, with no
+    staging leftovers (the deterministic bid makes the double append a
+    replay no-op; the lease serializes the compacts; the second
+    compactor's fold detection no-ops on the already-folded batch set)."""
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    shutil.copyfile(
+        "/root/testdata/sf0.001/documents.parquet", str(sf / "documents.parquet")
+    )
+    artdir = _race("lex", str(sf), tmp_path)
+    roots = _entries(artdir, "msgdp_lex_")
+    assert len(roots) == 1, roots
+    root = os.path.join(artdir, roots[0])
+    inside = sorted(os.listdir(root))
+    gens = [
+        d
+        for d in inside
+        if d.startswith("gen-") and os.path.exists(f"{root}/{d}/_commit")
+    ]
+    stages = [d for d in inside if d.startswith("stage.")]
+    # racers may commit one generation (second compact no-ops on the
+    # folded set) or two (both raced past the no-op check before the
+    # lease serialized them — the LOSER built from the same single
+    # batch, so both generations are content-identical); either way no
+    # staging debris and at most 2 generations survive the GC
+    assert 1 <= len(gens) <= 2, inside
+    assert stages == [], f"race left staging dirs: {stages}"
+    bids = sorted(os.listdir(f"{root}/batches/tf"))
+    assert bids == ["batch_id=0"], f"replayed append double-published: {bids}"
+
+
 def test_race_two_processes_result_cache(tmp_path):
     """cache.serve_cached: both processes must serve the identical
     artifact, with exactly one data dir and no staging copies."""
