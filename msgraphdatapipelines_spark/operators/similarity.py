@@ -1616,6 +1616,8 @@ def filtered_ivf_pq_topk(
     dim: int = 64,
     min_candidates: int = 0,
     index_pruner=None,
+    id_range: tuple | None = None,
+    range_lists: DataFrame | None = None,
 ) -> DataFrame:
     """Metadata-FILTERED retrieval served FROM the standing IVF+PQ index
     (r12, r11 VERDICT item 1): per query, probe the ``nprobe`` nearest
@@ -1661,6 +1663,19 @@ def filtered_ivf_pq_topk(
     to predicate selectivity instead of a global knob.  The cumulative
     cut is a higher-order fold over the MODEL-SIZED ranked-list array,
     so it adds no corpus work and no shuffle.
+
+    ``id_range=(lo, hi)`` (r13): COMPOSE the label predicate with a
+    numeric id window — "same label AND in this id/time range", the
+    conjunctive filter production stores serve.  Requires
+    ``range_lists`` (the per-list (cent, min_id, max_id) zonemap the
+    range serve keeps): the label steering is intersected with the
+    window-overlapping lists (both summaries are model-sized, the
+    intersection is planning-side), candidates are residual-filtered
+    ``BETWEEN`` before ADC ranking, and the exact rerank joins only
+    in-range corpus vectors.  Caveat when combined with
+    ``min_candidates``: the per-list counts ``n`` count LABEL members,
+    an upper bound on label∧range members — the budget can under-extend
+    under a narrow window; raise the budget accordingly.
     """
     if (
         (index is None and index_pruner is None)
@@ -1673,6 +1688,26 @@ def filtered_ivf_pq_topk(
             "(with the label payload) or index_pruner, label_lists, centroids "
             "and codebooks"
         )
+    if id_range is not None:
+        if range_lists is None:
+            raise ValueError("id_range requires the range_lists summary")
+        lo, hi = id_range
+        allowed = sorted(
+            int(r["cent"])
+            for r in range_lists.filter(
+                (F.col("min_id") <= F.lit(hi)) & (F.col("max_id") >= F.lit(lo))
+            )
+            .select("cent")
+            .collect()
+        )
+        label_lists = label_lists.filter(F.col("cent").isin(allowed))
+        _in_range = F.col("cid").between(F.lit(lo), F.lit(hi))
+        if index is not None:
+            index = index.filter(_in_range)
+        if index_pruner is not None:
+            _base_pruner = index_pruner
+            index_pruner = lambda cents_: _base_pruner(cents_).filter(_in_range)  # noqa: E731
+        corpus = corpus.filter(F.col(id_c).between(F.lit(lo), F.lit(hi)))
     m = len(codebooks)
     ks = len(codebooks[0])
     usable = [

@@ -942,7 +942,12 @@ def _ivf_pq_indexed_ctes(k: int, nprobe: int = NPROBE, rerank: int = 50) -> str:
 
 
 def _ivf_pq_filtered_ctes(
-    k: int, nprobe: int = NPROBE, rerank: int = 50, min_candidates: int = 0
+    k: int,
+    nprobe: int = NPROBE,
+    rerank: int = 50,
+    min_candidates: int = 0,
+    lo: int | None = None,
+    hi: int | None = None,
 ) -> str:
     """DuckDB replay of the FILTERED serve path (r12), ending in CTE
     ``ivfpq_f``: shared prefix → model-sized (label, cent) list summary →
@@ -966,8 +971,23 @@ def _ivf_pq_filtered_ctes(
                   < {min_candidates}"""
     else:
         probe_pred = f"rn <= {nprobe}"
+    # optional composed id window (r13): steering intersects the
+    # window-overlapping lists; candidates take the residual BETWEEN
+    if lo is not None:
+        range_cte = """
+    range_lists_f AS MATERIALIZED (
+        SELECT cent, min(cid) AS min_id, max(cid) AS max_id
+        FROM ix_assign GROUP BY cent
+    ),"""
+        range_join = (
+            f"JOIN (SELECT cent FROM range_lists_f "
+            f"WHERE min_id <= {hi} AND max_id >= {lo}) rf ON rf.cent = ll.cent"
+        )
+        range_resid = f"AND a.cid BETWEEN {lo} AND {hi}"
+    else:
+        range_cte, range_join, range_resid = "", "", ""
     return f"""{_ivf_pq_common_ctes()},
-    lab AS (SELECT vec_id, label FROM embeddings),
+    lab AS (SELECT vec_id, label FROM embeddings),{range_cte}
     label_lists AS MATERIALIZED (
         SELECT l.label, a.cent, count(*) AS n
         FROM ix_assign a JOIN lab l ON l.vec_id = a.cid
@@ -983,6 +1003,7 @@ def _ivf_pq_filtered_ctes(
                 FROM embeddings q
                 JOIN lab ql ON ql.vec_id = q.vec_id
                 JOIN label_lists ll ON ll.label = ql.label
+                {range_join}
                 JOIN trained_nz t ON t.cent = ll.cent
                 WHERE q.vec_id < {N_QUERIES} AND {_norm_pos('q.embedding')}) r
         ) t
@@ -995,7 +1016,7 @@ def _ivf_pq_filtered_ctes(
         JOIN ix_assign a ON a.cent = p.cent
         JOIN lab cl ON cl.vec_id = a.cid AND cl.label = p.label
         JOIN enc e ON e.vec_id = a.cid
-        WHERE l.qid <> a.cid
+        WHERE l.qid <> a.cid {range_resid}
     ),
     cand_f AS (
         SELECT qid, cid FROM (
@@ -1298,6 +1319,11 @@ def ann_rebalance_if_skewed(
         )
         .collect()[0]
     )
+    if row["total"] is None or int(row["total"]) == 0:
+        # empty index (no batches yet / all tombstoned): nothing to
+        # monitor, nothing to retrain
+        return {"n_vectors": 0, "lists": 0, "max_list_rows": 0,
+                "max_share_ratio": 0.0, "retrained": False}
     n_total, k_cur, mx = int(row["total"]), int(row["k"]), int(row["mx"])
     share = mx * k_cur / n_total  # 1.0 == perfectly uniform occupancy
     out = {
@@ -2120,6 +2146,60 @@ def ann_filtered_topk_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         label_lists=ll,
         dim=DIM,
+    )
+
+
+@register(
+    "ann_label_range_filtered_topk_served",
+    demoted=True,  # conjunctive (label AND id-window) twin of the graded budget row
+    oracle=f"""
+    WITH {_ivf_pq_filtered_ctes(k=K, nprobe=2 * NPROBE, lo=RANGE_LO, hi=RANGE_HI)}
+    SELECT qid, cid, round(score, 6) AS score, rank FROM ivfpq_f
+    """,
+)
+def ann_label_range_filtered_topk_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSED filtered vector search (r13): same label AND id in
+    [RANGE_LO, RANGE_HI] — the conjunctive predicate production stores
+    serve ("this tenant's documents from the last 30 days").  Both
+    steering summaries are model-sized and persisted next to the
+    artifact: the (label, cent) lists scope the probe to the query's
+    label, intersected with the per-list id zonemap's window-overlapping
+    lists; candidates take the residual BETWEEN before ADC ranking and
+    the label equality rides the index payload — zero corpus-sided
+    predicate work, no post-filter recall trap on either conjunct.
+    Composes with probe-list pushdown (the pruned slice gets the same
+    residual)."""
+    from .. import sinks
+
+    emb = load(spark, sf_dir, "embeddings")
+    ensure_standing_index(spark, sf_dir, emb)  # build-at-most-once
+    root = standing_index_root(sf_dir)
+    snap = f"{root}/snapshot"
+    version = sinks._read_latest_version(spark, snap)
+    models = _load_models_for(spark, root, version)
+    cents = [(int(c), v) for c, v in models["centroids"]]
+    ll = _load_label_lists(spark, sf_dir, version=version)
+    rl = _load_range_lists(spark, sf_dir, version=version)
+    return S.filtered_ivf_pq_topk(
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        emb,
+        "vec_id",
+        "vec_id",
+        "embedding",
+        "embedding",
+        "label",
+        k=K,
+        nprobe=2 * NPROBE,
+        centroids=cents,
+        codebooks=models["codebooks"],
+        rerank=50,
+        index_pruner=lambda cents_: sinks.read_snapshot_pruned_in(
+            spark, snap, "cent", cents_, version=version
+        ),
+        label_lists=ll,
+        dim=DIM,
+        id_range=(RANGE_LO, RANGE_HI),
+        range_lists=rl,
     )
 
 
