@@ -1034,6 +1034,51 @@ def set_similarity_join_docs_incremental(spark: SparkSession, sf_dir: str) -> Da
     sets, prefixes = read_prefix_index(spark, root)
     return D.set_similarity_join_from_tables(sets, prefixes, "doc_id", 0.5)
 
+def _read_forgotten_docs(spark: SparkSession, root: str) -> DataFrame | None:
+    """The store's durable erasure manifest — every compact applies it,
+    so a replayed append can never resurrect an erased doc.  None when
+    nothing was ever forgotten."""
+    from .. import sinks
+
+    fs, _, jvm = sinks._fs_for(spark, root)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    if not fs.exists(hpath(f"{root}/_forgotten")):
+        return None
+    return spark.read.option("recursiveFileLookup", "true").parquet(
+        f"{root}/_forgotten"
+    )
+
+
+def prefix_index_forget(spark: SparkSession, root: str, doc_ids: list) -> dict:
+    """GDPR erasure for the STANDING prefix-gram index (r13): the
+    warehouse-side forget (``sinks.gdpr_forget``) never reached standing
+    artifacts — an erased document kept serving from the persisted
+    sets/prefix tables until some unrelated rebuild.  This closes that:
+
+    1. the ids are recorded DURABLY under ``{root}/_forgotten`` first
+       (erasure intent survives crashes, and — the replay hazard — a
+       checkpoint-replayed append of a batch containing the doc cannot
+       resurrect it, because every later compact re-applies the
+       manifest);
+    2. an immediate ``prefix_index_compact`` republishes a generation
+       WITHOUT the docs (anti-join before re-derivation — base and
+       straggler folds both), so once this returns, no reader resolves
+       a generation containing them.
+
+    Erasure is PERMANENT for the artifact (the manifest is never
+    cleared): re-ingesting an erased doc_id requires a fresh root — the
+    conservative reading of an erasure obligation.  Cost is one compact
+    (corpus-sized, the same pass any re-freeze pays) — GDPR erasure is
+    rare and the warehouse-side forget already pays a rewrite."""
+    import uuid
+
+    ids = spark.createDataFrame([(int(i),) for i in doc_ids], "doc_id: long")
+    ids.coalesce(1).write.parquet(f"{root}/_forgotten/ids_{uuid.uuid4().hex[:8]}")
+    out = prefix_index_compact(spark, root)
+    out["forgotten"] = len(doc_ids)
+    return out
+
+
 def prefix_index_compact(
     spark: SparkSession,
     root: str,
@@ -1120,6 +1165,11 @@ def prefix_index_compact(
         sets = spark.read.parquet(
             *base_files, *[f"{gen}/sets/batch_{b}" for b in batches]
         )
+        forgotten = _read_forgotten_docs(spark, root)
+        if forgotten is not None:
+            # erasure manifest (prefix_index_forget): applied on EVERY
+            # compact so replayed appends can't resurrect erased docs
+            sets = sets.join(F.broadcast(forgotten), "doc_id", "left_anti")
         grams = sets.select("doc_id", F.explode("__garr").alias("g"))
         n_docs = sets.count()
         stage = f"{root}/stage.compact.{uuid.uuid4().hex[:8]}"
@@ -1141,6 +1191,8 @@ def prefix_index_compact(
             ):
                 continue  # half-published: invisible; appender republishes
             bsets = spark.read.parquet(f"{gen}/sets/batch_{b}")
+            if forgotten is not None:
+                bsets = bsets.join(F.broadcast(forgotten), "doc_id", "left_anti")
             bgrams = bsets.select("doc_id", F.explode("__garr").alias("g"))
             s2, p2 = D.set_similarity_prefix_tables(
                 bgrams, "doc_id", "g", threshold, vocab=new_vocab
@@ -1335,6 +1387,54 @@ def read_prefix_index_bucketed(
     )
     sets = spark.read.option("recursiveFileLookup", "true").parquet(f"{gen}/sets")
     return sets, spark.table(table)
+
+
+def _ensure_forgotten_prefix_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-full → FORGET rehearsal artifact (r13): the erasure
+    lifecycle under one end-to-end marker — build the standing index on
+    the whole corpus, then ``prefix_index_forget`` the deterministic id
+    set ``doc_id % 50 == 25`` (disjoint from every probe-doc convention,
+    which uses % 100 == 0).  The quadratic oracle over the REMAINING
+    corpus is the proof the erased docs are gone from the artifact, not
+    merely filtered at read time."""
+    from .. import sinks
+
+    root = prefix_index_root(sf_dir, 3, 0.5, variant="forgotten")
+    fs, _, jvm = sinks._fs_for(spark, root)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    marker = f"{root}/_fgt_ready"
+    if not fs.exists(hpath(marker)):
+        docs = load(spark, sf_dir, "documents")
+        prefix_index_build(spark, root, docs)
+        ids = [
+            r["doc_id"]
+            for r in docs.filter(F.col("doc_id") % 50 == 25)
+            .select("doc_id")
+            .collect()
+        ]
+        prefix_index_forget(spark, root, ids)
+        _marker_commit(fs, hpath, marker)
+    return root
+
+
+@register(
+    "set_similarity_join_docs_forgotten",
+    demoted=True,  # erasure-lifecycle twin of the graded compacted row
+    oracle=_TRIGRAM_PPJOIN_ORACLE.replace(
+        "FROM documents", "FROM documents WHERE doc_id % 50 <> 25", 1
+    ),
+)
+def set_similarity_join_docs_forgotten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13: GDPR erasure must reach the STANDING artifact — after
+    ``prefix_index_forget``, the served exact-recall join answers the
+    quadratic oracle over the corpus WITHOUT the erased docs: no pair
+    involving them survives anywhere in the pipeline (candidates,
+    verify, output), and the republished generation physically excludes
+    their sets/prefix rows (the erasure manifest is re-applied by every
+    later compact, so replayed appends cannot resurrect them)."""
+    root = _ensure_forgotten_prefix_index(spark, sf_dir)
+    sets, prefixes = read_prefix_index(spark, root)
+    return D.set_similarity_join_from_tables(sets, prefixes, "doc_id", 0.5)
 
 
 @register(

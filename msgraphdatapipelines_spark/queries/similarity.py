@@ -1249,6 +1249,82 @@ def _load_models_for(spark: SparkSession, root: str, version: int) -> dict:
     return _read_json_fs(fs, hpath, p if fs.exists(hpath(p)) else f"{root}/models.json")
 
 
+def ann_index_forget(spark: SparkSession, root: str, ids: list) -> int:
+    """GDPR erasure for the STANDING IVF+PQ index (r13, the ANN member
+    of the standing-store erasure family — see
+    ``dedup.prefix_index_forget``): tombstones + immediate fold, under
+    the store's compaction lease.
+
+    1. ids are recorded durably under ``{root}/_forgotten`` (the
+       rebalance anti-joins its retrain corpus against this manifest, so
+       a later retrain from a caller-held frame cannot resurrect them);
+    2. a tombstone batch (``cent = -1`` marker rows — the layout
+       ``read_ann_index`` already resolves for streamed deletions) is
+       appended under the next batch id;
+    3. ``compact_ann_index`` republishes the snapshot WITHOUT the docs
+       behind the ``_LATEST`` flip, and the models file is COPIED
+       forward to the new version (the quantizer didn't change — without
+       the copy, a version-matched reader would fall back to the
+       bootstrap models after a post-rebalance erasure).  The versioned
+       label/range steering summaries re-derive lazily from the new
+       snapshot on first filtered read (their derive-if-missing path).
+
+    Returns the published snapshot version.  Once it returns, no
+    version-resolved reader can serve the erased vectors."""
+    import uuid
+
+    from .. import genstore as _gs
+    from .. import sinks
+    from ..streaming.ann_stream import compact_ann_index
+
+    fs, _, jvm = sinks._fs_for(spark, root)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    with _gs.compaction_lease(fs, hpath, root):
+        ids_df = spark.createDataFrame([(int(i),) for i in ids], "cid: long")
+        ids_df.coalesce(1).write.parquet(
+            f"{root}/_forgotten/ids_{uuid.uuid4().hex[:8]}"
+        )
+        snap = f"{root}/snapshot"
+        version = (
+            sinks._read_latest_version(spark, snap)
+            if sinks.snapshot_exists(spark, snap)
+            else 0
+        )
+        # tombstone batch, schema-aligned with the existing batch rows
+        existing = spark.read.option("recursiveFileLookup", "true").parquet(
+            f"{root}/batches"
+        )
+        tomb = ids_df.select(
+            "cid",
+            F.lit(-1).alias("cent"),
+            *[
+                F.lit(None).cast(existing.schema[c].dataType).alias(c)
+                if c != "code"
+                else F.expr("array()").cast("array<int>").alias("code")
+                for c in existing.columns
+                if c not in ("cid", "cent", "batch_id")
+            ],
+        )
+        next_bid = (
+            max(sinks._list_numbered_dirs(spark, f"{root}/batches", "batch_id=") or [-1])
+            + 1
+        )
+        tomb.write.mode("overwrite").parquet(f"{root}/batches/batch_id={next_bid}")
+        models = _load_models_for(spark, root, version)
+        kc = len(models["centroids"])
+        has_label = "label" in existing.columns
+        next_v = compact_ann_index(
+            spark,
+            f"{root}/batches",
+            snap,
+            label_lists_path=f"{root}/label_lists.v{version + 1}" if has_label else None,
+            cluster_files=max(8, kc // 4),
+        )
+        if fs.exists(hpath(f"{root}/models.v{version}.json")):
+            _write_json_atomic(fs, hpath, f"{root}/models.v{next_v}.json", models)
+        return next_v
+
+
 def ann_rebalance_if_skewed(
     spark: SparkSession,
     root: str,
@@ -1308,6 +1384,16 @@ def ann_rebalance_if_skewed(
 
     fs, _, jvm = sinks._fs_for(spark, root)
     hpath = jvm.org.apache.hadoop.fs.Path
+    if fs.exists(hpath(f"{root}/_forgotten")):
+        # erasure manifest (ann_index_forget): a retrain re-encodes from
+        # the caller-held corpus frame, which may still carry erased
+        # docs — anti-join so a rebalance can never resurrect them
+        fg = spark.read.option("recursiveFileLookup", "true").parquet(
+            f"{root}/_forgotten"
+        )
+        vectors = vectors.join(
+            F.broadcast(fg.select(F.col("cid").alias(id_col))), id_col, "left_anti"
+        )
     view = read_ann_index(spark, f"{root}/batches")
     row = (
         view.groupBy("cent")

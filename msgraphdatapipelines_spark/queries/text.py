@@ -1418,10 +1418,12 @@ def dedup_remove_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # first touch is pure serve.
 
 
-def lexicon_root(sf_dir: str) -> str:
+def lexicon_root(sf_dir: str, variant: str = "full") -> str:
     """Deterministic artifact location, keyed on corpus identity (path +
     documents.parquet size/mtime fingerprint) — a regenerated corpus can
-    never silently serve stale postings."""
+    never silently serve stale postings.  ``variant`` isolates lifecycle
+    rehearsal roots (e.g. the erasure row) from the shared serving
+    artifact, the prefix_index_root discipline."""
     import hashlib
     import os
     import tempfile
@@ -1439,7 +1441,7 @@ def lexicon_root(sf_dir: str) -> str:
     key = hashlib.md5(
         # v3 (r13): generational layout — bumping the key retires v2
         # meta.json-commit artifacts instead of carrying a legacy reader
-        f"{os.path.abspath(sf_dir)}|{'|'.join(parts)}|lex|v3".encode()
+        f"{os.path.abspath(sf_dir)}|{'|'.join(parts)}|lex|{variant}|v3".encode()
     ).hexdigest()[:16]
     return os.path.join(tempfile.gettempdir(), f"msgdp_lex_{key}")
 
@@ -1555,13 +1557,37 @@ def lexicon_compact(spark: SparkSession, root: str) -> dict:
         bids = _lex_full_bids(spark, root)
         if not bids:
             raise FileNotFoundError(f"compact before append: no batches at {root}")
+        # erasure manifest (lexicon_forget): its batch-dir names join the
+        # no-op key, so a forget always forces a real rebuild and every
+        # rebuild re-applies the full manifest (replayed appends of an
+        # erased doc cannot resurrect it)
+        fdirs = (
+            sorted(
+                st.getPath().getName()
+                for st in fs.listStatus(hpath(f"{root}/_forgotten"))
+                if st.isDirectory()
+            )
+            if fs.exists(hpath(f"{root}/_forgotten"))
+            else []
+        )
         live = _gs.current_gen(fs, hpath, root)
-        if live is not None and {str(b) for b in bids} == set(
-            _gs.gen_folded_bids(fs, hpath, live)
+        folded_all = set(_gs.gen_folded_bids(fs, hpath, live)) if live else set()
+        folded_bids = {n for n in folded_all if not n.startswith("_fg_")}
+        folded_fg = {n[len("_fg_"):] for n in folded_all if n.startswith("_fg_")}
+        if (
+            live is not None
+            and {str(b) for b in bids} == folded_bids
+            and set(fdirs) == folded_fg
         ):
             return _lex_read_meta(fs, hpath, live)  # nothing new: no-op
         tf = spark.read.parquet(*[f"{root}/batches/tf/batch_id={b}" for b in bids])
         dl = spark.read.parquet(*[f"{root}/batches/dl/batch_id={b}" for b in bids])
+        if fdirs:
+            forgotten = spark.read.option("recursiveFileLookup", "true").parquet(
+                f"{root}/_forgotten"
+            )
+            tf = tf.join(F.broadcast(forgotten), "doc_id", "left_anti")
+            dl = dl.join(F.broadcast(forgotten), "doc_id", "left_anti")
         import uuid
 
         stage = f"{root}/stage.compact.{uuid.uuid4().hex[:8]}"
@@ -1582,6 +1608,8 @@ def lexicon_compact(spark: SparkSession, root: str) -> dict:
         fs.mkdirs(hpath(f"{stage}/_folded"))
         for b in bids:
             _gs.marker_commit(fs, hpath, f"{stage}/_folded/{b}")
+        for n in fdirs:
+            _gs.marker_commit(fs, hpath, f"{stage}/_folded/_fg_{n}")
         _gs.commit_generation(
             fs, hpath, root, stage, _gs.next_gen_name(fs, hpath, root)
         )
@@ -1601,6 +1629,26 @@ def lexicon_compact(spark: SparkSession, root: str) -> dict:
         fs.delete(hpath(f"{root}/meta.json"), False)
         fs.rename(tmp, hpath(f"{root}/meta.json"))
         return meta
+
+
+def lexicon_forget(spark: SparkSession, root: str, doc_ids: list) -> dict:
+    """GDPR erasure for the STANDING lexicon (r13, the prefix-gram
+    twin — see ``dedup.prefix_index_forget`` for the full rationale):
+    record the ids durably under ``{root}/_forgotten`` (every later
+    compact re-applies the manifest, so replayed appends cannot
+    resurrect an erased doc; the manifest dirs join the compact's no-op
+    key, so the forget always forces a real rebuild), then immediately
+    republish a generation without the docs — postings, docstats,
+    termstats AND the exact-integer corpus stats (n_docs, sum_dl) all
+    exclude them, so BM25 idf/avgdl stop reflecting erased content too.
+    Permanent for the artifact; cost is one compact."""
+    import uuid
+
+    ids = spark.createDataFrame([(int(i),) for i in doc_ids], "doc_id: long")
+    ids.coalesce(1).write.parquet(f"{root}/_forgotten/ids_{uuid.uuid4().hex[:8]}")
+    meta = lexicon_compact(spark, root)
+    meta["forgotten"] = len(doc_ids)
+    return meta
 
 
 def read_lexicon(spark: SparkSession, root: str):
@@ -1754,6 +1802,65 @@ def bm25_search_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return bm25_topk_served(spark, sf_dir, qt, k=10)
+
+
+def _ensure_forgotten_lexicon(spark: SparkSession, sf_dir: str) -> str:
+    """Build-full → FORGET rehearsal lexicon (r13): the erasure
+    lifecycle under one marker — ingest the whole corpus as batch 0,
+    compact, then ``lexicon_forget`` the deterministic set
+    ``doc_id % 50 == 25`` (disjoint from the % 100 == 0 probe docs)."""
+    from .. import genstore as _gs
+    from .. import sinks
+
+    root = lexicon_root(sf_dir, variant="forgotten")
+    fs, _, jvm = sinks._fs_for(spark, root)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    marker = f"{root}/_fgt_ready"
+    if not fs.exists(hpath(marker)):
+        docs = load(spark, sf_dir, "documents")
+        lexicon_append_batch(spark, root, docs, bid=0)
+        lexicon_compact(spark, root)
+        ids = [
+            r["doc_id"]
+            for r in docs.filter(F.col("doc_id") % 50 == 25)
+            .select("doc_id")
+            .collect()
+        ]
+        lexicon_forget(spark, root, ids)
+        _gs.marker_commit(fs, hpath, marker)
+    return root
+
+
+@register(
+    "bm25_search_forgotten",
+    demoted=True,  # erasure-lifecycle twin of bm25_search_served
+    # the from-scratch BM25 SQL with the CORPUS side (first FROM
+    # documents = the toks CTE) excluding the erased set; the query side
+    # (% 100 == 0 probes) is disjoint from it by construction
+    oracle=_DEMOTED["bm25_search"].oracle.replace(
+        "FROM documents", "FROM documents WHERE doc_id % 50 <> 25", 1
+    ),
+)
+def bm25_search_forgotten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13: GDPR erasure must reach the STANDING lexicon — after
+    ``lexicon_forget``, BM25 served from the republished generation
+    matches the from-scratch ranking over the corpus WITHOUT the erased
+    docs: their postings are physically gone AND the corpus statistics
+    (n_docs, sum_dl → idf, avgdl) exclude them, so erased content stops
+    influencing every ranking, not just its own rows.  The erasure
+    manifest re-applies on every later compact (replayed appends cannot
+    resurrect), and its batch dirs join the compact's no-op key."""
+    root = _ensure_forgotten_lexicon(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    qt = (
+        docs.filter((F.col("doc_id") % 100 == 0) & (F.col("doc_id") < 5000))
+        .select(
+            F.col("doc_id").alias("q_id"),
+            F.explode(F.array_distinct(F.slice(ws, 1, 4))).alias("tok"),
+        )
+    )
+    return _bm25_from_lexicon(spark, root, qt, k=10)
 
 
 @register(

@@ -2796,3 +2796,86 @@ def test_compact_lease_heartbeat_outlives_ttl(spark, tmp_path, monkeypatch):
     assert stats["docs"] > 0
     assert seen["live"], "lease went stale mid-compact despite the heartbeat"
     assert QD._live_leases(fs, hpath, root) == [], "lease not released after commit"
+
+
+def test_prefix_index_forget_erases_and_survives_replay(spark, sf_dir, tmp_path):
+    """r13 standing-store erasure: after prefix_index_forget, the served
+    tables exclude the doc; a checkpoint-REPLAYED append of the batch
+    that originally carried it cannot resurrect it (the erasure manifest
+    re-applies on every compact, and the new generation's _folded
+    manifest makes the replay a publish no-op)."""
+    from msgraphdatapipelines_spark.queries.dedup import (
+        prefix_index_append,
+        prefix_index_build,
+        prefix_index_compact,
+        prefix_index_forget,
+        read_prefix_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    root = str(tmp_path / "ppj")
+    prefix_index_build(spark, root, docs.filter(F.col("doc_id") < 300))
+    prefix_index_append(
+        spark, root, docs.filter(F.col("doc_id").between(300, 400)), bid="b1"
+    )
+
+    def served_ids():
+        sets, _ = read_prefix_index(spark, root)
+        return {r["doc_id"] for r in sets.select("doc_id").collect()}
+
+    assert 350 in served_ids() and 100 in served_ids()
+    prefix_index_forget(spark, root, [350, 100])
+    assert {350, 100}.isdisjoint(served_ids())
+
+    # replay the append that carried doc 350 — must not resurrect it
+    prefix_index_append(
+        spark, root, docs.filter(F.col("doc_id").between(300, 400)), bid="b1"
+    )
+    assert {350, 100}.isdisjoint(served_ids())
+    # and a later compact keeps applying the manifest
+    prefix_index_compact(spark, root)
+    assert {350, 100}.isdisjoint(served_ids())
+
+
+def test_lexicon_forget_erases_stats_and_survives_replay(spark, sf_dir, tmp_path):
+    """r13 standing-store erasure for the lexicon: postings physically
+    gone AND corpus stats (n_docs, sum_dl) exclude the doc — erased
+    content stops influencing idf/avgdl; replayed appends and later
+    compacts cannot resurrect it; new appends still land."""
+    from msgraphdatapipelines_spark.queries.text import (
+        lexicon_append_batch,
+        lexicon_compact,
+        lexicon_forget,
+        read_lexicon,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    root = str(tmp_path / "lex")
+    lexicon_append_batch(spark, root, docs.filter(F.col("doc_id") < 200), bid=0)
+    meta0 = lexicon_compact(spark, root)
+    postings, dl, _, _ = read_lexicon(spark, root)
+    dl7 = dl.filter(F.col("doc_id") == 7).collect()[0]["dl"]
+    assert postings.filter(F.col("doc_id") == 7).count() > 0
+
+    meta1 = lexicon_forget(spark, root, [7])
+    postings, dl, _, meta = read_lexicon(spark, root)
+    assert postings.filter(F.col("doc_id") == 7).count() == 0
+    assert dl.filter(F.col("doc_id") == 7).count() == 0
+    assert meta["n_docs"] == meta0["n_docs"] - 1
+    assert meta["sum_dl"] == meta0["sum_dl"] - dl7
+
+    # replayed ingest of batch 0 no-ops; compact stays a no-op (same
+    # batch set + same erasure manifest) and never resurrects doc 7
+    lexicon_append_batch(spark, root, docs.filter(F.col("doc_id") < 200), bid=0)
+    meta2 = lexicon_compact(spark, root)
+    assert meta2 == {k: v for k, v in meta1.items() if k != "forgotten"}
+    postings, _, _, _ = read_lexicon(spark, root)
+    assert postings.filter(F.col("doc_id") == 7).count() == 0
+
+    # growth continues past the erasure: a NEW batch folds in, doc 7 stays out
+    lexicon_append_batch(spark, root, docs.filter(F.col("doc_id").between(200, 250)), bid=1)
+    meta3 = lexicon_compact(spark, root)
+    assert meta3["n_docs"] == meta["n_docs"] + 51
+    postings, _, _, _ = read_lexicon(spark, root)
+    assert postings.filter(F.col("doc_id") == 7).count() == 0
+    assert postings.filter(F.col("doc_id") == 222).count() > 0

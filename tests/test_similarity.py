@@ -1177,3 +1177,66 @@ def test_range_filtered_serve_recall_floor_and_plan(spark, sf_dir, tmp_path):
         rerank=50, range_lists=rl, dim=64,
     )
     assert empty.count() == 0
+
+
+def test_ann_index_forget_and_rebalance_never_resurrect(spark, sf_dir, tmp_path):
+    """r13 standing-store erasure for the ANN index: ann_index_forget
+    tombstones + refolds the snapshot behind one pointer flip; serves
+    exclude the ids immediately; a later RETRAIN from a caller-held
+    corpus frame that still carries the erased vectors cannot resurrect
+    them (the rebalance anti-joins the erasure manifest); and the models
+    file carries forward across erasure versions so a post-rebalance
+    forget never falls back to the bootstrap quantizer."""
+    import json
+    import os
+    import shutil
+
+    from msgraphdatapipelines_spark import sinks
+    from msgraphdatapipelines_spark.queries.similarity import (
+        ann_index_forget,
+        ann_rebalance_if_skewed,
+        ensure_standing_index,
+        indexed_candidates,
+        standing_index_root,
+    )
+
+    my_sf = tmp_path / "sf"
+    my_sf.mkdir()
+    shutil.copyfile(
+        f"{sf_dir}/embeddings.parquet", str(my_sf / "embeddings.parquet")
+    )
+    emb = spark.read.parquet(f"{my_sf}/embeddings.parquet")
+    ensure_standing_index(spark, str(my_sf), emb)
+    root = standing_index_root(str(my_sf))
+
+    v2 = ann_index_forget(spark, root, [103, 207])
+    assert v2 == 2
+    snap2 = sinks.read_snapshot(spark, f"{root}/snapshot", version=2)
+    assert snap2.filter(F.col("cid").isin([103, 207])).count() == 0
+    served = indexed_candidates(spark, emb, k=5, sf_dir=str(my_sf)).collect()
+    assert len(served) > 0
+    assert all(r["cid"] not in (103, 207) for r in served)
+
+    # retrain from the ORIGINAL corpus frame (still contains 103/207):
+    # threshold 0 forces the retrain; the manifest anti-join must keep
+    # the erased ids out of the retrained generation
+    stats = ann_rebalance_if_skewed(spark, root, emb, max_share_ratio=0.0)
+    assert stats["retrained"] and stats["version"] == 3
+    snap3 = sinks.read_snapshot(spark, f"{root}/snapshot", version=3)
+    assert snap3.filter(F.col("cid").isin([103, 207])).count() == 0
+    assert os.path.exists(f"{root}/models.v3.json")
+
+    # forget AFTER a rebalance: models must carry forward to v4 (not
+    # fall back to the bootstrap models.json)
+    v4 = ann_index_forget(spark, root, [311])
+    assert v4 == 4
+    with open(f"{root}/models.v3.json") as fh:
+        m3 = json.load(fh)
+    with open(f"{root}/models.v4.json") as fh:
+        m4 = json.load(fh)
+    assert m4 == m3
+    snap4 = sinks.read_snapshot(spark, f"{root}/snapshot", version=4)
+    assert snap4.filter(F.col("cid").isin([103, 207, 311])).count() == 0
+    served4 = indexed_candidates(spark, emb, k=5, sf_dir=str(my_sf)).collect()
+    assert len(served4) > 0
+    assert all(r["cid"] not in (103, 207, 311) for r in served4)
