@@ -2309,10 +2309,16 @@ def ann_filtered_topk_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense one stays at nprobe), replayed in the oracle as a running-sum
     window over the ranked (label, cent, n) lists.  The budget fold runs
     over the model-sized ranked array on the broadcast query side: no
-    corpus work, no extra shuffle vs the fixed-nprobe row.  Late r12:
-    served through probe-list pushdown like the fixed-nprobe row — the
-    pruning set is collected AFTER the budget extension (the operator's
-    own probe frame), so extended lists are always in the pruned read."""
+    corpus work, no extra shuffle vs the fixed-nprobe row.
+
+    r13 (promoted to driver-graded): serves the PLAIN artifact read —
+    probe-list pushdown is a measured local-mode LOSS (~0.3 s constant
+    planning overhead per serve at sf0.1, pruned 0.90 s vs plain 0.60 s
+    median; the r12-continuation crossover probe to 20 M rows applies
+    unchanged) and the driver benches on local[32].  The pushdown
+    posture stays covered by the DEMOTED twin ``ann_filtered_topk_served``
+    (same oracle family) — exactly the ann_topk_served /
+    ann_topk_served_pruned split."""
     from .. import sinks
 
     emb = load(spark, sf_dir, "embeddings")
@@ -2336,9 +2342,7 @@ def ann_filtered_topk_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids=cents,
         codebooks=models["codebooks"],
         rerank=50,
-        index_pruner=lambda cents_: sinks.read_snapshot_pruned_in(
-            spark, snap, "cent", cents_, version=version
-        ),
+        index=sinks.read_snapshot(spark, snap, version=version),
         label_lists=ll,
         dim=DIM,
         min_candidates=25,
