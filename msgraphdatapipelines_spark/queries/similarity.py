@@ -1447,7 +1447,21 @@ def ann_rebalance_if_skewed(
     ):
         out["skipped"] = "already rebalanced at the target k; residual skew is data-intrinsic"
         return out
-    with _gs.compaction_lease(fs, hpath, root):
+    # MONITOR semantics under contention: a second driver's rebalance
+    # (or an in-flight forget/compact) holding the lease means the work
+    # is being done — skip with a reason instead of crashing the caller
+    # (a per-round stream check or a fleet-wide cron must never die on
+    # a sibling's lease; erasure keeps its raise — a forget that didn't
+    # commit must be retried, not shrugged off).
+    try:
+        lease_cm = _gs.compaction_lease(fs, hpath, root)
+        lease_cm.__enter__()
+    except RuntimeError as e:
+        if "compact already in progress" in str(e):
+            out["skipped"] = "another rebalance/compact holds the lease"
+            return out
+        raise
+    try:
         snap = f"{root}/snapshot"
         # version 0 = stream-owned root that has never compacted to a
         # snapshot (init_ann_stream_root bootstrap): models come from
@@ -1459,6 +1473,18 @@ def ann_rebalance_if_skewed(
         )
         next_v = version + 1
         kc = n_centroids if n_centroids is not None else max(2, round(math.sqrt(n_total)))
+        # re-check the thrash guard UNDER the lease: a racing rebalance
+        # may have committed between the pre-lease check and acquiring
+        # the lease (TOCTOU) — retraining again at the same target k
+        # would just burn a corpus pass on an equivalent quantizer
+        if (
+            n_centroids is None
+            and version >= 1
+            and fs.exists(hpath(f"{root}/models.v{version}.json"))
+            and len(_load_models_for(spark, root, version)["centroids"]) == kc
+        ):
+            out["skipped"] = "a racing rebalance already published the target k"
+            return out
         # occupancy-proportional seeding: pick the kc rows with the
         # smallest within-list rank FRACTION (rank-1)/list_size — each
         # list contributes seeds ∝ its occupancy, so the overfull list
@@ -1551,6 +1577,8 @@ def ann_rebalance_if_skewed(
             max_share_ratio_after=round(int(after["mx"]) * int(after["k"]) / n_total, 3),
         )
         return out
+    finally:
+        lease_cm.__exit__(None, None, None)
 
 
 def indexed_candidates(

@@ -75,6 +75,30 @@ def main() -> None:
         p = sorted(tuple(r) for r in postings.collect())
         fp = hashlib.md5(str((p, meta)).encode()).hexdigest()
         print("RESULT", meta["n_docs"], meta["sum_dl"], fp)
+    elif mode == "rebalance":
+        # shared root pre-built + drift-skewed by the parent; two
+        # barriered rebalances race — the lease serializes them, the
+        # loser SKIPS (monitor semantics) or the thrash guard stops a
+        # late second retrain; exactly one new version publishes
+        from pyspark.sql import functions as F
+
+        from msgraphdatapipelines_spark import sinks
+        from msgraphdatapipelines_spark.queries.similarity import (
+            ann_rebalance_if_skewed,
+            standing_index_root,
+        )
+
+        emb = spark.read.parquet(f"{shared}/embeddings.parquet").select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+            F.col("label").cast("long").alias("label"),
+        )
+        drift = spark.read.parquet(f"{shared}/drift.parquet")
+        root = standing_index_root(shared)
+        stats = ann_rebalance_if_skewed(spark, root, emb.unionByName(drift))
+        version = sinks._read_latest_version(spark, f"{root}/snapshot")
+        n = sinks.read_snapshot(spark, f"{root}/snapshot", version=version).count()
+        print("RESULT", version, n, stats.get("retrained"), "skipped" in stats or None)
     elif mode == "cache":
         from msgraphdatapipelines_spark import cache
 

@@ -29,10 +29,16 @@ REPO = Path(__file__).resolve().parents[1]
 CHILD = str(REPO / "tests" / "race_child.py")
 
 
-def _race(mode: str, shared_sf: str, tmp_path: Path) -> str:
-    """Run two barriered child processes; return their (equal) RESULT
-    lines' artifact dir.  Children get a PRIVATE TMPDIR so the shared
-    artifact root is test-scoped and inspectable."""
+def _race(
+    mode: str, shared_sf: str, tmp_path: Path, expect_equal: bool = True
+) -> str:
+    """Run two barriered child processes; return the artifact dir.
+    ``expect_equal`` asserts both RESULT lines match (builders must
+    serve identical content); modes whose loser legitimately reports a
+    different outcome (rebalance: winner retrains, loser skips) set it
+    False and assert root-level invariants instead.  Children get a
+    PRIVATE TMPDIR so the shared artifact root is test-scoped and
+    inspectable."""
     barrier = tmp_path / "barrier"
     barrier.mkdir()
     artdir = tmp_path / "artifacts"
@@ -62,7 +68,8 @@ def _race(mode: str, shared_sf: str, tmp_path: Path) -> str:
         lines = [l for l in so.decode().splitlines() if l.startswith("RESULT")]
         assert lines, f"no RESULT line:\n{so.decode()[-2000:]}"
         results.append(lines[-1])
-    assert results[0] == results[1], f"racers served different content: {results}"
+    if expect_equal:
+        assert results[0] == results[1], f"racers served different content: {results}"
     return str(artdir)
 
 
@@ -144,6 +151,90 @@ def test_race_two_processes_lexicon(tmp_path):
     assert stages == [], f"race left staging dirs: {stages}"
     bids = sorted(os.listdir(f"{root}/batches/tf"))
     assert bids == ["batch_id=0"], f"replayed append double-published: {bids}"
+
+
+def test_race_two_processes_rebalance(tmp_path, monkeypatch, spark):
+    """r13: two drivers' occupancy monitors firing on the same skewed
+    root — the lease + under-lease thrash guard must yield EXACTLY ONE
+    retrained generation (version 2): the loser skips (lease live) or
+    is stopped by the raced-guard re-check (lease acquired after the
+    winner committed); neither crashes, no debris, no version 3."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from msgraphdatapipelines_spark.operators import similarity as S
+    from msgraphdatapipelines_spark.queries.similarity import (
+        ensure_standing_index,
+        standing_index_root,
+    )
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    shutil.copyfile(
+        "/root/testdata/sf0.001/embeddings.parquet", str(sf / "embeddings.parquet")
+    )
+    artdir = tmp_path / "artifacts"
+    artdir.mkdir()
+    # build + skew the SHARED root under the same TMPDIR the children get
+    monkeypatch.setattr(tempfile, "tempdir", str(artdir))
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    _, cents1, books1 = ensure_standing_index(spark, str(sf), emb)
+    root = standing_index_root(str(sf))
+    assert root.startswith(str(artdir))
+    import random
+
+    rng = random.Random(5)
+    p = [0.5 if i % 2 == 0 else -0.5 for i in range(64)]
+    rows = []
+    for j in range(10):
+        base = [p[d] + 0.01 * rng.uniform(-1, 1) for d in range(64)]
+        for i in range(200):
+            rows.append(
+                (100000 + j * 200 + i,
+                 [base[d] + 1e-4 * rng.uniform(-1, 1) for d in range(64)], 999)
+            )
+    drift = spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<double>, label: long"
+    )
+    drift.write.parquet(f"{sf}/drift.parquet")
+    S.ivf_pq_index(
+        drift, "vec_id", "embedding", cents1, books1, dim=64, meta_cols=("label",)
+    ).write.parquet(f"{root}/batches/batch_id=1")
+    monkeypatch.setattr(tempfile, "tempdir", None)  # restore for the parent
+
+    # reuse the prepared artifacts dir for the children
+    barrier = tmp_path / "barrier"
+    barrier.mkdir()
+    env = dict(os.environ, TMPDIR=str(artdir))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, CHILD, "rebalance", str(sf), str(barrier), str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, cwd=str(REPO),
+        )
+        for i in (0, 1)
+    ]
+    outs = []
+    for p_ in procs:
+        so, se = p_.communicate(timeout=420)
+        assert p_.returncode == 0, se.decode(errors="replace")[-3000:]
+        lines = [l for l in so.decode().splitlines() if l.startswith("RESULT")]
+        assert lines, so.decode()[-2000:]
+        outs.append(lines[-1].split())
+    retrained = [o[3] == "True" for o in outs]
+    assert sum(retrained) == 1, f"expected exactly one retrain: {outs}"
+    # root-level invariants: exactly one committed retrain (v=2), no v=3,
+    # models.v2 present, no staging debris
+    assert os.path.exists(f"{root}/snapshot/v=2")
+    assert not os.path.exists(f"{root}/snapshot/v=3")
+    assert os.path.exists(f"{root}/models.v2.json")
+    with open(f"{root}/snapshot/_LATEST") as fh:
+        assert fh.read().strip() == "2"
+    debris = [
+        d for d in os.listdir(root)
+        if d.startswith(("batches.stage.", "batches.old."))
+    ]
+    assert debris == [], debris
 
 
 def test_race_two_processes_result_cache(tmp_path):
