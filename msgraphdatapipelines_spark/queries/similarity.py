@@ -895,12 +895,19 @@ def _ivf_pq_common_ctes() -> str:
     )"""
 
 
-def _ivf_pq_indexed_ctes(k: int, nprobe: int = NPROBE, rerank: int = 50) -> str:
+def _ivf_pq_indexed_ctes(
+    k: int, nprobe: int = NPROBE, rerank: int = 50, corpus_pred: str = ""
+) -> str:
     """DuckDB replay of the index-backed retrieval path, ending in CTE
     ``ivfpq`` = (qid, cid, score, rank): the shared prefix
     (``_ivf_pq_common_ctes``) → per-query nprobe probe → ADC scoring of
     probed lists only → exact cosine rerank of the top-``rerank`` pool →
-    top-``k``."""
+    top-``k``.
+
+    ``corpus_pred`` (r13, the erasure replay): an extra predicate on the
+    candidate side (e.g. ``AND a.cid % 50 <> 25``) — the models/probe
+    CTEs stay FULL-corpus (``ann_index_forget`` keeps the trained
+    quantizer; only the index CONTENT loses the erased rows)."""
     score = _adc_score_sql()
     return f"""{_ivf_pq_common_ctes()},
     qprobe AS MATERIALIZED (
@@ -919,7 +926,7 @@ def _ivf_pq_indexed_ctes(k: int, nprobe: int = NPROBE, rerank: int = 50) -> str:
         JOIN qprobe p ON l.qid = p.qid
         JOIN ix_assign a ON a.cent = p.cent
         JOIN enc e ON e.vec_id = a.cid
-        WHERE l.qid <> a.cid
+        WHERE l.qid <> a.cid {corpus_pred}
     ),
     ivfpq_cand AS (
         SELECT qid, cid FROM (
@@ -1070,19 +1077,23 @@ def _corpus_fingerprint(sf_dir: str) -> str:
     return "|".join(parts)
 
 
-def standing_index_root(sf_dir: str, n_centroids: int = N_CENTROIDS) -> str:
+def standing_index_root(
+    sf_dir: str, n_centroids: int = N_CENTROIDS, variant: str = "full"
+) -> str:
     """Deterministic on-disk location of the standing IVF+PQ artifact for
     a corpus: keyed by corpus identity (absolute path + parquet
     size/mtime fingerprint) and every model parameter, so a corpus or
     config change gets a FRESH artifact instead of silently serving
-    stale encodings."""
+    stale encodings.  ``variant`` isolates lifecycle rehearsal roots
+    (e.g. the erasure row) from the shared serving artifact."""
     import hashlib
     import os
     import tempfile
 
+    vtag = "" if variant == "full" else f"|{variant}"
     key = hashlib.md5(
         f"{os.path.abspath(sf_dir)}|{_corpus_fingerprint(sf_dir)}"
-        f"|{n_centroids}|{_PQ_M}|{_PQ_KS}|{DIM}|v3".encode()
+        f"|{n_centroids}|{_PQ_M}|{_PQ_KS}|{DIM}{vtag}|v3".encode()
     ).hexdigest()[:16]
     return os.path.join(tempfile.gettempdir(), f"msgdp_ivfpq_{key}")
 
@@ -1092,6 +1103,7 @@ def ensure_standing_index(
     sf_dir: str,
     emb: DataFrame | None = None,
     n_centroids: int | None = None,
+    variant: str = "full",
 ):
     """The STANDING compacted IVF+PQ artifact (r9, r8 VERDICT item 1):
     returns ``(index_df, centroids, codebooks)`` where ``index_df`` is
@@ -1131,7 +1143,7 @@ def ensure_standing_index(
     # size ~sqrt(n) so probes touch a vanishing corpus fraction; the fixed
     # N_CENTROIDS default is the oracle-replayable graded configuration
     kc = n_centroids if n_centroids is not None else N_CENTROIDS
-    root = standing_index_root(sf_dir, kc)
+    root = standing_index_root(sf_dir, kc, variant=variant)
     snap = f"{root}/snapshot"
     if not sinks.snapshot_exists(spark, snap):
         import os
@@ -2191,6 +2203,76 @@ def ann_range_filtered_topk_served(spark: SparkSession, sf_dir: str) -> DataFram
         ),
         dim=DIM,
     )
+
+
+def _ensure_forgotten_ann_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-full → FORGET rehearsal artifact for the ANN index (r13):
+    ensure on a variant root, then ``ann_index_forget`` the
+    deterministic set ``vec_id % 50 == 25`` (disjoint from the
+    vec_id < 20 query set), under one end-to-end marker."""
+    from .. import sinks
+
+    root = standing_index_root(sf_dir, variant="forgotten")
+    fs, _, jvm = sinks._fs_for(spark, root)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    marker = f"{root}/_fgt_ready"
+    if not fs.exists(hpath(marker)):
+        emb = load(spark, sf_dir, "embeddings")
+        ensure_standing_index(spark, sf_dir, emb, variant="forgotten")
+        ids = [
+            r["vec_id"]
+            for r in emb.filter(F.col("vec_id") % 50 == 25)
+            .select("vec_id")
+            .collect()
+        ]
+        ann_index_forget(spark, root, ids)
+        from .. import genstore as _gs
+
+        _gs.marker_commit(fs, hpath, marker)
+    return root
+
+
+@register(
+    "ann_topk_served_forgotten",
+    demoted=True,  # erasure-lifecycle twin of the graded ann_topk_served
+    oracle=f"""
+    WITH {_ivf_pq_indexed_ctes(k=K, corpus_pred="AND a.cid % 50 <> 25")}
+    SELECT qid, cid, round(score, 6) AS score, rank FROM ivfpq
+    """,
+)
+def ann_topk_served_forgotten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13: GDPR erasure must reach the STANDING ANN index — after
+    ``ann_index_forget``, the artifact-served top-k matches the replay
+    over the index WITHOUT the erased vectors: their rows are physically
+    gone from the refolded snapshot (tombstone + compact behind one
+    pointer flip), while the trained models stay the full-corpus ones
+    (forget never retrains — the oracle's model CTEs replay unchanged,
+    only the candidate side excludes).  Completes the erasure oracle
+    family: prefix join, BM25 lexicon, and ANN index each prove
+    physical exclusion against a from-scratch oracle."""
+    root = _ensure_forgotten_ann_index(spark, sf_dir)
+    from .. import sinks
+
+    emb = load(spark, sf_dir, "embeddings")
+    version = sinks._read_latest_version(spark, f"{root}/snapshot")
+    models = _load_models_for(spark, root, version)
+    cents = [(int(c), v) for c, v in models["centroids"]]
+    cand = S.ivf_pq_topk(
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        emb,
+        "vec_id",
+        "vec_id",
+        "embedding",
+        "embedding",
+        k=K,
+        nprobe=NPROBE,
+        centroids=cents,
+        codebooks=models["codebooks"],
+        rerank=50,
+        index=sinks.read_snapshot(spark, f"{root}/snapshot", version=version),
+        dim=DIM,
+    )
+    return cand.select("qid", "cid", F.round("score", 6).alias("score"), "rank")
 
 
 @register(
