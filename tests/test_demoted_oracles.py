@@ -103,7 +103,29 @@ def test_demoted_query_matches_oracle(name, spark, sf_dir, duck):
 
         check_lint(name, df)
     got = df.toPandas()
-    want = duck.execute(q.oracle).fetchdf()
+    try:
+        want = duck.execute(q.oracle).fetchdf()
+    except duckdb.OutOfMemoryException:
+        # r13: the module-scoped connection serves 120+ oracles in a row
+        # and under the parallel runner's 4-way host contention its
+        # buffer pool can hit the 16 GB bound late in the run (observed
+        # once: a 16 KB block refusal on an oracle that passes alone in
+        # seconds).  A FRESH connection retry separates that
+        # accumulation artifact from a genuinely oversized oracle —
+        # which would OOM again and still fail the row.
+        retry = duckdb.connect()
+        try:
+            retry.execute("SET TimeZone='UTC'")
+            retry.execute("SET memory_limit='16GB'")
+            retry.execute("SET threads=8")
+            for t in TABLES:
+                retry.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')"
+                )
+            want = retry.execute(q.oracle).fetchdf()
+        finally:
+            retry.close()
     assert sorted(got.columns) == sorted(want.columns)
     assert len(got) == len(want), f"{name}: {len(got)} vs oracle {len(want)}"
     for c in sorted(got.columns):
