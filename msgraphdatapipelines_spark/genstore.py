@@ -169,11 +169,33 @@ def compaction_lease(fs, hpath, root: str, ttl_s: float = LEASE_TTL_S):
 
     Raises RuntimeError when another live lease exists (one rebuild at a
     time per store).  The lease file is deleted on exit — success or
-    exception — and the heartbeat thread stops with it."""
+    exception — and the heartbeat thread stops with it.
+
+    Acquire is TWO-PHASE (r14, ADVICE: the probe-then-create of r13 was
+    check-then-act — two processes could both pass the probe and both
+    believe they held the lease, re-opening the append-vs-compact
+    lost-batch window the lease exists to close).  Phase 1: the fast-path
+    probe (unchanged).  Phase 2: create MY uid-named lease, then re-list;
+    if ANY other live lease is visible, delete mine and raise.  Mutual
+    exclusion holds without an atomic create-exclusive primitive (which
+    Hadoop's local FS doesn't give): suppose A and B both proceed — A
+    proceeding means B was invisible at A's re-list, so B's create
+    finished after it, so B's re-list (which happens after B's create)
+    runs after A's create and MUST see A's still-held lease, so B backs
+    off.  The only cost is that near-simultaneous racers may BOTH yield
+    — safe for every caller (compaction/rebalance callers already treat
+    "in progress" as retry-next-round), and the next uncontended attempt
+    succeeds.  Requires only read-your-writes listing (local FS, HDFS,
+    and current S3 all give it)."""
     if live_leases(fs, hpath, root, ttl_s=ttl_s):
         raise RuntimeError(f"compact already in progress under {root}")
     lease = f"{root}/_compacting.{uuid.uuid4().hex[:8]}"
     marker_commit(fs, hpath, lease)
+    mine = lease.rsplit("/", 1)[1]
+    others = [nm for nm in live_leases(fs, hpath, root, ttl_s=ttl_s) if nm != mine]
+    if others:
+        fs.delete(hpath(lease), False)
+        raise RuntimeError(f"compact already in progress under {root}")
     stop_hb = threading.Event()
 
     def _heartbeat() -> None:

@@ -2879,3 +2879,52 @@ def test_lexicon_forget_erases_stats_and_survives_replay(spark, sf_dir, tmp_path
     postings, _, _, _ = read_lexicon(spark, root)
     assert postings.filter(F.col("doc_id") == 7).count() == 0
     assert postings.filter(F.col("doc_id") == 222).count() > 0
+
+
+def test_compaction_lease_two_phase_yields_to_probe_window_racer(spark, tmp_path):
+    """r14 (ADVICE): compaction_lease's r13 acquire was check-then-create
+    — a racer creating its lease between MY probe and MY create left two
+    processes both believing they held the lease.  The two-phase acquire
+    re-lists AFTER creating and yields to ANY other visible lease.  This
+    test injects exactly that interleaving: the probe sees an empty root
+    (racer not yet visible), the racer's lease lands before my re-list —
+    acquire must raise and must delete its own lease file (the racer's
+    stands untouched)."""
+    from msgraphdatapipelines_spark import genstore as _gs
+    from msgraphdatapipelines_spark import sinks
+
+    root = str(tmp_path / "store")
+    fs, _, jvm = sinks._fs_for(spark, root)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs.mkdirs(hpath(root))
+
+    real_live = _gs.live_leases
+    calls = {"n": 0}
+    racer = f"{root}/_compacting.racer000"
+
+    def interleaved(fs_, hpath_, root_, ttl_s=_gs.LEASE_TTL_S):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # probe instant: racer's create has not become visible yet
+            return []
+        return real_live(fs_, hpath_, root_, ttl_s=ttl_s)
+
+    _gs.marker_commit(fs, hpath, racer)  # the racer wins the window
+    orig = _gs.live_leases
+    _gs.live_leases = interleaved
+    try:
+        with pytest.raises(RuntimeError, match="compact already in progress"):
+            with _gs.compaction_lease(fs, hpath, root):
+                raise AssertionError("must not acquire over a visible racer")
+    finally:
+        _gs.live_leases = orig
+    names = [st.getPath().getName() for st in fs.listStatus(hpath(root))]
+    assert names == ["_compacting.racer000"], (
+        "loser must delete its own lease and leave the racer's standing: "
+        f"{names}"
+    )
+    # racer releases -> the next uncontended acquire succeeds
+    fs.delete(hpath(racer), False)
+    with _gs.compaction_lease(fs, hpath, root):
+        assert len(_gs.live_leases(fs, hpath, root)) == 1
+    assert _gs.live_leases(fs, hpath, root) == []
