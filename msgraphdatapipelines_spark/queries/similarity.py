@@ -1274,12 +1274,13 @@ def ann_index_forget(spark: SparkSession, root: str, ids: list) -> int:
        ``read_ann_index`` already resolves for streamed deletions) is
        appended under the next batch id;
     3. ``compact_ann_index`` republishes the snapshot WITHOUT the docs
-       behind the ``_LATEST`` flip, and the models file is COPIED
-       forward to the new version (the quantizer didn't change — without
-       the copy, a version-matched reader would fall back to the
-       bootstrap models after a post-rebalance erasure).  The versioned
-       label/range steering summaries re-derive lazily from the new
-       snapshot on first filtered read (their derive-if-missing path).
+       behind the ``_LATEST`` flip, carrying the models forward paired
+       to the version it ACTUALLY publishes (r14, ADVICE: the pairing —
+       and the versioned label-steering summary — is compact-owned now,
+       so orphan ``v=`` crash debris can no longer strand them at a
+       never-published version; the quantizer itself didn't change).
+       The range steering summary still re-derives lazily from the new
+       snapshot on first filtered read (its derive-if-missing path).
 
     Returns the published snapshot version.  Once it returns, no
     version-resolved reader can serve the erased vectors."""
@@ -1287,21 +1288,21 @@ def ann_index_forget(spark: SparkSession, root: str, ids: list) -> int:
 
     from .. import genstore as _gs
     from .. import sinks
-    from ..streaming.ann_stream import compact_ann_index
+    from ..streaming.ann_stream import (
+        compact_ann_index,
+        recover_batches,
+        resolve_batches_models,
+    )
 
     fs, _, jvm = sinks._fs_for(spark, root)
     hpath = jvm.org.apache.hadoop.fs.Path
     with _gs.compaction_lease(fs, hpath, root):
+        recover_batches(spark, root)
         ids_df = spark.createDataFrame([(int(i),) for i in ids], "cid: long")
         ids_df.coalesce(1).write.parquet(
             f"{root}/_forgotten/ids_{uuid.uuid4().hex[:8]}"
         )
         snap = f"{root}/snapshot"
-        version = (
-            sinks._read_latest_version(spark, snap)
-            if sinks.snapshot_exists(spark, snap)
-            else 0
-        )
         # tombstone batch, schema-aligned with the existing batch rows
         existing = spark.read.option("recursiveFileLookup", "true").parquet(
             f"{root}/batches"
@@ -1322,19 +1323,20 @@ def ann_index_forget(spark: SparkSession, root: str, ids: list) -> int:
             + 1
         )
         tomb.write.mode("overwrite").parquet(f"{root}/batches/batch_id={next_bid}")
-        models = _load_models_for(spark, root, version)
-        kc = len(models["centroids"])
+        # the models the batches rows are actually encoded under (the
+        # dir's _MODELS stamp post-rebalance, else the bootstrap) size
+        # the clustering; compact_ann_index itself carries them forward
+        # paired to the published version (r14)
+        kc = len(resolve_batches_models(spark, root)["centroids"])
         has_label = "label" in existing.columns
-        next_v = compact_ann_index(
+        return compact_ann_index(
             spark,
             f"{root}/batches",
             snap,
-            label_lists_path=f"{root}/label_lists.v{version + 1}" if has_label else None,
+            models_root=root,
+            versioned_label_lists=has_label,
             cluster_files=max(8, kc // 4),
         )
-        if fs.exists(hpath(f"{root}/models.v{version}.json")):
-            _write_json_atomic(fs, hpath, f"{root}/models.v{next_v}.json", models)
-        return next_v
 
 
 def ann_rebalance_if_skewed(
@@ -1347,6 +1349,8 @@ def ann_rebalance_if_skewed(
     max_share_ratio: float = 4.0,
     n_centroids: int | None = None,
     dim: int = DIM,
+    _test_hook_before_commit=None,
+    _test_hook_before_swap=None,
 ) -> dict:
     """AUTOMATED IVF rebalance (r13, r12 VERDICT item 2): the action the
     ``ann_index_list_stats`` occupancy monitor and
@@ -1370,19 +1374,45 @@ def ann_rebalance_if_skewed(
        quantization is independent of the coarse partition, so re-coding
        vectors would buy nothing and cost a corpus pass,
     2. re-assign + encode every vector under the new centroids into a
-       STAGED batches dir, write ``models.v{N+1}.json``, then swap the
-       grow-only batches dir (future appends/compactions build on the
-       retrained assignment),
-    3. ``compact_ann_index`` publishes snapshot ``v=N+1`` clustered by
-       the new list ids with its zonemap manifest and the VERSIONED
-       label-steering summary ``label_lists.v{N+1}`` — all of it becomes
-       visible through the single ``_LATEST`` pointer flip, the same
-       one-commit rule every standing store here follows.  A reader that
-       resolved version N keeps a fully consistent (snapshot, models,
-       label_lists) triple; one that resolves N+1 gets the retrained
-       triple.  Crash before the flip: version N keeps serving, debris
-       is an uncommitted ``v=N+1`` dir + unreferenced model/summary
-       files.
+       STAGED batches dir stamped with its own ``_MODELS`` file (r14:
+       the dir is self-describing — see
+       ``ann_stream.resolve_batches_models``),
+    3. ``compact_ann_index`` publishes — FROM THE STAGE, before any
+       batches swap — snapshot ``v=V`` clustered by the new list ids
+       with its zonemap manifest, plus ``models.v{V}.json`` and the
+       versioned label-steering summary ``label_lists.v{V}``, all keyed
+       to the version the compact ACTUALLY publishes (r14, ADVICE: the
+       r13 code precomputed ``_LATEST + 1``, which orphan ``v=`` crash
+       debris could desynchronize from ``write_snapshot``'s
+       ``max(v=) + 1`` — readers then paired the retrained snapshot with
+       the bootstrap quantizer, silently wrong).  Everything becomes
+       visible through the single ``_LATEST`` pointer flip,
+    4. only THEN the grow-only batches dir is swapped for the stage
+       (rename-aside + rename-in) so future appends/compactions build on
+       the retrained assignment, and the old dir is deleted.
+
+    Crash analysis (r14, ADVICE: the r13 swap-before-commit order left a
+    window with NO batches dir and a window where appends mixed two
+    quantizers in one dir):
+
+    - before the ``_LATEST`` flip: version N keeps serving; debris = the
+      stage dir + possibly ``models.v{V}.json`` / ``label_lists.v{V}``
+      for a version never published — harmless, because the NEXT publish
+      at V overwrites both with correctly-paired content (the pairing is
+      compact-owned now), and the next rebalance sweeps stage/old debris
+      under the lease;
+    - after the flip, before the swap: serving is the retrained triple
+      (consistent); appends still land in the OLD batches dir and encode
+      under ITS ``_MODELS``/bootstrap stamp — self-consistent.  The next
+      compact of that dir republishes the old assignment with ITS models
+      paired: the retrain is LOST (the occupancy monitor re-triggers
+      it), correctness never;
+    - between the two swap renames: no batches dir — every entry point
+      calls ``ann_stream.recover_batches`` which renames the newest
+      stage into place (the stage is the committed state here, since the
+      swap only runs post-flip);
+    - after the swap, before the old-dir delete: unreferenced debris,
+      swept by the next rebalance.
 
     Returns the stats dict (occupancy before, and after when retrained).
     Serve-equality and recall-restoration are pinned in
@@ -1392,10 +1422,16 @@ def ann_rebalance_if_skewed(
 
     from .. import genstore as _gs
     from .. import sinks
-    from ..streaming.ann_stream import compact_ann_index, read_ann_index
+    from ..streaming.ann_stream import (
+        compact_ann_index,
+        read_ann_index,
+        recover_batches,
+        write_batches_models,
+    )
 
     fs, _, jvm = sinks._fs_for(spark, root)
     hpath = jvm.org.apache.hadoop.fs.Path
+    recover_batches(spark, root)
     if fs.exists(hpath(f"{root}/_forgotten")):
         # erasure manifest (ann_index_forget): a retrain re-encodes from
         # the caller-held corpus frame, which may still carry erased
@@ -1451,11 +1487,18 @@ def ann_rebalance_if_skewed(
         if sinks.snapshot_exists(spark, snap0)
         else 0
     )
+    # the guard keys on the models' PROVENANCE, not mere existence of a
+    # versioned file (r14): erasure/compaction now copy models forward
+    # to every published version, so a bootstrap quantizer that happens
+    # to sit at the target k must still retrain — only a file a
+    # rebalance actually trained (``retrained`` flag) proves the
+    # residual skew is data-intrinsic
     if (
         n_centroids is None
         and v0 >= 1
         and fs.exists(hpath(f"{root}/models.v{v0}.json"))
-        and len(_load_models_for(spark, root, v0)["centroids"]) == kc_target
+        and (_m0 := _load_models_for(spark, root, v0)).get("retrained")
+        and len(_m0["centroids"]) == kc_target
     ):
         out["skipped"] = "already rebalanced at the target k; residual skew is data-intrinsic"
         return out
@@ -1475,6 +1518,16 @@ def ann_rebalance_if_skewed(
         raise
     try:
         snap = f"{root}/snapshot"
+        # debris sweep (r14): under the lease no rebalance is in flight,
+        # so any stage/old dir is a crashed sibling's leftovers — a
+        # mid-swap crash is completed first (recover), the rest deleted
+        recover_batches(spark, root)
+        for st in fs.listStatus(hpath(root)):
+            nm = st.getPath().getName()
+            if st.isDirectory() and (
+                nm.startswith("batches.stage.") or nm.startswith("batches.old.")
+            ):
+                fs.delete(st.getPath(), True)
         # version 0 = stream-owned root that has never compacted to a
         # snapshot (init_ann_stream_root bootstrap): models come from
         # the bootstrap models.json and the retrain publishes v=1
@@ -1483,7 +1536,6 @@ def ann_rebalance_if_skewed(
             if sinks.snapshot_exists(spark, snap)
             else 0
         )
-        next_v = version + 1
         kc = n_centroids if n_centroids is not None else max(2, round(math.sqrt(n_total)))
         # re-check the thrash guard UNDER the lease: a racing rebalance
         # may have committed between the pre-lease check and acquiring
@@ -1493,7 +1545,8 @@ def ann_rebalance_if_skewed(
             n_centroids is None
             and version >= 1
             and fs.exists(hpath(f"{root}/models.v{version}.json"))
-            and len(_load_models_for(spark, root, version)["centroids"]) == kc
+            and (_m1 := _load_models_for(spark, root, version)).get("retrained")
+            and len(_m1["centroids"]) == kc
         ):
             out["skipped"] = "a racing rebalance already published the target k"
             return out
@@ -1559,23 +1612,41 @@ def ann_rebalance_if_skewed(
         S.ivf_pq_index(
             vectors, id_col, vec_col, cents, books, dim=dim, meta_cols=tuple(keep)
         ).write.parquet(f"{stage}/batch_id=0")
-        _write_json_atomic(
-            fs, hpath, f"{root}/models.v{next_v}.json",
-            {"centroids": cents, "codebooks": books},
+        # the stage is self-describing (r14): its _MODELS stamp travels
+        # with the dir through swap/recovery, so appenders always encode
+        # consistently with the rows around them; `retrained` marks the
+        # provenance the thrash guard keys on
+        write_batches_models(
+            spark, stage,
+            {"centroids": cents, "codebooks": books, "retrained": True},
         )
-        old = f"{root}/batches.old.{uuid.uuid4().hex[:8]}"
-        fs.rename(hpath(f"{root}/batches"), hpath(old))
-        fs.rename(hpath(stage), hpath(f"{root}/batches"))
-        compact_ann_index(
+        if _test_hook_before_commit is not None:
+            _test_hook_before_commit()
+        # COMMIT: compact FROM THE STAGE — snapshot v=V, models.v{V},
+        # label_lists.v{V} all keyed to the actually-published version
+        # and visible through the one _LATEST flip (r14, ADVICE)
+        pub_v = compact_ann_index(
             spark,
-            f"{root}/batches",
+            stage,
             snap,
-            label_lists_path=f"{root}/label_lists.v{next_v}" if keep else None,
+            models_root=root,
+            versioned_label_lists=bool(keep),
             cluster_files=max(8, kc // 4),
         )
+        if _test_hook_before_swap is not None:
+            _test_hook_before_swap()
+        # post-commit swap: appends from here on build on the retrained
+        # assignment; every crash window is repaired or absorbed (see
+        # docstring crash analysis)
+        old = f"{root}/batches.old.{uuid.uuid4().hex[:8]}"
+        fs.rename(hpath(f"{root}/batches"), hpath(old))
+        if not fs.rename(hpath(stage), hpath(f"{root}/batches")) and not fs.exists(
+            hpath(f"{root}/batches")
+        ):
+            raise OSError(f"could not swap retrained batches into {root}")
         fs.delete(hpath(old), True)
         after = (
-            sinks.read_snapshot(spark, snap, version=next_v)
+            sinks.read_snapshot(spark, snap, version=pub_v)
             .groupBy("cent")
             .agg(F.count(F.lit(1)).alias("n"))
             .agg(F.max("n").alias("mx"), F.count(F.lit(1)).alias("k"))
@@ -1583,7 +1654,7 @@ def ann_rebalance_if_skewed(
         )
         out.update(
             retrained=True,
-            version=next_v,
+            version=pub_v,
             lists_after=int(after["k"]),
             max_list_rows_after=int(after["mx"]),
             max_share_ratio_after=round(int(after["mx"]) * int(after["k"]) / n_total, 3),

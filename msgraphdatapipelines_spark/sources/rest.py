@@ -236,12 +236,33 @@ def _fence_raise(
         out.write(bytearray(f"{until}".encode("ascii")))
     finally:
         out.close()
-    # rename-over is not universal on object stores: delete-then-rename;
-    # a racer winning in between leaves ITS (still valid) fence standing
+    # commit order (r14, ADVICE): RENAME FIRST — atomic where the store
+    # supports rename-over, and it can never destroy an existing fence.
+    # The r13 delete-then-rename could crash between the two calls and
+    # leave NO fence at all (every partition resumes hammering), and its
+    # delete could remove a racer's LONGER fence written after our
+    # read-max check — both beyond the documented "slightly shorter
+    # hint" lost-update bound.  When the rename fails (a fence already
+    # exists on a store without rename-over), fall back to re-reading —
+    # if the standing fence is already >= ours, keep it — else a direct
+    # overwrite-create: last-writer-wins can shorten a racer's fence
+    # (inside the documented bound), but there is no window in which the
+    # fence is deleted without a replacement already committed.
     try:
-        fs.delete(p, False)
-        fs.rename(tmp, p)
-    except Exception:  # noqa: BLE001 — racer won; discard our copy
+        renamed = fs.rename(tmp, p)
+    except Exception:  # noqa: BLE001 — treat as rename-unsupported
+        renamed = False
+    if not renamed:
+        try:
+            current = _fence_read(throttle_dir)
+            if current is None or current < until:
+                out2 = fs.create(p, True)
+                try:
+                    out2.write(bytearray(f"{until}".encode("ascii")))
+                finally:
+                    out2.close()
+        except Exception:  # noqa: BLE001 — racer holds a fence; theirs stands
+            pass
         try:
             fs.delete(tmp, False)
         except Exception:  # noqa: BLE001

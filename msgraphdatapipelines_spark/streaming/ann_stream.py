@@ -109,32 +109,120 @@ def init_ann_stream_root(
         fs.delete(tmp, False)  # racer bootstrapped first
 
 
-def current_ann_models(spark: SparkSession, root: str):
-    """(version, centroids, codebooks) — the models matching the root's
-    CURRENT snapshot version (0 = no snapshot published yet → the
-    bootstrap ``models.json``).  The per-round reload point for streams
-    composing with the automated rebalance: after a retrain publishes
-    ``models.v{N}.json`` + snapshot ``v=N``, the next round encodes
-    under the new quantizer automatically."""
+def _read_json_path(fs, hpath, path: str) -> dict:
     import json
 
+    stream = fs.open(hpath(path))
+    try:
+        return json.loads(bytes(stream.readAllBytes()).decode("ascii"))
+    finally:
+        stream.close()
+
+
+def _write_json_path_atomic(fs, hpath, path: str, obj: dict) -> None:
+    import json
+    import uuid
+
+    tmp = hpath(f"{path}.tmp.{uuid.uuid4().hex[:6]}")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(obj).encode("ascii")))
+    finally:
+        out.close()
+    fs.delete(hpath(path), False)
+    fs.rename(tmp, hpath(path))
+
+
+def write_batches_models(spark: SparkSession, batches_dir: str, models: dict) -> None:
+    """Stamp a batches directory with the models its rows are encoded
+    under (r14, ADVICE: the mixed-quantizer fix).  ``_MODELS`` is an
+    underscore file, so Spark's parquet reader ignores it; writers stamp
+    a STAGED generation before it becomes ``batches``, making the dir
+    self-describing — an appender can always encode consistently with
+    the rows already there, no matter which commit-window instant it
+    observes."""
+    from .. import sinks
+
+    fs, _, jvm = sinks._fs_for(spark, batches_dir)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    _write_json_path_atomic(fs, hpath, f"{batches_dir}/_MODELS", models)
+
+
+def resolve_batches_models(spark: SparkSession, root: str) -> dict:
+    """The models the CURRENT ``{root}/batches`` rows are encoded under:
+    the dir's own ``_MODELS`` stamp when present (any generation a
+    rebalance published), else the bootstrap ``models.json`` (a batches
+    dir without a stamp is bootstrap-encoded by construction).
+
+    This is the APPEND-side resolution and it deliberately ignores the
+    snapshot ``_LATEST`` pointer (r14, ADVICE: keying appends off the
+    snapshot version let a crash between the rebalance's snapshot flip
+    and its batches swap pair NEW models with the OLD batches dir —
+    appends then mixed two quantizers in one directory, which the next
+    compact published as a silently-wrong index).  Keyed off the dir
+    itself, every append is consistent with its dir in EVERY crash
+    window; the worst a mid-commit crash can do is lose the retrain
+    (the occupancy monitor re-triggers it), never correctness."""
     from .. import sinks
 
     fs, _, jvm = sinks._fs_for(spark, root)
     hpath = jvm.org.apache.hadoop.fs.Path
+    stamp = f"{root}/batches/_MODELS"
+    if fs.exists(hpath(stamp)):
+        return _read_json_path(fs, hpath, stamp)
+    return _read_json_path(fs, hpath, f"{root}/models.json")
+
+
+def recover_batches(spark: SparkSession, root: str) -> bool:
+    """Repair the missing-batches crash window (r14, ADVICE): the
+    rebalance swaps ``batches`` via rename-aside + rename-in AFTER its
+    snapshot commit; a crash between the two renames leaves no
+    ``batches`` dir at all.  Because the swap only runs post-commit, the
+    staged dir IS the committed state — recovery renames the newest
+    ``batches.stage.*`` into place.  No-op when ``batches`` exists or no
+    stage is present.  Safe to call unleased: a racing recovery's rename
+    fails and the existence re-check sees the winner's result."""
+    from .. import sinks
+
+    fs, _, jvm = sinks._fs_for(spark, root)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    dst = hpath(f"{root}/batches")
+    if not fs.exists(hpath(root)) or fs.exists(dst):
+        return False
+    stages = [
+        st
+        for st in fs.listStatus(hpath(root))
+        if st.isDirectory() and st.getPath().getName().startswith("batches.stage.")
+    ]
+    if not stages:
+        return False
+    newest = max(stages, key=lambda st: st.getModificationTime())
+    if not fs.rename(newest.getPath(), dst) and not fs.exists(dst):
+        raise OSError(f"could not recover {root}/batches from {newest.getPath()}")
+    return True
+
+
+def current_ann_models(spark: SparkSession, root: str):
+    """(version, centroids, codebooks) — ``version`` is the root's
+    current snapshot version (0 = none published yet); the models are
+    the ones the CURRENT batches dir is encoded under
+    (:func:`resolve_batches_models` — the dir's ``_MODELS`` stamp, else
+    the bootstrap ``models.json``).  The per-round reload point for
+    streams composing with the automated rebalance: after a retrain
+    publishes a stamped batches generation, the next round encodes under
+    the new quantizer automatically — and in the rebalance's
+    crash windows the stamp keeps appends consistent with the dir they
+    land in (r14; see :func:`resolve_batches_models`)."""
+    from .. import sinks
+
+    recover_batches(spark, root)
     snap = f"{root}/snapshot"
     version = (
         sinks._read_latest_version(spark, snap)
         if sinks.snapshot_exists(spark, snap)
         else 0
     )
-    p = f"{root}/models.v{version}.json"
-    target = p if fs.exists(hpath(p)) else f"{root}/models.json"
-    stream = fs.open(hpath(target))
-    try:
-        models = json.loads(bytes(stream.readAllBytes()).decode("ascii"))
-    finally:
-        stream.close()
+    models = resolve_batches_models(spark, root)
     cents = [(int(c), v) for c, v in models["centroids"]]
     return version, cents, models["codebooks"]
 
@@ -172,6 +260,8 @@ def compact_ann_index(
     label_col: str = "label",
     cluster_col: str | None = "cent",
     cluster_files: int | None = None,
+    models_root: str | None = None,
+    versioned_label_lists: bool = False,
 ) -> int:
     """Materialize the batch-partitioned index's CURRENT view into a
     snapshot-versioned table (r8): the maintenance pass that keeps probe
@@ -208,17 +298,53 @@ def compact_ann_index(
     Z-order); ``cluster_files=None`` lets the range partitioner size the
     output from ``spark.sql.shuffle.partitions``, a standing index sizes
     it ∝ n_centroids so a file holds a handful of lists.  ``None``
-    disables clustering (identical to the pre-r12 layout)."""
+    disables clustering (identical to the pre-r12 layout).
+
+    ``models_root`` / ``versioned_label_lists`` (r14, ADVICE: the
+    orphan-version mispairing fix): callers used to precompute
+    ``models.v{_LATEST + 1}.json`` / ``label_lists.v{_LATEST + 1}``
+    themselves — but ``write_snapshot`` publishes ``max(v= dirs) + 1``,
+    and orphan ``v=`` dirs (crash debris) make those differ: the models
+    land at a version that is never published, readers of the ACTUAL
+    version fall back to the bootstrap quantizer, and results are
+    silently wrong.  The pairing now lives HERE, keyed to the version
+    this compact actually publishes: with ``models_root`` set (or the
+    index dir carrying a ``_MODELS`` stamp, which auto-derives
+    ``models_root`` from the snapshot root's parent), the compact
+    resolves the models its input rows are encoded under (the stamp,
+    else ``{models_root}/models.json``), predicts the publish version as
+    ``max(snapshot_versions) + 1`` (exact under the caller's compaction
+    lease — snapshot publishers all hold it), writes
+    ``models.v{V}.json`` — and, with ``versioned_label_lists``,
+    ``label_lists.v{V}`` — BEFORE the ``_LATEST`` flip, then verifies
+    the published version and re-keys defensively on mismatch."""
     import uuid
 
     from pyspark.sql import functions as F
 
     from .. import sinks
 
+    fs, _, jvm = sinks._fs_for(spark, snapshot_root)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    stamp = f"{index_dir}/_MODELS"
+    if models_root is None and fs.exists(hpath(stamp)):
+        models_root = snapshot_root.rstrip("/").rsplit("/", 1)[0]
+    models = None
+    if models_root is not None:
+        models = (
+            _read_json_path(fs, hpath, stamp)
+            if fs.exists(hpath(stamp))
+            else _read_json_path(fs, hpath, f"{models_root}/models.json")
+        )
+    new_v = (sinks.snapshot_versions(spark, snapshot_root) or [0])[-1] + 1
+    if versioned_label_lists:
+        if models_root is None:
+            raise ValueError("versioned_label_lists requires models_root")
+        label_lists_path = f"{models_root}/label_lists.v{new_v}"
+
     view = read_ann_index(spark, index_dir)
+    wrote_labels = False
     if label_lists_path is not None and label_col in view.columns:
-        fs, _, jvm = sinks._fs_for(spark, label_lists_path)
-        hpath = jvm.org.apache.hadoop.fs.Path
         stage = f"{label_lists_path}.stage.{uuid.uuid4().hex[:8]}"
         view.groupBy(label_col, "cent").agg(F.count("*").alias("n")).write.parquet(
             stage
@@ -228,14 +354,31 @@ def compact_ann_index(
             fs.rename(hpath(label_lists_path), hpath(old))
         fs.rename(hpath(stage), hpath(label_lists_path))
         fs.delete(hpath(old), True)
+        wrote_labels = True
+    if models is not None:
+        _write_json_path_atomic(fs, hpath, f"{models_root}/models.v{new_v}.json", models)
     if cluster_col is not None and cluster_col in view.columns:
         view = (
             view.repartitionByRange(cluster_files, F.col(cluster_col))
             if cluster_files
             else view.repartitionByRange(F.col(cluster_col))
         ).sortWithinPartitions(cluster_col)
-        return sinks.write_snapshot(view, snapshot_root, zonemap_cols=[cluster_col])
-    return sinks.write_snapshot(view, snapshot_root)
+        pub_v = sinks.write_snapshot(view, snapshot_root, zonemap_cols=[cluster_col])
+    else:
+        pub_v = sinks.write_snapshot(view, snapshot_root)
+    if pub_v != new_v:
+        # unreachable under the lease; belt-and-braces against a racing
+        # publisher outside it — re-key the paired files to the version
+        # that actually went live
+        if models is not None:
+            _write_json_path_atomic(
+                fs, hpath, f"{models_root}/models.v{pub_v}.json", models
+            )
+        if versioned_label_lists and wrote_labels:
+            dst = f"{models_root}/label_lists.v{pub_v}"
+            fs.delete(hpath(dst), True)
+            fs.rename(hpath(label_lists_path), hpath(dst))
+    return pub_v
 
 
 def cm_rollup_stream(

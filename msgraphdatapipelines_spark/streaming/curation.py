@@ -158,6 +158,13 @@ def curation_pipeline_stream(
         )
 
     def one_round(_batch_df, batch_id: int) -> None:
+        if standing_root is not None:
+            # r14: a rebalance that crashed between its two batches-swap
+            # renames leaves no batches dir — complete the swap before
+            # this round reads or appends to it
+            from .ann_stream import recover_batches
+
+            recover_batches(spark, standing_root)
         delta, link = rest.read_odata_delta(
             spark, first_url, schema, state_path=state_path,
             fetcher=fetcher, removed_col=removed_col,

@@ -1124,3 +1124,62 @@ def test_fence_snapshot_rides_partitions_from_planner(spark, tmp_path):
         f"read finished in {wall:.2f}s — partitions did not honor the "
         "planner's fence snapshot"
     )
+
+
+def test_fence_raise_never_leaves_fenceless_window(spark, tmp_path, monkeypatch):
+    """r14 (ADVICE): the r13 object-store commit was delete-then-rename —
+    a crash (or rename failure) between the two left NO fence at all,
+    and the delete could remove a racer's LONGER fence.  Now the rename
+    runs FIRST; on a store that refuses rename-over, the fallback is a
+    re-read (a standing >= fence is kept) then an overwrite-create — at
+    no point is the fence deleted without a replacement committed."""
+    spark._jsc.hadoopConfiguration().set(
+        "fs.viewfs.mounttable.norename.linkFallback", f"file://{tmp_path}"
+    )
+    tdir = "viewfs://norename/fence"
+
+    real = rest._hadoop_fence
+
+    class _NoRenameOverFS:
+        """Hadoop-FS proxy that models S3-style semantics: rename fails
+        whenever the destination exists (no rename-over)."""
+
+        def __init__(self, fs):
+            self._fs = fs
+
+        def rename(self, src, dst):
+            if self._fs.exists(dst):
+                return False
+            return self._fs.rename(src, dst)
+
+        def __getattr__(self, name):
+            return getattr(self._fs, name)
+
+    def patched(throttle_dir):
+        got = real(throttle_dir)
+        if got is None:
+            return None
+        fs, hp, p = got
+        return _NoRenameOverFS(fs), hp, p
+
+    monkeypatch.setattr(rest, "_hadoop_fence", patched)
+
+    # first raise: dest absent, the rename commits
+    rest._fence_raise(tdir, 30.0, now=lambda: 1000.0)
+    assert rest._fence_read(tdir) == 1030.0
+    # extend: rename-over refused -> fallback overwrite-create commits
+    rest._fence_raise(tdir, 90.0, now=lambda: 1000.0)
+    assert rest._fence_read(tdir) == 1090.0
+    # a shorter hint never lowers the standing fence (read-max discipline
+    # both at the head check and inside the fallback re-read)
+    rest._fence_raise(tdir, 5.0, now=lambda: 1000.0)
+    assert rest._fence_read(tdir) == 1090.0
+    # no stray tmp files left behind by the fallback path
+    import os
+
+    leftovers = [
+        n
+        for n in os.listdir(f"{tmp_path}/fence")
+        if n.startswith("retry_after_fence.")
+    ]
+    assert leftovers == []

@@ -1240,3 +1240,181 @@ def test_ann_index_forget_and_rebalance_never_resurrect(spark, sf_dir, tmp_path)
     served4 = indexed_candidates(spark, emb, k=5, sf_dir=str(my_sf)).collect()
     assert len(served4) > 0
     assert all(r["cid"] not in (103, 207, 311) for r in served4)
+
+
+def _rebal_fixture(spark, sf_dir, tmp_path):
+    """Private standing root + a drift batch that breaches the occupancy
+    threshold — the shared setup for the r14 commit-window pins."""
+    import shutil
+
+    from msgraphdatapipelines_spark.queries.similarity import (
+        ensure_standing_index,
+        standing_index_root,
+    )
+
+    my_sf = tmp_path / "sf"
+    my_sf.mkdir()
+    shutil.copyfile(f"{sf_dir}/embeddings.parquet", str(my_sf / "embeddings.parquet"))
+    emb = spark.read.parquet(f"{my_sf}/embeddings.parquet").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        F.col("label").cast("long").alias("label"),
+    )
+    _, cents1, books1 = ensure_standing_index(spark, str(my_sf))
+    root = standing_index_root(str(my_sf))
+    drift = _drifted_batch(spark)
+    S.ivf_pq_index(
+        drift, "vec_id", "embedding", cents1, books1, dim=64, meta_cols=("label",)
+    ).write.parquet(f"{root}/batches/batch_id=1")
+    return str(my_sf), root, emb.unionByName(drift)
+
+
+def test_ann_rebalance_orphan_version_dir_still_pairs_models(spark, sf_dir, tmp_path):
+    """r14 (ADVICE high): write_snapshot publishes max(v= dirs)+1, and
+    orphan v= dirs are exactly the crash debris the protocol documents —
+    the r13 rebalance precomputed _LATEST+1 and stranded models/label
+    summaries at a never-published version, silently pairing the
+    retrained snapshot with the bootstrap quantizer.  With an orphan
+    v=3 on disk the rebalance must publish v=4 AND key models.v4 +
+    label_lists.v4 to it."""
+    import json
+    import os
+
+    from msgraphdatapipelines_spark import sinks
+    from msgraphdatapipelines_spark.queries.similarity import (
+        _load_models_for,
+        ann_rebalance_if_skewed,
+    )
+
+    my_sf, root, emb_full = _rebal_fixture(spark, sf_dir, tmp_path)
+    assert sinks._read_latest_version(spark, f"{root}/snapshot") == 1
+    # orphan crash debris: an uncommitted v=3 directory (never flipped)
+    os.makedirs(f"{root}/snapshot/v=3")
+    spark.range(1).write.mode("overwrite").parquet(f"{root}/snapshot/v=3")
+
+    stats = ann_rebalance_if_skewed(spark, root, emb_full)
+    assert stats["retrained"] is True
+    assert stats["version"] == 4, "must key to the ACTUALLY published version"
+    assert sinks._read_latest_version(spark, f"{root}/snapshot") == 4
+    assert os.path.exists(f"{root}/models.v4.json")
+    assert not os.path.exists(f"{root}/models.v2.json"), (
+        "models stranded at the precomputed _LATEST+1 version"
+    )
+    assert os.path.isdir(f"{root}/label_lists.v4")
+    with open(f"{root}/models.v4.json") as fh:
+        m4 = json.load(fh)
+    assert m4.get("retrained") is True
+    assert len(m4["centroids"]) == stats["lists_after"]
+    # the version-matched reader resolves the RETRAINED quantizer (the
+    # r13 bug served the bootstrap here)
+    served_models = _load_models_for(spark, root, 4)
+    assert len(served_models["centroids"]) == len(m4["centroids"])
+    # after-stats were read from the published version, not the orphan
+    snap4 = sinks.read_snapshot(spark, f"{root}/snapshot", version=4)
+    assert snap4.count() == stats["n_vectors"]
+
+
+def test_ann_rebalance_crash_before_commit_keeps_old_serving(spark, sf_dir, tmp_path):
+    """r14: the rebalance's commit point is compact_ann_index's _LATEST
+    flip, run FROM the stage — a crash any earlier leaves version 1
+    fully serving, the batches dir untouched, the lease released, and
+    only stage debris the next rebalance sweeps."""
+    import os
+
+    import pytest
+
+    from msgraphdatapipelines_spark import sinks
+    from msgraphdatapipelines_spark.queries.similarity import (
+        ann_rebalance_if_skewed,
+    )
+    from msgraphdatapipelines_spark.streaming.ann_stream import read_ann_index
+
+    my_sf, root, emb_full = _rebal_fixture(spark, sf_dir, tmp_path)
+    before = read_ann_index(spark, f"{root}/batches").count()
+
+    def boom():
+        raise RuntimeError("injected crash before commit")
+
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ann_rebalance_if_skewed(
+            spark, root, emb_full, _test_hook_before_commit=boom
+        )
+    assert sinks._read_latest_version(spark, f"{root}/snapshot") == 1
+    assert read_ann_index(spark, f"{root}/batches").count() == before
+    stage_debris = [n for n in os.listdir(root) if n.startswith("batches.stage.")]
+    assert len(stage_debris) == 1, "crash must leave only unreferenced stage debris"
+    from msgraphdatapipelines_spark import genstore as _gs
+
+    fs, _, jvm = sinks._fs_for(spark, root)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    assert _gs.live_leases(fs, hpath, root) == [], "crashed rebalance left its lease"
+
+    # the re-run sweeps the debris and completes normally
+    stats = ann_rebalance_if_skewed(spark, root, emb_full)
+    assert stats["retrained"] is True and stats["version"] == 2
+    assert [n for n in os.listdir(root) if n.startswith("batches.stage.")] == []
+
+
+def test_ann_rebalance_crash_windows_never_mix_quantizers(spark, sf_dir, tmp_path):
+    """r14 (ADVICE medium): the r13 swap-before-commit order had two
+    poisoned windows — (a) a crash after the snapshot flip but before
+    the batches swap made appenders (keyed off the snapshot version)
+    encode NEW-quantizer rows into the OLD-assignment batches dir, and
+    (b) a crash between the two swap renames left no batches dir at all.
+    Pins: in window (a) the append-side models resolve to the models the
+    BATCHES DIR is encoded under (its _MODELS stamp / bootstrap), never
+    the snapshot's; in window (b) recover_batches completes the swap and
+    the recovered dir carries the retrained stamp."""
+    import os
+
+    import pytest
+
+    from msgraphdatapipelines_spark import sinks
+    from msgraphdatapipelines_spark.queries.similarity import (
+        ann_rebalance_if_skewed,
+    )
+    from msgraphdatapipelines_spark.streaming.ann_stream import (
+        current_ann_models,
+        read_ann_index,
+        recover_batches,
+        resolve_batches_models,
+    )
+
+    my_sf, root, emb_full = _rebal_fixture(spark, sf_dir, tmp_path)
+    _, cents_boot, _ = current_ann_models(spark, root)
+
+    def boom():
+        raise RuntimeError("injected crash before swap")
+
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ann_rebalance_if_skewed(spark, root, emb_full, _test_hook_before_swap=boom)
+
+    # window (a): snapshot committed (v=2, retrained), batches still old
+    assert sinks._read_latest_version(spark, f"{root}/snapshot") == 2
+    assert os.path.exists(f"{root}/models.v2.json")
+    assert not os.path.exists(f"{root}/batches/_MODELS")
+    version, cents_now, _ = current_ann_models(spark, root)
+    assert version == 2  # snapshot version IS the retrained one...
+    assert [c for _, c in cents_now] == [c for _, c in cents_boot], (
+        "append-side models must match the (old) batches dir, "
+        "not the (new) snapshot version — this is the mixed-quantizer bug"
+    )
+
+    # window (b): the mid-swap crash — batches renamed aside, stage not
+    # yet renamed in.  recover_batches completes the swap.
+    fs, _, jvm = sinks._fs_for(spark, root)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs.rename(hpath(f"{root}/batches"), hpath(f"{root}/batches.old.simcrash"))
+    assert recover_batches(spark, root) is True
+    assert os.path.exists(f"{root}/batches/_MODELS")
+    m = resolve_batches_models(spark, root)
+    assert m.get("retrained") is True
+    assert len(m["centroids"]) > len(cents_boot)  # k grew with sqrt(n)
+    # recovered dir == the committed snapshot's content
+    snap2 = sinks.read_snapshot(spark, f"{root}/snapshot", version=2)
+    key = lambda df: sorted(  # noqa: E731
+        (r["cid"], r["cent"]) for r in df.select("cid", "cent").collect()
+    )
+    assert key(read_ann_index(spark, f"{root}/batches")) == key(snap2)
+    # idempotent: a second recovery is a no-op
+    assert recover_batches(spark, root) is False
