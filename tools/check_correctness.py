@@ -113,15 +113,22 @@ def main() -> int:
     only = set(args[1:])
     _ensure_loaded()
     spark = get_spark(cpus=8)
-    con = duckdb.connect()
-    con.execute("SET TimeZone='UTC'")
-    # bound the oracle engine (r8): a planner blow-up in one generated
-    # oracle must fail ITS row, not exhaust process memory and poison
-    # every later query sharing the connection
-    con.execute("SET memory_limit='16GB'")
-    con.execute("SET threads=8")
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    def fresh_con() -> duckdb.DuckDBPyConnection:
+        c = duckdb.connect()
+        c.execute("SET TimeZone='UTC'")
+        # bound the oracle engine (r8): a planner blow-up in one generated
+        # oracle must fail ITS row, not exhaust process memory and poison
+        # every later query sharing the connection
+        c.execute("SET memory_limit='16GB'")
+        c.execute("SET threads=8")
+        for t in TABLES:
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        return c
+
+    con = fresh_con()
 
     from msgraphdatapipelines_spark.queries import DEMOTED
 
@@ -144,6 +151,26 @@ def main() -> int:
             continue
         try:
             ddf = con.execute(q.oracle).fetchdf()
+        except (duckdb.OutOfMemoryException, duckdb.FatalException) as e:
+            # r14 (r13 VERDICT item 1): under host contention a long-lived
+            # connection's buffer pool can hit its bound late in the run —
+            # the r13 graded lane lost 26 rows to exactly this accumulation
+            # artifact.  A FRESH connection separates it from a genuinely
+            # oversized oracle (which OOMs again and still fails the row),
+            # and REPLACING the shared connection keeps a FatalException
+            # from poisoning every later row.
+            print(f"RETRY {name}: duckdb raised {type(e).__name__}; fresh connection")
+            try:
+                con.close()
+            except Exception:  # noqa: BLE001 — already dead
+                pass
+            con = fresh_con()
+            try:
+                ddf = con.execute(q.oracle).fetchdf()
+            except Exception as e2:  # noqa: BLE001
+                print(f"FAIL  {name}: duckdb raised {type(e2).__name__}: {e2}")
+                failures += 1
+                continue
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb raised {type(e).__name__}: {e}")
             failures += 1
