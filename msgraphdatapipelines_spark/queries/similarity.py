@@ -183,6 +183,15 @@ def _kmeans_trained_cte() -> str:
 
 @register(
     "ann_kmeans_ivf_topk",
+    # r14 rotation: demoted in trade for ann_range_filtered_topk_served
+    # after EIGHT green graded rounds (r6-r13).  This is the
+    # build-inline rung — it trains models and assigns the corpus per
+    # run; the graded family keeps the production posture through
+    # ann_topk_served (standing artifact, whose first touch runs the
+    # SAME k-means/PQ build via ensure_standing_index), the filtered
+    # budget row, and the newly-graded range serve.  Identical oracle
+    # under the demoted gate.
+    demoted=True,
     oracle=f"""
     WITH {_kmeans_trained_cte()},
     trained_nz AS MATERIALIZED (
@@ -2223,7 +2232,12 @@ def _ivf_pq_range_ctes(k: int, nprobe: int, lo: int, hi: int, rerank: int = 50) 
 
 @register(
     "ann_range_filtered_topk_served",
-    demoted=True,  # range sibling of ann_filtered_topk_budget (graded)
+    # r14 rotation (r13 VERDICT item 2): PROMOTED to driver-graded after
+    # its r13 demoted-gate round (hash-green at sf0.001 AND sf0.01 first
+    # try) — the recency-window retrieval pattern now graded on its
+    # production artifact-served path, next to the label-filtered budget
+    # row.  ann_kmeans_ivf_topk (build-inline rung of the same IVF+PQ
+    # operator) demoted in trade with its r6-r13 graded history.
     oracle=f"""
     WITH {_ivf_pq_range_ctes(k=K, nprobe=2 * NPROBE, lo=RANGE_LO, hi=RANGE_HI)}
     SELECT qid, cid, round(score, 6) AS score, rank FROM ivfpq_r
