@@ -761,8 +761,20 @@ def write_snapshot(
     - readers never see a half-written table (they resolve the pointer,
       which only ever names a fully-committed version — the pointer flip
       is a tiny file replace, the closest a plain filesystem gets to the
-      metastore pointer swap; NOT transactional against concurrent
-      writers, single-publisher assumed);
+      metastore pointer swap);
+    - CONCURRENT PUBLISHERS are safe (r14, the `-m race` lane's
+      snapshot mode): the table is written to a uid-suffixed staging dir
+      and publishes via a CLAIM-RENAME loop — rename the stage onto
+      ``v=N`` and verify OUR sentinel landed at the top level.  Hadoop
+      rename onto an existing non-empty dir nests the source INSIDE it,
+      so a loser detects the nesting through the sentinel, pulls its
+      stage back out, and claims ``N+1``.  Every ``v=`` directory is
+      therefore COMPLETE the instant it exists (the rename is the
+      commit), racers serialize onto distinct versions, and the pointer
+      flip is monotonic (never lowered by a slower racer).  The one
+      race-residue: a slower publisher's flip can lose to a faster
+      one's, leaving the pointer one committed version behind until the
+      next publish — stale, never torn;
     - the previous snapshot stays queryable (``read_snapshot(version=…)``)
       for audit/rollback — the time-travel primitive table formats
       provide, at directory granularity;
@@ -785,37 +797,97 @@ def write_snapshot(
 
     Returns the new version number.
     """
+    import uuid
+
     spark = df.sparkSession
+    uid = uuid.uuid4().hex[:8]
+    stage_name = f"v.stage.{uid}"
+    stage = f"{root}/{stage_name}"
+    df.write.mode("overwrite").parquet(stage)
+    # manifests are built INSIDE the staged dir and travel with the
+    # claim-rename; recorded paths relocate, which the pruned readers'
+    # table-relative identity (_table_suffix) already resolves
+    if zonemap_cols:
+        build_zonemap(spark, stage, zonemap_cols)
+    if bloom_cols:
+        build_bloom_manifest(spark, stage, bloom_cols)
+    fs, _, jvm = _fs_for(spark, root)
+    hp = jvm.org.apache.hadoop.fs.Path
+    out = fs.create(hp(f"{stage}/_PUB_{uid}"), True)
+    out.write(b"1")
+    out.close()
     versions = snapshot_versions(spark, root)
     new_v = (versions[-1] + 1) if versions else 1
-    df.write.mode("overwrite").parquet(f"{root}/v={new_v}")
-    if zonemap_cols:
-        build_zonemap(spark, f"{root}/v={new_v}", zonemap_cols)
-    if bloom_cols:
-        build_bloom_manifest(spark, f"{root}/v={new_v}", bloom_cols)
+    while True:
+        dst = f"{root}/v={new_v}"
+        try:
+            fs.rename(hp(stage), hp(dst))
+        except Exception:  # noqa: BLE001 — treated as a lost claim below
+            pass
+        if fs.exists(hp(f"{dst}/_PUB_{uid}")):
+            break  # the claim landed: v=new_v is OURS and complete
+        nested = f"{dst}/{stage_name}"
+        if fs.exists(hp(f"{nested}/_PUB_{uid}")):
+            # a racer owns new_v and Hadoop nested our stage inside its
+            # committed dir — pull it back out and claim the next number
+            fs.rename(hp(nested), hp(stage))
+        elif not fs.exists(hp(f"{stage}/_PUB_{uid}")):
+            raise OSError(f"snapshot publish lost its staged dir under {root}")
+        new_v += 1
     _flip_latest(spark, root, new_v)
     if keep_last is not None:
-        fs, _, jvm = _fs_for(spark, root)
         for v in snapshot_versions(spark, root)[:-keep_last]:
             if v != new_v:
-                fs.delete(jvm.org.apache.hadoop.fs.Path(f"{root}/v={v}"), True)
+                fs.delete(hp(f"{root}/v={v}"), True)
     return new_v
 
 
 def _flip_latest(spark: SparkSession, root: str, new_v: int) -> None:
-    """Atomically point ``_LATEST`` at ``v=new_v``: write ``_LATEST.tmp``
-    then rename over the pointer — readers resolve either the old or the
-    new fully-committed version, never a partial state.  A crash anywhere
-    before the rename leaves ``_LATEST`` untouched."""
+    """Point ``_LATEST`` at ``v=new_v``: write ``_LATEST.tmp`` then
+    rename over the pointer — readers resolve either the old or the new
+    fully-committed version, never a partial state.  A crash anywhere
+    before the rename leaves ``_LATEST`` untouched (and a crash inside
+    the delete+rename replace window is healed by
+    ``_read_latest_version``'s missing-pointer fallback, sound because
+    the claim-rename publish makes every ``v=`` dir complete).
+
+    MONOTONIC under racing publishers (r14): never lowers the pointer —
+    a flip that observes a value >= its own is a no-op (the racer's
+    version is committed and newer), and a failed replace re-reads and
+    retries so two interleaved flips converge on one of the committed
+    versions rather than losing the pointer."""
     fs, _, jvm = _fs_for(spark, root)
     latest = jvm.org.apache.hadoop.fs.Path(f"{root}/_LATEST")
     tmp = jvm.org.apache.hadoop.fs.Path(f"{root}/_LATEST.tmp")
-    out = fs.create(tmp, True)
-    out.write(str(new_v).encode("ascii"))
-    out.close()
-    if fs.exists(latest):
-        fs.delete(latest, False)
-    fs.rename(tmp, latest)
+
+    def _cur() -> int | None:
+        if not fs.exists(latest):
+            return None
+        try:
+            stream = fs.open(latest)
+            try:
+                return int(bytes(stream.readAllBytes()).decode("ascii").strip())
+            finally:
+                stream.close()
+        except Exception:  # noqa: BLE001 — torn pointer mid-replace: treat as absent
+            return None
+
+    for _ in range(5):
+        cur = _cur()
+        if cur is not None and cur >= new_v:
+            return
+        out = fs.create(tmp, True)
+        out.write(str(new_v).encode("ascii"))
+        out.close()
+        if fs.exists(latest):
+            fs.delete(latest, False)
+        if fs.rename(tmp, latest) and _cur() == new_v:
+            return
+        try:
+            fs.delete(tmp, False)
+        except Exception:  # noqa: BLE001
+            pass
+    raise OSError(f"could not commit _LATEST={new_v} under {root}")
 
 
 def compact_snapshot(
@@ -937,6 +1009,23 @@ def read_snapshot_bloom_pruned(
 def _read_latest_version(spark: SparkSession, root: str) -> int:
     fs, _, jvm = _fs_for(spark, root)
     latest = jvm.org.apache.hadoop.fs.Path(f"{root}/_LATEST")
+    if not fs.exists(latest):
+        # r14: a flip crashing inside its delete+rename replace window can
+        # leave no pointer.  Under the claim-rename publish every v= dir
+        # is complete the instant it exists, so the max version is a safe
+        # (possibly slightly-early-visible) resolution — but a table with
+        # versions and NO pointer is still a crash scar worth surfacing.
+        versions = snapshot_versions(spark, root)
+        if versions:
+            import warnings
+
+            warnings.warn(
+                f"{root}/_LATEST missing (crashed pointer replace?) — "
+                f"resolving to max committed version v={versions[-1]}",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            return versions[-1]
     stream = fs.open(latest)
     try:
         return int(bytes(stream.readAllBytes()).decode("ascii").strip())
@@ -1427,10 +1516,24 @@ def refresh_zonemap(spark: SparkSession, path: str, cols: list[str]) -> dict:
     from pyspark.sql import functions as F
 
     zm_path = f"{path}/_zonemap"
-    old = spark.read.parquet(zm_path)
+    # pin the manifest EAGERLY (r14): a concurrent refresher's staged
+    # swap relocates the manifest files mid-plan otherwise (its aside
+    # rename turns our lazily-listed absolute paths into dangling ones);
+    # the manifest is model-sized, so the checkpoint is planning-cost.
+    # Retry the initial read across a racer's aside→rename-in instant.
+    import time as _time
+
+    for attempt in range(10):
+        try:
+            old = spark.read.parquet(zm_path).localCheckpoint(eager=True)
+            break
+        except Exception:  # noqa: BLE001 — racer mid-swap
+            if attempt == 9:
+                raise
+            _time.sleep(0.05)
 
     known = {_table_suffix(path, r["file"]) for r in old.select("file").collect()}
-    fs, p, _ = _fs_for(spark, path)
+    fs, p, jvm = _fs_for(spark, path)
     new_files = []
     stack = [p]
     while stack:
@@ -1457,8 +1560,53 @@ def refresh_zonemap(spark: SparkSession, path: str, cols: list[str]) -> dict:
             .agg(*aggs)
         )
         merged = old.unionByName(fresh).localCheckpoint(eager=True)
-        merged.coalesce(1).write.mode("overwrite").parquet(zm_path)
-    n = spark.read.parquet(zm_path).count()
+        # staged swap (r14, the `-m race` lane's zonemap mode): the r13
+        # in-place overwrite let two concurrent refreshers interleave
+        # delete-and-write inside the live manifest dir — a torn manifest
+        # makes pruned scans silently incomplete, the one outcome the
+        # layer forbids.  Now each refresher stages its COMPLETE merged
+        # manifest and claim-renames it in; the loser detects Hadoop's
+        # nest-into-existing-dir through its sentinel and discards its
+        # copy (both merges are complete — either winning is correct).
+        import uuid
+
+        uid = uuid.uuid4().hex[:8]
+        stage_name = f"_zonemap.stage.{uid}"
+        zm_stage = f"{path}/{stage_name}"
+        merged.coalesce(1).write.mode("overwrite").parquet(zm_stage)
+        hp = jvm.org.apache.hadoop.fs.Path
+        sent = fs.create(hp(f"{zm_stage}/_SWAP_{uid}"), True)
+        sent.write(b"1")
+        sent.close()
+        aside = f"{zm_path}.old.{uid}"
+        if fs.exists(hp(zm_path)):
+            fs.rename(hp(zm_path), hp(aside))
+        try:
+            fs.rename(hp(zm_stage), hp(zm_path))
+        except Exception:  # noqa: BLE001 — resolved via the sentinel below
+            pass
+        if not fs.exists(hp(f"{zm_path}/_SWAP_{uid}")):
+            nested = f"{zm_path}/{stage_name}"
+            if fs.exists(hp(f"{nested}/_SWAP_{uid}")):
+                fs.delete(hp(nested), True)  # racer's complete manifest stands
+            elif fs.exists(hp(zm_stage)):
+                fs.delete(hp(zm_stage), True)
+        if fs.exists(hp(aside)):
+            fs.delete(hp(aside), True)
+    # the read-back can catch a CONCURRENT refresher inside its
+    # aside→rename-in instant (manifest momentarily absent) — retry
+    # briefly; pruned READS are shielded separately by their own
+    # exists-check fallback to a full filtered scan
+    import time as _time
+
+    for attempt in range(10):
+        try:
+            n = spark.read.parquet(zm_path).count()
+            break
+        except Exception:  # noqa: BLE001 — racer mid-swap
+            if attempt == 9:
+                raise
+            _time.sleep(0.05)
     return {"new_files": new_files, "manifest_rows": n}
 
 

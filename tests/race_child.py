@@ -99,6 +99,44 @@ def main() -> None:
         version = sinks._read_latest_version(spark, f"{root}/snapshot")
         n = sinks.read_snapshot(spark, f"{root}/snapshot", version=version).count()
         print("RESULT", version, n, stats.get("retrained"), "skipped" in stats or None)
+    elif mode == "snapshot":
+        # r14 (r13 VERDICT item 4): two publishers write_snapshot the
+        # SAME content onto one shared root — the claim-rename loop must
+        # give each a distinct COMPLETE version and the monotonic flip a
+        # valid pointer; both then serve identical content
+        import os as _os
+        import tempfile
+
+        from msgraphdatapipelines_spark import sinks
+
+        root = _os.path.join(tempfile.gettempdir(), "race_snapshot_root")
+        df = (
+            spark.read.parquet(f"{shared}/orders.parquet")
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        v = sinks.write_snapshot(df, root)
+        served = sinks.read_snapshot(spark, root)
+        rows = sorted(tuple(r) for r in served.collect())
+        print("RESULT", len(rows), hashlib.md5(str(rows).encode()).hexdigest())
+        print("VERSION", v)
+    elif mode == "zonemap":
+        # r14 (r13 VERDICT item 4): two refreshers race refresh_zonemap
+        # on one shared zone-mapped table (parent pre-appended files the
+        # manifest does not know) — the staged claim-swap must leave ONE
+        # complete manifest covering every data file, zero debris
+        import os as _os
+        import tempfile
+
+        from msgraphdatapipelines_spark import sinks
+
+        table = _os.path.join(tempfile.gettempdir(), "race_zonemap_table")
+        sinks.refresh_zonemap(spark, table, ["o_orderkey"])
+        zm = spark.read.parquet(f"{table}/_zonemap")
+        rows = sorted(
+            sinks._table_suffix(table, r["file"]) for r in zm.select("file").collect()
+        )
+        print("RESULT", len(rows), hashlib.md5(str(rows).encode()).hexdigest())
     elif mode == "cache":
         from msgraphdatapipelines_spark import cache
 

@@ -42,7 +42,7 @@ def _race(
     barrier = tmp_path / "barrier"
     barrier.mkdir()
     artdir = tmp_path / "artifacts"
-    artdir.mkdir()
+    artdir.mkdir(exist_ok=True)  # a mode's parent test may pre-seed the root
     env = dict(os.environ, TMPDIR=str(artdir))
     procs = [
         subprocess.Popen(
@@ -253,3 +253,90 @@ def test_race_two_processes_result_cache(tmp_path):
     assert "_rc_ready" in inside and "data" in inside, inside
     staging = [d for d in inside if d.startswith("data.")]
     assert staging == [], f"race left staging copies: {staging}"
+
+
+def test_race_two_processes_snapshot_publish(tmp_path, spark):
+    """r14 (r13 VERDICT item 4): write_snapshot was the last standing
+    mutator with single-publisher-assumed semantics — two REAL processes
+    publishing the same content onto one root must now serialize onto
+    DISTINCT complete versions via the claim-rename loop, flip the
+    pointer monotonically, and leave zero staging debris."""
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    shutil.copyfile(
+        "/root/testdata/sf0.001/orders.parquet", str(sf / "orders.parquet")
+    )
+    artdir = _race("snapshot", str(sf), tmp_path)
+    root = os.path.join(artdir, "race_snapshot_root")
+    inside = sorted(os.listdir(root))
+    vdirs = [d for d in inside if d.startswith("v=")]
+    stages = [d for d in inside if d.startswith("v.stage.")]
+    assert sorted(vdirs) == ["v=1", "v=2"], inside
+    assert stages == [], f"race left staging dirs: {stages}"
+    assert "_LATEST" in inside
+    ptr = int(open(f"{root}/_LATEST").read().strip())
+    assert ptr in (1, 2)
+    # every committed version is COMPLETE and content-identical (same
+    # input), and each carries exactly one publisher sentinel
+    from msgraphdatapipelines_spark import sinks
+
+    key = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    v1 = key(sinks.read_snapshot(spark, root, version=1))
+    v2 = key(sinks.read_snapshot(spark, root, version=2))
+    assert v1 == v2 and len(v1) > 0
+    for d in vdirs:
+        sentinels = [f for f in os.listdir(f"{root}/{d}") if f.startswith("_PUB_")]
+        assert len(sentinels) == 1, f"{d}: {sentinels}"
+
+
+def test_race_two_processes_zonemap_refresh(tmp_path, spark):
+    """r14 (r13 VERDICT item 4): two refresh_zonemap racers on one
+    shared table — the r13 in-place manifest overwrite could tear under
+    exactly this interleaving (pruned scans silently incomplete, the one
+    forbidden outcome).  The staged claim-swap must leave ONE complete
+    manifest covering EVERY data file, pruned == full scan, no debris."""
+    import pyspark.sql.functions as F
+
+    from msgraphdatapipelines_spark import sinks
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    shutil.copyfile(
+        "/root/testdata/sf0.001/orders.parquet", str(sf / "orders.parquet")
+    )
+    artdir = tmp_path / "artifacts"
+    artdir.mkdir()
+    table = str(artdir / "race_zonemap_table")
+    orders = spark.read.parquet(str(sf / "orders.parquet"))
+    # base layout + manifest, then appended files the manifest does NOT
+    # know yet — the racers' refresh target
+    orders.filter(F.col("o_orderkey") % 2 == 0).repartition(4).write.parquet(table)
+    sinks.build_zonemap(spark, table, ["o_orderkey"])
+    orders.filter(F.col("o_orderkey") % 2 == 1).repartition(4).write.mode(
+        "append"
+    ).parquet(table)
+
+    _race("zonemap", str(sf), tmp_path)
+
+    inside = sorted(os.listdir(table))
+    debris = [
+        d
+        for d in inside
+        if d.startswith("_zonemap.stage.") or d.startswith("_zonemap.old.")
+    ]
+    assert debris == [], f"race left manifest debris: {debris}"
+    zm = spark.read.parquet(f"{table}/_zonemap")
+    suffixes = sorted(
+        sinks._table_suffix(table, r["file"]) for r in zm.select("file").collect()
+    )
+    data_files = sorted(
+        sinks._table_suffix(table, f"{table}/{f}")
+        for f in os.listdir(table)
+        if f.endswith(".parquet")
+    )
+    assert suffixes == data_files, "manifest does not cover the data files 1:1"
+    # pruned scan == full filtered scan (exactness through the raced manifest)
+    lo, hi = 10, 5000
+    pruned = sinks.scan_pruned(spark, table, "o_orderkey", lo, hi)
+    full = spark.read.parquet(table).filter(F.col("o_orderkey").between(lo, hi))
+    assert pruned.count() == full.count() > 0
