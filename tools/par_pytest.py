@@ -48,6 +48,7 @@ import argparse
 import json
 import math
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -157,6 +158,14 @@ def main() -> int:
     bins = _lpt(items, args.workers)
     cpus = max(2, 32 // max(len(bins), 1))
 
+    # scratch retention (r14, r13 VERDICT item 6): keep only the newest
+    # 2 prior run dirs so .tmp growth stays bounded and artifact-size
+    # regressions remain visible; sweep corpora (sf_sweep_*) are kept —
+    # they are deterministic inputs reused across sweeps, delete by hand
+    # (`rm -rf .tmp/sf_sweep_*`) when retiring a scale point.
+    old_runs = sorted((ROOT / ".tmp").glob("par_pytest_*"))
+    for d in old_runs[:-2]:
+        shutil.rmtree(d, ignore_errors=True)
     scratch = ROOT / ".tmp" / f"par_pytest_{int(time.time())}"
     procs = []
     t0 = time.monotonic()
