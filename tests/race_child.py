@@ -137,6 +137,28 @@ def main() -> None:
             sinks._table_suffix(table, r["file"]) for r in zm.select("file").collect()
         )
         print("RESULT", len(rows), hashlib.md5(str(rows).encode()).hexdigest())
+    elif mode == "snapshot_crashloop":
+        # r14 (beyond-exception crash evidence): publish in a tight loop
+        # until the parent SIGKILLs this process mid-publish — no
+        # finally blocks, no atexit, the exact crash a preempted
+        # executor host delivers.  The parent then verifies the root
+        # still resolves to a COMPLETE version and a fresh publisher
+        # continues cleanly.
+        import os as _os
+        import tempfile
+
+        from msgraphdatapipelines_spark import sinks
+
+        root = _os.path.join(tempfile.gettempdir(), "race_crash_root")
+        df = (
+            spark.read.parquet(f"{shared}/orders.parquet")
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        for _ in range(1000):
+            v = sinks.write_snapshot(df, root)
+            print(f"PUBLISHED {v}", flush=True)
+        print("RESULT unreachable")
     elif mode == "cache":
         from msgraphdatapipelines_spark import cache
 

@@ -340,3 +340,93 @@ def test_race_two_processes_zonemap_refresh(tmp_path, spark):
     pruned = sinks.scan_pruned(spark, table, "o_orderkey", lo, hi)
     full = spark.read.parquet(table).filter(F.col("o_orderkey").between(lo, hi))
     assert pruned.count() == full.count() > 0
+
+
+def test_sigkill_mid_publish_leaves_root_serving_and_recoverable(tmp_path, spark):
+    """r14 (beyond-exception crash evidence): every crash test so far
+    injected EXCEPTIONS, which still unwind context managers — a real
+    preemption is SIGKILL, which unwinds nothing.  One child publishes
+    snapshots in a loop; the parent SIGKILLs it mid-publish and then
+    asserts the claim-rename protocol's whole promise from outside:
+    (a) the root still resolves to a COMPLETE version with the expected
+    content, (b) every v= dir on disk is individually complete (the
+    rename IS the commit — a torn dir cannot exist at a claimed
+    version), (c) a fresh publisher claims the next number and serves,
+    (d) vacuum collects the kill's debris without touching the served
+    version."""
+    import signal
+    import time as _time
+
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from msgraphdatapipelines_spark import sinks
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    shutil.copyfile(
+        "/root/testdata/sf0.001/orders.parquet", str(sf / "orders.parquet")
+    )
+    barrier = tmp_path / "barrier"
+    barrier.mkdir()
+    (barrier / "ready-parent").write_text("1")  # single-child mode
+    artdir = tmp_path / "artifacts"
+    artdir.mkdir(exist_ok=True)
+    env = dict(os.environ, TMPDIR=str(artdir))
+    p = subprocess.Popen(
+        [sys.executable, CHILD, "snapshot_crashloop", str(sf), str(barrier), "0"],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        env=env,
+        cwd=str(REPO),
+        text=True,
+    )
+    published = []
+    deadline = _time.time() + 300
+    while len(published) < 3:
+        line = p.stdout.readline()
+        if not line:
+            raise AssertionError("child exited before publishing 3 snapshots")
+        if line.startswith("PUBLISHED"):
+            published.append(int(line.split()[1]))
+        if _time.time() > deadline:
+            p.kill()
+            raise AssertionError("timeout waiting for publishes")
+    _time.sleep(0.3)  # land inside publish #4 with high probability
+    p.send_signal(signal.SIGKILL)
+    p.wait(timeout=60)
+
+    root = os.path.join(str(artdir), "race_crash_root")
+    expected = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(sf / "orders.parquet"))
+        .groupBy("o_orderstatus")
+        .count()
+        .collect()
+    )
+    # (a) the pointer (or its documented fallback) serves complete content
+    served = sorted(tuple(r) for r in sinks.read_snapshot(spark, root).collect())
+    assert served == expected
+    # (b) every claimed version dir is individually complete
+    for v in sinks.snapshot_versions(spark, root):
+        got = sorted(
+            tuple(r) for r in sinks.read_snapshot(spark, root, version=v).collect()
+        )
+        assert got == expected, f"v={v} is torn"
+    # (c) a fresh publisher continues past the kill
+    max_before = max(sinks.snapshot_versions(spark, root))
+    df = (
+        spark.read.parquet(str(sf / "orders.parquet"))
+        .groupBy("o_orderstatus")
+        .count()
+    )
+    new_v = sinks.write_snapshot(df, root)
+    assert new_v == max_before + 1
+    assert sinks._read_latest_version(spark, root) == new_v
+    # (d) vacuum collects kill debris, the served version survives
+    sinks.vacuum_snapshots(spark, root, keep_last=2)
+    served2 = sorted(tuple(r) for r in sinks.read_snapshot(spark, root).collect())
+    assert served2 == expected
+    # at most the ONE in-flight stage the kill orphaned remains; committed
+    # versions carry no _temporary scars
+    stages = [d for d in os.listdir(root) if d.startswith("v.stage.")]
+    assert len(stages) <= 1, stages
