@@ -184,18 +184,30 @@ def compaction_lease(fs, hpath, root: str, ttl_s: float = LEASE_TTL_S):
     runs after A's create and MUST see A's still-held lease, so B backs
     off.  The only cost is that near-simultaneous racers may BOTH yield
     — safe for every caller (compaction/rebalance callers already treat
-    "in progress" as retry-next-round), and the next uncontended attempt
-    succeeds.  Requires only read-your-writes listing (local FS, HDFS,
-    and current S3 all give it)."""
-    if live_leases(fs, hpath, root, ttl_s=ttl_s):
-        raise RuntimeError(f"compact already in progress under {root}")
-    lease = f"{root}/_compacting.{uuid.uuid4().hex[:8]}"
-    marker_commit(fs, hpath, lease)
-    mine = lease.rsplit("/", 1)[1]
-    others = [nm for nm in live_leases(fs, hpath, root, ttl_s=ttl_s) if nm != mine]
-    if others:
-        fs.delete(hpath(lease), False)
-        raise RuntimeError(f"compact already in progress under {root}")
+    "in progress" as retry-next-round); a short jittered re-probe turns
+    the both-yield case into one winner when the other racer is gone,
+    while a REAL holder still raises immediately.  Requires only
+    read-your-writes listing (local FS, HDFS, and current S3 all give
+    it)."""
+    import random
+
+    lease = None
+    for attempt in range(3):
+        if live_leases(fs, hpath, root, ttl_s=ttl_s):
+            raise RuntimeError(f"compact already in progress under {root}")
+        cand = f"{root}/_compacting.{uuid.uuid4().hex[:8]}"
+        marker_commit(fs, hpath, cand)
+        mine = cand.rsplit("/", 1)[1]
+        others = [nm for nm in live_leases(fs, hpath, root, ttl_s=ttl_s) if nm != mine]
+        if not others:
+            lease = cand
+            break
+        fs.delete(hpath(cand), False)
+        if attempt == 2:
+            raise RuntimeError(f"compact already in progress under {root}")
+        # the conflicting racer may have yielded too — jittered re-probe;
+        # if it actually held, the next probe raises above
+        time.sleep(random.uniform(0.05, 0.2))
     stop_hb = threading.Event()
 
     def _heartbeat() -> None:
