@@ -729,7 +729,7 @@ def ensure_versioned_layout(spark: SparkSession, root: str) -> int | None:
     fs, p, jvm = _fs_for(spark, root)
     if not fs.exists(p):
         return None
-    if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{root}/_LATEST")):
+    if _resolve_latest(fs, jvm, root) is not None:
         return None
     flat = [
         st.getPath()
@@ -771,10 +771,10 @@ def write_snapshot(
       stage back out, and claims ``N+1``.  Every ``v=`` directory is
       therefore COMPLETE the instant it exists (the rename is the
       commit), racers serialize onto distinct versions, and the pointer
-      flip is monotonic (never lowered by a slower racer).  The one
-      race-residue: a slower publisher's flip can lose to a faster
-      one's, leaving the pointer one committed version behind until the
-      next publish — stale, never torn;
+      commit is CAS-style (late r14): each publisher creates its own
+      unique ``_LATEST.v{N}`` marker and readers resolve the max — no
+      replace race exists, so interleaved flips cannot even transiently
+      lag the committed maximum;
     - the previous snapshot stays queryable (``read_snapshot(version=…)``)
       for audit/rollback — the time-travel primitive table formats
       provide, at directory granularity;
@@ -842,52 +842,97 @@ def write_snapshot(
     return new_v
 
 
-def _flip_latest(spark: SparkSession, root: str, new_v: int) -> None:
-    """Point ``_LATEST`` at ``v=new_v``: write ``_LATEST.tmp`` then
-    rename over the pointer — readers resolve either the old or the new
-    fully-committed version, never a partial state.  A crash anywhere
-    before the rename leaves ``_LATEST`` untouched (and a crash inside
-    the delete+rename replace window is healed by
-    ``_read_latest_version``'s missing-pointer fallback, sound because
-    the claim-rename publish makes every ``v=`` dir complete).
+_LATEST_MARKER_RE = None  # compiled lazily (module import stays light)
 
-    MONOTONIC under racing publishers (r14): never lowers the pointer —
-    a flip that observes a value >= its own is a no-op (the racer's
-    version is committed and newer), and a failed replace re-reads and
-    retries so two interleaved flips converge on one of the committed
-    versions rather than losing the pointer."""
-    fs, _, jvm = _fs_for(spark, root)
+
+def _latest_markers(fs, jvm, root: str) -> list[int]:
+    """Versions named by ``_LATEST.v{N}`` marker files under ``root``."""
+    global _LATEST_MARKER_RE
+    if _LATEST_MARKER_RE is None:
+        import re
+
+        _LATEST_MARKER_RE = re.compile(r"^_LATEST\.v(\d+)$")
+    p = jvm.org.apache.hadoop.fs.Path(root)
+    if not fs.exists(p):
+        return []
+    out = []
+    for st in fs.listStatus(p):
+        m = _LATEST_MARKER_RE.match(st.getPath().getName())
+        if m and not st.isDirectory():
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _resolve_latest(fs, jvm, root: str) -> int | None:
+    """The committed pointer: max ``_LATEST.v{N}`` marker, else the
+    legacy ``_LATEST`` file's content, else None."""
+    marks = _latest_markers(fs, jvm, root)
+    if marks:
+        return marks[-1]
     latest = jvm.org.apache.hadoop.fs.Path(f"{root}/_LATEST")
-    tmp = jvm.org.apache.hadoop.fs.Path(f"{root}/_LATEST.tmp")
-
-    def _cur() -> int | None:
-        if not fs.exists(latest):
-            return None
+    if not fs.exists(latest):
+        return None
+    try:
+        stream = fs.open(latest)
         try:
-            stream = fs.open(latest)
-            try:
-                return int(bytes(stream.readAllBytes()).decode("ascii").strip())
-            finally:
-                stream.close()
-        except Exception:  # noqa: BLE001 — torn pointer mid-replace: treat as absent
-            return None
+            return int(bytes(stream.readAllBytes()).decode("ascii").strip())
+        finally:
+            stream.close()
+    except Exception:  # noqa: BLE001 — torn legacy pointer: treat as absent
+        return None
 
-    for _ in range(5):
-        cur = _cur()
-        if cur is not None and cur >= new_v:
-            return
-        out = fs.create(tmp, True)
-        out.write(str(new_v).encode("ascii"))
-        out.close()
-        if fs.exists(latest):
-            fs.delete(latest, False)
-        if fs.rename(tmp, latest) and _cur() == new_v:
-            return
+
+def _flip_latest(spark: SparkSession, root: str, new_v: int) -> None:
+    """Commit the pointer at ``v=new_v`` — CAS-style (late r14, retiring
+    the r13 replace-in-place design AND the r14 retry loop's residue):
+
+    1. create the UNIQUE marker file ``_LATEST.v{new_v}`` (tmp + rename;
+       no two publishers ever write the same name, so there is no
+       replace race at all) — readers resolve ``max(_LATEST.v*)``, which
+       is monotonic BY CONSTRUCTION: a slower racer's marker can never
+       hide a faster one's, the residue the replace design had;
+    2. best-effort refresh of the legacy ``_LATEST`` file to the current
+       max (kept for human inspection and external readers; engine
+       correctness no longer rides on it — a lost legacy update is
+       invisible to ``_resolve_latest``);
+    3. GC markers below the max, keeping the top 2 (the max is created
+       before anything is deleted, so a concurrent reader's listing
+       always contains it).
+
+    A crash before (1)'s rename leaves the previous pointer fully live;
+    a crash after it IS the commit."""
+    fs, _, jvm = _fs_for(spark, root)
+    hp = jvm.org.apache.hadoop.fs.Path
+    import uuid
+
+    marker = f"{root}/_LATEST.v{new_v}"
+    tmp = hp(f"{root}/_LATESTtmp.{uuid.uuid4().hex[:6]}")
+    out = fs.create(tmp, True)
+    out.write(str(new_v).encode("ascii"))
+    out.close()
+    if not fs.rename(tmp, hp(marker)) and not fs.exists(hp(marker)):
+        fs.delete(tmp, False)
+        raise OSError(f"could not commit pointer marker {marker}")
+    marks = _latest_markers(fs, jvm, root)
+    cur_max = marks[-1] if marks else new_v
+    # legacy mirror (best-effort replace; never load-bearing)
+    try:
+        ltmp = hp(f"{root}/_LATESTtmp.{uuid.uuid4().hex[:6]}")
+        lout = fs.create(ltmp, True)
+        lout.write(str(cur_max).encode("ascii"))
+        lout.close()
+        legacy = hp(f"{root}/_LATEST")
+        if fs.exists(legacy):
+            fs.delete(legacy, False)
+        if not fs.rename(ltmp, legacy):
+            fs.delete(ltmp, False)
+    except Exception:  # noqa: BLE001 — mirror only
+        pass
+    for v in marks[:-2]:
         try:
-            fs.delete(tmp, False)
-        except Exception:  # noqa: BLE001
+            fs.delete(hp(f"{root}/_LATEST.v{v}"), False)
+        except Exception:  # noqa: BLE001 — GC is advisory
             pass
-    raise OSError(f"could not commit _LATEST={new_v} under {root}")
 
 
 def compact_snapshot(
@@ -921,13 +966,7 @@ def compact_snapshot(
     versions = snapshot_versions(spark, root)
     if not versions:
         raise ValueError(f"no snapshot versions under {root}")
-    fs, _, jvm = _fs_for(spark, root)
-    latest = jvm.org.apache.hadoop.fs.Path(f"{root}/_LATEST")
-    stream = fs.open(latest)
-    try:
-        cur_v = int(bytes(stream.readAllBytes()).decode("ascii").strip())
-    finally:
-        stream.close()
+    cur_v = _read_latest_version(spark, root)
     new_v = max(versions) + 1
     stats = compact_parquet(
         spark, f"{root}/v={cur_v}", f"{root}/v={new_v}", target_file_bytes
@@ -949,13 +988,7 @@ def read_snapshot(spark: SparkSession, root: str, version: int | None = None) ->
     """Read a snapshot table: the ``_LATEST``-pointed version by default,
     or an explicit historical ``version``."""
     if version is None:
-        fs, _, jvm = _fs_for(spark, root)
-        latest = jvm.org.apache.hadoop.fs.Path(f"{root}/_LATEST")
-        stream = fs.open(latest)
-        try:
-            version = int(bytes(stream.readAllBytes()).decode("ascii").strip())
-        finally:
-            stream.close()
+        version = _read_latest_version(spark, root)
     return spark.read.parquet(f"{root}/v={version}")
 
 
@@ -1008,29 +1041,26 @@ def read_snapshot_bloom_pruned(
 
 def _read_latest_version(spark: SparkSession, root: str) -> int:
     fs, _, jvm = _fs_for(spark, root)
-    latest = jvm.org.apache.hadoop.fs.Path(f"{root}/_LATEST")
-    if not fs.exists(latest):
-        # r14: a flip crashing inside its delete+rename replace window can
-        # leave no pointer.  Under the claim-rename publish every v= dir
-        # is complete the instant it exists, so the max version is a safe
-        # (possibly slightly-early-visible) resolution — but a table with
-        # versions and NO pointer is still a crash scar worth surfacing.
-        versions = snapshot_versions(spark, root)
-        if versions:
-            import warnings
+    got = _resolve_latest(fs, jvm, root)
+    if got is not None:
+        return got
+    # r14: a legacy table whose replace-window crash lost the pointer.
+    # Under the claim-rename publish every v= dir is complete the
+    # instant it exists, so the max version is a safe (possibly
+    # slightly-early-visible) resolution — but a table with versions
+    # and NO pointer is still a crash scar worth surfacing.
+    versions = snapshot_versions(spark, root)
+    if versions:
+        import warnings
 
-            warnings.warn(
-                f"{root}/_LATEST missing (crashed pointer replace?) — "
-                f"resolving to max committed version v={versions[-1]}",
-                RuntimeWarning,
-                stacklevel=2,
-            )
-            return versions[-1]
-    stream = fs.open(latest)
-    try:
-        return int(bytes(stream.readAllBytes()).decode("ascii").strip())
-    finally:
-        stream.close()
+        warnings.warn(
+            f"{root} has no _LATEST pointer (crashed replace?) — "
+            f"resolving to max committed version v={versions[-1]}",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return versions[-1]
+    raise FileNotFoundError(f"no snapshot pointer or versions under {root}")
 
 
 def vacuum_snapshots(spark: SparkSession, root: str, keep_last: int = 2) -> dict:
@@ -1077,12 +1107,13 @@ def vacuum_snapshots(spark: SparkSession, root: str, keep_last: int = 2) -> dict
 
 
 def snapshot_exists(spark: SparkSession, root: str) -> bool:
-    """True iff a COMMITTED snapshot exists at ``root`` — the ``_LATEST``
-    pointer is the commit marker (a ``v=N`` directory without one is a
-    crashed, never-committed first write: bootstrapping over it is safe
-    and ``write_snapshot`` will pick the next free version)."""
+    """True iff a COMMITTED snapshot exists at ``root`` — a pointer
+    (``_LATEST.v{N}`` marker or legacy ``_LATEST`` file) is the commit
+    marker (a ``v=N`` directory without one is a crashed, never-committed
+    first write: bootstrapping over it is safe and ``write_snapshot``
+    will pick the next free version)."""
     fs, _, jvm = _fs_for(spark, root)
-    return fs.exists(jvm.org.apache.hadoop.fs.Path(f"{root}/_LATEST"))
+    return _resolve_latest(fs, jvm, root) is not None
 
 
 STANDING_ARTIFACT_PREFIXES = (

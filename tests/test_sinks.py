@@ -1471,3 +1471,38 @@ def test_refresh_zonemap_finds_nested_partition_appends(spark, tmp_path):
     res2 = sinks.refresh_zonemap(spark, path, ["id"])
     assert res2["new_files"] == []
     assert res2["manifest_rows"] == res["manifest_rows"]
+
+
+def test_latest_pointer_cas_never_lags_commits(spark, tmp_path):
+    """Late r14: the pointer commit is a unique ``_LATEST.v{N}`` marker +
+    max-resolve — the one interleaving the replace design could lose
+    (a slower publisher's flip running AFTER a faster one's) now cannot
+    even transiently lag: flipping v2 AFTER v3 leaves resolution at 3.
+    Legacy ``_LATEST`` stays mirrored for external readers, and the
+    marker GC keeps the top two."""
+    import os
+
+    from msgraphdatapipelines_spark import sinks
+
+    root = str(tmp_path / "snap")
+    df = spark.range(5).toDF("n")
+    assert sinks.write_snapshot(df, root) == 1
+    # simulate the racing publishers' claim order: v2 and v3 both
+    # committed as dirs, flips arriving OUT of order
+    df.write.parquet(f"{root}/v=2")
+    df.write.parquet(f"{root}/v=3")
+    sinks._flip_latest(spark, root, 3)
+    assert sinks._read_latest_version(spark, root) == 3
+    sinks._flip_latest(spark, root, 2)  # the slow racer's late flip
+    assert sinks._read_latest_version(spark, root) == 3, (
+        "a late flip must never lower the resolved pointer"
+    )
+    assert sinks.read_snapshot(spark, root).count() == 5
+    # legacy mirror exists and never reads below the max either
+    assert int(open(f"{root}/_LATEST").read().strip()) == 3
+    # marker GC bounded the set
+    marks = [f for f in os.listdir(root) if f.startswith("_LATEST.v")]
+    assert 1 <= len(marks) <= 2, marks
+    # a fresh publish advances everything
+    v = sinks.write_snapshot(df, root)
+    assert v == 4 and sinks._read_latest_version(spark, root) == 4
