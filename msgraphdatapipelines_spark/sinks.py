@@ -1898,21 +1898,55 @@ def build_bloom_manifest(
     Returns {col: word_row_count}."""
     df = spark.read.parquet(path)
     out = {}
+    fs, _, jvm = _fs_for(spark, path)
+    hp = jvm.org.apache.hadoop.fs.Path
     for c in cols:
         root = f"{path}/_bloom_{c}"
+        # a REBUILD retires refresh deltas (r14): stale words_delta_*
+        # dirs describe the pre-rebuild file set — leaving them would
+        # resurrect retired files as candidates (loud StaleManifestError
+        # fallback, never wrong, but pointless scans)
+        if fs.exists(hp(root)):
+            for st in fs.listStatus(hp(root)):
+                if st.getPath().getName().startswith("words_delta_"):
+                    fs.delete(st.getPath(), True)
         _bloom_words(df, c, bits, k).write.mode("overwrite").parquet(f"{root}/words")
         meta = spark.createDataFrame([(int(bits), int(k))], "bits long, k int")
         meta.coalesce(1).write.mode("overwrite").parquet(f"{root}/meta")
-        out[c] = spark.read.parquet(f"{root}/words").count()
+        out[c] = _bloom_words_df(spark, root).count()
     return out
+
+
+def _bloom_words_df(spark: SparkSession, root: str) -> DataFrame:
+    """The manifest's FULL word table: the base ``words`` dir plus every
+    ``words_delta_*`` refresh dir (r14 — refreshers write UNIQUE delta
+    dirs because two concurrent Spark append jobs into one directory
+    collide on the shared ``_temporary`` committer staging; the race
+    lane's bloom mode caught exactly that).  Duplicate (file, word_idx)
+    rows across dirs stay probe-safe — any row with the probed bit set
+    counts."""
+    fs, p, jvm = _fs_for(spark, root)
+    paths = [
+        st.getPath().toString()
+        for st in fs.listStatus(p)
+        if st.isDirectory() and (
+            st.getPath().getName() == "words"
+            or st.getPath().getName().startswith("words_delta_")
+        )
+    ]
+    return spark.read.parquet(*paths)
 
 
 def refresh_bloom_manifest(spark: SparkSession, path: str, col: str) -> dict:
     """O(delta) Bloom maintenance: scan ONLY data files the manifest does
     not know yet (Hadoop-FS listing diffed against the manifest's file
     names) and APPEND their word rows — the manifest is append-only
-    (bit_or over duplicate (file, word_idx) rows at probe time makes
-    appends idempotent-safe), so unlike the zonemap no rewrite happens.
+    (duplicate (file, word_idx) rows are probe-safe), so unlike the
+    zonemap no rewrite happens.  Each refresh writes its delta into a
+    UNIQUE ``words_delta_{uid}`` dir (r14): two concurrent Spark append
+    jobs into one directory collide on the shared ``_temporary``
+    committer staging — with unique dirs, racing refreshers at worst
+    double-append the same fresh words, which probes tolerate.
     Crash semantics mirror ``refresh_zonemap``: files appended before a
     crash are pruned-invisible until the next refresh, never wrong.
 
@@ -1925,7 +1959,7 @@ def refresh_bloom_manifest(spark: SparkSession, path: str, col: str) -> dict:
 
     root = f"{path}/_bloom_{col}"
     meta = spark.read.parquet(f"{root}/meta").first()
-    words = spark.read.parquet(f"{root}/words")
+    words = _bloom_words_df(spark, root)
     known = {
         _normalize_file_uri(r["file"])
         for r in words.select("file").distinct().collect()
@@ -1945,10 +1979,12 @@ def refresh_bloom_manifest(spark: SparkSession, path: str, col: str) -> dict:
         if full_n not in known:
             new_files.append(full)
     if new_files:
+        import uuid
+
         fresh = spark.read.schema(spark.read.parquet(path).schema).parquet(*new_files)
-        _bloom_words(fresh, col, meta["bits"], meta["k"]).write.mode("append").parquet(
-            f"{root}/words"
-        )
+        _bloom_words(fresh, col, meta["bits"], meta["k"]).write.mode(
+            "overwrite"
+        ).parquet(f"{root}/words_delta_{uuid.uuid4().hex[:8]}")
     return {"new_files": new_files}
 
 
@@ -1986,7 +2022,7 @@ def bloom_candidate_files(spark: SparkSession, path: str, col: str, value) -> li
             mask -= 1 << 64
         probes.append((i, pos // 64, mask))
     probe_df = spark.createDataFrame(probes, "pos_idx int, word_idx long, mask long")
-    words = spark.read.parquet(f"{root}/words")
+    words = _bloom_words_df(spark, root)
     cand = (
         words.join(F.broadcast(probe_df), "word_idx")
         .filter(F.col("word").bitwiseAND(F.col("mask")) != 0)

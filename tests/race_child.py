@@ -137,6 +137,24 @@ def main() -> None:
             sinks._table_suffix(table, r["file"]) for r in zm.select("file").collect()
         )
         print("RESULT", len(rows), hashlib.md5(str(rows).encode()).hexdigest())
+    elif mode == "bloom":
+        # r14: two refreshers race the APPEND-ONLY Bloom manifest — the
+        # design tolerates duplicate (file, word_idx) rows (bit_or at
+        # probe time), so both racers may append the same fresh words;
+        # the RESULT is the probe verdict, which must stay exact
+        import os as _os
+        import tempfile
+
+        from msgraphdatapipelines_spark import sinks
+
+        table = _os.path.join(tempfile.gettempdir(), "race_bloom_table")
+        sinks.refresh_bloom_manifest(spark, table, "o_orderkey")
+        cands = sinks.bloom_candidate_files(spark, table, "o_orderkey", 7)
+        got = sorted(
+            tuple(r)
+            for r in sinks.scan_bloom_pruned(spark, table, "o_orderkey", 7).collect()
+        )
+        print("RESULT", len(cands) > 0, hashlib.md5(str(got).encode()).hexdigest())
     elif mode == "snapshot_crashloop":
         # r14 (beyond-exception crash evidence): publish in a tight loop
         # until the parent SIGKILLs this process mid-publish — no

@@ -430,3 +430,55 @@ def test_sigkill_mid_publish_leaves_root_serving_and_recoverable(tmp_path, spark
     # versions carry no _temporary scars
     stages = [d for d in os.listdir(root) if d.startswith("v.stage.")]
     assert len(stages) <= 1, stages
+
+
+def test_race_two_processes_bloom_refresh(tmp_path, spark):
+    """r14: the Bloom manifest is the one standing-store mutator whose
+    race SAFETY is by-design tolerance, not mutual exclusion — appends
+    are idempotent-safe because probes bit_or duplicate (file, word_idx)
+    rows.  Two racing refreshers may both append the same fresh words;
+    the pins are exactness (bloom-pruned == full filtered scan, no false
+    negatives) and bounded duplication (each file's words appended at
+    most twice — once per racer)."""
+    import pyspark.sql.functions as F
+
+    from msgraphdatapipelines_spark import sinks
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    shutil.copyfile(
+        "/root/testdata/sf0.001/orders.parquet", str(sf / "orders.parquet")
+    )
+    artdir = tmp_path / "artifacts"
+    artdir.mkdir(exist_ok=True)
+    table = str(artdir / "race_bloom_table")
+    orders = spark.read.parquet(str(sf / "orders.parquet"))
+    orders.filter(F.col("o_orderkey") % 2 == 0).repartition(3).write.parquet(table)
+    sinks.build_bloom_manifest(spark, table, ["o_orderkey"])
+    orders.filter(F.col("o_orderkey") % 2 == 1).repartition(3).write.mode(
+        "append"
+    ).parquet(table)
+
+    _race("bloom", str(sf), tmp_path)
+
+    for key in (7, 8, 1):  # odd keys live in the raced-in files
+        pruned = sorted(
+            tuple(r)
+            for r in sinks.scan_bloom_pruned(spark, table, "o_orderkey", key).collect()
+        )
+        full = sorted(
+            tuple(r)
+            for r in spark.read.parquet(table)
+            .filter(F.col("o_orderkey") == key)
+            .collect()
+        )
+        assert pruned == full, f"bloom-pruned wrong for key {key}"
+    # duplication bounded: each (file, word_idx) appears at most twice
+    words = sinks._bloom_words_df(spark, f"{table}/_bloom_o_orderkey")
+    dupmax = (
+        words.groupBy("file", "word_idx")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert dupmax <= 2, f"unbounded duplicate append: {dupmax}"

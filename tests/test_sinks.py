@@ -907,7 +907,7 @@ def test_bloom_refresh_scans_only_new_files_and_finds_appended_keys(spark, tmp_p
     o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     o.repartition(4).write.parquet(path)
     sinks.build_bloom_manifest(spark, path, ["o_orderkey"], bits=1 << 15, k=4)
-    before = spark.read.parquet(f"{path}/_bloom_o_orderkey/words").count()
+    before = sinks._bloom_words_df(spark, f"{path}/_bloom_o_orderkey").count()
 
     batch = o.limit(5).withColumn("o_orderkey", F.col("o_orderkey") + 1_000_000)
     batch.coalesce(1).write.mode("append").parquet(path)
@@ -916,7 +916,7 @@ def test_bloom_refresh_scans_only_new_files_and_finds_appended_keys(spark, tmp_p
 
     res = sinks.refresh_bloom_manifest(spark, path, "o_orderkey")
     assert len(res["new_files"]) == 1  # only the appended file was scanned
-    after = spark.read.parquet(f"{path}/_bloom_o_orderkey/words").count()
+    after = sinks._bloom_words_df(spark, f"{path}/_bloom_o_orderkey").count()  # r14: includes words_delta_* refresh dirs
     assert after > before
     appended_keys = [r["o_orderkey"] for r in batch.select("o_orderkey").collect()]
     for key in appended_keys:
@@ -1134,7 +1134,7 @@ def test_bloom_manifest_nested_partitions_full_path_identity(spark, tmp_path):
     sinks.build_bloom_manifest(spark, path, ["o_orderkey"], bits=1 << 15, k=4)
     # every partition dir holds a file named the same way; the manifest
     # must hold one entry per FULL path
-    words = spark.read.parquet(f"{path}/_bloom_o_orderkey/words")
+    words = sinks._bloom_words_df(spark, f"{path}/_bloom_o_orderkey")
     n_files = words.select("file").distinct().count()
     assert n_files >= 3, "nested partition files missing from the manifest"
     # idempotent refresh: full-path diff finds nothing new (basename diff
