@@ -47,10 +47,14 @@ Stores that deliberately KEEP a simpler discipline (documented here so
 the audit has one place to look):
 
 - **Bloom / zonemap manifests** (``sinks``): they live INSIDE a
-  committed snapshot version (built before the ``_LATEST`` flip) or
-  refresh strictly additively; a stale manifest degrades to a louder
-  full scan (``StaleManifestError`` fallback), never a wrong answer —
-  the generation machinery would add nothing but moving parts.
+  committed snapshot version (built before the pointer commit) or
+  refresh with their own lighter race-safe moves (r14: the zonemap
+  refresh claim-swaps a staged COMPLETE manifest; the Bloom refresh
+  writes unique ``words_delta_*`` dirs whose duplicates are probe-safe
+  by construction — both raced two-process in the ``-m race`` lane); a
+  stale manifest degrades to a louder full scan (``StaleManifestError``
+  fallback), never a wrong answer — the full generation machinery would
+  still add nothing but moving parts.
 - **CM-sketch rollups** (``streaming.ann_stream.cm_rollup_stream``):
   per-batch idempotent overwrites of independent cell tables; merge
   happens at read time (union of sketches ≡ sketch of union), so there

@@ -132,10 +132,24 @@ def main() -> None:
 
         table = _os.path.join(tempfile.gettempdir(), "race_zonemap_table")
         sinks.refresh_zonemap(spark, table, ["o_orderkey"])
-        zm = spark.read.parquet(f"{table}/_zonemap")
-        rows = sorted(
-            sinks._table_suffix(table, r["file"]) for r in zm.select("file").collect()
-        )
+        # the sibling's staged swap can relocate the manifest files
+        # between THIS read's listing and its tasks opening them — the
+        # same transient the engine-side reads retry; the converged
+        # content (both merges are complete and identical) is what the
+        # RESULT compares
+        rows = None
+        for attempt in range(10):
+            try:
+                zm = spark.read.parquet(f"{table}/_zonemap")
+                rows = sorted(
+                    sinks._table_suffix(table, r["file"])
+                    for r in zm.select("file").collect()
+                )
+                break
+            except Exception:
+                if attempt == 9:
+                    raise
+                time.sleep(0.1)
         print("RESULT", len(rows), hashlib.md5(str(rows).encode()).hexdigest())
     elif mode == "bloom":
         # r14: two refreshers race the APPEND-ONLY Bloom manifest — the
