@@ -169,6 +169,23 @@ def main() -> None:
             for r in sinks.scan_bloom_pruned(spark, table, "o_orderkey", 7).collect()
         )
         print("RESULT", len(cands) > 0, hashlib.md5(str(got).encode()).hexdigest())
+    elif mode == "prefix_killme":
+        # r14: SIGKILL evidence for the GENERATIONAL protocol — stage a
+        # compact fully, signal the parent, then stall inside the
+        # before-commit window until the parent kills -9 this process.
+        # The generation marker was never written, so the old generation
+        # must stay live; the heartbeat-leased ``_compacting`` file is
+        # orphaned and must go stale at the TTL (no unwinding ran).
+        from msgraphdatapipelines_spark.queries import dedup as QD
+
+        root = QD.prefix_index_root(shared, 3, 0.5, variant="killme")
+
+        def stall():
+            print("STAGED", flush=True)
+            time.sleep(300)
+
+        QD.prefix_index_compact(spark, root, _test_hook_before_commit=stall)
+        print("RESULT unreachable")
     elif mode == "snapshot_crashloop":
         # r14 (beyond-exception crash evidence): publish in a tight loop
         # until the parent SIGKILLs this process mid-publish — no

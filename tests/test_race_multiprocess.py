@@ -482,3 +482,109 @@ def test_race_two_processes_bloom_refresh(tmp_path, spark):
         .collect()[0][0]
     )
     assert dupmax <= 2, f"unbounded duplicate append: {dupmax}"
+
+
+def test_sigkill_mid_compact_old_generation_stays_live(tmp_path, spark, monkeypatch):
+    """r14 SIGKILL evidence for the generational (genstore) protocol: a
+    compactor killed -9 AFTER fully staging but BEFORE its commit marker
+    leaves (a) the old generation live with identical answers, (b) its
+    staging dir as inert debris, (c) its heartbeat lease ORPHANED —
+    which by design blocks sibling compactors until the TTL (pinned),
+    then goes stale (no process renews it), after which a re-run folds
+    the pending batch into exactly one new committed generation."""
+    import signal
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from msgraphdatapipelines_spark import genstore as _gs
+    from msgraphdatapipelines_spark import sinks
+    from msgraphdatapipelines_spark.operators import dedup as D
+    from msgraphdatapipelines_spark.queries import dedup as QD
+    from msgraphdatapipelines_spark.queries import load
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    shutil.copyfile(
+        "/root/testdata/sf0.001/documents.parquet", str(sf / "documents.parquet")
+    )
+    artdir = tmp_path / "artifacts"
+    artdir.mkdir(exist_ok=True)
+    monkeypatch.setattr(tempfile, "tempdir", str(artdir))
+    docs = load(spark, str(sf), "documents")
+    root = QD.prefix_index_root(str(sf), 3, 0.5, variant="killme")
+    QD.prefix_index_build(spark, root, docs.filter(F.col("doc_id") < 150))
+    # pending append the killed compact would have folded
+    QD.prefix_index_append(
+        spark, root, docs.filter(F.col("doc_id") >= 150), bid="b1"
+    )
+    gen_before = QD.prefix_index_current_gen(spark, root)
+
+    def _served():
+        s, p = QD.read_prefix_index(spark, root)
+        return sorted(
+            (r["a"], r["b"])
+            for r in D.set_similarity_join_from_tables(s, p, "doc_id", 0.5)
+            .selectExpr("least(id_a, id_b) a", "greatest(id_a, id_b) b")
+            .collect()
+        )
+
+    before = _served()
+
+    barrier = tmp_path / "barrier"
+    barrier.mkdir()
+    (barrier / "ready-parent").write_text("1")
+    env = dict(os.environ, TMPDIR=str(artdir))
+    p = subprocess.Popen(
+        [sys.executable, CHILD, "prefix_killme", str(sf), str(barrier), "0"],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        env=env,
+        cwd=str(REPO),
+        text=True,
+    )
+    import signal as _sig
+
+    deadline = _time.time() + 300
+    while True:
+        line = p.stdout.readline()
+        if not line:
+            raise AssertionError("child exited before staging")
+        if line.startswith("STAGED"):
+            break
+        if _time.time() > deadline:
+            p.kill()
+            raise AssertionError("timeout waiting for the staged signal")
+    p.send_signal(signal.SIGKILL)
+    p.wait(timeout=60)
+
+    # (a) old generation live, identical answers
+    assert QD.prefix_index_current_gen(spark, root) == gen_before
+    assert _served() == before and len(before) > 0
+    # (c) the orphaned lease blocks a sibling compactor (documented TTL
+    # behavior: live_leases at the default TTL still counts it)
+    fs, _, jvm = sinks._fs_for(spark, root)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    assert len(QD._live_leases(fs, hpath, root)) == 1
+    with pytest.raises(RuntimeError, match="compact already in progress"):
+        QD.prefix_index_compact(spark, root)
+    # the SIGKILL'd process renews nothing: shrink the TTL and the lease
+    # is stale — the re-run folds the pending batch cleanly
+    monkeypatch.setattr(QD, "_LEASE_TTL_S", 0.5)
+    _time.sleep(0.8)
+    stats = QD.prefix_index_compact(spark, root)
+    assert stats["batches_folded"] == 1
+    gen_after = QD.prefix_index_current_gen(spark, root)
+    assert gen_after != gen_before
+    # the fold's answers == the direct operator over the FULL corpus
+    all_grams = docs.select(
+        "doc_id", F.explode(D.word_ngrams(F.lower(F.col("text")), 3)).alias("g")
+    )
+    want = sorted(
+        (r["a"], r["b"])
+        for r in D.set_similarity_join(all_grams, "doc_id", "g", 0.5)
+        .selectExpr("least(id_a, id_b) a", "greatest(id_a, id_b) b")
+        .collect()
+    )
+    assert _served() == want
