@@ -169,6 +169,28 @@ def main() -> None:
             for r in sinks.scan_bloom_pruned(spark, table, "o_orderkey", 7).collect()
         )
         print("RESULT", len(cands) > 0, hashlib.md5(str(got).encode()).hexdigest())
+    elif mode == "erasure":
+        # r14: GDPR erasure racing a live append on one shared standing
+        # index — the 100 TB deployment shape (continuous ingest never
+        # pauses for an erasure).  pid 0 appends a fresh batch; pid 1
+        # forgets doc 7 (durable manifest + lease-serialized compact).
+        # Both must succeed in EITHER interleaving; the parent asserts
+        # the converged final state.
+        from pyspark.sql import functions as F
+
+        from msgraphdatapipelines_spark.queries import dedup as QD
+        from msgraphdatapipelines_spark.queries import load
+
+        root = QD.prefix_index_root(shared, 3, 0.5, variant="erasure")
+        docs = load(spark, shared, "documents")
+        if pid == "0":
+            QD.prefix_index_append(
+                spark, root, docs.filter(F.col("doc_id") >= 150), bid="race"
+            )
+            print("RESULT appended")
+        else:
+            out = QD.prefix_index_forget(spark, root, [7])
+            print("RESULT forgot", out["forgotten"])
     elif mode == "prefix_killme":
         # r14: SIGKILL evidence for the GENERATIONAL protocol — stage a
         # compact fully, signal the parent, then stall inside the

@@ -588,3 +588,65 @@ def test_sigkill_mid_compact_old_generation_stays_live(tmp_path, spark, monkeypa
         .collect()
     )
     assert _served() == want
+
+
+def test_race_erasure_vs_append_two_processes(tmp_path, spark, monkeypatch):
+    """r14: GDPR erasure racing a live append on a shared standing index
+    — continuous ingest never pauses for an erasure, so the two must
+    compose in EITHER interleaving: the forget's manifest is durable
+    before its compact, appends publish atomically and re-check the
+    lease, and every later compact re-applies the manifest.  Final-state
+    pins: the erased doc serves from NOTHING (join + sets table), the
+    raced-in batch's docs serve fully, and a closing compact converges
+    the artifact to the direct operator over (corpus − erased doc)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from msgraphdatapipelines_spark.operators import dedup as D
+    from msgraphdatapipelines_spark.queries import dedup as QD
+    from msgraphdatapipelines_spark.queries import load
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    shutil.copyfile(
+        "/root/testdata/sf0.001/documents.parquet", str(sf / "documents.parquet")
+    )
+    artdir = tmp_path / "artifacts"
+    artdir.mkdir(exist_ok=True)
+    monkeypatch.setattr(tempfile, "tempdir", str(artdir))
+    docs = load(spark, str(sf), "documents")
+    root = QD.prefix_index_root(str(sf), 3, 0.5, variant="erasure")
+    QD.prefix_index_build(spark, root, docs.filter(F.col("doc_id") < 150))
+
+    _race("erasure", str(sf), tmp_path, expect_equal=False)
+
+    def _served_pairs():
+        s, p = QD.read_prefix_index(spark, root)
+        return s, sorted(
+            (r["a"], r["b"])
+            for r in D.set_similarity_join_from_tables(s, p, "doc_id", 0.5)
+            .selectExpr("least(id_a, id_b) a", "greatest(id_a, id_b) b")
+            .collect()
+        )
+
+    sets, pairs = _served_pairs()
+    # erased doc gone from every serving surface, raced batch present
+    assert sets.filter(F.col("doc_id") == 7).count() == 0
+    assert all(7 not in pr for pr in pairs)
+    assert sets.filter(F.col("doc_id") >= 150).count() > 0
+    # closing compact (folds the batch if the forget's compact listed
+    # before the append published) converges to the direct operator
+    QD.prefix_index_compact(spark, root)
+    sets, pairs = _served_pairs()
+    assert sets.filter(F.col("doc_id") == 7).count() == 0
+    grams = docs.filter(F.col("doc_id") != 7).select(
+        "doc_id", F.explode(D.word_ngrams(F.lower(F.col("text")), 3)).alias("g")
+    )
+    want = sorted(
+        (r["a"], r["b"])
+        for r in D.set_similarity_join(grams, "doc_id", "g", 0.5)
+        .selectExpr("least(id_a, id_b) a", "greatest(id_a, id_b) b")
+        .collect()
+    )
+    assert pairs == want and len(want) > 0
