@@ -630,6 +630,26 @@ def pq_encode(
     return norm.select("cid", F.array(*code_s).alias("code"))
 
 
+def pq_reconstruct_expr(code: Column, codebooks: list[list[list[float]]]) -> Column:
+    """Decode a PQ ``code`` (array<int>, one codeword index per
+    subspace) back to its reconstructed (approximately unit-norm)
+    vector: the concatenation of the selected codeword per subspace —
+    the standard IVF-PQ reconstruction (FAISS ``reconstruct``).  Used by
+    the rebalance's lost-append salvage (r15, ADVICE): appended batches
+    store only ``(cid, cent, code)``, so re-assigning a row to a
+    RETRAINED coarse quantizer has to start from the reconstruction —
+    its nearest available stand-in for the original vector (PQ is
+    lossy; the assignment differs from the raw vector's only within
+    quantization error, and ADC scoring stays exact either way because
+    the code itself is carried verbatim).  Pure literal expression,
+    same size class as the ADC LUT: ks·dim doubles."""
+    parts = []
+    for s, book in enumerate(codebooks):
+        lit = F.array(*[F.array(*[F.lit(float(x)) for x in cw]) for cw in book])
+        parts.append(F.element_at(lit, code[s] + F.lit(1)))
+    return F.flatten(F.array(*parts))
+
+
 def pq_topk(
     queries: DataFrame,
     corpus: DataFrame,

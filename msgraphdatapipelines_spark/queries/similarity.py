@@ -1441,6 +1441,19 @@ def ann_rebalance_if_skewed(
     fs, _, jvm = sinks._fs_for(spark, root)
     hpath = jvm.org.apache.hadoop.fs.Path
     recover_batches(spark, root)
+    # r15 (ADVICE): capture the batch-dir listing at ENTRY — the
+    # earliest instant this function can vouch the caller's corpus
+    # frame covers.  Appenders never wait on the compaction lease, so
+    # any batch_id dir that appears AFTER this set is concurrent ingest
+    # the retrained stage cannot contain; the swap's old-dir delete
+    # must salvage those instead of silently destroying them.
+    captured_batches: set[str] = set()
+    if fs.exists(hpath(f"{root}/batches")):
+        captured_batches = {
+            st.getPath().getName()
+            for st in fs.listStatus(hpath(f"{root}/batches"))
+            if st.getPath().getName().startswith("batch_id=")
+        }
     if fs.exists(hpath(f"{root}/_forgotten")):
         # erasure manifest (ann_index_forget): a retrain re-encodes from
         # the caller-held corpus frame, which may still carry erased
@@ -1653,7 +1666,72 @@ def ann_rebalance_if_skewed(
             hpath(f"{root}/batches")
         ):
             raise OSError(f"could not swap retrained batches into {root}")
+        # LOST-APPEND SALVAGE (r15, ADVICE): diff old's batch dirs
+        # against the entry capture; unseen dirs are cross-process
+        # appends the retrained stage does not contain — fold each into
+        # the new generation before the delete.  The PQ code travels
+        # VERBATIM (codebooks survive a rebalance — subspace
+        # quantization is independent of the coarse partition); only
+        # `cent` is re-assigned, from the PQ reconstruction (the raw
+        # vector is gone; the reconstruction is its quantized stand-in,
+        # so the re-assignment differs from the raw vector's only
+        # within quantization error — a recall nuance, never a wrong
+        # distance, since ADC scores the untouched code).  Original
+        # batch_ids are kept (stream ids are monotonic and > the
+        # stage's 0, preserving last-write-wins order); tombstones
+        # (cent < 0) pass through untouched.
+        salvaged = 0
+        if fs.exists(hpath(old)):
+            lost = sorted(
+                st.getPath().getName()
+                for st in fs.listStatus(hpath(old))
+                if st.getPath().getName().startswith("batch_id=")
+                and st.getPath().getName() not in captured_batches
+            )
+            for name in lost:
+                bdf = spark.read.parquet(f"{old}/{name}")
+                meta = tuple(
+                    c for c in bdf.columns if c not in ("cid", "cent", "code")
+                )
+                live = bdf.filter(F.col("cent") >= 0)
+                recon = live.select(
+                    "cid",
+                    S.pq_reconstruct_expr(F.col("code"), books).alias("_recon"),
+                    "code",
+                    *[F.col(mc) for mc in meta],
+                )
+                assigned = (
+                    S.ivf_pq_index(
+                        recon.drop("code"), "cid", "_recon", cents, books,
+                        dim=dim, meta_cols=meta,
+                    )
+                    .drop("code")
+                    .join(recon.select("cid", "code"), "cid")
+                    .select("cid", "cent", "code", *meta)
+                )
+                out_df = assigned.unionByName(
+                    bdf.filter(F.col("cent") < 0).select(
+                        "cid", "cent", "code", *meta
+                    )
+                )
+                target = name
+                if fs.exists(hpath(f"{root}/batches/{target}")):
+                    mx = max(
+                        (
+                            int(st.getPath().getName().split("=", 1)[1])
+                            for st in fs.listStatus(hpath(f"{root}/batches"))
+                            if st.getPath().getName().startswith("batch_id=")
+                        ),
+                        default=0,
+                    )
+                    target = f"batch_id={mx + 1}"
+                out_df.write.mode("overwrite").parquet(
+                    f"{root}/batches/{target}"
+                )
+                salvaged += 1
         fs.delete(hpath(old), True)
+        if salvaged:
+            out["salvaged_batches"] = salvaged
         after = (
             sinks.read_snapshot(spark, snap, version=pub_v)
             .groupBy("cent")

@@ -774,7 +774,13 @@ def write_snapshot(
       commit is CAS-style (late r14): each publisher creates its own
       unique ``_LATEST.v{N}`` marker and readers resolve the max — no
       replace race exists, so interleaved flips cannot even transiently
-      lag the committed maximum;
+      lag the committed maximum.  KNOWN TRANSIENT (r15, ADVICE): while
+      a loser pulls its nested stage back out of the winner's ``v=N``,
+      a concurrent reader of THAT version can transiently see the
+      non-hidden ``v.stage.*`` subdir and fail partition-structure
+      inference — retry-on-read territory; a loser that crashes
+      mid-pull leaves the nested dir for ``vacuum_snapshots``'s
+      TTL-gated stage sweep;
     - the previous snapshot stays queryable (``read_snapshot(version=…)``)
       for audit/rollback — the time-travel primitive table formats
       provide, at directory granularity;
@@ -1053,17 +1059,39 @@ def _read_latest_version(spark: SparkSession, root: str) -> int:
     if versions:
         import warnings
 
-        warnings.warn(
-            f"{root} has no _LATEST pointer (crashed replace?) — "
-            f"resolving to max committed version v={versions[-1]}",
-            RuntimeWarning,
-            stacklevel=2,
+        # r15 (ADVICE): gate the fallback on evidence the dir was
+        # actually COMMITTED — a claim-rename publish always carries a
+        # `_PUB_*` sentinel, a legacy direct write that finished carries
+        # Spark's `_SUCCESS`.  A legacy root's max v= can be an
+        # UNCOMMITTED crash scar (partial part files from the old
+        # direct-to-v=N protocol); serving that silently would trade a
+        # loud FileNotFoundError for possibly-incomplete data.
+        hp = jvm.org.apache.hadoop.fs.Path
+        for v in reversed(versions):
+            vdir = f"{root}/v={v}"
+            committed = fs.exists(hp(f"{vdir}/_SUCCESS")) or any(
+                st.getPath().getName().startswith("_PUB_")
+                for st in fs.listStatus(hp(vdir))
+            )
+            if committed:
+                warnings.warn(
+                    f"{root} has no _LATEST pointer (crashed replace?) — "
+                    f"resolving to max committed version v={v}",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+                return v
+        raise FileNotFoundError(
+            f"{root} has version dirs but no pointer and no commit "
+            f"evidence (_PUB_*/_SUCCESS) in any of them — refusing to "
+            f"serve possible crash debris"
         )
-        return versions[-1]
     raise FileNotFoundError(f"no snapshot pointer or versions under {root}")
 
 
-def vacuum_snapshots(spark: SparkSession, root: str, keep_last: int = 2) -> dict:
+def vacuum_snapshots(
+    spark: SparkSession, root: str, keep_last: int = 2, stage_ttl_s: float = 3600.0
+) -> dict:
     """Garbage-collect a snapshot-versioned table OUTSIDE a publish (r8,
     r7 VERDICT item 4 — previously compact_snapshot's docstring left
     orphan collection as a manual step):
@@ -1086,23 +1114,61 @@ def vacuum_snapshots(spark: SparkSession, root: str, keep_last: int = 2) -> dict
     single-publisher maintenance window, the write_snapshot contract.
 
     Returns ``{"removed_orphans": [...], "removed_expired": [...],
-    "kept": [...]}``.
+    "kept": [...], "removed_stages": [...]}``.
+
+    STAGE DEBRIS (r15, ADVICE): crashed publishers leave ``v.stage.*``
+    dirs at the top level, and a loser that crashed mid-claim can leave
+    its stage NESTED inside a winner's committed ``v=N`` (Hadoop's
+    rename-into-existing-dir nesting) — the nested form can break a
+    reader's partition-structure inference, permanently if never swept.
+    Both are deleted when older than ``stage_ttl_s`` (age-gated so an
+    IN-FLIGHT publisher's live stage survives a concurrent vacuum —
+    matching the single-writer caveat above, belt-and-braces).
     """
+    import time as _time
+
+    fs, _, jvm = _fs_for(spark, root)
+    hp = jvm.org.apache.hadoop.fs.Path
+    removed_stages: list[str] = []
+    now_ms = None
+    if fs.exists(hp(root)):
+        candidates = []
+        for st in fs.listStatus(hp(root)):
+            nm = st.getPath().getName()
+            if st.isDirectory() and nm.startswith("v.stage."):
+                candidates.append(st)
+            elif st.isDirectory() and nm.startswith("v="):
+                for sub in fs.listStatus(st.getPath()):
+                    if sub.isDirectory() and sub.getPath().getName().startswith(
+                        "v.stage."
+                    ):
+                        candidates.append(sub)
+        if candidates:
+            now_ms = _time.time() * 1000.0
+            for st in candidates:
+                if now_ms - st.getModificationTime() > stage_ttl_s * 1000.0:
+                    fs.delete(st.getPath(), True)
+                    removed_stages.append(st.getPath().toString())
     versions = snapshot_versions(spark, root)
     if not versions:
-        return {"removed_orphans": [], "removed_expired": [], "kept": []}
+        return {
+            "removed_orphans": [],
+            "removed_expired": [],
+            "kept": [],
+            "removed_stages": removed_stages,
+        }
     cur = _read_latest_version(spark, root)
     committed = [v for v in versions if v <= cur]
     orphans = [v for v in versions if v > cur]
     keep = set(committed[-max(keep_last, 1):]) | {cur}
     expired = [v for v in committed if v not in keep]
-    fs, _, jvm = _fs_for(spark, root)
     for v in orphans + expired:
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{root}/v={v}"), True)
     return {
         "removed_orphans": orphans,
         "removed_expired": expired,
         "kept": sorted(keep),
+        "removed_stages": removed_stages,
     }
 
 
@@ -1560,6 +1626,17 @@ def refresh_zonemap(spark: SparkSession, path: str, cols: list[str]) -> dict:
             break
         except Exception:  # noqa: BLE001 — racer mid-swap
             if attempt == 9:
+                # r15 (ADVICE): a refresher KILLED between its aside
+                # rename and its rename-in leaves NO manifest and (until
+                # now) nothing ever restored it — every later refresh
+                # raised here forever.  If an orphaned aside exists,
+                # restore the newest one and continue; both aside and
+                # live manifest are complete-by-construction, so either
+                # is a correct (possibly stale) base for this refresh.
+                restored = _restore_zonemap_aside(spark, path)
+                if restored:
+                    old = spark.read.parquet(zm_path).localCheckpoint(eager=True)
+                    break
                 raise
             _time.sleep(0.05)
 
@@ -1623,7 +1700,14 @@ def refresh_zonemap(spark: SparkSession, path: str, cols: list[str]) -> dict:
             elif fs.exists(hp(zm_stage)):
                 fs.delete(hp(zm_stage), True)
         if fs.exists(hp(aside)):
-            fs.delete(hp(aside), True)
+            if fs.exists(hp(zm_path)):
+                fs.delete(hp(aside), True)
+            else:
+                # r15 (ADVICE): our rename-in failed AND no racer's
+                # manifest stands — deleting the aside here was the
+                # unrecoverable branch (no _zonemap left at all).
+                # Restore the aside: stale-but-complete beats absent.
+                fs.rename(hp(aside), hp(zm_path))
     # the read-back can catch a CONCURRENT refresher inside its
     # aside→rename-in instant (manifest momentarily absent) — retry
     # briefly; pruned READS are shielded separately by their own
@@ -1639,6 +1723,34 @@ def refresh_zonemap(spark: SparkSession, path: str, cols: list[str]) -> dict:
                 raise
             _time.sleep(0.05)
     return {"new_files": new_files, "manifest_rows": n}
+
+
+def _restore_zonemap_aside(spark: SparkSession, path: str) -> bool:
+    """Crash recovery for :func:`refresh_zonemap`'s staged swap (r15,
+    ADVICE): a refresher killed between its aside rename
+    (``_zonemap`` → ``_zonemap.old.{uid}``) and its rename-in leaves no
+    live manifest.  If ``_zonemap`` is absent but one or more asides
+    exist, rename the lexicographically-last aside back into place
+    (every aside is a complete manifest — the swap never stages partial
+    state — so any choice is correct; last-uid is just deterministic)
+    and delete the rest.  Returns True iff a manifest was restored."""
+    zm_path = f"{path}/_zonemap"
+    fs, _, jvm = _fs_for(spark, path)
+    hp = jvm.org.apache.hadoop.fs.Path
+    if fs.exists(hp(zm_path)):
+        return False
+    asides = sorted(
+        st.getPath().toString()
+        for st in fs.listStatus(hp(path))
+        if st.getPath().getName().startswith("_zonemap.old.")
+    )
+    if not asides:
+        return False
+    if not fs.rename(hp(asides[-1]), hp(zm_path)):
+        return False
+    for a in asides[:-1]:
+        fs.delete(hp(a), True)
+    return True
 
 
 def append_zonemap(
@@ -1733,6 +1845,16 @@ def scan_pruned(spark: SparkSession, path: str, col: str, lo, hi) -> DataFrame:
     slice of 100 TB instead of all of it."""
     from pyspark.sql import functions as F
 
+    base = spark.read.parquet(path)
+    # r15 (ADVICE): a crashed refresher can leave the table with NO live
+    # manifest (see _restore_zonemap_aside) — pruning is an optimization,
+    # never a requirement, so fall back to a full filtered scan exactly
+    # like read_snapshot_pruned_in does rather than raising.
+    fs, _, jvm = _fs_for(spark, path)
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/_zonemap")):
+        if not _restore_zonemap_aside(spark, path):
+            _warn_stale(StaleManifestError(f"no _zonemap manifest under {path}"))
+            return base.filter(F.col(col).between(lo, hi))
     zm = spark.read.parquet(f"{path}/_zonemap")
     files = [
         r["file"]
@@ -1742,7 +1864,6 @@ def scan_pruned(spark: SparkSession, path: str, col: str, lo, hi) -> DataFrame:
         .select("file")
         .collect()
     ]
-    base = spark.read.parquet(path)
     try:
         files = _current_paths(base, files, path)  # manifest paths may predate a rename
     except StaleManifestError as e:
@@ -1782,6 +1903,14 @@ def scan_pruned_in(spark: SparkSession, path: str, col: str, values) -> DataFram
     base = spark.read.parquet(path)
     if not vals:
         return base.filter(F.lit(False))
+    # r15 (ADVICE): same missing-manifest fallback as scan_pruned — a
+    # crashed refresher must degrade pruned reads to full scans, not
+    # break them.
+    fs, _, jvm = _fs_for(spark, path)
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/_zonemap")):
+        if not _restore_zonemap_aside(spark, path):
+            _warn_stale(StaleManifestError(f"no _zonemap manifest under {path}"))
+            return base.filter(F.col(col).isin(vals))
     zm = spark.read.parquet(f"{path}/_zonemap")
     cond = None
     for v in vals:

@@ -1418,3 +1418,140 @@ def test_ann_rebalance_crash_windows_never_mix_quantizers(spark, sf_dir, tmp_pat
     assert key(read_ann_index(spark, f"{root}/batches")) == key(snap2)
     # idempotent: a second recovery is a no-op
     assert recover_batches(spark, root) is False
+
+
+def test_ann_rebalance_salvages_concurrent_append(spark, sf_dir, tmp_path):
+    """r15 (ADVICE medium): appenders never wait on the compaction
+    lease, so a batch appended between the rebalance's entry capture and
+    its rename-aside used to exist ONLY in the doomed old dir —
+    ``fs.delete(old)`` silently destroyed committed ingest.  The swap
+    now diffs old's ``batch_id=*`` dirs against the entry capture and
+    folds unseen ones into the new generation: PQ code verbatim
+    (codebooks survive a rebalance), ``cent`` re-assigned under the
+    retrained centroids from the PQ reconstruction, tombstones
+    preserved, original batch_id kept (last-write-wins order holds)."""
+    from msgraphdatapipelines_spark import sinks
+    from msgraphdatapipelines_spark.operators import similarity as S
+    from msgraphdatapipelines_spark.queries.similarity import (
+        ann_rebalance_if_skewed,
+    )
+    from msgraphdatapipelines_spark.streaming.ann_stream import (
+        read_ann_index,
+        resolve_batches_models,
+    )
+
+    my_sf, root, emb_full = _rebal_fixture(spark, sf_dir, tmp_path)
+
+    # the concurrent appender: a fresh vector batch + one tombstone,
+    # encoded under the models the CURRENT batches dir carries (exactly
+    # what a cross-process ivf_incremental_append would resolve),
+    # written mid-rebalance — after the stage is built, before the swap
+    late = spark.createDataFrame(
+        [(900000 + i, [float((i * 7 + j) % 13) / 13.0 for j in range(64)], 3)
+         for i in range(50)],
+        "vec_id long, embedding array<double>, label long",
+    )
+
+    def append_late():
+        m = resolve_batches_models(spark, root)
+        cents_cur = [(int(c), v) for c, v in m["centroids"]]
+        rows = S.ivf_pq_index(
+            late, "vec_id", "embedding", cents_cur, m["codebooks"],
+            dim=64, meta_cols=("label",),
+        )
+        tomb = spark.createDataFrame(
+            [(0,)], "cid long"
+        ).select(
+            "cid", F.lit(-1).alias("cent"),
+            F.expr("array()").cast("array<int>").alias("code"),
+            F.lit(None).cast("long").alias("label"),
+        )
+        rows.unionByName(tomb).write.parquet(f"{root}/batches/batch_id=2")
+
+    stats = ann_rebalance_if_skewed(
+        spark, root, emb_full, _test_hook_before_commit=append_late
+    )
+    assert stats["retrained"] is True
+    assert stats.get("salvaged_batches") == 1
+
+    view = read_ann_index(spark, f"{root}/batches")
+    got_late = view.filter(F.col("cid") >= 900000)
+    assert got_late.count() == 50, "concurrent append was destroyed"
+    # tombstone survived the salvage: cid 0 is gone from the view
+    assert view.filter(F.col("cid") == 0).count() == 0
+    # salvaged rows are cent-consistent with the retrained quantizer
+    m2 = resolve_batches_models(spark, root)
+    assert m2.get("retrained") is True
+    valid_cents = {int(c) for c, _ in m2["centroids"]}
+    assert {
+        r["cent"] for r in got_late.select("cent").distinct().collect()
+    } <= valid_cents
+    # codes traveled verbatim: re-encode the late batch under the shared
+    # codebooks and compare
+    want = {
+        (r["cid"], tuple(r["code"]))
+        for r in S.pq_encode(late, "vec_id", "embedding", m2["codebooks"], dim=64)
+        .collect()
+    }
+    got = {(r["cid"], tuple(r["code"])) for r in got_late.select("cid", "code").collect()}
+    assert got == want
+    # next compact publishes the salvaged rows into the snapshot
+    from msgraphdatapipelines_spark.streaming.ann_stream import compact_ann_index
+
+    v = compact_ann_index(
+        spark, f"{root}/batches", f"{root}/snapshot", models_root=root,
+        versioned_label_lists=True,
+    )
+    snap = sinks.read_snapshot(spark, f"{root}/snapshot", version=v)
+    assert snap.filter(F.col("cid") >= 900000).count() == 50
+
+
+def test_resolve_batches_models_legacy_versioned_fallback(spark, tmp_path):
+    """r15 (ADVICE medium): a root rebalanced by PRE-r14 code has
+    retrained-encoded batch rows, no ``_MODELS`` stamp, and only
+    ``models.v{N}.json`` files — the r14 fallback to the bootstrap
+    ``models.json`` silently mispaired it.  Now: highest versioned
+    models file wins and is migrated into a ``_MODELS`` stamp on first
+    touch.  GUARD: when ``batches.stage.*`` debris shows the root is in
+    an r14+ post-flip pre-swap crash window, the batches dir is still
+    bootstrap-encoded and the bootstrap answer must stand."""
+    import json
+    import os
+
+    from msgraphdatapipelines_spark.streaming.ann_stream import (
+        resolve_batches_models,
+    )
+
+    root = str(tmp_path / "legacy_root")
+    os.makedirs(f"{root}/batches/batch_id=0")
+    boot = {"centroids": [[0, [1.0, 0.0]]], "codebooks": [[[1.0, 0.0]]]}
+    v1 = {"centroids": [[0, [0.5, 0.5]], [1, [0.0, 1.0]]],
+          "codebooks": [[[1.0, 0.0]]], "retrained": True}
+    v2 = {"centroids": [[0, [0.9, 0.1]], [1, [0.1, 0.9]], [2, [0.5, 0.5]]],
+          "codebooks": [[[1.0, 0.0]]], "retrained": True}
+    for name, obj in [("models.json", boot), ("models.v1.json", v1),
+                      ("models.v2.json", v2)]:
+        with open(f"{root}/{name}", "w") as fh:
+            json.dump(obj, fh)
+
+    got = resolve_batches_models(spark, root)
+    assert len(got["centroids"]) == 3, "must take the HIGHEST versioned models"
+    assert os.path.exists(f"{root}/batches/_MODELS"), (
+        "first touch must migrate the legacy answer into a stamp"
+    )
+    # stamped now: the fast path serves the same answer
+    assert len(resolve_batches_models(spark, root)["centroids"]) == 3
+
+    # crash-window guard: stage debris beside an UNSTAMPED batches dir
+    # means r14+ mid-commit — bootstrap must stand
+    root2 = str(tmp_path / "crash_window_root")
+    os.makedirs(f"{root2}/batches/batch_id=0")
+    os.makedirs(f"{root2}/batches.stage.deadbeef")
+    for name, obj in [("models.json", boot), ("models.v2.json", v2)]:
+        with open(f"{root2}/{name}", "w") as fh:
+            json.dump(obj, fh)
+    got2 = resolve_batches_models(spark, root2)
+    assert len(got2["centroids"]) == 1, (
+        "stage debris ⇒ crash window ⇒ the batches dir is bootstrap-encoded"
+    )
+    assert not os.path.exists(f"{root2}/batches/_MODELS")

@@ -449,6 +449,7 @@ def test_vacuum_snapshots_collects_orphans_keeps_window(spark, tmp_path, monkeyp
     # idempotent on a clean root; pointer version survives even keep_last=1
     assert vacuum_snapshots(spark, root, keep_last=1) == {
         "removed_orphans": [], "removed_expired": [3], "kept": [4],
+        "removed_stages": [],
     }
     assert snapshot_versions(spark, root) == [4]
 
@@ -1506,3 +1507,126 @@ def test_latest_pointer_cas_never_lags_commits(spark, tmp_path):
     # a fresh publish advances everything
     v = sinks.write_snapshot(df, root)
     assert v == 4 and sinks._read_latest_version(spark, root) == 4
+
+
+def test_zonemap_crash_window_aside_restore_and_missing_manifest_fallback(
+    spark, tmp_path
+):
+    """r15 (ADVICE medium): a refresher killed between its aside rename
+    and its rename-in leaves NO ``_zonemap`` — previously unrecoverable
+    (refresh raised forever; scan_pruned/scan_pruned_in read the path
+    with no exists check).  Pins: (a) scan_pruned/scan_pruned_in restore
+    an orphaned aside and serve pruned results; (b) with no manifest and
+    no aside they degrade to a full filtered scan under RuntimeWarning;
+    (c) refresh_zonemap itself heals from an orphaned aside."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from msgraphdatapipelines_spark import sinks
+
+    path = str(tmp_path / "layout")
+    (
+        spark.range(0, 3000)
+        .select(F.col("id").alias("k"), (F.col("id") % 100).cast("double").alias("value"))
+        .repartitionByRange(4, "value")
+        .sortWithinPartitions("value")
+        .write.parquet(path)
+    )
+    sinks.build_zonemap(spark, path, ["value"])
+    want = spark.read.parquet(path).filter(F.col("value").between(10.0, 12.0)).count()
+    want_in = spark.read.parquet(path).filter(F.col("value").isin([5.0, 7.0])).count()
+
+    fs, _, jvm = sinks._fs_for(spark, path)
+    hp = jvm.org.apache.hadoop.fs.Path
+
+    # (a) crashed swapper: manifest renamed aside, rename-in never ran
+    assert fs.rename(hp(f"{path}/_zonemap"), hp(f"{path}/_zonemap.old.cafe01"))
+    assert sinks.scan_pruned(spark, path, "value", 10.0, 12.0).count() == want
+    assert fs.exists(hp(f"{path}/_zonemap")), "aside must be restored, not ignored"
+
+    assert fs.rename(hp(f"{path}/_zonemap"), hp(f"{path}/_zonemap.old.cafe02"))
+    assert sinks.scan_pruned_in(spark, path, "value", [5.0, 7.0]).count() == want_in
+    assert fs.exists(hp(f"{path}/_zonemap"))
+
+    # (c) refresh heals from an orphaned aside too (and still refreshes)
+    assert fs.rename(hp(f"{path}/_zonemap"), hp(f"{path}/_zonemap.old.cafe03"))
+    res = sinks.refresh_zonemap(spark, path, ["value"])
+    assert res["manifest_rows"] > 0
+    assert fs.exists(hp(f"{path}/_zonemap"))
+
+    # (b) no manifest, no aside: loud full-scan fallback, identical rows
+    fs.delete(hp(f"{path}/_zonemap"), True)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = sinks.scan_pruned(spark, path, "value", 10.0, 12.0).count()
+        got_in = sinks.scan_pruned_in(spark, path, "value", [5.0, 7.0]).count()
+    assert got == want and got_in == want_in
+    assert sum(issubclass(x.category, RuntimeWarning) for x in w) >= 2
+
+    # live-path restore: a swapper whose rename-in fails must put the
+    # aside BACK rather than delete it (simulated by the aside branch —
+    # covered above through the read paths; the live branch is the same
+    # rename, pinned by the restored-manifest asserts)
+
+
+def test_vacuum_snapshots_sweeps_stage_debris(spark, tmp_path):
+    """r15 (ADVICE low): crashed publishers leave ``v.stage.*`` at the
+    top level and (crashed losers) nested inside a committed ``v=N``;
+    neither was ever swept.  vacuum_snapshots now deletes both past a
+    TTL — and keeps a young (in-flight) stage."""
+    import os
+
+    from msgraphdatapipelines_spark import sinks
+
+    root = str(tmp_path / "snap")
+    df = spark.range(7).toDF("n")
+    assert sinks.write_snapshot(df, root) == 1
+    df.write.parquet(f"{root}/v.stage.crashed1")
+    df.write.parquet(f"{root}/v=1/v.stage.nested2")
+
+    # young debris survives a TTL'd vacuum
+    out = sinks.vacuum_snapshots(spark, root, keep_last=2, stage_ttl_s=3600)
+    assert out["removed_stages"] == []
+    assert os.path.isdir(f"{root}/v.stage.crashed1")
+
+    # past the TTL both forms are swept; the committed table is intact
+    out = sinks.vacuum_snapshots(spark, root, keep_last=2, stage_ttl_s=0.0)
+    assert len(out["removed_stages"]) == 2
+    assert not os.path.exists(f"{root}/v.stage.crashed1")
+    assert not os.path.exists(f"{root}/v=1/v.stage.nested2")
+    assert sinks.read_snapshot(spark, root).count() == 7
+
+
+def test_latest_fallback_refuses_uncommitted_scar(spark, tmp_path):
+    """r15 (ADVICE low): the no-pointer fallback resolved max(v=) even
+    when that dir was an uncommitted crash scar from the legacy
+    direct-to-v=N protocol (partial part files, no _SUCCESS/_PUB_*) —
+    serving possibly-incomplete data under a mere warning.  Now the
+    fallback requires commit evidence and walks DOWN to the newest dir
+    that has it; with no evidence anywhere it stays loud."""
+    import os
+
+    import pytest
+
+    from msgraphdatapipelines_spark import sinks
+
+    root = str(tmp_path / "legacy")
+    df = spark.range(9).toDF("n")
+    # v=1: legacy direct write, completed (has _SUCCESS)
+    df.write.parquet(f"{root}/v=1")
+    # v=2: crash scar — partial part file, no commit marker
+    os.makedirs(f"{root}/v=2")
+    df.write.parquet(f"{root}/_tmp_scar")
+    part = next(
+        f for f in os.listdir(f"{root}/_tmp_scar") if f.startswith("part-")
+    )
+    os.rename(f"{root}/_tmp_scar/{part}", f"{root}/v=2/{part}")
+
+    with pytest.warns(RuntimeWarning, match="max committed version v=1"):
+        assert sinks._read_latest_version(spark, root) == 1
+
+    # no commit evidence anywhere: loud, never serves debris
+    os.remove(f"{root}/v=1/_SUCCESS")
+    with pytest.raises(FileNotFoundError, match="no commit"):
+        sinks._read_latest_version(spark, root)
