@@ -59,3 +59,41 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
+
+
+def pytest_sessionfinish(session, exitstatus):
+    """r15 (VERDICT item 8): the serial gate's machine-readable record —
+    GATE.json at the repo root with the same shape the parallel runner
+    writes, so PROGRESS.jsonl and judges consume a file instead of
+    parsing log tails.  Suppressed inside par_pytest workers (the
+    combined record is the runner's job) and flagged ``partial`` when
+    the invocation was anything narrower than the whole tests/ dir."""
+    import json
+    import os
+    import time
+
+    if os.environ.get("PAR_PYTEST_WORKER"):
+        return
+    tr = session.config.pluginmanager.get_plugin("terminalreporter")
+    if tr is None:
+        return
+    counts = {k: len(tr.stats.get(k, [])) for k in ("passed", "failed", "error", "skipped")}
+    invoked = [str(a) for a in session.config.invocation_params.args]
+    whole = any(
+        a.rstrip("/").endswith("tests") for a in invoked
+    ) and not any(a.startswith("-k") or a.startswith("-m") or "::" in a for a in invoked)
+    root = Path(__file__).resolve().parent.parent
+    (root / "GATE.json").write_text(json.dumps({
+        "runner": "serial",
+        "passed": counts["passed"],
+        "failed": counts["failed"],
+        "errors": counts["error"],
+        "skipped": counts["skipped"],
+        "lost_workers": [],
+        "tests_unaccounted_est": 0,
+        "wall_s": round(time.time() - tr._sessionstarttime, 1),
+        "workers": 1,
+        "partial": not whole,
+        "args": invoked,
+        "ts": time.time(),
+    }) + "\n")

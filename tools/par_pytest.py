@@ -40,6 +40,22 @@ Exit status is non-zero if any worker failed; per-worker tails and a
 combined pass/fail summary print at the end.  The serial ``python -m
 pytest tests/`` remains the canonical gate; this runner exists for wall
 clock, and any failure here reproduces serially.
+
+LOST WORKERS ARE LOUD (r15, VERDICT item 3): the combined summary used
+to aggregate junit files only, so a worker dying BEFORE writing junit
+(observed r14: rc=127, dots-only log) printed "0 failed" with ~140
+tests silently unrun — the exit code was right, the human-readable line
+was not.  Now any worker with rc not in (0, 5) or a missing junit file
+is counted and the summary line leads with "N WORKERS FAILED/LOST
+(~M tests unaccounted)", M estimated from the scheduled shard ids plus
+the previous run's per-module test counts.
+
+Machine-readable gate record (r15, VERDICT item 8): every run writes
+``GATE.json`` at the repo root — {passed, failed, errors, skipped,
+lost_workers, wall_s, workers, partial, args} — so PROGRESS.jsonl and
+judges consume a file, not a log tail.  The serial runner's
+equivalent hook lives in tests/conftest.py (suppressed inside par
+workers via PAR_PYTEST_WORKER).
 """
 
 from __future__ import annotations
@@ -179,6 +195,7 @@ def main() -> int:
             TMPDIR=str(tmp_i),
             PYTHONPATH=str(ROOT),
             SPARK_GRAFT_TEST_CPUS=str(cpus),
+            PAR_PYTEST_WORKER="1",  # suppress the worker's own GATE.json
         )
         targets = [a for _, payload in group for a in payload]
         cmd = [
@@ -195,7 +212,31 @@ def main() -> int:
         print(f"worker {i}: {len(group)} items / {len(targets)} targets "
               f"(~{est_total:.0f}s est)")
 
+    # expected test count per scheduled target, for the unaccounted
+    # estimate: sharded targets are single node ids (count 1 each);
+    # whole-module targets estimate from the previous run's recorded ids
+    per_mod_counts: dict[str, int] = {}
+    for nid in test_durs:
+        mod = nid.split("::", 1)[0].rsplit("/", 1)[-1].removesuffix(".py")
+        per_mod_counts[mod] = per_mod_counts.get(mod, 0) + 1
+
+    def _expected(targets: list[str]) -> int:
+        n = 0
+        for t in targets:
+            if "::" in t:
+                n += 1
+            else:
+                n += per_mod_counts.get(Path(t).stem, 1)
+        return n
+
+    worker_targets = {
+        i: [a for _, payload in group for a in payload]
+        for i, group in enumerate(bins)
+    }
+
     failed = False
+    lost_workers: list[int] = []
+    unaccounted = 0
     totals = {"tests": 0, "failures": 0, "errors": 0, "skipped": 0}
     meas_mod: dict[str, float] = {}
     meas_test: dict[str, float] = {}
@@ -205,11 +246,15 @@ def main() -> int:
         if rc not in (0, 5):  # 5 = no tests collected (empty -m filter)
             failed = True
         xml_path = scratch / f"junit{i}.xml"
+        reported_i = 0
+        if rc not in (0, 5) or not xml_path.exists():
+            lost_workers.append(i)
         if xml_path.exists():
             suite = ET.parse(xml_path).getroot().find("testsuite")
             if suite is not None:
                 for k in totals:
                     totals[k] += int(suite.get(k, 0))
+                reported_i = int(suite.get("tests", 0))
                 # classname is a dotted path "tests.test_x[.TestClass]"
                 for case in suite.iter("testcase"):
                     parts = (case.get("classname") or "").split(".")
@@ -226,6 +271,8 @@ def main() -> int:
                         case.get("name") or ""
                     )
                     meas_test[nid] = meas_test.get(nid, 0.0) + t
+        if i in lost_workers:
+            unaccounted += max(0, _expected(worker_targets.get(i, [])) - reported_i)
         tail = (scratch / f"worker{i}.log").read_text().strip().splitlines()
         print(f"worker {i} rc={rc}: {tail[-1] if tail else '(no output)'}")
         if rc not in (0, 5):
@@ -233,11 +280,34 @@ def main() -> int:
 
     wall = time.monotonic() - t0
     passed = totals["tests"] - totals["failures"] - totals["errors"] - totals["skipped"]
+    prefix = ""
+    if lost_workers:
+        failed = True  # a lost junit means unrun tests even at rc=0
+        prefix = (
+            f"*** {len(lost_workers)} WORKERS FAILED/LOST "
+            f"(~{unaccounted} tests unaccounted; workers {lost_workers}) — "
+            f"counts below are INCOMPLETE ***\n"
+        )
     print(
-        f"\n{passed} passed, {totals['failures']} failed, {totals['errors']} errors, "
+        f"\n{prefix}{passed} passed, {totals['failures']} failed, "
+        f"{totals['errors']} errors, "
         f"{totals['skipped']} skipped in {wall:.0f}s across {len(bins)} workers "
         f"(logs: {scratch})"
     )
+    (ROOT / "GATE.json").write_text(json.dumps({
+        "runner": "parallel",
+        "passed": passed,
+        "failed": totals["failures"],
+        "errors": totals["errors"],
+        "skipped": totals["skipped"],
+        "lost_workers": lost_workers,
+        "tests_unaccounted_est": unaccounted,
+        "wall_s": round(wall, 1),
+        "workers": len(bins),
+        "partial": bool(passthrough),
+        "args": passthrough,
+        "ts": time.time(),
+    }) + "\n")
     if meas_mod and not failed and not passthrough:
         DUR_FILE.write_text(json.dumps(
             {"modules": {k: round(v, 1) for k, v in sorted(meas_mod.items())},
