@@ -1019,7 +1019,9 @@ def _ensure_incremental_prefix_index(
     # no recall) faces the driver; array_set_ops_per_order demoted in trade.
     # r13: rotated back to the demoted gate after its green graded round —
     # the compacted lifecycle twin takes the driver slot this round.
-    demoted=True,
+    # r15: RE-PROMOTED (r14 VERDICT item 1 rotation) — the bucketed twin
+    # demoted in trade after two green graded rounds; the set-similarity
+    # family keeps two graded lifecycle rows (compacted + incremental).
     oracle=_TRIGRAM_PPJOIN_ORACLE,
 )
 def set_similarity_join_docs_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1443,6 +1445,11 @@ def set_similarity_join_docs_forgotten(spark: SparkSession, sf_dir: str) -> Data
     # bucketed prefix table eliminates the self-join's __pg exchanges (25×
     # shuffle reduction, plan-pinned); set_similarity_join_docs (plain serve)
     # demoted in trade.  One round of demoted-gate history (r12).
+    # r15 rotation: demoted after two green graded rounds (r13, r14) —
+    # the incremental twin takes the driver slot back; the bucketed
+    # plan's no-Exchange claim stays plan-pinned in test_plans and the
+    # oracle stays enforced here.
+    demoted=True,
     oracle=_TRIGRAM_PPJOIN_ORACLE,
 )
 def set_similarity_join_docs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:

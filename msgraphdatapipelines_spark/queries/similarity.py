@@ -283,6 +283,10 @@ def _probe_buckets_sql(bexpr: str, num_planes: int = 8) -> str:
 
 @register(
     "ann_lsh_multiprobe_topk",
+    # r15 rotation: demoted after nine green graded rounds — the LSH
+    # family stays oracle-checked here (with ann_lsh_topk) while the
+    # driver slot goes to the conjunctive label∧range served row.
+    demoted=True,
     oracle=f"""
     WITH qb AS (SELECT vec_id AS qid, embedding AS qv,
                        {_bucket_expr('embedding')} AS bucket
@@ -2510,7 +2514,11 @@ def ann_filtered_topk_served(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_label_range_filtered_topk_served",
-    demoted=True,  # conjunctive (label AND id-window) twin of the graded budget row
+    # r15: PROMOTED to driver-graded (r14 VERDICT item 1 rotation) — the
+    # conjunctive label∧range serve faces the driver after one round of
+    # demoted history (hash-green at both SFs first try, r14);
+    # ann_lsh_multiprobe_topk demoted in trade (ANN family keeps 4
+    # graded rows, all on the standing-artifact serve paths).
     oracle=f"""
     WITH {_ivf_pq_filtered_ctes(k=K, nprobe=2 * NPROBE, lo=RANGE_LO, hi=RANGE_HI)}
     SELECT qid, cid, round(score, 6) AS score, rank FROM ivfpq_f
