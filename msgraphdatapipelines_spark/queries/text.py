@@ -20,6 +20,12 @@ from . import load, register
 from .similarity import _cos as _vec_cos
 from .similarity import _norm_pos as _vec_norm_pos
 
+# lexicon lease TTL, read at call time so the `-m race` lane's SIGKILL
+# test can monkeypatch the stale transition (r15; mirrors dedup._LEASE_TTL_S)
+from .. import genstore as _genstore_mod
+
+_LEASE_TTL_S = _genstore_mod.LEASE_TTL_S
+
 _WS = "list_filter(string_split(text, ' '), w -> w <> '')"
 _ALL_MARKERS = ", ".join(
     f"'{m}'" for ms in X.LANG_MARKERS.values() for m in ms
@@ -1525,7 +1531,9 @@ def _lex_read_meta(fs, hpath, gen: str) -> dict:
         stream.close()
 
 
-def lexicon_compact(spark: SparkSession, root: str) -> dict:
+def lexicon_compact(
+    spark: SparkSession, root: str, _test_hook_before_commit=None
+) -> dict:
     """Publish the servable lexicon from all fully-appended batches as
     ONE committed generation (r13, r12 VERDICT item 3 — the meta.json
     commit discipline retired for the shared ``genstore`` protocol the
@@ -1553,7 +1561,7 @@ def lexicon_compact(spark: SparkSession, root: str) -> dict:
 
     fs, _, jvm = sinks._fs_for(spark, root)
     hpath = jvm.org.apache.hadoop.fs.Path
-    with _gs.compaction_lease(fs, hpath, root):
+    with _gs.compaction_lease(fs, hpath, root, ttl_s=_LEASE_TTL_S):
         bids = _lex_full_bids(spark, root)
         if not bids:
             raise FileNotFoundError(f"compact before append: no batches at {root}")
@@ -1610,6 +1618,10 @@ def lexicon_compact(spark: SparkSession, root: str) -> dict:
             _gs.marker_commit(fs, hpath, f"{stage}/_folded/{b}")
         for n in fdirs:
             _gs.marker_commit(fs, hpath, f"{stage}/_folded/_fg_{n}")
+        if _test_hook_before_commit is not None:
+            # the `-m race` lane's SIGKILL window (r15): fully staged,
+            # commit marker not yet written
+            _test_hook_before_commit()
         _gs.commit_generation(
             fs, hpath, root, stage, _gs.next_gen_name(fs, hpath, root)
         )

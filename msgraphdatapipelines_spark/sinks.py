@@ -819,26 +819,71 @@ def write_snapshot(
         build_bloom_manifest(spark, stage, bloom_cols)
     fs, _, jvm = _fs_for(spark, root)
     hp = jvm.org.apache.hadoop.fs.Path
+    # the sentinel carries the stage's FULL relative file manifest (r15,
+    # ADVICE posture item): on an atomic-rename store the claim's
+    # existence IS completeness, but on a copy-rename store (S3-style
+    # rename = copy file-by-file + delete) the sentinel — first in name
+    # order — can land while data files are still copying; a crash then
+    # leaves a TORN v= dir that looks claimed.  Verifying the manifest
+    # against the destination listing before the pointer flip turns
+    # that silent-torn window into an explicit raise.  NOTE the
+    # concurrent-publisher guarantee still REQUIRES atomic rename
+    # (copy-"rename" onto an existing dir merges contents instead of
+    # nesting — two racers could interleave into one dir); on
+    # copy-rename stores run a single publisher per root.
+    manifest = _rel_files(fs, hp, stage)
     out = fs.create(hp(f"{stage}/_PUB_{uid}"), True)
-    out.write(b"1")
+    out.write(bytearray("\n".join(manifest).encode("utf-8")))
     out.close()
     versions = snapshot_versions(spark, root)
     new_v = (versions[-1] + 1) if versions else 1
+    err_streak = 0
     while True:
         dst = f"{root}/v={new_v}"
+        rename_exc = None
         try:
             fs.rename(hp(stage), hp(dst))
-        except Exception:  # noqa: BLE001 — treated as a lost claim below
-            pass
+        except Exception as e:  # noqa: BLE001 — lost claim OR a real FS error
+            rename_exc = e
         if fs.exists(hp(f"{dst}/_PUB_{uid}")):
-            break  # the claim landed: v=new_v is OURS and complete
+            # claim landed — verify completeness before the flip (a
+            # no-op set-compare on atomic stores; the torn-copy catch
+            # on copy-rename stores)
+            have = set(_rel_files(fs, hp, dst))
+            missing = [f for f in manifest if f not in have]
+            if missing:
+                raise OSError(
+                    f"torn snapshot claim at {dst}: {len(missing)} staged "
+                    f"files missing after a non-atomic rename (e.g. "
+                    f"{missing[:3]}) — pointer NOT flipped; vacuum the "
+                    f"orphan and re-publish (single-publisher only on "
+                    f"copy-rename stores)"
+                )
+            break  # v=new_v is OURS and complete
         nested = f"{dst}/{stage_name}"
         if fs.exists(hp(f"{nested}/_PUB_{uid}")):
             # a racer owns new_v and Hadoop nested our stage inside its
             # committed dir — pull it back out and claim the next number
             fs.rename(hp(nested), hp(stage))
+            err_streak = 0
         elif not fs.exists(hp(f"{stage}/_PUB_{uid}")):
             raise OSError(f"snapshot publish lost its staged dir under {root}")
+        elif rename_exc is not None:
+            # the rename THREW and the stage is still fully ours — that
+            # is a real FS error (e.g. a copy-rename store failing
+            # mid-copy), not a lost claim (losing never throws: the
+            # rename returns false or nests).  Retrying forever would
+            # spin minting empty v= dirs (r15, found by the copy-rename
+            # posture test) — bound it and surface the error.
+            err_streak += 1
+            if err_streak >= 5:
+                raise OSError(
+                    f"snapshot publish: rename onto {root} failed "
+                    f"{err_streak} consecutive times with our stage "
+                    f"intact — surfacing the store error"
+                ) from rename_exc
+        else:
+            err_streak = 0
         new_v += 1
     _flip_latest(spark, root, new_v)
     if keep_last is not None:
@@ -846,6 +891,23 @@ def write_snapshot(
             if v != new_v:
                 fs.delete(hp(f"{root}/v={v}"), True)
     return new_v
+
+
+def _rel_files(fs, hp, base: str) -> list[str]:
+    """Sorted relative paths of every FILE under ``base`` (recursive) —
+    the claim sentinel's completeness manifest (r15).  One driver-side
+    listing, the same planning class as the manifest collect."""
+    out: list[str] = []
+    stack = [(base, "")]
+    while stack:
+        d, prefix = stack.pop()
+        for st in fs.listStatus(hp(d)):
+            name = st.getPath().getName()
+            if st.isDirectory():
+                stack.append((f"{d}/{name}", f"{prefix}{name}/"))
+            else:
+                out.append(f"{prefix}{name}")
+    return sorted(out)
 
 
 _LATEST_MARKER_RE = None  # compiled lazily (module import stays light)

@@ -191,6 +191,130 @@ def main() -> None:
         else:
             out = QD.prefix_index_forget(spark, root, [7])
             print("RESULT forgot", out["forgotten"])
+    elif mode == "ann_erasure":
+        # r15 (r14 VERDICT item 2): GDPR erasure racing a live append on
+        # the shared STANDING IVF+PQ index — the moving-parts-heavy
+        # member of the erasure family (models carry-forward across
+        # erasure versions + `_forgotten` manifest + compact interplay).
+        # pid 0 appends a fresh batch encoded under the dir's own models
+        # (what ann_index_stream does); pid 1 forgets doc 7.  Both must
+        # succeed in EITHER interleaving; the parent asserts convergence.
+        from msgraphdatapipelines_spark.operators import similarity as S
+        from msgraphdatapipelines_spark.queries.similarity import (
+            ann_index_forget,
+            standing_index_root,
+        )
+        from msgraphdatapipelines_spark.streaming.ann_stream import (
+            current_ann_models,
+        )
+
+        root = standing_index_root(shared)
+        if pid == "0":
+            _, cents, books = current_ann_models(spark, root)
+            late = spark.createDataFrame(
+                [
+                    (
+                        900000 + i,
+                        [float((i * 7 + j) % 13) / 13.0 for j in range(64)],
+                        3,
+                    )
+                    for i in range(40)
+                ],
+                "vec_id long, embedding array<double>, label long",
+            )
+            # append rows must match the dir's column types exactly (a
+            # real appender derives its frame from the same corpus)
+            base = spark.read.option("recursiveFileLookup", "true").parquet(
+                f"{root}/batches"
+            )
+            late = late.withColumn(
+                "label", late["label"].cast(base.schema["label"].dataType)
+            )
+            S.ivf_pq_index(
+                late, "vec_id", "embedding", cents, books, dim=64,
+                meta_cols=("label",),
+            ).write.mode("overwrite").parquet(f"{root}/batches/batch_id=900")
+            print("RESULT appended")
+        else:
+            v = None
+            for attempt in range(120):
+                try:
+                    v = ann_index_forget(spark, root, [7])
+                    break
+                except RuntimeError as e:
+                    if "compact already in progress" not in str(e):
+                        raise
+                    time.sleep(0.5)
+            if v is None:
+                raise SystemExit("forget never acquired the lease")
+            print("RESULT forgot", v)
+    elif mode == "lex_erasure":
+        # r15 (r14 VERDICT item 2): lexicon_forget vs lexicon_append_batch
+        # + compact on the shared standing lexicon — completes the
+        # erasure-vs-append family.  Compacts contend on the genstore
+        # lease; both sides retry it out (a forget that didn't commit
+        # must be retried, the module contract).
+        from msgraphdatapipelines_spark.queries import load
+        from msgraphdatapipelines_spark.queries.text import (
+            lexicon_append_batch,
+            lexicon_compact,
+            lexicon_forget,
+            lexicon_root,
+        )
+        from pyspark.sql import functions as F
+
+        root = lexicon_root(shared)
+        docs = load(spark, shared, "documents")
+        if pid == "0":
+            lexicon_append_batch(
+                spark, root, docs.filter(F.col("doc_id") >= 150), bid=1
+            )
+            meta = None
+            for attempt in range(120):
+                try:
+                    meta = lexicon_compact(spark, root)
+                    break
+                except RuntimeError as e:
+                    if "compact already in progress" not in str(e):
+                        raise
+                    time.sleep(0.5)
+            if meta is None:
+                raise SystemExit("append's compact never acquired the lease")
+            print("RESULT appended", meta["n_batches"])
+        else:
+            meta = None
+            for attempt in range(120):
+                try:
+                    meta = lexicon_forget(spark, root, [7])
+                    break
+                except RuntimeError as e:
+                    if "compact already in progress" not in str(e):
+                        raise
+                    time.sleep(0.5)
+            if meta is None:
+                raise SystemExit("forget never acquired the lease")
+            print("RESULT forgot", meta["forgotten"])
+    elif mode == "lex_killme":
+        # r15 (r14 VERDICT item 5): SIGKILL evidence for the LEXICON's
+        # generational commit — stage a compact fully (postings/docstats/
+        # termstats/meta/_folded all written), signal the parent, stall
+        # until kill -9.  The commit marker never lands, so the old
+        # generation must stay live and the orphaned lease go stale at
+        # the TTL; the re-run folds pending batches into exactly one new
+        # generation.
+        from msgraphdatapipelines_spark.queries.text import (
+            lexicon_compact,
+            lexicon_root,
+        )
+
+        root = lexicon_root(shared)
+
+        def stall():
+            print("STAGED", flush=True)
+            time.sleep(300)
+
+        lexicon_compact(spark, root, _test_hook_before_commit=stall)
+        print("RESULT unreachable")
     elif mode == "prefix_killme":
         # r14: SIGKILL evidence for the GENERATIONAL protocol — stage a
         # compact fully, signal the parent, then stall inside the

@@ -650,3 +650,243 @@ def test_race_erasure_vs_append_two_processes(tmp_path, spark, monkeypatch):
         .collect()
     )
     assert pairs == want and len(want) > 0
+
+
+def test_race_erasure_vs_append_ann_two_processes(tmp_path, spark, monkeypatch):
+    """r15 (r14 VERDICT item 2): GDPR erasure racing a live append on
+    the shared STANDING IVF+PQ index — the erasure-family member with
+    the most moving parts (models carry-forward across erasure versions,
+    `_forgotten` manifest, compact interplay).  pid 0 appends a fresh
+    batch under the dir's own models (the ann_index_stream shape); pid 1
+    runs ann_index_forget(doc 7).  Pins, in EITHER interleaving: the
+    forget's published snapshot excludes doc 7, the raced-in batch
+    serves fully from the batches view, and a closing compact converges
+    to (corpus − erased + appended) with the models PAIRED to the
+    published version (every cent a valid centroid id)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from msgraphdatapipelines_spark import sinks
+    from msgraphdatapipelines_spark.queries.similarity import (
+        _load_models_for,
+        ensure_standing_index,
+        standing_index_root,
+    )
+    from msgraphdatapipelines_spark.streaming.ann_stream import (
+        compact_ann_index,
+        read_ann_index,
+    )
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    shutil.copyfile(
+        "/root/testdata/sf0.001/embeddings.parquet", str(sf / "embeddings.parquet")
+    )
+    artdir = tmp_path / "artifacts"
+    artdir.mkdir(exist_ok=True)
+    monkeypatch.setattr(tempfile, "tempdir", str(artdir))
+    ensure_standing_index(spark, str(sf))
+    root = standing_index_root(str(sf))
+    n_base = sinks.read_snapshot(spark, f"{root}/snapshot").count()
+    assert (
+        sinks.read_snapshot(spark, f"{root}/snapshot")
+        .filter(F.col("cid") == 7)
+        .count()
+        == 1
+    )
+
+    _race("ann_erasure", str(sf), tmp_path, expect_equal=False)
+
+    # the forget's committed snapshot excludes doc 7 (post-race pointer)
+    v = sinks._read_latest_version(spark, f"{root}/snapshot")
+    assert v >= 2
+    snap = sinks.read_snapshot(spark, f"{root}/snapshot", version=v)
+    assert snap.filter(F.col("cid") == 7).count() == 0
+    # both mutations fully visible in the batches view
+    view = read_ann_index(spark, f"{root}/batches")
+    assert view.filter(F.col("cid") == 7).count() == 0
+    assert view.filter(F.col("cid") >= 900000).count() == 40
+    assert os.path.isdir(f"{root}/_forgotten"), "erasure manifest not durable"
+
+    # closing compact converges, models paired to the published version
+    pub = compact_ann_index(
+        spark, f"{root}/batches", f"{root}/snapshot",
+        models_root=root, versioned_label_lists=True,
+    )
+    final = sinks.read_snapshot(spark, f"{root}/snapshot", version=pub)
+    assert final.filter(F.col("cid") == 7).count() == 0
+    assert final.filter(F.col("cid") >= 900000).count() == 40
+    assert final.count() == n_base - 1 + 40
+    models = _load_models_for(spark, root, pub)
+    valid = {int(c) for c, _ in models["centroids"]}
+    got_cents = {r["cent"] for r in final.select("cent").distinct().collect()}
+    assert got_cents <= valid, "published rows pair with a wrong quantizer"
+
+
+def test_race_erasure_vs_append_lexicon_two_processes(tmp_path, spark, monkeypatch):
+    """r15 (r14 VERDICT item 2): lexicon_forget racing
+    lexicon_append_batch + compact on the shared standing lexicon —
+    completes the erasure-vs-append family across all three standing
+    stores.  Pins: doc 7 gone from postings/docstats/meta (idf and avgdl
+    stop reflecting erased content), the raced-in batch's docs serve
+    fully, and the converged postings equal the direct tokenization over
+    (corpus − erased doc) EXACTLY."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from msgraphdatapipelines_spark.queries import load
+    from msgraphdatapipelines_spark.queries.text import (
+        ensure_standing_lexicon,
+        lexicon_compact,
+        lexicon_root,
+        read_lexicon,
+    )
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    shutil.copyfile(
+        "/root/testdata/sf0.001/documents.parquet", str(sf / "documents.parquet")
+    )
+    artdir = tmp_path / "artifacts"
+    artdir.mkdir(exist_ok=True)
+    monkeypatch.setattr(tempfile, "tempdir", str(artdir))
+    docs = load(spark, str(sf), "documents")
+    root = lexicon_root(str(sf))
+    ensure_standing_lexicon(spark, str(sf), docs=docs.filter(F.col("doc_id") < 150))
+
+    _race("lex_erasure", str(sf), tmp_path, expect_equal=False)
+
+    # closing compact (no-op when the racers already converged)
+    lexicon_compact(spark, root)
+    postings, docstats, termstats, meta = read_lexicon(spark, root)
+    assert postings.filter(F.col("doc_id") == 7).count() == 0
+    assert docstats.filter(F.col("doc_id") == 7).count() == 0
+    n_appended = docs.filter(F.col("doc_id") >= 150).count()
+    assert n_appended > 0
+    assert docstats.filter(F.col("doc_id") >= 150).count() == n_appended
+
+    # exact twin: postings == direct tokenization over corpus − erased
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    want = sorted(
+        tuple(r)
+        for r in docs.filter(F.col("doc_id") != 7)
+        .select("doc_id", F.explode(ws).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .collect()
+    )
+    got = sorted(tuple(r) for r in postings.collect())
+    assert got == want and len(want) > 0
+    # exact-integer corpus stats exclude the erased doc
+    assert meta["n_docs"] == docs.count() - 1
+    want_sum = (
+        docs.filter(F.col("doc_id") != 7)
+        .select(F.size(ws).alias("dl"))
+        .agg(F.sum("dl"))
+        .collect()[0][0]
+    )
+    assert meta["sum_dl"] == int(want_sum)
+
+
+def test_sigkill_mid_compact_lexicon_old_generation_stays_live(
+    tmp_path, spark, monkeypatch
+):
+    """r15 (r14 VERDICT item 5): SIGKILL evidence for the LEXICON's
+    generational commit — the lexicon reaches genstore through its own
+    migration shims, so the prefix-store SIGKILL mode does not pin it.
+    A compactor killed -9 after fully staging but before its commit
+    marker leaves (a) the old generation live with identical meta and
+    postings, (b) its orphaned heartbeat lease blocking siblings until
+    the TTL, then stale; (c) the re-run folds the pending batch into
+    exactly one new committed generation matching the direct twin."""
+    import signal
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from msgraphdatapipelines_spark import genstore as _gs
+    from msgraphdatapipelines_spark import sinks
+    from msgraphdatapipelines_spark.queries import load
+    from msgraphdatapipelines_spark.queries import text as QT
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    shutil.copyfile(
+        "/root/testdata/sf0.001/documents.parquet", str(sf / "documents.parquet")
+    )
+    artdir = tmp_path / "artifacts"
+    artdir.mkdir(exist_ok=True)
+    monkeypatch.setattr(tempfile, "tempdir", str(artdir))
+    docs = load(spark, str(sf), "documents")
+    root = QT.lexicon_root(str(sf))
+    QT.ensure_standing_lexicon(
+        spark, str(sf), docs=docs.filter(F.col("doc_id") < 150)
+    )
+    QT.lexicon_append_batch(spark, root, docs.filter(F.col("doc_id") >= 150), bid=1)
+    fs, _, jvm = sinks._fs_for(spark, root)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    gen_before = _gs.current_gen(fs, hpath, root)
+    meta_before = QT.read_lexicon(spark, root)[3]
+    postings_before = sorted(
+        tuple(r) for r in QT.read_lexicon(spark, root)[0].collect()
+    )
+
+    barrier = tmp_path / "barrier"
+    barrier.mkdir()
+    (barrier / "ready-parent").write_text("1")
+    env = dict(os.environ, TMPDIR=str(artdir))
+    p = subprocess.Popen(
+        [sys.executable, CHILD, "lex_killme", str(sf), str(barrier), "0"],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        env=env,
+        cwd=str(REPO),
+        text=True,
+    )
+    deadline = _time.time() + 300
+    while True:
+        line = p.stdout.readline()
+        if not line:
+            raise AssertionError("child exited before staging")
+        if line.startswith("STAGED"):
+            break
+        if _time.time() > deadline:
+            p.kill()
+            raise AssertionError("timeout waiting for the staged signal")
+    p.send_signal(signal.SIGKILL)
+    p.wait(timeout=60)
+
+    # (a) old generation live, identical meta + postings
+    assert _gs.current_gen(fs, hpath, root) == gen_before
+    assert QT.read_lexicon(spark, root)[3] == meta_before
+    assert (
+        sorted(tuple(r) for r in QT.read_lexicon(spark, root)[0].collect())
+        == postings_before
+    )
+    # (b) the orphaned lease blocks a sibling compactor until the TTL
+    assert len(_gs.live_leases(fs, hpath, root, ttl_s=QT._LEASE_TTL_S)) == 1
+    with pytest.raises(RuntimeError, match="compact already in progress"):
+        QT.lexicon_compact(spark, root)
+    # (c) no renewals from the dead process: shrink the TTL, lease goes
+    # stale, the re-run folds the pending batch into ONE new generation
+    monkeypatch.setattr(QT, "_LEASE_TTL_S", 0.5)
+    _time.sleep(0.8)
+    meta = QT.lexicon_compact(spark, root)
+    assert meta["n_batches"] == 2
+    assert meta["n_docs"] == docs.count()
+    gen_after = _gs.current_gen(fs, hpath, root)
+    assert gen_after != gen_before
+    # folded answers == the direct twin over the FULL corpus
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    want = sorted(
+        tuple(r)
+        for r in docs.select("doc_id", F.explode(ws).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .collect()
+    )
+    got = sorted(tuple(r) for r in QT.read_lexicon(spark, root)[0].collect())
+    assert got == want
