@@ -2233,8 +2233,18 @@ def scan_bloom_pruned(spark: SparkSession, path: str, col: str, value) -> DataFr
     everything)."""
     from pyspark.sql import functions as F
 
-    files = bloom_candidate_files(spark, path, col, value)
     base = spark.read.parquet(path)
+    # r15 (zonemap-symmetry): a table without a committed Bloom manifest
+    # for this column must degrade to a full filtered scan, not raise —
+    # pruning is an optimization, never a requirement (matches
+    # scan_pruned/scan_pruned_in and read_snapshot_bloom_pruned).
+    fs, _, jvm = _fs_for(spark, path)
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/_bloom_{col}/meta")):
+        _warn_stale(
+            StaleManifestError(f"no _bloom_{col} manifest under {path}")
+        )
+        return base.filter(F.col(col) == value)
+    files = bloom_candidate_files(spark, path, col, value)
     try:
         files = _current_paths(base, files, path)  # manifest paths may predate a rename
     except StaleManifestError as e:

@@ -1630,3 +1630,24 @@ def test_latest_fallback_refuses_uncommitted_scar(spark, tmp_path):
     os.remove(f"{root}/v=1/_SUCCESS")
     with pytest.raises(FileNotFoundError, match="no commit"):
         sinks._read_latest_version(spark, root)
+
+
+def test_bloom_pruned_missing_manifest_falls_back(spark, tmp_path):
+    """r15 (zonemap symmetry): scan_bloom_pruned on a table with no
+    committed Bloom manifest degrades to a full filtered scan under
+    RuntimeWarning instead of raising on the meta read."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from msgraphdatapipelines_spark import sinks
+
+    path = str(tmp_path / "plain")
+    spark.range(0, 500).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    ).write.parquet(path)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = sinks.scan_bloom_pruned(spark, path, "k", 42).count()
+    assert got == 1
+    assert any(issubclass(x.category, RuntimeWarning) for x in w)
