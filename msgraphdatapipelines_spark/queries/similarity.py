@@ -1670,6 +1670,31 @@ def ann_rebalance_if_skewed(
             hpath(f"{root}/batches")
         ):
             raise OSError(f"could not swap retrained batches into {root}")
+        # r15: an appender's job commit can CREATE a fresh batches dir
+        # inside the two-rename window (well-behaved appenders call
+        # recover_batches first, but encode time separates that check
+        # from the write) — Hadoop then NESTS our stage inside it and
+        # reads would hit a torn layout.  Detect via the missing
+        # top-level _MODELS stamp and un-nest: we hold the lease, so
+        # the only racer class is appenders adding batch_id dirs whose
+        # ids are disjoint from the stage's batch_id=0.
+        stage_base = stage.rsplit("/", 1)[1]
+        nested_stage = f"{root}/batches/{stage_base}"
+        if not fs.exists(hpath(f"{root}/batches/_MODELS")) and fs.exists(
+            hpath(nested_stage)
+        ):
+            for st in fs.listStatus(hpath(nested_stage)):
+                nm = st.getPath().getName()
+                tgt = f"{root}/batches/{nm}"
+                if fs.exists(hpath(tgt)) and nm.startswith("batch_id="):
+                    mx = max(
+                        int(s.getPath().getName().split("=", 1)[1])
+                        for s in fs.listStatus(hpath(f"{root}/batches"))
+                        if s.getPath().getName().startswith("batch_id=")
+                    )
+                    tgt = f"{root}/batches/batch_id={mx + 1}"
+                fs.rename(st.getPath(), hpath(tgt))
+            fs.delete(hpath(nested_stage), True)
         # LOST-APPEND SALVAGE (r15, ADVICE): diff old's batch dirs
         # against the entry capture; unseen dirs are cross-process
         # appends the retrained stage does not contain — fold each into
@@ -1717,6 +1742,21 @@ def ann_rebalance_if_skewed(
                     bdf.filter(F.col("cent") < 0).select(
                         "cid", "cent", "code", *meta
                     )
+                )
+                # meta types must match the retrained stage exactly (the
+                # appender matched the OLD dir's types; a widening drift
+                # like int→long across batch dirs breaks parquet reads
+                # whose inferred schema lands on the narrow side)
+                out_df = out_df.select(
+                    "cid",
+                    "cent",
+                    "code",
+                    *[
+                        F.col(mc).cast(vectors.schema[mc].dataType).alias(mc)
+                        if mc in vectors.columns
+                        else F.col(mc)
+                        for mc in meta
+                    ],
                 )
                 target = name
                 if fs.exists(hpath(f"{root}/batches/{target}")):

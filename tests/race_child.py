@@ -191,6 +191,71 @@ def main() -> None:
         else:
             out = QD.prefix_index_forget(spark, root, [7])
             print("RESULT forgot", out["forgotten"])
+    elif mode == "rebalance_append":
+        # r15 (the ADVICE lost-append window, cross-process): a LIVE
+        # appender (5 batches, models re-resolved per batch exactly as
+        # the streaming round does) racing one automated rebalance on a
+        # shared skewed root.  Appenders never wait on the lease, so
+        # some batches can land inside the rebalance's doomed old dir —
+        # the entry-capture diff + salvage must fold every one into the
+        # retrained generation; none may be destroyed.
+        from pyspark.sql import functions as F
+
+        from msgraphdatapipelines_spark import sinks
+        from msgraphdatapipelines_spark.operators import similarity as S
+        from msgraphdatapipelines_spark.queries.similarity import (
+            ann_rebalance_if_skewed,
+            standing_index_root,
+        )
+        from msgraphdatapipelines_spark.streaming.ann_stream import (
+            current_ann_models,
+        )
+
+        root = standing_index_root(shared)
+        if pid == "0":
+            for b in range(5):
+                _, cents, books = current_ann_models(spark, root)
+                late = spark.createDataFrame(
+                    [
+                        (
+                            910000 + b * 1000 + i,
+                            [
+                                float((b * 31 + i * 7 + j) % 13) / 13.0
+                                for j in range(64)
+                            ],
+                            4,
+                        )
+                        for i in range(40)
+                    ],
+                    "vec_id long, embedding array<double>, label long",
+                )
+                base = spark.read.option("recursiveFileLookup", "true").parquet(
+                    f"{root}/batches"
+                )
+                late = late.withColumn(
+                    "label", late["label"].cast(base.schema["label"].dataType)
+                )
+                S.ivf_pq_index(
+                    late, "vec_id", "embedding", cents, books, dim=64,
+                    meta_cols=("label",),
+                ).write.mode("overwrite").parquet(
+                    f"{root}/batches/batch_id={901 + b}"
+                )
+                time.sleep(0.3)
+            print("RESULT appended 5")
+        else:
+            emb = spark.read.parquet(f"{shared}/embeddings.parquet").select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("embedding"),
+                F.col("label").cast("long").alias("label"),
+            )
+            drift = spark.read.parquet(f"{shared}/drift.parquet")
+            stats = ann_rebalance_if_skewed(spark, root, emb.unionByName(drift))
+            print(
+                "RESULT rebalanced",
+                stats.get("retrained"),
+                stats.get("salvaged_batches", 0),
+            )
     elif mode == "ann_erasure":
         # r15 (r14 VERDICT item 2): GDPR erasure racing a live append on
         # the shared STANDING IVF+PQ index — the moving-parts-heavy

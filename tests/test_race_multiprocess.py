@@ -890,3 +890,111 @@ def test_sigkill_mid_compact_lexicon_old_generation_stays_live(
     )
     got = sorted(tuple(r) for r in QT.read_lexicon(spark, root)[0].collect())
     assert got == want
+
+
+def test_race_rebalance_vs_append_two_processes(tmp_path, monkeypatch, spark):
+    """r15 (the ADVICE lost-append window, cross-process): a LIVE
+    appender (5 batches, models re-resolved per batch — the streaming
+    round's shape) racing one automated rebalance on a shared skewed
+    root.  Appenders never wait on the compaction lease, so batches can
+    land inside the rebalance's doomed old dir at ANY point between its
+    entry capture and the swap; the diff-and-salvage must fold every one
+    into the retrained generation.  Pins: all 200 appended rows serve
+    from the converged view with cents valid under the CURRENT models,
+    the retrain committed exactly one new version, and a closing compact
+    publishes base + drift + appends − nothing."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from msgraphdatapipelines_spark import sinks
+    from msgraphdatapipelines_spark.operators import similarity as S
+    from msgraphdatapipelines_spark.queries.similarity import (
+        ensure_standing_index,
+        standing_index_root,
+    )
+    from msgraphdatapipelines_spark.streaming.ann_stream import (
+        compact_ann_index,
+        read_ann_index,
+        resolve_batches_models,
+    )
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    shutil.copyfile(
+        "/root/testdata/sf0.001/embeddings.parquet", str(sf / "embeddings.parquet")
+    )
+    artdir = tmp_path / "artifacts"
+    artdir.mkdir()
+    monkeypatch.setattr(tempfile, "tempdir", str(artdir))
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    _, cents1, books1 = ensure_standing_index(spark, str(sf), emb)
+    root = standing_index_root(str(sf))
+    import random
+
+    rng = random.Random(5)
+    p = [0.5 if i % 2 == 0 else -0.5 for i in range(64)]
+    rows = []
+    for j in range(10):
+        base = [p[d] + 0.01 * rng.uniform(-1, 1) for d in range(64)]
+        for i in range(200):
+            rows.append(
+                (100000 + j * 200 + i,
+                 [base[d] + 1e-4 * rng.uniform(-1, 1) for d in range(64)], 999)
+            )
+    drift = spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<double>, label: long"
+    )
+    drift.write.parquet(f"{sf}/drift.parquet")
+    S.ivf_pq_index(
+        drift, "vec_id", "embedding", cents1, books1, dim=64, meta_cols=("label",)
+    ).write.parquet(f"{root}/batches/batch_id=1")
+    monkeypatch.setattr(tempfile, "tempdir", None)
+
+    barrier = tmp_path / "barrier"
+    barrier.mkdir()
+    env = dict(os.environ, TMPDIR=str(artdir))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, CHILD, "rebalance_append", str(sf), str(barrier), str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, cwd=str(REPO),
+        )
+        for i in (0, 1)
+    ]
+    outs = []
+    for p_ in procs:
+        so, se = p_.communicate(timeout=420)
+        assert p_.returncode == 0, se.decode(errors="replace")[-3000:]
+        lines = [l for l in so.decode().splitlines() if l.startswith("RESULT")]
+        assert lines, so.decode()[-2000:]
+        outs.append(lines[-1])
+    assert any("appended 5" in o for o in outs), outs
+    assert any("rebalanced True" in o for o in outs), outs
+
+    monkeypatch.setattr(tempfile, "tempdir", str(artdir))
+    # every appended row survived the swap — salvaged or landed post-swap
+    view = read_ann_index(spark, f"{root}/batches")
+    got = view.filter(F.col("cid") >= 910000)
+    assert got.count() == 200, "concurrent appends were destroyed by the swap"
+    models = resolve_batches_models(spark, root)
+    valid = {int(c) for c, _ in models["centroids"]}
+    assert {
+        r["cent"] for r in got.select("cent").distinct().collect()
+    } <= valid
+    # exactly one retrained version committed; a closing compact
+    # converges base + drift + appends
+    v = sinks._read_latest_version(spark, f"{root}/snapshot")
+    assert v == 2
+    pub = compact_ann_index(
+        spark, f"{root}/batches", f"{root}/snapshot",
+        models_root=root, versioned_label_lists=True,
+    )
+    snap = sinks.read_snapshot(spark, f"{root}/snapshot", version=pub)
+    n_base = emb.count()
+    assert snap.filter(F.col("cid") >= 910000).count() == 200
+    assert snap.count() == n_base + 2000 + 200
+    debris = [
+        d for d in os.listdir(root)
+        if d.startswith(("batches.stage.", "batches.old."))
+    ]
+    assert debris == [], debris
