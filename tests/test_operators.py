@@ -3117,3 +3117,83 @@ def test_write_snapshot_claim_on_copy_rename_fs(spark, tmp_path, monkeypatch):
     v = sinks.write_snapshot(df, root)
     assert sinks.read_snapshot(spark, root, version=v).count() == 11
     assert sinks._read_latest_version(spark, root) == v
+
+
+def test_lexicon_generation_commit_on_copy_rename_fs(spark, tmp_path, monkeypatch):
+    """r15 (taken early from the r16 levers): the LEXICON's generational
+    commit on an S3-style copy-rename store — the third standing-store
+    family under the posture proxy (genstore-direct and the snapshot
+    claim are covered).  A clean compact commits one generation whose
+    postings equal the direct twin; a crash mid-stage-copy leaves the
+    previous generation fully live (no _commit marker — it is written
+    strictly after the stage copy) and a clean re-run folds the pending
+    batch into exactly one new committed generation."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from msgraphdatapipelines_spark import genstore as _gs
+    from msgraphdatapipelines_spark import sinks
+    from msgraphdatapipelines_spark.queries import load
+    from msgraphdatapipelines_spark.queries import text as QT
+
+    artdir = tmp_path / "artifacts"
+    artdir.mkdir()
+    monkeypatch.setattr(tempfile, "tempdir", str(artdir))
+    sf = "/root/testdata/sf0.001"
+    docs = load(spark, sf, "documents")
+    root = QT.lexicon_root(sf, variant="cr_posture")
+    QT.lexicon_append_batch(spark, root, docs.filter(F.col("doc_id") < 150), bid=0)
+
+    fs, _, jvm = sinks._fs_for(spark, root)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    real_fs_for = sinks._fs_for
+
+    def with_proxy(proxy):
+        def patched(spark_, path_):
+            _, p, j = real_fs_for(spark_, path_)
+            return proxy, p, j
+
+        return patched
+
+    # clean compact under copy-rename semantics
+    monkeypatch.setattr(sinks, "_fs_for", with_proxy(_CopyRenameFS(fs, hpath)))
+    meta = QT.lexicon_compact(spark, root)
+    assert meta["n_batches"] == 1
+    gen1 = _gs.current_gen(fs, hpath, root)
+    assert gen1 is not None
+    postings1 = sorted(tuple(r) for r in QT.read_lexicon(spark, root)[0].collect())
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    want1 = sorted(
+        tuple(r)
+        for r in docs.filter(F.col("doc_id") < 150)
+        .select("doc_id", F.explode(ws).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .collect()
+    )
+    assert postings1 == want1 and len(want1) > 0
+
+    # pending batch + crash mid-stage-copy: old generation stays live
+    QT.lexicon_append_batch(spark, root, docs.filter(F.col("doc_id") >= 150), bid=1)
+    monkeypatch.setattr(
+        sinks, "_fs_for", with_proxy(_CopyRenameFS(fs, hpath, fail_after_files=2))
+    )
+    with pytest.raises(OSError, match="injected crash"):
+        QT.lexicon_compact(spark, root)
+    monkeypatch.setattr(sinks, "_fs_for", with_proxy(_CopyRenameFS(fs, hpath)))
+    assert _gs.current_gen(fs, hpath, root) == gen1
+    assert (
+        sorted(tuple(r) for r in QT.read_lexicon(spark, root)[0].collect())
+        == postings1
+    )
+
+    # the crashed compactor's lease is orphaned — stale it out, re-run
+    monkeypatch.setattr(QT, "_LEASE_TTL_S", 0.5)
+    import time as _time
+
+    _time.sleep(0.8)
+    meta2 = QT.lexicon_compact(spark, root)
+    assert meta2["n_batches"] == 2 and meta2["n_docs"] == docs.count()
+    gen2 = _gs.current_gen(fs, hpath, root)
+    assert gen2 != gen1 and fs.exists(hpath(f"{gen2}/_commit"))
