@@ -135,6 +135,27 @@ def serve_cached(
         stray = hpath(os.path.join(data, os.path.basename(staging)))
         if fs.exists(stray):
             fs.delete(stray, True)
+        # entry provenance (r15): the input paths travel WITH the entry
+        # so result_cache_forget can target every entry derived from an
+        # erased table immediately — without this, erased content sits
+        # inside stranded entries until the TTL sweep (the fingerprint
+        # is a hash; nothing else records what an entry was built from)
+        meta_p = os.path.join(root, "_rc_meta.json")
+        if not fs.exists(hpath(meta_p)):
+            import json
+
+            mtmp = hpath(f"{meta_p}.{uuid.uuid4().hex[:12]}.tmp")
+            out = fs.create(mtmp, True)
+            out.write(
+                bytearray(
+                    json.dumps(
+                        {"inputs": sorted(os.path.normpath(p) for p in inputs)}
+                    ).encode("utf-8")
+                )
+            )
+            out.close()
+            if not fs.rename(mtmp, hpath(meta_p)) and fs.exists(mtmp):
+                fs.delete(mtmp, False)
         if not fs.exists(hpath(marker)):
             tmp = hpath(f"{marker}.{uuid.uuid4().hex[:12]}.tmp")
             out = fs.create(tmp, True)
@@ -143,3 +164,69 @@ def serve_cached(
             if not fs.rename(tmp, hpath(marker)) and fs.exists(tmp):
                 fs.delete(tmp, False)
     return spark.read.parquet(data)
+
+
+def result_cache_forget(
+    spark: SparkSession,
+    input_path: str,
+    base_dir: str | None = None,
+    delete_unknown: bool = True,
+) -> dict:
+    """GDPR reach into the RESULT-REUSE layer (r15): delete every cached
+    entry derived from ``input_path`` — the immediate counterpart of the
+    standing-store forgets (`prefix_index_forget` / `lexicon_forget` /
+    `ann_index_forget`).  Without it, a result built from a table that
+    later had documents erased keeps serving (and storing) the erased
+    content until the entry's inputs change AND the TTL sweep collects
+    the stranded root — neither bounded nor auditable.
+
+    Matching is by recorded provenance (`_rc_meta.json`, written at
+    publish): an entry is deleted when any recorded input equals
+    ``input_path`` or nests under it (erasing a table forgets entries
+    built from any of its partitions/files).  Entries with NO provenance
+    record (pre-r15 builds, torn writes) are deleted too by default —
+    for an erasure pass, "cannot prove clean" must mean "gone"
+    (``delete_unknown=False`` restricts to proven matches, the
+    non-compliance-critical mode).
+
+    Returns ``{"removed": [...], "kept": [...]}`` (absolute paths).
+    Safe against concurrent READERS of unrelated entries; a concurrent
+    builder of a MATCHING fingerprint can republish after this sweep —
+    run erasure passes from the maintenance scheduler and re-run the
+    forget after upstream erasure republishes the source (the rebuilt
+    entry then derives from the post-erasure inputs, which is the
+    steady state this function exists to reach)."""
+    import json
+
+    from .sinks import _fs_for
+
+    base = base_dir or tempfile.gettempdir()
+    target = os.path.normpath(input_path)
+    fs, bp, jvm = _fs_for(spark, base)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    removed, kept = [], []
+    if not fs.exists(bp):
+        return {"removed": removed, "kept": kept}
+    for st in fs.listStatus(bp):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("msgdp_rc_")):
+            continue
+        root = os.path.join(base, name)
+        meta_p = hpath(os.path.join(root, "_rc_meta.json"))
+        matches = delete_unknown
+        if fs.exists(meta_p):
+            stream = fs.open(meta_p)
+            try:
+                meta = json.loads(bytes(stream.readAllBytes()).decode("utf-8"))
+            finally:
+                stream.close()
+            matches = any(
+                p == target or p.startswith(target + os.sep)
+                for p in meta.get("inputs", [])
+            )
+        if matches:
+            fs.delete(st.getPath(), True)
+            removed.append(root)
+        else:
+            kept.append(root)
+    return {"removed": removed, "kept": kept}

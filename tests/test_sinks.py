@@ -1651,3 +1651,69 @@ def test_bloom_pruned_missing_manifest_falls_back(spark, tmp_path):
         got = sinks.scan_bloom_pruned(spark, path, "k", 42).count()
     assert got == 1
     assert any(issubclass(x.category, RuntimeWarning) for x in w)
+
+
+def test_result_cache_forget_reaches_cached_entries(spark, tmp_path):
+    """r15: GDPR reach into the result-reuse layer — erasing a source
+    table must delete every cached entry derived from it IMMEDIATELY
+    (not at the TTL sweep).  Pins: provenance-matched entries (exact
+    path and nested-under) are removed, unrelated entries survive, an
+    entry with NO provenance record is removed by default (cannot prove
+    clean ⇒ gone) but kept under delete_unknown=False, and a rebuild
+    after the forget re-derives from the current inputs."""
+    from pyspark.sql import functions as F
+
+    from msgraphdatapipelines_spark import cache
+
+    base = str(tmp_path / "rc")
+    src_a = str(tmp_path / "table_a")
+    src_b = str(tmp_path / "table_b")
+    spark.range(50).select(F.col("id").alias("k")).write.parquet(src_a)
+    spark.range(30).select(F.col("id").alias("k")).write.parquet(src_b)
+
+    def qa():
+        return spark.read.parquet(src_a).agg(F.sum("k").alias("s"))
+
+    def qb():
+        return spark.read.parquet(src_b).agg(F.sum("k").alias("s"))
+
+    assert cache.serve_cached(spark, qa(), [src_a], base_dir=base).first()["s"] == 1225
+    assert cache.serve_cached(spark, qb(), [src_b], base_dir=base).first()["s"] == 435
+    import os
+
+    roots = [d for d in os.listdir(base) if d.startswith("msgdp_rc_")]
+    assert len(roots) == 2
+    assert all(os.path.exists(f"{base}/{d}/_rc_meta.json") for d in roots)
+
+    out = cache.result_cache_forget(spark, src_a, base_dir=base)
+    assert len(out["removed"]) == 1 and len(out["kept"]) == 1
+    left = [d for d in os.listdir(base) if d.startswith("msgdp_rc_")]
+    assert len(left) == 1
+    # the survivor is b's entry, still serving
+    assert cache.serve_cached(spark, qb(), [src_b], base_dir=base).first()["s"] == 435
+
+    # nested-input match: an entry recording a PARTITION under the table
+    spark.range(5).write.parquet(f"{src_a}/part_x")
+    cache.serve_cached(
+        spark, spark.read.parquet(f"{src_a}/part_x").agg(F.count("*").alias("n")),
+        [f"{src_a}/part_x"], base_dir=base,
+    )
+    out = cache.result_cache_forget(spark, src_a, base_dir=base)
+    assert len(out["removed"]) == 1, "nested input must match the table forget"
+
+    # no-provenance entry: conservative default removes, opt-out keeps
+    orphan = f"{base}/msgdp_rc_deadbeefcafe"
+    os.makedirs(f"{orphan}/data", exist_ok=True)
+    open(f"{orphan}/_rc_ready", "w").write("x")
+    out = cache.result_cache_forget(
+        spark, src_a, base_dir=base, delete_unknown=False
+    )
+    assert f"{base}/msgdp_rc_deadbeefcafe".replace("//", "/") not in [
+        p.replace("//", "/") for p in out["removed"]
+    ]
+    assert os.path.exists(orphan)
+    out = cache.result_cache_forget(spark, src_a, base_dir=base)
+    assert not os.path.exists(orphan), "cannot-prove-clean must mean gone"
+
+    # rebuild after forget re-derives from current inputs
+    assert cache.serve_cached(spark, qb(), [src_b], base_dir=base).first()["s"] == 435
