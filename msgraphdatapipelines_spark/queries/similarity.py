@@ -1551,7 +1551,16 @@ def ann_rebalance_if_skewed(
         for st in fs.listStatus(hpath(root)):
             nm = st.getPath().getName()
             if st.isDirectory() and (
-                nm.startswith("batches.stage.") or nm.startswith("batches.old.")
+                nm.startswith("batches.stage.")
+                or nm.startswith("batches.old.")
+                # r15: the label/range steering-summary swaps leave
+                # `.old.{uid}` / `.stage.{uid}` dirs when a publisher
+                # crashed between its renames — readers recover via
+                # derive-if-missing, but nothing swept the debris
+                or (
+                    (nm.startswith("label_lists") or nm.startswith("range_lists"))
+                    and (".old." in nm or ".stage." in nm)
+                )
             ):
                 fs.delete(st.getPath(), True)
         # version 0 = stream-owned root that has never compacted to a

@@ -1555,3 +1555,35 @@ def test_resolve_batches_models_legacy_versioned_fallback(spark, tmp_path):
         "stage debris ⇒ crash window ⇒ the batches dir is bootstrap-encoded"
     )
     assert not os.path.exists(f"{root2}/batches/_MODELS")
+
+
+def test_rebalance_sweeps_summary_swap_debris(spark, sf_dir, tmp_path):
+    """r15: the label/range steering-summary swaps leave `.old.{uid}` /
+    `.stage.{uid}` dirs when a publisher crashes between its renames —
+    readers recover via derive-if-missing, but the debris was never
+    swept.  The rebalance's under-lease debris sweep now collects it
+    (the same pass that sweeps batches.stage/old)."""
+    import os
+
+    from msgraphdatapipelines_spark.queries.similarity import (
+        ann_rebalance_if_skewed,
+    )
+
+    my_sf, root, emb_full = _rebal_fixture(spark, sf_dir, tmp_path)
+    for nm in (
+        "label_lists.old.cafe01",
+        "label_lists.v2.stage.cafe02",
+        "range_lists.stage.cafe03",
+    ):
+        os.makedirs(f"{root}/{nm}/x", exist_ok=True)
+
+    stats = ann_rebalance_if_skewed(spark, root, emb_full)
+    assert stats["retrained"] is True
+    left = [
+        n for n in os.listdir(root)
+        if (".old." in n or ".stage." in n)
+        and (n.startswith("label_lists") or n.startswith("range_lists"))
+    ]
+    assert left == [], left
+    # the real summary the retrain published survives
+    assert os.path.isdir(f"{root}/label_lists.v{stats['version']}")
