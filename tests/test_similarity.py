@@ -1587,3 +1587,44 @@ def test_rebalance_sweeps_summary_swap_debris(spark, sf_dir, tmp_path):
     assert left == [], left
     # the real summary the retrain published survives
     assert os.path.isdir(f"{root}/label_lists.v{stats['version']}")
+
+
+def test_pq_reconstruct_roundtrip_stable(spark):
+    """r15: `pq_reconstruct_expr` inverts `pq_encode` up to quantization
+    — the reconstruction of a code is the concatenation of its selected
+    codewords, so RE-encoding the reconstruction yields the SAME code
+    (each subvector is exactly its own nearest codeword, lowest-id ties
+    notwithstanding).  This is the invariant the rebalance salvage
+    leans on when it re-assigns lost appends from reconstructions."""
+    import random
+
+    rng = random.Random(77)
+    corpus = spark.createDataFrame(
+        [
+            (i, [rng.uniform(-1, 1) for _ in range(64)])
+            for i in range(40)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    books = S.pq_codebooks(corpus, "vec_id", "embedding", m=8, ks=16, dim=64)
+    enc = S.pq_encode(corpus, "vec_id", "embedding", books, dim=64)
+    recon = enc.select(
+        "cid", S.pq_reconstruct_expr(F.col("code"), books).alias("rv"), "code"
+    )
+    # reconstruction = exact concatenation of the selected codewords
+    rows = recon.collect()
+    assert rows
+    for r in rows:
+        want = [x for s_i, j in enumerate(r["code"]) for x in books[s_i][j]]
+        assert all(abs(a - b) < 1e-12 for a, b in zip(r["rv"], want))
+    # re-encode(reconstruction) == original code
+    re_enc = S.pq_encode(
+        recon.select("cid", F.col("rv").alias("v")), "cid", "v", books, dim=64
+    )
+    joined = (
+        enc.alias("a")
+        .join(re_enc.alias("b"), "cid")
+        .selectExpr("cid", "a.code = b.code AS same")
+        .collect()
+    )
+    assert joined and all(r["same"] for r in joined)
