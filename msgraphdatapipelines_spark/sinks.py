@@ -819,18 +819,39 @@ def write_snapshot(
         build_bloom_manifest(spark, stage, bloom_cols)
     fs, _, jvm = _fs_for(spark, root)
     hp = jvm.org.apache.hadoop.fs.Path
-    # the sentinel carries the stage's FULL relative file manifest (r15,
-    # ADVICE posture item): on an atomic-rename store the claim's
-    # existence IS completeness, but on a copy-rename store (S3-style
-    # rename = copy file-by-file + delete) the sentinel — first in name
-    # order — can land while data files are still copying; a crash then
-    # leaves a TORN v= dir that looks claimed.  Verifying the manifest
-    # against the destination listing before the pointer flip turns
-    # that silent-torn window into an explicit raise.  NOTE the
-    # concurrent-publisher guarantee still REQUIRES atomic rename
-    # (copy-"rename" onto an existing dir merges contents instead of
-    # nesting — two racers could interleave into one dir); on
-    # copy-rename stores run a single publisher per root.
+    new_v = _claim_publish(spark, root, stage, stage_name, uid)
+    _flip_latest(spark, root, new_v)
+    if keep_last is not None:
+        for v in snapshot_versions(spark, root)[:-keep_last]:
+            if v != new_v:
+                fs.delete(hp(f"{root}/v={v}"), True)
+    return new_v
+
+
+def _claim_publish(
+    spark: SparkSession, root: str, stage: str, stage_name: str, uid: str
+) -> int:
+    """The CLAIM-RENAME version publish shared by every snapshot writer
+    (r15: factored out of write_snapshot so compact_snapshot retires the
+    last direct-to-``v=N`` write path).  ``stage`` must be a complete
+    staged version dir named ``{root}/{stage_name}``; returns the
+    version number the stage landed on.  The pointer is NOT flipped —
+    that stays the caller's commit.
+
+    The sentinel carries the stage's FULL relative file manifest (r15,
+    ADVICE posture item): on an atomic-rename store the claim's
+    existence IS completeness, but on a copy-rename store (S3-style
+    rename = copy file-by-file + delete) the sentinel — first in name
+    order — can land while data files are still copying; a crash then
+    leaves a TORN v= dir that looks claimed.  Verifying the manifest
+    against the destination listing before returning turns that
+    silent-torn window into an explicit raise.  NOTE the
+    concurrent-publisher guarantee still REQUIRES atomic rename
+    (copy-"rename" onto an existing dir merges contents instead of
+    nesting — two racers could interleave into one dir); on copy-rename
+    stores run a single publisher per root."""
+    fs, _, jvm = _fs_for(spark, root)
+    hp = jvm.org.apache.hadoop.fs.Path
     manifest = _rel_files(fs, hp, stage)
     out = fs.create(hp(f"{stage}/_PUB_{uid}"), True)
     out.write(bytearray("\n".join(manifest).encode("utf-8")))
@@ -859,7 +880,7 @@ def write_snapshot(
                     f"orphan and re-publish (single-publisher only on "
                     f"copy-rename stores)"
                 )
-            break  # v=new_v is OURS and complete
+            return new_v  # v=new_v is OURS and complete
         nested = f"{dst}/{stage_name}"
         if fs.exists(hp(f"{nested}/_PUB_{uid}")):
             # a racer owns new_v and Hadoop nested our stage inside its
@@ -885,12 +906,6 @@ def write_snapshot(
         else:
             err_streak = 0
         new_v += 1
-    _flip_latest(spark, root, new_v)
-    if keep_last is not None:
-        for v in snapshot_versions(spark, root)[:-keep_last]:
-            if v != new_v:
-                fs.delete(hp(f"{root}/v={v}"), True)
-    return new_v
 
 
 def _rel_files(fs, hp, base: str) -> list[str]:
@@ -1017,16 +1032,19 @@ def compact_snapshot(
     the two, the maintenance pass a snapshot warehouse runs at every
     maintenance window.
 
-    Protocol: resolve the ``_LATEST`` version, compact its files into the
-    NEXT version directory ``v=N+1`` (a rewrite of the same rows into
-    size-targeted files — no logical change), then flip ``_LATEST`` via
-    the same tmp-write + rename commit ``write_snapshot`` uses.  Readers
-    concurrent with the compaction resolve either v=N (pre-flip) or
-    v=N+1 (post-flip) — both complete, identical tables; a crash before
-    the flip leaves ``_LATEST`` on v=N with only an orphan v=N+1
-    directory, collected by ``vacuum_snapshots`` (re-running compaction
-    also overwrites it).  Old versions remain for time travel; expire
-    with ``write_snapshot``'s ``keep_last`` on the next publish or
+    Protocol (r15: unified onto the claim-rename publish — this was the
+    last direct-to-``v=N`` writer): resolve the ``_LATEST`` version,
+    compact its files into a uid-suffixed ``v.stage.*`` dir (a rewrite
+    of the same rows into size-targeted files — no logical change),
+    claim a version through :func:`_claim_publish` (racing publishers
+    serialize onto distinct complete versions instead of clobbering),
+    then flip the pointer.  Readers concurrent with the compaction
+    resolve either v=N (pre-claim/flip) or the new version (post-flip) —
+    both complete, identical tables; a crash BEFORE the claim leaves
+    only ``v.stage.*`` debris (vacuum's TTL sweep), a crash between
+    claim and flip leaves an orphan version ``vacuum_snapshots``
+    collects.  Old versions remain for time travel; expire with
+    ``write_snapshot``'s ``keep_last`` on the next publish or
     ``vacuum_snapshots`` outside one.
 
     Returns ``compact_parquet``'s stats plus ``{"from_version", "version"}``.
@@ -1035,19 +1053,28 @@ def compact_snapshot(
     if not versions:
         raise ValueError(f"no snapshot versions under {root}")
     cur_v = _read_latest_version(spark, root)
-    new_v = max(versions) + 1
-    stats = compact_parquet(
-        spark, f"{root}/v={cur_v}", f"{root}/v={new_v}", target_file_bytes
-    )
+    # r15: compaction publishes through the SAME claim-rename protocol
+    # as write_snapshot (this was the last direct-to-``v=N`` writer) —
+    # the compacted rewrite stages under a uid dir, so a crashed
+    # compaction leaves vacuum-sweepable ``v.stage.*`` debris instead of
+    # a partial version dir, and a compaction racing a publisher
+    # serializes onto a distinct complete version instead of clobbering.
+    import uuid
+
+    uid = uuid.uuid4().hex[:8]
+    stage_name = f"v.stage.{uid}"
+    stage = f"{root}/{stage_name}"
+    stats = compact_parquet(spark, f"{root}/v={cur_v}", stage, target_file_bytes)
     # manifests refreshed at commit (r10): compaction changes the file set,
     # so zone maps AND Bloom filters must be rebuilt on the NEW version
     # before the flip — this is also how a Bloom table streaming-appended
     # into many small files gets its periodic rewrite: compaction rebuilds
     # the per-file filters over the merged files as part of the same commit
     if zonemap_cols:
-        build_zonemap(spark, f"{root}/v={new_v}", zonemap_cols)
+        build_zonemap(spark, stage, zonemap_cols)
     if bloom_cols:
-        build_bloom_manifest(spark, f"{root}/v={new_v}", bloom_cols)
+        build_bloom_manifest(spark, stage, bloom_cols)
+    new_v = _claim_publish(spark, root, stage, stage_name, uid)
     _flip_latest(spark, root, new_v)
     return {**stats, "from_version": cur_v, "version": new_v}
 

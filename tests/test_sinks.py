@@ -710,11 +710,21 @@ def test_snapshot_zonemap_default_pruned_reads_and_compact_refresh(spark, tmp_pa
     assert stats["version"] == 2
     zm2 = spark.read.parquet(f"{root}/v=2/_zonemap")
     files2 = {r["file"] for r in zm2.select("file").collect()}
-    assert all("/v=2/" in f for f in files2)  # manifest points at NEW files
+    # r15: compaction stages + claim-renames like write_snapshot, so the
+    # manifest records the NEW (compacted) file set by table-relative
+    # identity — recorded paths predate the rename and resolve through
+    # _table_suffix at read time, same as every staged publish
+    v2_names = {
+        sinks._table_suffix(f"{root}/v=2", f)
+        for f in spark.read.parquet(f"{root}/v=2").inputFiles()
+    }
+    assert {sinks._table_suffix(f"{root}/v=2", f) for f in files2} == v2_names
     pruned2 = sinks.read_snapshot_pruned(spark, root, "value", 100.0, 120.0)
     assert sorted(r["k"] for r in pruned2.collect()) == sorted(
         r["k"] for r in full.collect()
     )
+    # the pruned read really resolves against v=2's files
+    assert all("/v=2/" in f for f in pruned2.inputFiles())
     # compact_parquet's size math must not have counted the v=1 manifest
     assert stats["in_files"] == n_files
 
