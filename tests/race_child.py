@@ -120,6 +120,35 @@ def main() -> None:
         rows = sorted(tuple(r) for r in served.collect())
         print("RESULT", len(rows), hashlib.md5(str(rows).encode()).hexdigest())
         print("VERSION", v)
+    elif mode == "compact_vs_publish":
+        # r15: compact_snapshot now publishes through the same
+        # claim-rename protocol as write_snapshot — a compaction racing
+        # a publisher must serialize onto distinct complete versions
+        # instead of clobbering (the old direct-to-v=N compact could
+        # overwrite a racer's committed dir).  pid 0 publishes fresh
+        # content three times; pid 1 compacts whatever version is
+        # current.  Both must succeed; the parent asserts every
+        # committed version is complete and the pointer serves.
+        import os as _os
+        import tempfile
+
+        from msgraphdatapipelines_spark import sinks
+
+        root = _os.path.join(tempfile.gettempdir(), "race_cvp_root")
+        df = (
+            spark.read.parquet(f"{shared}/orders.parquet")
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        if pid == "0":
+            vs = [sinks.write_snapshot(df, root) for _ in range(3)]
+            print("RESULT published", *vs)
+        else:
+            outs = []
+            for _ in range(2):
+                outs.append(sinks.compact_snapshot(spark, root)["version"])
+                time.sleep(0.2)
+            print("RESULT compacted", *outs)
     elif mode == "zonemap":
         # r14 (r13 VERDICT item 4): two refreshers race refresh_zonemap
         # on one shared zone-mapped table (parent pre-appended files the

@@ -998,3 +998,68 @@ def test_race_rebalance_vs_append_two_processes(tmp_path, monkeypatch, spark):
         if d.startswith(("batches.stage.", "batches.old."))
     ]
     assert debris == [], debris
+
+
+def test_race_compact_vs_publish_two_processes(tmp_path, spark):
+    """r15: compact_snapshot racing write_snapshot on one shared root —
+    both now publish through the claim-rename protocol, so they must
+    serialize onto DISTINCT complete versions (the old direct-to-v=N
+    compact could clobber a racer's committed dir).  Pins: both
+    processes succeed, every committed version carries its claim
+    sentinel and serves the same aggregate row-set, the pointer resolves
+    to the max, and no v.stage debris survives beyond vacuum."""
+    import tempfile
+
+    from msgraphdatapipelines_spark import sinks
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    shutil.copyfile(
+        "/root/testdata/sf0.001/orders.parquet", str(sf / "orders.parquet")
+    )
+    artdir = tmp_path / "artifacts"
+    artdir.mkdir(exist_ok=True)
+    # seed version 1 so the compactor has something to compact at start
+    import os as _os
+
+    env_root = _os.path.join(str(artdir), "race_cvp_root")
+    df = (
+        spark.read.parquet(f"{sf}/orders.parquet")
+        .groupBy("o_orderstatus")
+        .count()
+    )
+    import tempfile as _tf
+
+    old_tmp = _tf.tempdir
+    _tf.tempdir = str(artdir)
+    try:
+        sinks.write_snapshot(df, env_root)
+    finally:
+        _tf.tempdir = old_tmp
+
+    _race("compact_vs_publish", str(sf), tmp_path, expect_equal=False)
+
+    _tf.tempdir = str(artdir)
+    try:
+        versions = sinks.snapshot_versions(spark, env_root)
+        cur = sinks._read_latest_version(spark, env_root)
+        assert cur == max(versions)
+        want = sorted(tuple(r) for r in df.collect())
+        for v in versions:
+            vdir = f"{env_root}/v={v}"
+            names = _os.listdir(vdir)
+            assert any(n.startswith("_PUB_") for n in names), (
+                f"v={v} lacks its claim sentinel: {names}"
+            )
+            got = sorted(
+                tuple(r) for r in spark.read.parquet(vdir).collect()
+            )
+            assert got == want, f"v={v} serves different content"
+        # 1 seed + 3 publishes + 2 compacts = 6 distinct versions
+        assert len(versions) == 6, versions
+        out = sinks.vacuum_snapshots(spark, env_root, keep_last=2, stage_ttl_s=0.0)
+        assert not [
+            d for d in _os.listdir(env_root) if d.startswith("v.stage.")
+        ]
+    finally:
+        _tf.tempdir = old_tmp
