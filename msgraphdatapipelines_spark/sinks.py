@@ -1499,6 +1499,13 @@ def forget_keys(
     history is erased, so concurrent readers never lose their table;
     single-publisher window like every maintenance op here.
 
+    COMPLETE ERASURE is a family affair — after scrubbing the table,
+    also forget from every DERIVED surface: the standing indexes
+    (``dedup.prefix_index_forget`` / ``text.lexicon_forget`` /
+    ``similarity.ann_index_forget``) and the result-reuse layer
+    (``cache.result_cache_forget(root)`` — cached results built from
+    this table retain the erased rows until targeted, r15).
+
     Standing artifacts (ANN index / lexicon / zone-map layouts) derived
     from the table need NO in-place scrub: they are rebuildable caches
     keyed on the source fingerprint — the scrubbed table mints a new
