@@ -90,6 +90,24 @@ def result_cache_root(fingerprint: str, base_dir: str | None = None) -> str:
     return os.path.join(base_dir or tempfile.gettempdir(), f"msgdp_rc_{fingerprint}")
 
 
+def _canon_input(spark: SparkSession, p: str) -> str:
+    """Canonical spelling of a provenance path (r16, ADVICE): qualify
+    through ``fs.makeQualified(Path(p))`` so ``file:/t/x``, ``/t/x``,
+    relative, and trailing-slash spellings all compare equal — an
+    erasure match in a compliance path must not depend on how the
+    builder happened to spell the input (``os.path.normpath`` alone
+    mangles ``scheme://`` prefixes and misses scheme-vs-plain pairs).
+    Falls back to ``os.path.abspath`` if the path can't be qualified
+    (malformed URI in an old meta record — still better than keeping)."""
+    from .sinks import _fs_for
+
+    try:
+        fs, hp, _ = _fs_for(spark, p)
+        return fs.makeQualified(hp).toString()
+    except Exception:  # noqa: BLE001 — unparseable recorded path
+        return os.path.abspath(p)
+
+
 def serve_cached(
     spark: SparkSession,
     df: DataFrame,
@@ -149,7 +167,7 @@ def serve_cached(
             out.write(
                 bytearray(
                     json.dumps(
-                        {"inputs": sorted(os.path.normpath(p) for p in inputs)}
+                        {"inputs": sorted(_canon_input(spark, p) for p in inputs)}
                     ).encode("utf-8")
                 )
             )
@@ -201,7 +219,11 @@ def result_cache_forget(
     from .sinks import _fs_for
 
     base = base_dir or tempfile.gettempdir()
-    target = os.path.normpath(input_path)
+    # canonicalize BOTH sides through makeQualified (r16, ADVICE): an
+    # entry recorded with an equivalent but differently-spelled input
+    # (file:/… vs plain, relative vs absolute) must still match — a
+    # missed erasure here is a compliance failure, not a cache miss
+    target = _canon_input(spark, input_path)
     fs, bp, jvm = _fs_for(spark, base)
     hpath = jvm.org.apache.hadoop.fs.Path
     removed, kept = [], []
@@ -221,8 +243,10 @@ def result_cache_forget(
             finally:
                 stream.close()
             matches = any(
-                p == target or p.startswith(target + os.sep)
-                for p in meta.get("inputs", [])
+                q == target or q.startswith(target.rstrip("/") + "/")
+                for q in (
+                    _canon_input(spark, p) for p in meta.get("inputs", [])
+                )
             )
         if matches:
             fs.delete(st.getPath(), True)

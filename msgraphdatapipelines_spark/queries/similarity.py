@@ -1364,6 +1364,7 @@ def ann_rebalance_if_skewed(
     dim: int = DIM,
     _test_hook_before_commit=None,
     _test_hook_before_swap=None,
+    _test_hook_after_sweep=None,
 ) -> dict:
     """AUTOMATED IVF rebalance (r13, r12 VERDICT item 2): the action the
     ``ann_index_list_stats`` occupancy monitor and
@@ -1377,6 +1378,21 @@ def ann_rebalance_if_skewed(
     ``max_share_ratio`` × the uniform share (n/k), the coarse quantizer
     no longer reflects the data and probes concentrate.  Below the
     threshold this is a pure monitor call: stats dict, no writes.
+
+    CALLER CONTRACT for ``vectors`` (r16, ADVICE): the frame must cover
+    every batch present in ``{root}/batches`` at the moment of THIS
+    call — build it (e.g. via ``read_ann_index`` + decode, or the
+    upstream corpus the appends came from) immediately before invoking.
+    Two safety nets close the destroy-a-lost-append windows anyway:
+    batch dirs that appear AFTER the entry capture are folded verbatim
+    into the new generation (name-diff salvage, r15), and any live cid
+    present in the OLD generation's resolved view but absent from the
+    new one and the erasure manifest is re-assigned and folded back
+    (cid-diff salvage, r16), and a cid the old generation last saw as a
+    TOMBSTONE that the stale frame resurrected gets its deletion
+    re-issued above the new generation (tombstone carry-forward, r16) —
+    so a stale frame costs at most a stale ENCODING for cids it carried
+    old values for, never a lost row and never an undeleted delete.
 
     Retrain + republish (under the shared ``genstore`` compaction lease,
     so rebalances serialize and appenders using the same discipline can
@@ -1436,9 +1452,11 @@ def ann_rebalance_if_skewed(
     from .. import genstore as _gs
     from .. import sinks
     from ..streaming.ann_stream import (
+        _write_json_path_atomic,
         compact_ann_index,
         read_ann_index,
         recover_batches,
+        resolve_batches_models,
         write_batches_models,
     )
 
@@ -1548,6 +1566,30 @@ def ann_rebalance_if_skewed(
         # so any stage/old dir is a crashed sibling's leftovers — a
         # mid-swap crash is completed first (recover), the rest deleted
         recover_batches(spark, root)
+        # r16 (ADVICE): before sweeping a crashed sibling's STAGE
+        # debris, stamp the surviving batches dir with the models it
+        # resolves to right now (with debris present the resolver keeps
+        # the crash-window answer — bootstrap).  Without this, sweeping
+        # the debris and then dying pre-publish leaves (unstamped
+        # batches + models.v{N}.json + NO debris) — exactly the
+        # legacy-root signature, and the next resolve would mispair the
+        # retrained models onto bootstrap-encoded rows.  Stamped, an
+        # unstamped dir beside versioned models can only mean a genuine
+        # pre-r14 root.
+        if fs.exists(hpath(f"{root}/batches")) and not fs.exists(
+            hpath(f"{root}/batches/_MODELS")
+        ):
+            if any(
+                st.isDirectory()
+                and st.getPath().getName().startswith("batches.stage.")
+                for st in fs.listStatus(hpath(root))
+            ):
+                _write_json_path_atomic(
+                    fs,
+                    hpath,
+                    f"{root}/batches/_MODELS",
+                    resolve_batches_models(spark, root),
+                )
         for st in fs.listStatus(hpath(root)):
             nm = st.getPath().getName()
             if st.isDirectory() and (
@@ -1563,6 +1605,11 @@ def ann_rebalance_if_skewed(
                 )
             ):
                 fs.delete(st.getPath(), True)
+        if _test_hook_after_sweep is not None:
+            # the mid-retrain window the r16 stamp protects: debris
+            # swept, our own stage not yet written — a crash here shows
+            # (batches + models.v{N}.json + NO debris) to the resolver
+            _test_hook_after_sweep()
         # version 0 = stream-owned root that has never compacted to a
         # snapshot (init_ann_stream_root bootstrap): models come from
         # the bootstrap models.json and the retrain publishes v=1
@@ -1718,6 +1765,55 @@ def ann_rebalance_if_skewed(
         # batch_ids are kept (stream ids are monotonic and > the
         # stage's 0, preserving last-write-wins order); tombstones
         # (cent < 0) pass through untouched.
+        def _fold_reassign(live_df, meta):
+            # PQ code travels VERBATIM; only `cent` is re-assigned from
+            # the PQ reconstruction (the raw vector is gone; the
+            # reconstruction is its quantized stand-in, so the
+            # re-assignment differs from the raw vector's only within
+            # quantization error — a recall nuance, never a wrong
+            # distance, since ADC scores the untouched code).  Meta
+            # types are cast to the retrained stage's exactly (the
+            # appender matched the OLD dir's types; a widening drift
+            # like int→long across batch dirs breaks parquet reads
+            # whose inferred schema lands on the narrow side).
+            recon = live_df.select(
+                "cid",
+                S.pq_reconstruct_expr(F.col("code"), books).alias("_recon"),
+                "code",
+                *[F.col(mc) for mc in meta],
+            )
+            assigned = (
+                S.ivf_pq_index(
+                    recon.drop("code"), "cid", "_recon", cents, books,
+                    dim=dim, meta_cols=meta,
+                )
+                .drop("code")
+                .join(recon.select("cid", "code"), "cid")
+                .select("cid", "cent", "code", *meta)
+            )
+            return assigned.select(
+                "cid",
+                "cent",
+                "code",
+                *[
+                    F.col(mc).cast(vectors.schema[mc].dataType).alias(mc)
+                    if mc in vectors.columns
+                    else F.col(mc)
+                    for mc in meta
+                ],
+            )
+
+        def _next_batch_target() -> str:
+            mx = max(
+                (
+                    int(st.getPath().getName().split("=", 1)[1])
+                    for st in fs.listStatus(hpath(f"{root}/batches"))
+                    if st.getPath().getName().startswith("batch_id=")
+                ),
+                default=0,
+            )
+            return f"batch_id={mx + 1}"
+
         salvaged = 0
         if fs.exists(hpath(old)):
             lost = sorted(
@@ -1731,57 +1827,137 @@ def ann_rebalance_if_skewed(
                 meta = tuple(
                     c for c in bdf.columns if c not in ("cid", "cent", "code")
                 )
-                live = bdf.filter(F.col("cent") >= 0)
-                recon = live.select(
-                    "cid",
-                    S.pq_reconstruct_expr(F.col("code"), books).alias("_recon"),
-                    "code",
-                    *[F.col(mc) for mc in meta],
-                )
-                assigned = (
-                    S.ivf_pq_index(
-                        recon.drop("code"), "cid", "_recon", cents, books,
-                        dim=dim, meta_cols=meta,
-                    )
-                    .drop("code")
-                    .join(recon.select("cid", "code"), "cid")
-                    .select("cid", "cent", "code", *meta)
-                )
-                out_df = assigned.unionByName(
+                out_df = _fold_reassign(
+                    bdf.filter(F.col("cent") >= 0), meta
+                ).unionByName(
+                    # tombstones (cent < 0) pass through untouched —
+                    # cast like the live rows so the union stays aligned
                     bdf.filter(F.col("cent") < 0).select(
-                        "cid", "cent", "code", *meta
+                        "cid",
+                        "cent",
+                        "code",
+                        *[
+                            F.col(mc).cast(vectors.schema[mc].dataType).alias(mc)
+                            if mc in vectors.columns
+                            else F.col(mc)
+                            for mc in meta
+                        ],
                     )
-                )
-                # meta types must match the retrained stage exactly (the
-                # appender matched the OLD dir's types; a widening drift
-                # like int→long across batch dirs breaks parquet reads
-                # whose inferred schema lands on the narrow side)
-                out_df = out_df.select(
-                    "cid",
-                    "cent",
-                    "code",
-                    *[
-                        F.col(mc).cast(vectors.schema[mc].dataType).alias(mc)
-                        if mc in vectors.columns
-                        else F.col(mc)
-                        for mc in meta
-                    ],
                 )
                 target = name
                 if fs.exists(hpath(f"{root}/batches/{target}")):
-                    mx = max(
-                        (
-                            int(st.getPath().getName().split("=", 1)[1])
-                            for st in fs.listStatus(hpath(f"{root}/batches"))
-                            if st.getPath().getName().startswith("batch_id=")
-                        ),
-                        default=0,
-                    )
-                    target = f"batch_id={mx + 1}"
+                    target = _next_batch_target()
                 out_df.write.mode("overwrite").parquet(
                     f"{root}/batches/{target}"
                 )
                 salvaged += 1
+            # CID-DIFF SALVAGE (r16, ADVICE): the entry capture vouches
+            # only for batches that appeared AFTER it — a batch committed
+            # between the caller building `vectors` and this invocation
+            # is in captured_batches yet absent from the retrained
+            # stage, and the name-diff alone would destroy it.  Close
+            # the window at cid granularity: any LIVE cid in the old
+            # generation's resolved view absent from BOTH the new
+            # batches dir and the erasure manifest is a lost append —
+            # fold those rows back through the same re-assignment.
+            # Cost: one cid anti-join over two frames the rebalance
+            # already scanned, marginal next to the retrain's k-means
+            # passes; erased cids stay excluded (never resurrected).
+            import functools
+
+            from pyspark.sql import Window as _Win
+
+            # per-batch reads with per-column casts to the retrained
+            # stage's meta types: one whole-dir read would trip on the
+            # appender-era dtype drift across batch dirs (e.g. int vs
+            # long label footers) that the fold's cast exists to absorb
+            keep_meta = [mc for mc in meta_cols if mc in vectors.columns]
+            parts = []
+            for st in fs.listStatus(hpath(old)):
+                nm = st.getPath().getName()
+                if not nm.startswith("batch_id="):
+                    continue
+                b = spark.read.parquet(f"{old}/{nm}")
+                parts.append(
+                    b.select(
+                        "cid",
+                        "cent",
+                        "code",
+                        *[
+                            F.col(mc).cast(vectors.schema[mc].dataType).alias(mc)
+                            if mc in b.columns
+                            else F.lit(None)
+                            .cast(vectors.schema[mc].dataType)
+                            .alias(mc)
+                            for mc in keep_meta
+                        ],
+                        F.lit(int(nm.split("=", 1)[1])).alias("batch_id"),
+                    )
+                )
+            if parts:
+                new_view_cids = read_ann_index(
+                    spark, f"{root}/batches"
+                ).select("cid")
+                old_ranked = (
+                    functools.reduce(lambda a, c: a.unionByName(c), parts)
+                    .withColumn(
+                        "__rn",
+                        F.row_number().over(
+                            _Win.partitionBy("cid").orderBy(F.desc("batch_id"))
+                        ),
+                    )
+                    .filter(F.col("__rn") == 1)
+                )
+                lost_rows = (
+                    old_ranked.filter(F.col("cent") >= 0)
+                    .drop("__rn", "batch_id")
+                    .join(new_view_cids, "cid", "left_anti")
+                )
+                if fs.exists(hpath(f"{root}/_forgotten")):
+                    lost_rows = lost_rows.join(
+                        F.broadcast(
+                            spark.read.option("recursiveFileLookup", "true")
+                            .parquet(f"{root}/_forgotten")
+                            .select("cid")
+                        ),
+                        "cid",
+                        "left_anti",
+                    )
+                lost_n = lost_rows.count()
+                if lost_n:
+                    _fold_reassign(lost_rows, tuple(keep_meta)).write.mode(
+                        "overwrite"
+                    ).parquet(f"{root}/batches/{_next_batch_target()}")
+                    out["salvaged_rows"] = lost_n
+                # DELETION CARRY-FORWARD (r16): the mirror hazard — a
+                # cid whose LATEST old-generation record is a tombstone,
+                # which the caller's stale frame still carried ALIVE
+                # into the retrained stage.  Re-issue the tombstone with
+                # a batch id above everything in the new generation so
+                # last-write-wins keeps the deletion (a delete committed
+                # to the index must survive a rebalance regardless of
+                # caller staleness).
+                tomb_cids = (
+                    old_ranked.filter(F.col("cent") < 0)
+                    .select("cid")
+                    .join(new_view_cids, "cid", "left_semi")
+                )
+                tomb_n = tomb_cids.count()
+                if tomb_n:
+                    tomb_cids.select(
+                        "cid",
+                        F.lit(-1).alias("cent"),
+                        F.array().cast("array<int>").alias("code"),
+                        *[
+                            F.lit(None)
+                            .cast(vectors.schema[mc].dataType)
+                            .alias(mc)
+                            for mc in keep_meta
+                        ],
+                    ).write.mode("overwrite").parquet(
+                        f"{root}/batches/{_next_batch_target()}"
+                    )
+                    out["tombstones_carried"] = tomb_n
         fs.delete(hpath(old), True)
         if salvaged:
             out["salvaged_batches"] = salvaged

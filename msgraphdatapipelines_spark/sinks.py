@@ -869,8 +869,14 @@ def _claim_publish(
         if fs.exists(hp(f"{dst}/_PUB_{uid}")):
             # claim landed — verify completeness before the flip (a
             # no-op set-compare on atomic stores; the torn-copy catch
-            # on copy-rename stores)
-            have = set(_rel_files(fs, hp, dst))
+            # on copy-rename stores).  Tolerant walk (r16, ADVICE): a
+            # LOSING racer whose rename nested its ``*.stage.*`` dir
+            # inside our committed dst may be renaming it back out
+            # while we list — skip stage-named subdirs (never in our
+            # manifest; our stage holds data files, not nested stages)
+            # and tolerate entries vanishing mid-walk, so the verify
+            # can't fail a publish whose version dir actually committed.
+            have = set(_rel_files(fs, hp, dst, tolerant=True))
             missing = [f for f in manifest if f not in have]
             if missing:
                 raise OSError(
@@ -908,17 +914,34 @@ def _claim_publish(
         new_v += 1
 
 
-def _rel_files(fs, hp, base: str) -> list[str]:
+def _rel_files(fs, hp, base: str, tolerant: bool = False) -> list[str]:
     """Sorted relative paths of every FILE under ``base`` (recursive) —
     the claim sentinel's completeness manifest (r15).  One driver-side
-    listing, the same planning class as the manifest collect."""
+    listing, the same planning class as the manifest collect.
+
+    ``tolerant`` (r16, ADVICE): used for the POST-claim verify walk,
+    where a concurrent losing publisher may still be pulling its nested
+    ``*.stage.*`` dir back out of our committed version dir — stage-named
+    subdirs are skipped (they are never part of the walker's own
+    manifest) and a subdir vanishing between listing and descent is
+    treated as absent rather than raising, so a transient racer can't
+    fail a publish that actually committed.  The manifest-build walk
+    stays strict (a listing error there IS a real store error)."""
     out: list[str] = []
     stack = [(base, "")]
     while stack:
         d, prefix = stack.pop()
-        for st in fs.listStatus(hp(d)):
+        try:
+            entries = list(fs.listStatus(hp(d)))
+        except Exception as e:  # noqa: BLE001 — Py4J-wrapped Java IO errors
+            if tolerant and "FileNotFoundException" in str(e):
+                continue  # racer pulled this subtree out mid-walk
+            raise
+        for st in entries:
             name = st.getPath().getName()
             if st.isDirectory():
+                if tolerant and ".stage." in name:
+                    continue  # a racer's nested stage — not ours
                 stack.append((f"{d}/{name}", f"{prefix}{name}/"))
             else:
                 out.append(f"{prefix}{name}")

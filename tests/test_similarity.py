@@ -1628,3 +1628,134 @@ def test_pq_reconstruct_roundtrip_stable(spark):
         .collect()
     )
     assert joined and all(r["same"] for r in joined)
+
+
+def test_ann_rebalance_cid_salvage_for_stale_caller_frame(spark, sf_dir, tmp_path):
+    """r16 (ADVICE): the r15 name-diff salvage vouches only for batches
+    appearing AFTER the rebalance's entry capture — a batch committed
+    between the caller building its `vectors` frame and the invocation
+    is in captured_batches yet absent from the retrained stage, and was
+    still destroyed.  The cid-diff salvage closes it: any LIVE cid in
+    the old generation's resolved view absent from both the new batches
+    dir and the erasure manifest is folded back (code verbatim, cent
+    re-assigned).  Mirror hazard pinned too: a cid the old generation
+    last saw as a TOMBSTONE that the stale frame carried alive gets its
+    deletion re-issued (tombstone carry-forward)."""
+    from msgraphdatapipelines_spark.operators import similarity as S2
+    from msgraphdatapipelines_spark.queries.similarity import (
+        ann_rebalance_if_skewed,
+    )
+    from msgraphdatapipelines_spark.streaming.ann_stream import (
+        read_ann_index,
+        resolve_batches_models,
+    )
+
+    my_sf, root, emb_full = _rebal_fixture(spark, sf_dir, tmp_path)
+    # emb_full was built HERE — everything after this line is "after the
+    # caller built its frame".  Commit a batch the frame doesn't cover
+    # (50 new cids + a tombstone for cid 0, which emb_full still holds
+    # alive), BEFORE invoking the rebalance: it lands in the entry
+    # capture, so the name-diff alone would never fold it.
+    late = spark.createDataFrame(
+        [(910000 + i, [float((i * 5 + j) % 11) / 11.0 for j in range(64)], 4)
+         for i in range(50)],
+        "vec_id long, embedding array<double>, label long",
+    )
+    m = resolve_batches_models(spark, root)
+    cents_cur = [(int(c), v) for c, v in m["centroids"]]
+    rows = S2.ivf_pq_index(
+        late, "vec_id", "embedding", cents_cur, m["codebooks"],
+        dim=64, meta_cols=("label",),
+    )
+    tomb = spark.createDataFrame([(0,)], "cid long").select(
+        "cid", F.lit(-1).alias("cent"),
+        F.expr("array()").cast("array<int>").alias("code"),
+        F.lit(None).cast("long").alias("label"),
+    )
+    rows.unionByName(tomb).write.parquet(f"{root}/batches/batch_id=2")
+
+    stats = ann_rebalance_if_skewed(spark, root, emb_full)
+    assert stats["retrained"] is True
+    assert "salvaged_batches" not in stats, (
+        "batch_id=2 was in the entry capture — the name-diff must not fire"
+    )
+    assert stats.get("salvaged_rows") == 50, "stale-frame append was destroyed"
+    assert stats.get("tombstones_carried") == 1, (
+        "the stale frame resurrected a committed deletion"
+    )
+    view = read_ann_index(spark, f"{root}/batches")
+    assert view.filter(F.col("cid") >= 910000).count() == 50
+    assert view.filter(F.col("cid") == 0).count() == 0, (
+        "tombstone carry-forward must keep cid 0 deleted"
+    )
+    # salvaged rows are cent-consistent with the retrained quantizer and
+    # their PQ codes traveled verbatim
+    m2 = resolve_batches_models(spark, root)
+    got_late = view.filter(F.col("cid") >= 910000)
+    valid = {int(c) for c, _ in m2["centroids"]}
+    assert {r["cent"] for r in got_late.select("cent").distinct().collect()} <= valid
+    want = {
+        (r["cid"], tuple(r["code"]))
+        for r in S2.pq_encode(late, "vec_id", "embedding", m2["codebooks"], dim=64)
+        .collect()
+    }
+    got = {(r["cid"], tuple(r["code"])) for r in got_late.select("cid", "code").collect()}
+    assert got == want
+
+
+def test_rebalance_debris_sweep_stamps_before_delete(spark, sf_dir, tmp_path):
+    """r16 (ADVICE): a rebalance that sweeps a crashed sibling's
+    ``batches.stage.*`` debris and then itself dies pre-publish used to
+    leave (unstamped bootstrap batches + models.v{N}.json + NO debris) —
+    the legacy-root signature, so the next resolve mispaired retrained
+    models onto bootstrap rows.  The sweep now stamps the surviving dir
+    with its currently-resolved (bootstrap) models BEFORE deleting the
+    debris, so an unstamped dir beside versioned models can only mean a
+    genuine pre-r14 root."""
+    import json
+    import os
+
+    from msgraphdatapipelines_spark.queries.similarity import (
+        ann_rebalance_if_skewed,
+    )
+    from msgraphdatapipelines_spark.streaming.ann_stream import (
+        resolve_batches_models,
+    )
+
+    my_sf, root, emb_full = _rebal_fixture(spark, sf_dir, tmp_path)
+    boot = resolve_batches_models(spark, root)
+    assert not os.path.exists(f"{root}/batches/_MODELS")
+    # crashed sibling: post-flip pre-swap — versioned models on disk,
+    # retrained stage debris beside the still-bootstrap batches dir.
+    # (A fake v2 with a distinctive k so mispairing is detectable.)
+    fake = {"centroids": [[i, [0.0] * 64] for i in range(7)],
+            "codebooks": boot["codebooks"], "retrained": True}
+    with open(f"{root}/models.v2.json", "w") as fh:
+        json.dump(fake, fh)
+    os.makedirs(f"{root}/batches.stage.deadcafe/batch_id=0", exist_ok=True)
+
+    # this rebalance dies right after the sweep, before its commit
+    class _Die(Exception):
+        pass
+
+    def die():
+        raise _Die
+
+    try:
+        ann_rebalance_if_skewed(
+            spark, root, emb_full, _test_hook_after_sweep=die
+        )
+        raise AssertionError("hook should have aborted the rebalance")
+    except _Die:
+        pass
+    assert not any(
+        n.startswith("batches.stage.") for n in os.listdir(root)
+    ), "sweep should have collected the sibling's stage debris"
+    # the killed window: no debris, versioned models present — the stamp
+    # written by the sweep must keep the resolver on the bootstrap answer
+    assert os.path.exists(f"{root}/batches/_MODELS")
+    got = resolve_batches_models(spark, root)
+    assert len(got["centroids"]) == len(boot["centroids"]), (
+        "resolver mispaired the crashed sibling's versioned models onto "
+        "the bootstrap-encoded batches dir"
+    )

@@ -1727,3 +1727,113 @@ def test_result_cache_forget_reaches_cached_entries(spark, tmp_path):
 
     # rebuild after forget re-derives from current inputs
     assert cache.serve_cached(spark, qb(), [src_b], base_dir=base).first()["s"] == 435
+
+
+def test_result_cache_forget_matches_differently_spelled_inputs(spark, tmp_path):
+    """r16 (ADVICE): provenance matching used to string-compare
+    os.path.normpath'd paths, so an entry built with an equivalent but
+    differently-spelled input (scheme-qualified ``file:/…`` vs plain,
+    ``/a/./b`` vs ``/a/b``) was silently KEPT — a missed erasure in a
+    compliance-critical path.  Both sides now canonicalize through
+    ``fs.makeQualified`` before comparing."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from msgraphdatapipelines_spark import cache
+
+    base = str(tmp_path / "rc2")
+    src = str(tmp_path / "tbl")
+    spark.range(20).select(F.col("id").alias("k")).write.parquet(src)
+
+    # build THREE entries, each recording a different spelling of the
+    # same table: scheme-qualified, dot-segment, and trailing-slash
+    spellings = [f"file://{src}", f"{tmp_path}/./tbl", src + "/"]
+    for i, sp in enumerate(spellings):
+        df = (
+            spark.read.parquet(src)
+            .agg(F.sum(F.col("k") + i).alias("s"))
+        )
+        cache.serve_cached(spark, df, [sp], base_dir=base)
+    roots = [d for d in os.listdir(base) if d.startswith("msgdp_rc_")]
+    assert len(roots) == 3
+
+    # forget with a FOURTH spelling (plain absolute) must reach all 3
+    out = cache.result_cache_forget(spark, src, base_dir=base)
+    assert len(out["removed"]) == 3, (
+        f"differently-spelled provenance silently kept: {out}"
+    )
+    assert [d for d in os.listdir(base) if d.startswith("msgdp_rc_")] == []
+
+    # and a scheme-qualified forget target reaches a plain-recorded entry
+    cache.serve_cached(
+        spark,
+        spark.read.parquet(src).agg(F.count("*").alias("n")),
+        [src],
+        base_dir=base,
+    )
+    out = cache.result_cache_forget(spark, f"file://{src}", base_dir=base)
+    assert len(out["removed"]) == 1
+
+
+def test_rel_files_tolerant_walk_skips_racer_stage(spark, tmp_path):
+    """r16 (ADVICE): _claim_publish's post-claim completeness verify
+    walks the committed v=N dir while a LOSING racer may still be
+    renaming its nested ``*.stage.*`` dir back out — the tolerant walk
+    must (a) skip stage-named subdirs (never part of our manifest) and
+    (b) treat a subtree vanishing mid-walk as absent instead of failing
+    a publish whose version dir actually committed."""
+    import os
+
+    from msgraphdatapipelines_spark import sinks
+
+    base = str(tmp_path / "v=1")
+    os.makedirs(f"{base}/sub")
+    open(f"{base}/a.parquet", "w").write("x")
+    open(f"{base}/sub/b.parquet", "w").write("y")
+    os.makedirs(f"{base}/v.stage.cafe01/nested")
+    open(f"{base}/v.stage.cafe01/junk.parquet", "w").write("z")
+
+    fs, _, jvm = sinks._fs_for(spark, base)
+    hp = jvm.org.apache.hadoop.fs.Path
+
+    strict = sinks._rel_files(fs, hp, base)
+    assert "v.stage.cafe01/junk.parquet" in strict
+    tol = sinks._rel_files(fs, hp, base, tolerant=True)
+    assert tol == ["a.parquet", "sub/b.parquet"], tol
+
+    # (b) mid-walk vanish: a fake fs whose listing of one subdir raises
+    # the Java FileNotFoundException signature — tolerant treats it as
+    # absent, strict surfaces it
+    class _FakeStatus:
+        def __init__(self, name, is_dir):
+            self._n, self._d = name, is_dir
+
+        def getPath(self):
+            return self
+
+        def getName(self):
+            return self._n
+
+        def isDirectory(self):
+            return self._d
+
+    class _FakeFS:
+        def listStatus(self, p):
+            s = str(p)
+            if s.endswith("/gone"):
+                raise RuntimeError(
+                    "java.io.FileNotFoundException: File /gone does not exist"
+                )
+            return [
+                _FakeStatus("a.parquet", False),
+                _FakeStatus("gone", True),
+            ]
+
+    got = sinks._rel_files(_FakeFS(), str, "/r", tolerant=True)
+    assert got == ["a.parquet"]
+    try:
+        sinks._rel_files(_FakeFS(), str, "/r")
+        raise AssertionError("strict walk must surface the listing error")
+    except RuntimeError:
+        pass
