@@ -1323,6 +1323,11 @@ def _ensure_compacted_prefix_index(spark: SparkSession, sf_dir: str) -> str:
     # re-freeze → fold) answers the driver with the from-scratch oracle;
     # set_similarity_join_docs_incremental rotated back in trade after its
     # green r12 graded round.  One round of demoted-gate history (r12).
+    # r16 rotation: demoted after three green graded rounds (r13-r15);
+    # the bucketed twin re-takes the driver slot and the incremental row
+    # stays graded — the PPJoin family keeps two driver rows, and this
+    # oracle stays enforced under the pytest gate.
+    demoted=True,
     oracle=_TRIGRAM_PPJOIN_ORACLE,
 )
 def set_similarity_join_docs_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1449,7 +1454,9 @@ def set_similarity_join_docs_forgotten(spark: SparkSession, sf_dir: str) -> Data
     # the incremental twin takes the driver slot back; the bucketed
     # plan's no-Exchange claim stays plan-pinned in test_plans and the
     # oracle stays enforced here.
-    demoted=True,
+    # r16 rotation: RE-promoted after its r15 demoted round (r15 VERDICT
+    # item 2); compacted demoted in trade.  Prior graded anchors: r13
+    # 2.916 s / r14 2.405 s (the ~2.4-2.9 s band stands).
     oracle=_TRIGRAM_PPJOIN_ORACLE,
 )
 def set_similarity_join_docs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:

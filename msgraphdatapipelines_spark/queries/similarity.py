@@ -2669,7 +2669,11 @@ def ann_topk_served_forgotten(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_filtered_topk_served",
-    demoted=True,  # approximate twin: ann_filtered_topk (exact) is driver-graded
+    # r16: PROMOTED to driver-graded (r15 VERDICT item 2 rotation) — the
+    # fixed-nprobe filtered serve with probe-list pushdown, long demoted
+    # history (r12-r15 green under the pytest oracle gate).
+    # ann_filtered_topk_budget (adaptive-probe twin, graded r13-r15)
+    # demoted in trade; the filtered-search family keeps a graded row.
     oracle=f"""
     WITH {_ivf_pq_filtered_ctes(k=K, nprobe=2 * NPROBE)}
     SELECT qid, cid, round(score, 6) AS score, rank FROM ivfpq_f
@@ -2802,6 +2806,10 @@ def ann_label_range_filtered_topk_served(spark: SparkSession, sf_dir: str) -> Da
     # vector search; ann_filtered_topk (exact brute baseline) demoted in
     # trade after its r11+r12 graded history.  One round of demoted-gate
     # history (r12: sf0.001 hash-strict + sf0.01 driver-strict rehearsal).
+    # r16 rotation: demoted after three green graded rounds (r13-r15);
+    # the fixed-nprobe pushdown twin ann_filtered_topk_served takes the
+    # driver slot — oracle stays enforced here under the pytest gate.
+    demoted=True,
     oracle=f"""
     WITH {_ivf_pq_filtered_ctes(k=K, nprobe=NPROBE, min_candidates=25)}
     SELECT qid, cid, round(score, 6) AS score, rank FROM ivfpq_f
