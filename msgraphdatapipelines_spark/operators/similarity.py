@@ -1540,7 +1540,7 @@ def range_filtered_ivf_pq_topk(
     centroids: list[tuple[int, list[float]]] | None = None,
     codebooks: list[list[list[float]]] | None = None,
     rerank: int = 50,
-    range_lists: DataFrame | None = None,
+    range_lists: DataFrame | list | None = None,
     index: DataFrame | None = None,
     index_pruner=None,
     dim: int = 64,
@@ -1575,14 +1575,24 @@ def range_filtered_ivf_pq_topk(
         raise ValueError("range_filtered_ivf_pq_topk requires the range_lists summary")
     if centroids is None or codebooks is None:
         raise ValueError("range_filtered_ivf_pq_topk requires trained models")
-    allowed = {
-        int(r["cent"])
-        for r in range_lists.filter(
-            (F.col("min_id") <= F.lit(hi)) & (F.col("max_id") >= F.lit(lo))
-        )
-        .select("cent")
-        .collect()
-    }
+    if isinstance(range_lists, list):
+        # pre-collected summary rows (r16, serve-path planning
+        # amortization): the interval overlap runs driver-side over the
+        # ≤ n_centroids cached rows — zero Spark jobs for the steering
+        allowed = {
+            int(r["cent"])
+            for r in range_lists
+            if r["min_id"] <= hi and r["max_id"] >= lo
+        }
+    else:
+        allowed = {
+            int(r["cent"])
+            for r in range_lists.filter(
+                (F.col("min_id") <= F.lit(hi)) & (F.col("max_id") >= F.lit(lo))
+            )
+            .select("cent")
+            .collect()
+        }
     cents_allowed = [(cid, v) for cid, v in centroids if int(cid) in allowed]
     if not cents_allowed:
         # empty window: no list can hold an in-range row
@@ -1637,7 +1647,7 @@ def filtered_ivf_pq_topk(
     min_candidates: int = 0,
     index_pruner=None,
     id_range: tuple | None = None,
-    range_lists: DataFrame | None = None,
+    range_lists: DataFrame | list | None = None,
 ) -> DataFrame:
     """Metadata-FILTERED retrieval served FROM the standing IVF+PQ index
     (r12, r11 VERDICT item 1): per query, probe the ``nprobe`` nearest
@@ -1712,14 +1722,23 @@ def filtered_ivf_pq_topk(
         if range_lists is None:
             raise ValueError("id_range requires the range_lists summary")
         lo, hi = id_range
-        allowed = sorted(
-            int(r["cent"])
-            for r in range_lists.filter(
-                (F.col("min_id") <= F.lit(hi)) & (F.col("max_id") >= F.lit(lo))
+        if isinstance(range_lists, list):
+            # pre-collected rows (r16): driver-side interval overlap,
+            # no per-query Spark job for the conjunctive steering
+            allowed = sorted(
+                int(r["cent"])
+                for r in range_lists
+                if r["min_id"] <= hi and r["max_id"] >= lo
             )
-            .select("cent")
-            .collect()
-        )
+        else:
+            allowed = sorted(
+                int(r["cent"])
+                for r in range_lists.filter(
+                    (F.col("min_id") <= F.lit(hi)) & (F.col("max_id") >= F.lit(lo))
+                )
+                .select("cent")
+                .collect()
+            )
         label_lists = label_lists.filter(F.col("cent").isin(allowed))
         _in_range = F.col("cid").between(F.lit(lo), F.lit(hi))
         if index is not None:

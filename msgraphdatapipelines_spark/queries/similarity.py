@@ -1262,16 +1262,73 @@ def _write_json_atomic(fs, hpath, path: str, obj: dict) -> None:
     fs.rename(tmp, hpath(path))
 
 
+# SERVE-PLANNING CACHE (r16, r15 VERDICT item 3): in a serving posture
+# (many queries against one artifact version) every serve call used to
+# re-pay the model-sized planning walls — the models JSON parse, the
+# label/range summary parquet read (driver file listing + schema), and
+# the range-steering collect (one Spark job round-trip per query).  All
+# of these are IMMUTABLE per (root, version): the publish protocol only
+# ever creates new version dirs behind the ``_LATEST`` flip, never
+# rewrites one.  So they cache safely keyed by (session, root, resolved
+# version) — the pointer itself is still re-resolved on every query
+# (the coherence point: a rebalance/compact/forget publishing a new
+# version changes the resolved version, which changes the key, which is
+# the invalidation).  ``ann_index_forget`` additionally purges the
+# root's entries outright (erasure posture: drop even never-again-
+# served old-version planning state immediately).  Entries are
+# model-sized (k centroids, m×ks codewords, ≤|labels|·k summary rows);
+# the cache is bounded FIFO.
+_PLAN_CACHE: dict[tuple, dict] = {}
+_PLAN_CACHE_MAX = 16
+
+
+def _plan_cache_state(spark: SparkSession, root: str, version: int) -> dict:
+    key = (spark.sparkContext.applicationId, root, int(version))
+    st = _PLAN_CACHE.get(key)
+    if st is None:
+        while len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
+            _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
+        st = _PLAN_CACHE[key] = {}
+    return st
+
+
+def plan_cache_invalidate(root: str) -> None:
+    """Drop every cached planning entry for ``root``, all versions.
+    Called by the writers that change what future resolves should see
+    (forget, rebalance) — version-keying already prevents stale serves,
+    so this is about promptly releasing erased/obsolete planning state,
+    not correctness."""
+    for k in [k for k in _PLAN_CACHE if k[1] == root]:
+        _PLAN_CACHE.pop(k, None)
+
+
 def _load_models_for(spark: SparkSession, root: str, version: int) -> dict:
     """The (centroids, codebooks) trained for snapshot ``version``:
     ``models.v{version}.json`` when a rebalance published it, else the
-    initial build's ``models.json`` (the v1 layout)."""
+    initial build's ``models.json`` (the v1 layout).  Cached per
+    (session, root, version) — callers must treat the dict as frozen."""
     from .. import sinks
 
-    fs, _, jvm = sinks._fs_for(spark, root)
-    hpath = jvm.org.apache.hadoop.fs.Path
-    p = f"{root}/models.v{version}.json"
-    return _read_json_fs(fs, hpath, p if fs.exists(hpath(p)) else f"{root}/models.json")
+    st = _plan_cache_state(spark, root, version)
+    if "models" not in st:
+        fs, _, jvm = sinks._fs_for(spark, root)
+        hpath = jvm.org.apache.hadoop.fs.Path
+        p = f"{root}/models.v{version}.json"
+        if fs.exists(hpath(p)):
+            st["models"] = _read_json_fs(fs, hpath, p)
+        else:
+            boot = _read_json_fs(fs, hpath, f"{root}/models.json")
+            if version <= 1:
+                # the v1 initial-build layout never grows a versioned
+                # file — safe to pin
+                st["models"] = boot
+            else:
+                # version > 1 with no versioned file: either a legacy
+                # root or compact's defensive re-key window — serve the
+                # fallback but DON'T cache it, so a late-landing
+                # models.v{version}.json isn't shadowed forever
+                return boot
+    return st["models"]
 
 
 def ann_index_forget(spark: SparkSession, root: str, ids: list) -> int:
@@ -1342,7 +1399,7 @@ def ann_index_forget(spark: SparkSession, root: str, ids: list) -> int:
         # paired to the published version (r14)
         kc = len(resolve_batches_models(spark, root)["centroids"])
         has_label = "label" in existing.columns
-        return compact_ann_index(
+        pub_v = compact_ann_index(
             spark,
             f"{root}/batches",
             snap,
@@ -1350,6 +1407,13 @@ def ann_index_forget(spark: SparkSession, root: str, ids: list) -> int:
             versioned_label_lists=has_label,
             cluster_files=max(8, kc // 4),
         )
+        # r16: purge the serve-planning cache for this root — version
+        # keying already keeps new resolves clean (the compact above
+        # published a new version), but an erasure must also promptly
+        # drop retained old-version planning state (the range summary
+        # carries per-list id bounds derived from erased rows)
+        plan_cache_invalidate(root)
+        return pub_v
 
 
 def ann_rebalance_if_skewed(
@@ -1961,6 +2025,10 @@ def ann_rebalance_if_skewed(
         fs.delete(hpath(old), True)
         if salvaged:
             out["salvaged_batches"] = salvaged
+        # r16: drop cached serve-planning state — the retrain changed
+        # the cent space; new resolves miss anyway (new version), old
+        # versions' cached summaries are obsolete and can be released
+        plan_cache_invalidate(root)
         after = (
             sinks.read_snapshot(spark, snap, version=pub_v)
             .groupBy("cent")
@@ -2419,6 +2487,9 @@ def _load_label_lists(
     hpath = jvm.org.apache.hadoop.fs.Path
     if version is None:
         version = sinks._read_latest_version(spark, f"{root}/snapshot")
+    st = _plan_cache_state(spark, root, version)
+    if "label_df" in st:
+        return st["label_df"]
     # v1 = the initial build's unversioned layout; rebalances publish
     # version-suffixed summaries alongside their snapshot versions
     path = (
@@ -2434,7 +2505,8 @@ def _load_label_lists(
         ll.write.parquet(stage)
         if fs.exists(hpath(path)) or not fs.rename(hpath(stage), hpath(path)):
             fs.delete(hpath(stage), True)  # racer recovered first
-    return spark.read.parquet(path)
+    st["label_df"] = spark.read.parquet(path)
+    return st["label_df"]
 
 
 def _load_range_lists(
@@ -2455,6 +2527,9 @@ def _load_range_lists(
     hpath = jvm.org.apache.hadoop.fs.Path
     if version is None:
         version = sinks._read_latest_version(spark, f"{root}/snapshot")
+    st = _plan_cache_state(spark, root, version)
+    if "range_df" in st:
+        return st["range_df"]
     path = (
         f"{root}/range_lists" if version == 1 else f"{root}/range_lists.v{version}"
     )
@@ -2472,7 +2547,32 @@ def _load_range_lists(
         rl.write.parquet(stage)
         if fs.exists(hpath(path)) or not fs.rename(hpath(stage), hpath(path)):
             fs.delete(hpath(stage), True)  # racer recovered first
-    return spark.read.parquet(path)
+    st["range_df"] = spark.read.parquet(path)
+    return st["range_df"]
+
+
+def _load_range_rows(
+    spark: SparkSession, sf_dir: str, version: int | None = None
+) -> list[dict]:
+    """The range-steering summary as PRE-COLLECTED rows (r16, serve-path
+    planning amortization): the per-query steering work on the summary
+    is a filter over ≤ n_centroids rows — running it driver-side over a
+    cached collect removes one Spark-job round-trip from EVERY repeat
+    serve against the same artifact version (the r15 100× sweep showed
+    local serve walls are planning-bound).  Version-keyed like the
+    DataFrame loaders; the summary is immutable per version."""
+    from .. import sinks
+
+    root = standing_index_root(sf_dir)
+    if version is None:
+        version = sinks._read_latest_version(spark, f"{root}/snapshot")
+    st = _plan_cache_state(spark, root, version)
+    if "range_rows" not in st:
+        st["range_rows"] = [
+            r.asDict()
+            for r in _load_range_lists(spark, sf_dir, version=version).collect()
+        ]
+    return st["range_rows"]
 
 
 # id window for the registered range-filtered row: in-range at every
@@ -2574,7 +2674,7 @@ def ann_range_filtered_topk_served(spark: SparkSession, sf_dir: str) -> DataFram
     version = sinks._read_latest_version(spark, snap)
     models = _load_models_for(spark, root, version)
     cents = [(int(c), v) for c, v in models["centroids"]]
-    rl = _load_range_lists(spark, sf_dir, version=version)
+    rl = _load_range_rows(spark, sf_dir, version=version)
     return S.range_filtered_ivf_pq_topk(
         emb.filter(F.col("vec_id") < N_QUERIES),
         emb,
@@ -2775,7 +2875,7 @@ def ann_label_range_filtered_topk_served(spark: SparkSession, sf_dir: str) -> Da
     models = _load_models_for(spark, root, version)
     cents = [(int(c), v) for c, v in models["centroids"]]
     ll = _load_label_lists(spark, sf_dir, version=version)
-    rl = _load_range_lists(spark, sf_dir, version=version)
+    rl = _load_range_rows(spark, sf_dir, version=version)
     return S.filtered_ivf_pq_topk(
         emb.filter(F.col("vec_id") < N_QUERIES),
         emb,

@@ -1759,3 +1759,84 @@ def test_rebalance_debris_sweep_stamps_before_delete(spark, sf_dir, tmp_path):
         "resolver mispaired the crashed sibling's versioned models onto "
         "the bootstrap-encoded batches dir"
     )
+
+
+def test_serve_plan_cache_reuse_and_invalidation(spark, sf_dir, tmp_path):
+    """r16 (r15 VERDICT item 3): serve-path planning amortization — the
+    model-sized planning artifacts (models JSON, label/range steering
+    summaries) cache per (session, root, resolved version), so repeat
+    queries against one artifact version skip the per-call JSON parses,
+    parquet listings, and the range-steering collect job.  Pins: (a) a
+    repeat serve hits the cache and returns identical results, (b) a
+    FORGET purges the root's entries and the next serve excludes the
+    erased ids, (c) a REBALANCE's new version re-resolves to fresh
+    planning state (version-keyed miss + explicit purge) with the
+    retrained cent space."""
+    import shutil
+
+    from msgraphdatapipelines_spark.queries import similarity as QS
+    from msgraphdatapipelines_spark.queries.similarity import (
+        ann_index_forget,
+        ann_rebalance_if_skewed,
+        ensure_standing_index,
+        standing_index_root,
+    )
+
+    my_sf = tmp_path / "sf"
+    my_sf.mkdir()
+    shutil.copyfile(
+        f"{sf_dir}/embeddings.parquet", str(my_sf / "embeddings.parquet")
+    )
+    emb = spark.read.parquet(f"{my_sf}/embeddings.parquet")
+    ensure_standing_index(spark, str(my_sf), emb)
+    root = standing_index_root(str(my_sf))
+
+    def _cached_entries():
+        return {k: v for k, v in QS._PLAN_CACHE.items() if k[1] == root}
+
+    # (a) repeat serve: first call populates, second call reuses the
+    # SAME state objects and returns identical rows
+    r1 = sorted(
+        (x["qid"], x["cid"], x["rank"])
+        for x in QS.ann_range_filtered_topk_served(spark, str(my_sf)).collect()
+    )
+    ent = _cached_entries()
+    assert ent, "serve must populate the planning cache"
+    (key1, st1), = ent.items()
+    assert "models" in st1 and "range_rows" in st1
+    rows_obj = st1["range_rows"]
+    r2 = sorted(
+        (x["qid"], x["cid"], x["rank"])
+        for x in QS.ann_range_filtered_topk_served(spark, str(my_sf)).collect()
+    )
+    assert r1 == r2
+    assert QS._PLAN_CACHE[key1]["range_rows"] is rows_obj, (
+        "repeat serve must reuse the cached collected summary"
+    )
+
+    # (b) forget: purge + post-erasure serve excludes the ids
+    victim = r1[0][1]
+    ann_index_forget(spark, root, [victim])
+    assert not _cached_entries(), "forget must purge the root's cache"
+    r3 = QS.ann_range_filtered_topk_served(spark, str(my_sf)).collect()
+    assert all(x["cid"] != victim for x in r3)
+    ent3 = _cached_entries()
+    assert ent3 and all(k[2] == 2 for k in ent3), (
+        "post-forget serve must cache under the NEW resolved version"
+    )
+
+    # (c) rebalance: retrained cent space resolves fresh
+    stats = ann_rebalance_if_skewed(spark, root, emb, max_share_ratio=0.0)
+    assert stats["retrained"]
+    assert not [k for k in _cached_entries() if k[2] < stats["version"]], (
+        "rebalance must not leave pre-retrain planning entries behind"
+    )
+    r4 = QS.ann_range_filtered_topk_served(spark, str(my_sf)).collect()
+    assert r4, "post-rebalance serve must work from fresh planning state"
+    ent4 = _cached_entries()
+    new_models = [
+        v["models"] for k, v in ent4.items() if k[2] == stats["version"]
+    ]
+    assert new_models and new_models[0].get("retrained") is True, (
+        "post-rebalance serve must plan with the retrained models"
+    )
