@@ -1544,8 +1544,12 @@ def ann_rebalance_if_skewed(
         # erasure manifest (ann_index_forget): a retrain re-encodes from
         # the caller-held corpus frame, which may still carry erased
         # docs — anti-join so a rebalance can never resurrect them
-        fg = spark.read.option("recursiveFileLookup", "true").parquet(
-            f"{root}/_forgotten"
+        # explicit schema: a forget's manifest write may be IN FLIGHT
+        # (dir exists, only _temporary inside) — inference would throw
+        fg = (
+            spark.read.schema("cid long")
+            .option("recursiveFileLookup", "true")
+            .parquet(f"{root}/_forgotten")
         )
         vectors = vectors.join(
             F.broadcast(fg.select(F.col("cid").alias(id_col))), id_col, "left_anti"
@@ -1674,6 +1678,25 @@ def ann_rebalance_if_skewed(
             # swept, our own stage not yet written — a crash here shows
             # (batches + models.v{N}.json + NO debris) to the resolver
             _test_hook_after_sweep()
+        # r16 (exposed by the rebalance-vs-erasure race mode): the
+        # entry-time `_forgotten` anti-join reads the manifest listing
+        # BEFORE the lease — a forget that commits between our entry and
+        # our lease acquisition is invisible to it (and a lazy frame
+        # created at entry pins its file listing), so the retrain would
+        # re-encode freshly-erased rows into the published snapshot.
+        # Re-apply the anti-join HERE, under the lease, from a fresh
+        # read: after this point no forget can commit until we release.
+        if fs.exists(hpath(f"{root}/_forgotten")):
+            vectors = vectors.join(
+                F.broadcast(
+                    spark.read.schema("cid long")
+                    .option("recursiveFileLookup", "true")
+                    .parquet(f"{root}/_forgotten")
+                    .select(F.col("cid").alias(id_col))
+                ),
+                id_col,
+                "left_anti",
+            )
         # version 0 = stream-owned root that has never compacted to a
         # snapshot (init_ann_stream_root bootstrap): models come from
         # the bootstrap models.json and the retrain publishes v=1
@@ -1980,7 +2003,8 @@ def ann_rebalance_if_skewed(
                 if fs.exists(hpath(f"{root}/_forgotten")):
                     lost_rows = lost_rows.join(
                         F.broadcast(
-                            spark.read.option("recursiveFileLookup", "true")
+                            spark.read.schema("cid long")
+                            .option("recursiveFileLookup", "true")
                             .parquet(f"{root}/_forgotten")
                             .select("cid")
                         ),

@@ -285,6 +285,55 @@ def main() -> None:
                 stats.get("retrained"),
                 stats.get("salvaged_batches", 0),
             )
+    elif mode == "rebalance_erasure":
+        # r16 (r15 VERDICT item 4): GDPR erasure racing the automated
+        # rebalance on a shared skewed root — the 17th matrix mode.
+        # Both writers serialize on the compaction lease, so the races
+        # are the lease-retry interleavings PLUS the stale-frame window:
+        # the rebalance's caller-held corpus frame still CONTAINS the
+        # erased vectors (built before the forget committed), and the
+        # retrain's `_forgotten` anti-join AND the r16 cid-diff salvage
+        # must keep them out of the retrained generation in either
+        # commit order — the salvage fold must never resurrect a row
+        # whose erasure landed between entry capture and swap.
+        from pyspark.sql import functions as F
+
+        from msgraphdatapipelines_spark.queries.similarity import (
+            ann_index_forget,
+            ann_rebalance_if_skewed,
+            standing_index_root,
+        )
+
+        root = standing_index_root(shared)
+        if pid == "0":
+            v = None
+            for _attempt in range(240):
+                try:
+                    v = ann_index_forget(spark, root, [7, 103, 100005])
+                    break
+                except RuntimeError as e:
+                    if "compact already in progress" not in str(e):
+                        raise
+                    time.sleep(0.25)
+            if v is None:
+                raise SystemExit("forget never acquired the lease")
+            print("RESULT forgot", v)
+        else:
+            emb = spark.read.parquet(f"{shared}/embeddings.parquet").select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("embedding"),
+                F.col("label").cast("long").alias("label"),
+            )
+            drift = spark.read.parquet(f"{shared}/drift.parquet")
+            stats = None
+            for _attempt in range(240):
+                stats = ann_rebalance_if_skewed(
+                    spark, root, emb.unionByName(drift)
+                )
+                if "skipped" not in stats:
+                    break
+                time.sleep(0.25)
+            print("RESULT rebalanced", stats.get("retrained"))
     elif mode == "ann_erasure":
         # r15 (r14 VERDICT item 2): GDPR erasure racing a live append on
         # the shared STANDING IVF+PQ index — the moving-parts-heavy

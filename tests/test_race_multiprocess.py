@@ -1063,3 +1063,126 @@ def test_race_compact_vs_publish_two_processes(tmp_path, spark):
         ]
     finally:
         _tf.tempdir = old_tmp
+
+
+def test_race_rebalance_vs_erasure_two_processes(tmp_path, monkeypatch, spark):
+    """r16 (r15 VERDICT item 4, the 17th matrix mode): ann_index_forget
+    racing ann_rebalance_if_skewed on one shared skewed root.  The two
+    serialize on the compaction lease, so the exposed windows are the
+    lease-retry interleavings and the STALE-FRAME hazard: the rebalance
+    reads the `_forgotten` manifest at ENTRY (pre-lease), so a forget
+    committing between entry and lease acquisition used to be invisible
+    to the retrain — its re-encode resurrected freshly-erased rows into
+    the published snapshot (the under-lease re-anti-join closes this).
+    Pins: in EITHER commit order the converged view equals
+    base + drift − erased, no erased cid appears in any published
+    snapshot version ≥ the forget's, models pair with the served rows,
+    and a closing compact converges with zero debris."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from msgraphdatapipelines_spark import sinks
+    from msgraphdatapipelines_spark.operators import similarity as S
+    from msgraphdatapipelines_spark.queries.similarity import (
+        ensure_standing_index,
+        standing_index_root,
+    )
+    from msgraphdatapipelines_spark.streaming.ann_stream import (
+        compact_ann_index,
+        read_ann_index,
+        resolve_batches_models,
+    )
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    shutil.copyfile(
+        "/root/testdata/sf0.001/embeddings.parquet", str(sf / "embeddings.parquet")
+    )
+    artdir = tmp_path / "artifacts"
+    artdir.mkdir()
+    monkeypatch.setattr(tempfile, "tempdir", str(artdir))
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    _, cents1, books1 = ensure_standing_index(spark, str(sf), emb)
+    root = standing_index_root(str(sf))
+    import random
+
+    rng = random.Random(11)
+    p = [0.5 if i % 2 == 0 else -0.5 for i in range(64)]
+    rows = []
+    for j in range(10):
+        base = [p[d] + 0.01 * rng.uniform(-1, 1) for d in range(64)]
+        for i in range(200):
+            rows.append(
+                (100000 + j * 200 + i,
+                 [base[d] + 1e-4 * rng.uniform(-1, 1) for d in range(64)], 999)
+            )
+    drift = spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<double>, label: long"
+    )
+    drift.write.parquet(f"{sf}/drift.parquet")
+    # appender contract: batch rows must match the dir's column types
+    # (base batch_id=0 carries emb's int label) — the forget's compact
+    # may read the mixed dir BEFORE any rebalance re-encodes it
+    S.ivf_pq_index(
+        drift.withColumn("label", drift["label"].cast(emb.schema["label"].dataType)),
+        "vec_id", "embedding", cents1, books1, dim=64, meta_cols=("label",)
+    ).write.parquet(f"{root}/batches/batch_id=1")
+    monkeypatch.setattr(tempfile, "tempdir", None)
+
+    barrier = tmp_path / "barrier"
+    barrier.mkdir()
+    env = dict(os.environ, TMPDIR=str(artdir))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, CHILD, "rebalance_erasure", str(sf), str(barrier), str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, cwd=str(REPO),
+        )
+        for i in (0, 1)
+    ]
+    outs = []
+    for p_ in procs:
+        so, se = p_.communicate(timeout=420)
+        assert p_.returncode == 0, se.decode(errors="replace")[-3000:]
+        lines = [l for l in so.decode().splitlines() if l.startswith("RESULT")]
+        assert lines, so.decode()[-2000:]
+        outs.append(lines[-1])
+    assert any("forgot" in o for o in outs), outs
+    assert any("rebalanced True" in o for o in outs), outs
+
+    monkeypatch.setattr(tempfile, "tempdir", str(artdir))
+    victims = [7, 103, 100005]
+    n_base = emb.count()
+    # converged view = base + drift − erased, models paired
+    view = read_ann_index(spark, f"{root}/batches")
+    assert view.filter(F.col("cid").isin(victims)).count() == 0, (
+        "erased rows resurrected into the converged view"
+    )
+    assert view.count() == n_base + 2000 - len(victims)
+    models = resolve_batches_models(spark, root)
+    valid = {int(c) for c, _ in models["centroids"]}
+    assert {
+        r["cent"] for r in view.select("cent").distinct().collect()
+    } <= valid
+    # no published snapshot version at-or-after the forget's serves an
+    # erased cid (the resurrect-into-snapshot hazard)
+    forget_v = int(next(o for o in outs if "forgot" in o).split()[-1])
+    for v in sinks.snapshot_versions(spark, f"{root}/snapshot"):
+        if v >= forget_v:
+            snap_v = sinks.read_snapshot(spark, f"{root}/snapshot", version=v)
+            assert snap_v.filter(F.col("cid").isin(victims)).count() == 0, (
+                f"v={v} serves erased rows"
+            )
+    # closing compact converges with zero debris
+    pub = compact_ann_index(
+        spark, f"{root}/batches", f"{root}/snapshot",
+        models_root=root, versioned_label_lists=True,
+    )
+    snap = sinks.read_snapshot(spark, f"{root}/snapshot", version=pub)
+    assert snap.count() == n_base + 2000 - len(victims)
+    assert snap.filter(F.col("cid").isin(victims)).count() == 0
+    debris = [
+        d for d in os.listdir(root)
+        if d.startswith(("batches.stage.", "batches.old."))
+    ]
+    assert debris == [], debris
