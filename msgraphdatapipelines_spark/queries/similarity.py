@@ -1806,7 +1806,17 @@ def ann_rebalance_if_skewed(
             _test_hook_before_swap()
         # post-commit swap: appends from here on build on the retrained
         # assignment; every crash window is repaired or absorbed (see
-        # docstring crash analysis)
+        # docstring crash analysis).  The _SWAP_MANIFEST sentinel (r16)
+        # marks the swap's start: on copy-rename stores a crash can
+        # leave `batches` TORN (partial copy) rather than merely absent,
+        # and recover_batches uses the staged manifest to detect and
+        # complete the swap (see its docstring for the posture).
+        _write_json_path_atomic(
+            fs,
+            hpath,
+            f"{stage}/_SWAP_MANIFEST",
+            {"files": sinks._rel_files(fs, hpath, stage)},
+        )
         old = f"{root}/batches.old.{uuid.uuid4().hex[:8]}"
         fs.rename(hpath(f"{root}/batches"), hpath(old))
         if not fs.rename(hpath(stage), hpath(f"{root}/batches")) and not fs.exists(

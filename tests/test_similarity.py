@@ -1840,3 +1840,102 @@ def test_serve_plan_cache_reuse_and_invalidation(spark, sf_dir, tmp_path):
     assert new_models and new_models[0].get("retrained") is True, (
         "post-rebalance serve must plan with the retrained models"
     )
+
+
+def test_ann_swap_protocol_on_copy_rename_fs(spark, sf_dir, tmp_path, monkeypatch):
+    """r16 (r15 VERDICT item 5): the ANN standing root's batch-append /
+    write_batches_models / rebalance-swap protocol on an S3-style
+    COPY-rename store (rename = file-by-file copy + source delete).
+    Pins: (a) a clean rebalance commits end-to-end through the proxy —
+    retrained snapshot, models pairing, converged batches dir; (b) a
+    crash MID-SWAP leaves the staged generation (with its
+    _SWAP_MANIFEST sentinel) as the recoverable source of truth:
+    recover_batches detects the torn/old dir, moves it aside as
+    sweepable debris, and completes the swap; (c) a stage whose
+    manifest the live dir already satisfies is recognized as completed-
+    swap debris and deleted.  Concurrent appenders during a crashed
+    copy-rename swap remain a DOCUMENTED refusal (recover_batches
+    docstring): single-writer rebalances on such stores."""
+    import os
+
+    import pytest
+
+    from msgraphdatapipelines_spark import sinks
+    from msgraphdatapipelines_spark.queries.similarity import (
+        ann_rebalance_if_skewed,
+    )
+    from msgraphdatapipelines_spark.streaming.ann_stream import (
+        read_ann_index,
+        recover_batches,
+        resolve_batches_models,
+    )
+    from tests.test_operators import _CopyRenameFS
+
+    my_sf, root, emb_full = _rebal_fixture(spark, sf_dir, tmp_path)
+    fs, _, jvm = sinks._fs_for(spark, root)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    real_fs_for = sinks._fs_for
+
+    def with_proxy(proxy):
+        def patched(spark_, path_):
+            _, p, j = real_fs_for(spark_, path_)
+            return proxy, p, j
+
+        return patched
+
+    # (a) clean rebalance through copy-rename semantics
+    monkeypatch.setattr(sinks, "_fs_for", with_proxy(_CopyRenameFS(fs, hpath)))
+    stats = ann_rebalance_if_skewed(spark, root, emb_full)
+    assert stats["retrained"] is True
+    v2 = stats["version"]
+    monkeypatch.setattr(sinks, "_fs_for", real_fs_for)
+    key = lambda df: sorted(  # noqa: E731
+        (r["cid"], r["cent"]) for r in df.select("cid", "cent").collect()
+    )
+    snap2 = sinks.read_snapshot(spark, f"{root}/snapshot", version=v2)
+    assert key(read_ann_index(spark, f"{root}/batches")) == key(snap2)
+    assert resolve_batches_models(spark, root).get("retrained") is True
+
+    # (b) crash mid-swap: arm the failure from the before-swap hook so
+    # the publish completes but the swap's copy dies partway
+    proxy = _CopyRenameFS(fs, hpath)
+
+    def arm():
+        proxy.fail_after_files = proxy.copied + 1
+
+    monkeypatch.setattr(sinks, "_fs_for", with_proxy(proxy))
+    with pytest.raises(OSError, match="injected crash"):
+        ann_rebalance_if_skewed(
+            spark, root, emb_full, n_centroids=6, _test_hook_before_swap=arm
+        )
+    monkeypatch.setattr(sinks, "_fs_for", real_fs_for)
+    v3 = sinks._read_latest_version(spark, f"{root}/snapshot")
+    assert v3 == v2 + 1, "the commit (publish + flip) precedes the swap"
+    stages = [
+        n for n in os.listdir(root) if n.startswith("batches.stage.")
+    ]
+    assert len(stages) == 1
+    assert os.path.exists(f"{root}/{stages[0]}/_SWAP_MANIFEST"), (
+        "the swap sentinel must mark the committed stage"
+    )
+    assert recover_batches(spark, root) is True
+    snap3 = sinks.read_snapshot(spark, f"{root}/snapshot", version=v3)
+    assert key(read_ann_index(spark, f"{root}/batches")) == key(snap3)
+    m3 = resolve_batches_models(spark, root)
+    assert m3.get("retrained") is True and len(m3["centroids"]) == 6
+    # the torn/old dir survives only as sweepable debris
+    olds = [n for n in os.listdir(root) if n.startswith("batches.old.")]
+    assert olds, "the replaced dir must be moved aside, not lost silently"
+    # idempotent
+    assert recover_batches(spark, root) is False
+
+    # (c) completed-swap debris: a stage whose manifest the live dir
+    # already satisfies is deleted, live dir untouched
+    import shutil as _sh
+
+    fake = f"{root}/batches.stage.fakecopy"
+    _sh.copytree(f"{root}/batches", fake)
+    before = key(read_ann_index(spark, f"{root}/batches"))
+    assert recover_batches(spark, root) is False
+    assert not os.path.exists(fake), "completed-swap stage debris must be swept"
+    assert key(read_ann_index(spark, f"{root}/batches")) == before
