@@ -2522,13 +2522,26 @@ def _load_label_lists(
     if version is None:
         version = sinks._read_latest_version(spark, f"{root}/snapshot")
     st = _plan_cache_state(spark, root, version)
-    if "label_df" in st:
-        return st["label_df"]
     # v1 = the initial build's unversioned layout; rebalances publish
     # version-suffixed summaries alongside their snapshot versions
     path = (
         f"{root}/label_lists" if version == 1 else f"{root}/label_lists.v{version}"
     )
+    if "label_rows" in st:
+        # rebuild locally from the cached collect — no file pinning, so
+        # a crash-window re-derive replacing the summary files (same
+        # deterministic content, new file names) can never strand a
+        # cached plan on vanished parquet parts.  The derive-if-missing
+        # REPAIR duty survives the cache: one fs.exists per serve, and a
+        # vanished summary republishes from the cached rows so sibling
+        # processes recover too.
+        df_local = spark.createDataFrame(st["label_rows"], st["label_schema"])
+        if not fs.exists(hpath(path)):
+            stage = f"{path}.stage.{uuid.uuid4().hex[:8]}"
+            df_local.coalesce(1).write.parquet(stage)
+            if fs.exists(hpath(path)) or not fs.rename(hpath(stage), hpath(path)):
+                fs.delete(hpath(stage), True)  # racer repaired first
+        return df_local
     if not fs.exists(hpath(path)):
         ll = (
             sinks.read_snapshot(spark, f"{root}/snapshot", version=version)
@@ -2539,8 +2552,13 @@ def _load_label_lists(
         ll.write.parquet(stage)
         if fs.exists(hpath(path)) or not fs.rename(hpath(stage), hpath(path)):
             fs.delete(hpath(stage), True)  # racer recovered first
-    st["label_df"] = spark.read.parquet(path)
-    return st["label_df"]
+    df = spark.read.parquet(path)
+    st["label_rows"] = df.collect()
+    st["label_schema"] = df.schema
+    # the MISS returns the parquet-backed frame: first-touch provenance
+    # stays visible (inputFiles shows the steering summary) and the
+    # collect above primes the repeat-serve hit path
+    return df
 
 
 def _load_range_lists(
@@ -2562,11 +2580,20 @@ def _load_range_lists(
     if version is None:
         version = sinks._read_latest_version(spark, f"{root}/snapshot")
     st = _plan_cache_state(spark, root, version)
-    if "range_df" in st:
-        return st["range_df"]
     path = (
         f"{root}/range_lists" if version == 1 else f"{root}/range_lists.v{version}"
     )
+    if "range_rows" in st:
+        df_local = spark.createDataFrame(
+            [tuple(d.values()) for d in st["range_rows"]], st["range_schema"]
+        )
+        if not fs.exists(hpath(path)):
+            # repair-on-read survives the cache (label-loader symmetry)
+            stage = f"{path}.stage.{uuid.uuid4().hex[:8]}"
+            df_local.coalesce(1).write.parquet(stage)
+            if fs.exists(hpath(path)) or not fs.rename(hpath(stage), hpath(path)):
+                fs.delete(hpath(stage), True)  # racer repaired first
+        return df_local
     if not fs.exists(hpath(path)):
         rl = (
             sinks.read_snapshot(spark, f"{root}/snapshot", version=version)
@@ -2581,8 +2608,10 @@ def _load_range_lists(
         rl.write.parquet(stage)
         if fs.exists(hpath(path)) or not fs.rename(hpath(stage), hpath(path)):
             fs.delete(hpath(stage), True)  # racer recovered first
-    st["range_df"] = spark.read.parquet(path)
-    return st["range_df"]
+    df = spark.read.parquet(path)
+    st["range_rows"] = [r.asDict() for r in df.collect()]
+    st["range_schema"] = df.schema
+    return df  # miss: parquet-backed (provenance), hit path serves local
 
 
 def _load_range_rows(
@@ -2602,10 +2631,7 @@ def _load_range_rows(
         version = sinks._read_latest_version(spark, f"{root}/snapshot")
     st = _plan_cache_state(spark, root, version)
     if "range_rows" not in st:
-        st["range_rows"] = [
-            r.asDict()
-            for r in _load_range_lists(spark, sf_dir, version=version).collect()
-        ]
+        _load_range_lists(spark, sf_dir, version=version)  # populates st
     return st["range_rows"]
 
 

@@ -3197,3 +3197,31 @@ def test_lexicon_generation_commit_on_copy_rename_fs(spark, tmp_path, monkeypatc
     assert meta2["n_batches"] == 2 and meta2["n_docs"] == docs.count()
     gen2 = _gs.current_gen(fs, hpath, root)
     assert gen2 != gen1 and fs.exists(hpath(f"{gen2}/_commit"))
+
+
+def test_bpe_train_batched_equals_sequential_with_fewer_rounds(spark):
+    """r16 (r15 VERDICT item 9, the bpe_train watch-item): the batched
+    trainer takes a provably-sequential-equal PREFIX of the sorted pair
+    list per round — disjoint-symbol members only, stopping before any
+    candidate a newly-created pair could outrank (bounds from the
+    existing pair table).  Pins: identical merge sequence to the
+    max_batch=1 classic loop (and therefore to the pure-Python
+    reference via the neighboring test), with measurably fewer driver
+    round-trips — the 32k-merge production-vocab path stops costing one
+    Spark job per merge."""
+    texts = [r["text"] for r in
+             spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+             .filter(F.col("doc_id") < 80).select("text").collect()]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    seq_stats: dict = {}
+    bat_stats: dict = {}
+    seq = X.bpe_train(df, num_merges=40, max_batch=1, _stats=seq_stats)
+    bat = X.bpe_train(df, num_merges=40, max_batch=16, _stats=bat_stats)
+    assert bat == seq, "batched trainer diverged from the sequential sequence"
+    assert seq_stats["rounds"] == len(seq)
+    assert bat_stats["merges"] == len(seq)
+    assert bat_stats["rounds"] < seq_stats["rounds"], (
+        f"no round-trip reduction: {bat_stats} vs {seq_stats}"
+    )
