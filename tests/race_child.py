@@ -285,6 +285,88 @@ def main() -> None:
                 stats.get("retrained"),
                 stats.get("salvaged_batches", 0),
             )
+    elif mode == "tri_race":
+        # r16 (18th mode, r16 SURVEY lever taken early): THREE
+        # processes on one shared skewed root — a live appender (never
+        # takes the lease, lands batches at ANY instant), a GDPR forget
+        # and an automated rebalance (these two serialize on the lease).
+        # The exposed machinery: the r16 cid-diff salvage and tombstone
+        # carry-forward folding under real interleaving, with the
+        # `_forgotten` anti-join read FRESH under the lease — appends
+        # survive every window, erased ids survive none.
+        from pyspark.sql import functions as F
+
+        from msgraphdatapipelines_spark.operators import similarity as S
+        from msgraphdatapipelines_spark.queries.similarity import (
+            ann_index_forget,
+            ann_rebalance_if_skewed,
+            standing_index_root,
+        )
+        from msgraphdatapipelines_spark.streaming.ann_stream import (
+            current_ann_models,
+        )
+
+        root = standing_index_root(shared)
+        if pid == "0":
+            for b in range(5):
+                _, cents, books = current_ann_models(spark, root)
+                late = spark.createDataFrame(
+                    [
+                        (
+                            920000 + b * 1000 + i,
+                            [
+                                float((b * 29 + i * 11 + j) % 17) / 17.0
+                                for j in range(64)
+                            ],
+                            5,
+                        )
+                        for i in range(40)
+                    ],
+                    "vec_id long, embedding array<double>, label long",
+                )
+                base = spark.read.option("recursiveFileLookup", "true").parquet(
+                    f"{root}/batches"
+                )
+                late = late.withColumn(
+                    "label", late["label"].cast(base.schema["label"].dataType)
+                )
+                S.ivf_pq_index(
+                    late, "vec_id", "embedding", cents, books, dim=64,
+                    meta_cols=("label",),
+                ).write.mode("overwrite").parquet(
+                    f"{root}/batches/batch_id={911 + b}"
+                )
+                time.sleep(0.3)
+            print("RESULT appended 5")
+        elif pid == "1":
+            v = None
+            for _attempt in range(240):
+                try:
+                    v = ann_index_forget(spark, root, [7, 103, 100005])
+                    break
+                except RuntimeError as e:
+                    if "compact already in progress" not in str(e):
+                        raise
+                    time.sleep(0.25)
+            if v is None:
+                raise SystemExit("forget never acquired the lease")
+            print("RESULT forgot", v)
+        else:
+            emb = spark.read.parquet(f"{shared}/embeddings.parquet").select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("embedding"),
+                F.col("label").cast("long").alias("label"),
+            )
+            drift = spark.read.parquet(f"{shared}/drift.parquet")
+            stats = None
+            for _attempt in range(240):
+                stats = ann_rebalance_if_skewed(
+                    spark, root, emb.unionByName(drift)
+                )
+                if "skipped" not in stats:
+                    break
+                time.sleep(0.25)
+            print("RESULT rebalanced", stats.get("retrained"))
     elif mode == "rebalance_erasure":
         # r16 (r15 VERDICT item 4): GDPR erasure racing the automated
         # rebalance on a shared skewed root — the 17th matrix mode.

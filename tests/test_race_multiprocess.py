@@ -1186,3 +1186,121 @@ def test_race_rebalance_vs_erasure_two_processes(tmp_path, monkeypatch, spark):
         if d.startswith(("batches.stage.", "batches.old."))
     ]
     assert debris == [], debris
+
+
+def test_race_three_way_append_forget_rebalance(tmp_path, monkeypatch, spark):
+    """r16 (18th matrix mode, an r16 SURVEY lever taken early): a live
+    appender + a GDPR forget + an automated rebalance, three real
+    processes on one shared skewed root.  The appender never waits on
+    the lease, so its batches land at ANY instant — including inside
+    the rebalance's doomed old dir and around the forget's tombstone
+    append; the forget and rebalance serialize on the lease in either
+    order.  Pins under real interleaving: all 200 appended rows
+    survive (name-diff + cid-diff salvage), the three erased base ids
+    appear in NO published version at-or-after the forget's and not in
+    the converged view, models pair with the served rows, and a
+    closing compact converges with zero debris."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from msgraphdatapipelines_spark import sinks
+    from msgraphdatapipelines_spark.operators import similarity as S
+    from msgraphdatapipelines_spark.queries.similarity import (
+        ensure_standing_index,
+        standing_index_root,
+    )
+    from msgraphdatapipelines_spark.streaming.ann_stream import (
+        compact_ann_index,
+        read_ann_index,
+        resolve_batches_models,
+    )
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    shutil.copyfile(
+        "/root/testdata/sf0.001/embeddings.parquet", str(sf / "embeddings.parquet")
+    )
+    artdir = tmp_path / "artifacts"
+    artdir.mkdir()
+    monkeypatch.setattr(tempfile, "tempdir", str(artdir))
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    _, cents1, books1 = ensure_standing_index(spark, str(sf), emb)
+    root = standing_index_root(str(sf))
+    import random
+
+    rng = random.Random(23)
+    p = [0.5 if i % 2 == 0 else -0.5 for i in range(64)]
+    rows = []
+    for j in range(10):
+        base = [p[d] + 0.01 * rng.uniform(-1, 1) for d in range(64)]
+        for i in range(200):
+            rows.append(
+                (100000 + j * 200 + i,
+                 [base[d] + 1e-4 * rng.uniform(-1, 1) for d in range(64)], 999)
+            )
+    drift = spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<double>, label: long"
+    )
+    drift.write.parquet(f"{sf}/drift.parquet")
+    S.ivf_pq_index(
+        drift.withColumn("label", drift["label"].cast(emb.schema["label"].dataType)),
+        "vec_id", "embedding", cents1, books1, dim=64, meta_cols=("label",)
+    ).write.parquet(f"{root}/batches/batch_id=1")
+    monkeypatch.setattr(tempfile, "tempdir", None)
+
+    barrier = tmp_path / "barrier"
+    barrier.mkdir()
+    env = dict(os.environ, TMPDIR=str(artdir))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, CHILD, "tri_race", str(sf), str(barrier), str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, cwd=str(REPO),
+        )
+        for i in (0, 1, 2)
+    ]
+    outs = []
+    for p_ in procs:
+        so, se = p_.communicate(timeout=420)
+        assert p_.returncode == 0, se.decode(errors="replace")[-3000:]
+        lines = [l for l in so.decode().splitlines() if l.startswith("RESULT")]
+        assert lines, so.decode()[-2000:]
+        outs.append(lines[-1])
+    assert any("appended 5" in o for o in outs), outs
+    assert any("forgot" in o for o in outs), outs
+    assert any("rebalanced True" in o for o in outs), outs
+
+    monkeypatch.setattr(tempfile, "tempdir", str(artdir))
+    victims = [7, 103, 100005]
+    n_base = emb.count()
+    view = read_ann_index(spark, f"{root}/batches")
+    assert view.filter(F.col("cid").isin(victims)).count() == 0, (
+        "erased rows resurrected into the converged view"
+    )
+    got_app = view.filter(F.col("cid") >= 920000)
+    assert got_app.count() == 200, "concurrent appends were destroyed"
+    assert view.count() == n_base + 2000 + 200 - len(victims)
+    models = resolve_batches_models(spark, root)
+    valid = {int(c) for c, _ in models["centroids"]}
+    assert {
+        r["cent"] for r in view.select("cent").distinct().collect()
+    } <= valid
+    forget_v = int(next(o for o in outs if "forgot" in o).split()[-1])
+    for v in sinks.snapshot_versions(spark, f"{root}/snapshot"):
+        if v >= forget_v:
+            snap_v = sinks.read_snapshot(spark, f"{root}/snapshot", version=v)
+            assert snap_v.filter(F.col("cid").isin(victims)).count() == 0, (
+                f"v={v} serves erased rows"
+            )
+    pub = compact_ann_index(
+        spark, f"{root}/batches", f"{root}/snapshot",
+        models_root=root, versioned_label_lists=True,
+    )
+    snap = sinks.read_snapshot(spark, f"{root}/snapshot", version=pub)
+    assert snap.count() == n_base + 2000 + 200 - len(victims)
+    assert snap.filter(F.col("cid") >= 920000).count() == 200
+    debris = [
+        d for d in os.listdir(root)
+        if d.startswith(("batches.stage.", "batches.old."))
+    ]
+    assert debris == [], debris
