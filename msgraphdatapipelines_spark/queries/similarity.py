@@ -1297,9 +1297,14 @@ def plan_cache_invalidate(root: str) -> None:
     Called by the writers that change what future resolves should see
     (forget, rebalance) — version-keying already prevents stale serves,
     so this is about promptly releasing erased/obsolete planning state,
-    not correctness."""
+    not correctness.  Also drops the sinks-level zonemap-manifest
+    entries under the root (the same erasure posture: a version-keyed
+    manifest is never stale, but erased state should not linger)."""
+    from .. import sinks
+
     for k in [k for k in _PLAN_CACHE if k[1] == root]:
         _PLAN_CACHE.pop(k, None)
+    sinks.zonemap_cache_forget(root)
 
 
 def _load_models_for(spark: SparkSession, root: str, version: int) -> dict:
@@ -2521,27 +2526,17 @@ def _load_label_lists(
     hpath = jvm.org.apache.hadoop.fs.Path
     if version is None:
         version = sinks._read_latest_version(spark, f"{root}/snapshot")
-    st = _plan_cache_state(spark, root, version)
     # v1 = the initial build's unversioned layout; rebalances publish
-    # version-suffixed summaries alongside their snapshot versions
+    # version-suffixed summaries alongside their snapshot versions.
+    # NOT cached (r16, measured): the label summary feeds a per-query
+    # groupBy -> broadcast, and serving it from a cached-rows
+    # LocalRelation measured net-SLOWER than the tiny parquet scan on
+    # the conjunctive row (2.24 vs 1.86 s median at sf0.1) — the models
+    # / range-rows / zonemap-manifest caches carry the planning
+    # amortization; this read stays file-backed and crash-self-healing.
     path = (
         f"{root}/label_lists" if version == 1 else f"{root}/label_lists.v{version}"
     )
-    if "label_rows" in st:
-        # rebuild locally from the cached collect — no file pinning, so
-        # a crash-window re-derive replacing the summary files (same
-        # deterministic content, new file names) can never strand a
-        # cached plan on vanished parquet parts.  The derive-if-missing
-        # REPAIR duty survives the cache: one fs.exists per serve, and a
-        # vanished summary republishes from the cached rows so sibling
-        # processes recover too.
-        df_local = spark.createDataFrame(st["label_rows"], st["label_schema"])
-        if not fs.exists(hpath(path)):
-            stage = f"{path}.stage.{uuid.uuid4().hex[:8]}"
-            df_local.coalesce(1).write.parquet(stage)
-            if fs.exists(hpath(path)) or not fs.rename(hpath(stage), hpath(path)):
-                fs.delete(hpath(stage), True)  # racer repaired first
-        return df_local
     if not fs.exists(hpath(path)):
         ll = (
             sinks.read_snapshot(spark, f"{root}/snapshot", version=version)
@@ -2552,13 +2547,7 @@ def _load_label_lists(
         ll.write.parquet(stage)
         if fs.exists(hpath(path)) or not fs.rename(hpath(stage), hpath(path)):
             fs.delete(hpath(stage), True)  # racer recovered first
-    df = spark.read.parquet(path)
-    st["label_rows"] = df.collect()
-    st["label_schema"] = df.schema
-    # the MISS returns the parquet-backed frame: first-touch provenance
-    # stays visible (inputFiles shows the steering summary) and the
-    # collect above primes the repeat-serve hit path
-    return df
+    return spark.read.parquet(path)
 
 
 def _load_range_lists(

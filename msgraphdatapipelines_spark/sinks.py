@@ -1126,12 +1126,12 @@ def read_snapshot_pruned(
     if version is None:
         version = _read_latest_version(spark, root)
     vdir = f"{root}/v={version}"
-    fs, _, jvm = _fs_for(spark, vdir)
-    if not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{vdir}/_zonemap")):
+    rows = _zonemap_rows_cached(spark, vdir)  # immutable version dir
+    if rows is None:
         from pyspark.sql import functions as F
 
         return spark.read.parquet(vdir).filter(F.col(col).between(lo, hi))
-    return scan_pruned(spark, vdir, col, lo, hi)
+    return scan_pruned(spark, vdir, col, lo, hi, _manifest_rows=rows)
 
 
 def read_snapshot_bloom_pruned(
@@ -1550,6 +1550,10 @@ def forget_keys(
             if v != new_v:
                 fs.delete(jvm.org.apache.hadoop.fs.Path(f"{root}/v={v}"), True)
                 erased.append(v)
+    # r16: an erasure must also drop retained planning state — cached
+    # zonemap manifests under this root carry per-file min/max of the
+    # pre-erasure layout
+    zonemap_cache_forget(root)
     return {
         "version": new_v,
         "rows_removed": int(n_before - n_after),
@@ -1951,7 +1955,48 @@ def _current_paths(base: DataFrame, files: list[str], path: str) -> list[str]:
     return matched
 
 
-def scan_pruned(spark: SparkSession, path: str, col: str, lo, hi) -> DataFrame:
+# ZONEMAP-MANIFEST PLANNING CACHE (r16, serve-path amortization — the
+# sinks-side sibling of queries.similarity's serve-plan cache): the
+# manifest collect in scan_pruned/scan_pruned_in is one Spark-job
+# round-trip per pruned read.  A SNAPSHOT version dir's manifest is
+# immutable (the claim-rename publish only ever creates new v= dirs),
+# so read_snapshot_pruned/_pruned_in cache the collected rows keyed by
+# (session, version dir) and run the interval test driver-side on
+# repeats.  ONLY version dirs go through the cache — plain warehouse
+# paths (bucketed tables, streaming dirs) rewrite their manifests in
+# place on compaction and always re-read.  `zonemap_cache_forget`
+# drops a root's entries (GDPR posture: called alongside the
+# queries-level plan_cache_invalidate).
+_ZM_CACHE: dict[tuple, list] = {}
+_ZM_CACHE_MAX = 32
+
+
+def _zonemap_rows_cached(spark: SparkSession, vdir: str) -> list | None:
+    """Collected `_zonemap` rows for an IMMUTABLE version dir, cached;
+    None when the dir carries no manifest (not cached — a later
+    aside-restore may bring it back)."""
+    key = (spark.sparkContext.applicationId, vdir)
+    if key in _ZM_CACHE:
+        return _ZM_CACHE[key]
+    fs, _, jvm = _fs_for(spark, vdir)
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{vdir}/_zonemap")):
+        return None
+    rows = [r.asDict() for r in spark.read.parquet(f"{vdir}/_zonemap").collect()]
+    while len(_ZM_CACHE) >= _ZM_CACHE_MAX:
+        _ZM_CACHE.pop(next(iter(_ZM_CACHE)))
+    _ZM_CACHE[key] = rows
+    return rows
+
+
+def zonemap_cache_forget(root: str) -> None:
+    """Drop every cached manifest under ``root`` (all versions)."""
+    for k in [k for k in _ZM_CACHE if k[1].startswith(root.rstrip("/"))]:
+        _ZM_CACHE.pop(k, None)
+
+
+def scan_pruned(
+    spark: SparkSession, path: str, col: str, lo, hi, _manifest_rows=None
+) -> DataFrame:
     """Range scan through the zonemap: read ONLY files whose [min, max]
     interval overlaps [lo, hi], then apply the residual filter (identical
     results to a full-scan filter — pruning is I/O elision, never a
@@ -1965,24 +2010,33 @@ def scan_pruned(spark: SparkSession, path: str, col: str, lo, hi) -> DataFrame:
     from pyspark.sql import functions as F
 
     base = spark.read.parquet(path)
-    # r15 (ADVICE): a crashed refresher can leave the table with NO live
-    # manifest (see _restore_zonemap_aside) — pruning is an optimization,
-    # never a requirement, so fall back to a full filtered scan exactly
-    # like read_snapshot_pruned_in does rather than raising.
-    fs, _, jvm = _fs_for(spark, path)
-    if not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/_zonemap")):
-        if not _restore_zonemap_aside(spark, path):
-            _warn_stale(StaleManifestError(f"no _zonemap manifest under {path}"))
-            return base.filter(F.col(col).between(lo, hi))
-    zm = spark.read.parquet(f"{path}/_zonemap")
-    files = [
-        r["file"]
-        for r in zm.filter(
-            (F.col(f"max_{col}") >= lo) & (F.col(f"min_{col}") <= hi)
-        )
-        .select("file")
-        .collect()
-    ]
+    if _manifest_rows is not None:
+        # cached rows (r16): interval test driver-side, no manifest job
+        files = [
+            r["file"]
+            for r in _manifest_rows
+            if r[f"max_{col}"] >= lo and r[f"min_{col}"] <= hi
+        ]
+    else:
+        # r15 (ADVICE): a crashed refresher can leave the table with NO
+        # live manifest (see _restore_zonemap_aside) — pruning is an
+        # optimization, never a requirement, so fall back to a full
+        # filtered scan exactly like read_snapshot_pruned_in does
+        # rather than raising.
+        fs, _, jvm = _fs_for(spark, path)
+        if not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/_zonemap")):
+            if not _restore_zonemap_aside(spark, path):
+                _warn_stale(StaleManifestError(f"no _zonemap manifest under {path}"))
+                return base.filter(F.col(col).between(lo, hi))
+        zm = spark.read.parquet(f"{path}/_zonemap")
+        files = [
+            r["file"]
+            for r in zm.filter(
+                (F.col(f"max_{col}") >= lo) & (F.col(f"min_{col}") <= hi)
+            )
+            .select("file")
+            .collect()
+        ]
     try:
         files = _current_paths(base, files, path)  # manifest paths may predate a rename
     except StaleManifestError as e:
@@ -1998,7 +2052,9 @@ def scan_pruned(spark: SparkSession, path: str, col: str, lo, hi) -> DataFrame:
     )
 
 
-def scan_pruned_in(spark: SparkSession, path: str, col: str, values) -> DataFrame:
+def scan_pruned_in(
+    spark: SparkSession, path: str, col: str, values, _manifest_rows=None
+) -> DataFrame:
     """IN-set scan through the zonemap (r12): open ONLY files whose
     [min, max] interval contains at least one of ``values``, then apply
     the residual ``isin`` filter — the set-membership sibling of
@@ -2022,20 +2078,29 @@ def scan_pruned_in(spark: SparkSession, path: str, col: str, values) -> DataFram
     base = spark.read.parquet(path)
     if not vals:
         return base.filter(F.lit(False))
-    # r15 (ADVICE): same missing-manifest fallback as scan_pruned — a
-    # crashed refresher must degrade pruned reads to full scans, not
-    # break them.
-    fs, _, jvm = _fs_for(spark, path)
-    if not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/_zonemap")):
-        if not _restore_zonemap_aside(spark, path):
-            _warn_stale(StaleManifestError(f"no _zonemap manifest under {path}"))
-            return base.filter(F.col(col).isin(vals))
-    zm = spark.read.parquet(f"{path}/_zonemap")
-    cond = None
-    for v in vals:
-        c = (F.col(f"min_{col}") <= F.lit(v)) & (F.col(f"max_{col}") >= F.lit(v))
-        cond = c if cond is None else (cond | c)
-    files = [r["file"] for r in zm.filter(cond).select("file").collect()]
+    if _manifest_rows is not None:
+        # cached rows (r16): membership-overlap test driver-side over
+        # model-sized (files × probe-set) — no manifest job
+        files = [
+            r["file"]
+            for r in _manifest_rows
+            if any(r[f"min_{col}"] <= v <= r[f"max_{col}"] for v in vals)
+        ]
+    else:
+        # r15 (ADVICE): same missing-manifest fallback as scan_pruned —
+        # a crashed refresher must degrade pruned reads to full scans,
+        # not break them.
+        fs, _, jvm = _fs_for(spark, path)
+        if not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/_zonemap")):
+            if not _restore_zonemap_aside(spark, path):
+                _warn_stale(StaleManifestError(f"no _zonemap manifest under {path}"))
+                return base.filter(F.col(col).isin(vals))
+        zm = spark.read.parquet(f"{path}/_zonemap")
+        cond = None
+        for v in vals:
+            c = (F.col(f"min_{col}") <= F.lit(v)) & (F.col(f"max_{col}") >= F.lit(v))
+            cond = c if cond is None else (cond | c)
+        files = [r["file"] for r in zm.filter(cond).select("file").collect()]
     try:
         files = _current_paths(base, files, path)  # manifest paths may predate a rename
     except StaleManifestError as e:
@@ -2063,13 +2128,13 @@ def read_snapshot_pruned_in(
     if version is None:
         version = _read_latest_version(spark, root)
     vdir = f"{root}/v={version}"
-    fs, _, jvm = _fs_for(spark, vdir)
-    if not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{vdir}/_zonemap")):
+    rows = _zonemap_rows_cached(spark, vdir)  # immutable version dir
+    if rows is None:
         vals = sorted(set(values))
         return spark.read.parquet(vdir).filter(
             F.col(col).isin(vals) if vals else F.lit(False)
         )
-    return scan_pruned_in(spark, vdir, col, values)
+    return scan_pruned_in(spark, vdir, col, values, _manifest_rows=rows)
 
 
 # --- late r10: file-level Bloom-filter manifests ---------------------------
