@@ -1837,3 +1837,76 @@ def test_rel_files_tolerant_walk_skips_racer_stage(spark, tmp_path):
         raise AssertionError("strict walk must surface the listing error")
     except RuntimeError:
         pass
+
+
+def test_zonemap_manifest_cache_reuse_and_erasure_purge(spark, tmp_path):
+    """r16: pruned snapshot reads cache the collected _zonemap rows per
+    (session, version dir) — version dirs are immutable, so the cache
+    can never go stale; what must still hold is (a) repeats reuse the
+    same rows object and serve identical results, (b) a NEW version
+    resolves fresh rows (key miss), (c) forget_keys purges the root's
+    entries and post-erasure reads serve the scrubbed content, and
+    (d) plain mutable paths never populate the cache."""
+    from pyspark.sql import functions as F
+
+    from msgraphdatapipelines_spark import sinks
+
+    root = str(tmp_path / "zs")
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("g")
+    )
+    v1 = sinks.write_snapshot(
+        df.repartitionByRange(4, "k"), root, zonemap_cols=["k"]
+    )
+    appid = spark.sparkContext.applicationId
+
+    def entries():
+        return {k: v for k, v in sinks._ZM_CACHE.items() if root in k[1]}
+
+    sinks.zonemap_cache_forget(root)
+    r1 = sorted(
+        x["k"] for x in sinks.read_snapshot_pruned(spark, root, "k", 100, 120).collect()
+    )
+    assert r1 == list(range(100, 121))
+    ent = entries()
+    assert list(ent) == [(appid, f"{root}/v={v1}")]
+    rows_obj = ent[(appid, f"{root}/v={v1}")]
+    r2 = sorted(
+        x["k"] for x in sinks.read_snapshot_pruned_in(
+            spark, root, "k", [100, 110, 120]
+        ).collect()
+    )
+    assert r2 == [100, 110, 120]
+    assert entries()[(appid, f"{root}/v={v1}")] is rows_obj, "repeat must reuse"
+
+    # (b) new version = new key
+    v2 = sinks.write_snapshot(
+        df.filter(F.col("k") < 500).repartitionByRange(4, "k"),
+        root, zonemap_cols=["k"],
+    )
+    r3 = sorted(
+        x["k"] for x in sinks.read_snapshot_pruned(spark, root, "k", 100, 120).collect()
+    )
+    assert r3 == list(range(100, 121))
+    assert (appid, f"{root}/v={v2}") in entries()
+
+    # (c) erasure purges and post-erasure reads are scrubbed
+    victims = spark.createDataFrame([(110,)], "k long")
+    out = sinks.forget_keys(spark, root, ["k"], victims, zonemap_cols=["k"])
+    assert entries() == {}, "forget_keys must purge the root's manifest cache"
+    r4 = sorted(
+        x["k"] for x in sinks.read_snapshot_pruned(spark, root, "k", 100, 120).collect()
+    )
+    assert r4 == [k for k in range(100, 121) if k != 110]
+    assert (appid, f"{root}/v={out['version']}") in entries()
+
+    # (d) plain mutable paths bypass the cache entirely
+    plain = str(tmp_path / "plain")
+    df.write.parquet(plain)
+    sinks.build_zonemap(spark, plain, ["k"])
+    before = set(sinks._ZM_CACHE)
+    got = sorted(
+        x["k"] for x in sinks.scan_pruned(spark, plain, "k", 5, 9).collect()
+    )
+    assert got == [5, 6, 7, 8, 9]
+    assert set(sinks._ZM_CACHE) == before, "mutable paths must not cache"
