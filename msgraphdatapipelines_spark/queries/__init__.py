@@ -55,10 +55,22 @@ def _harden(spark: SparkSession) -> None:
     """Pin the runtime confs the queries rely on, idempotently — the driver
     may hand us a session built without them (UTC for oracle parity, nanos
     legacy mode for events.parquet, AQE for adaptive plans)."""
+    import os as _os
+
     for k, v in (
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.adaptive.enabled", "true"),
+        # r16 OPT: see session.get_spark — the Spark 4.1 checksum
+        # checkpoint manager costs a thread-spawning Future + a .crc twin
+        # per checkpoint file on every state-store commit (2× checkpoint
+        # files at scale); measured 2× on the streaming rows' bench
+        # medians.  Read at stream start, so setting it here covers
+        # driver-handed sessions too.
+        (
+            "spark.sql.streaming.checkpoint.fileChecksum.enabled",
+            "true" if _os.environ.get("SPARK_GRAFT_STREAM_CHECKSUM") else "false",
+        ),
     ):
         try:
             spark.conf.set(k, v)

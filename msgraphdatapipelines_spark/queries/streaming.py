@@ -51,7 +51,11 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     _harden(spark)
     ev = ST.read_events_stream(spark, sf_dir, glob="events.parquet")
     agg = ST.tumbling_counts(ev, window="1 hour", watermark="1 hour")
-    result, _ = ST.run_stream_to_memory(agg, output_mode="append")
+    result, _ = ST.run_stream_to_memory(
+        agg,
+        output_mode="append",
+        state_partitions=ST.suggest_state_partitions(spark, sf_dir, "events.parquet"),
+    )
     return result.select(
         F.date_format("window.start", TS_FMT).alias("window_start"),
         "event_type",
@@ -102,7 +106,11 @@ def stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     _harden(spark)
     ev = ST.read_events_stream(spark, sf_dir, glob="events.parquet")
     agg = ST.sliding_counts(ev, window="2 hours", slide="1 hour", watermark="1 hour")
-    result, _ = ST.run_stream_to_memory(agg, output_mode="append")
+    result, _ = ST.run_stream_to_memory(
+        agg,
+        output_mode="append",
+        state_partitions=ST.suggest_state_partitions(spark, sf_dir, "events.parquet"),
+    )
     return result.select(
         F.date_format("window.start", TS_FMT).alias("window_start"),
         "event_type",
@@ -161,7 +169,13 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inner join: matches emit in the data batch; the no-data batch would
     # only evict state the drain is about to discard (r6, PERF.md)
     with ST.skip_no_data_batches(spark):
-        result, _ = ST.run_stream_to_memory(joined, output_mode="append")
+        result, _ = ST.run_stream_to_memory(
+            joined,
+            output_mode="append",
+            state_partitions=ST.suggest_state_partitions(
+                spark, sf_dir, "events.parquet"
+            ),
+        )
     return result.select(
         "p_event_id",
         "c_event_id",
@@ -195,7 +209,11 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     deduped = ST.dedup_within_watermark(
         ev.select("user_id", "event_type", "ts"), ["user_id", "event_type"]
     )
-    result, _ = ST.run_stream_to_memory(deduped, output_mode="append")
+    result, _ = ST.run_stream_to_memory(
+        deduped,
+        output_mode="append",
+        state_partitions=ST.suggest_state_partitions(spark, sf_dir, "events.parquet"),
+    )
     return result.select("user_id", "event_type")
 
 
@@ -224,6 +242,11 @@ def stream_stateful_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     # data batch and the TTL timers (last_ts + 6h) sit beyond the drain's
     # final watermark — see ST.skip_no_data_batches for the contract.
     with ST.skip_no_data_batches(spark):
+        # r16 OPT: deliberately NOT input-size-derived — this operator's
+        # wall is the Python per-key work inside applyInPandasWithState
+        # (state partitions = Arrow workers = usable cores), not the JVM
+        # state-store commit overhead the other rows shed.  A/B at sf0.1:
+        # 32 parts 3-5 s, 8 parts ~6 s, 1 part 34 s.
         result, _ = ST.run_stream_to_memory(
             first_seen_dedup(ev), output_mode="update", available_now=True
         )
@@ -275,7 +298,9 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     _harden(spark)
     ev = ST.read_events_stream(spark, sf_dir, glob="events.parquet")
     result, _ = ST.run_stream_to_memory(
-        ST.session_counts(ev, gap="30 minutes", watermark="1 hour"), output_mode="append"
+        ST.session_counts(ev, gap="30 minutes", watermark="1 hour"),
+        output_mode="append",
+        state_partitions=ST.suggest_state_partitions(spark, sf_dir, "events.parquet"),
     )
     return result.select(
         "user_id",
@@ -336,7 +361,11 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value_dec"),
         )
     )
-    result, _ = ST.run_stream_to_memory(agg, output_mode="append")
+    result, _ = ST.run_stream_to_memory(
+        agg,
+        output_mode="append",
+        state_partitions=ST.suggest_state_partitions(spark, sf_dir, "events.parquet"),
+    )
     return result.select(
         F.date_format("window.start", TS_FMT).alias("window_start"),
         "c_mktsegment",
@@ -475,7 +504,11 @@ def stream_stream_interval_left_join(spark: SparkSession, sf_dir: str) -> DataFr
     # the streaming plan: a pre-drain filter on the join key propagates
     # to BOTH scans (constraint pushdown), dropping the sentinels before
     # the watermark operators — which silently un-advances the watermark
-    result, _ = ST.run_stream_to_memory(joined, output_mode="append")
+    result, _ = ST.run_stream_to_memory(
+        joined,
+        output_mode="append",
+        state_partitions=ST.suggest_state_partitions(spark, root, "*.parquet"),
+    )
     result = result.filter(F.col("user_id") >= 0)
     return result.select(
         "p_event_id",

@@ -44,6 +44,22 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # r16 OPT: Spark 4.1's ChecksumCheckpointFileManager (new, default
+        # on) wraps EVERY streaming-checkpoint file write with a checksum
+        # twin written from a fresh Future — profiled here at 584 live
+        # ChecksumCheckpointFileManager-Threads mid-bench, with state-store
+        # commit tasks blocked in Thread.start0, and it DOUBLES the
+        # checkpoint file count (one .crc twin per delta/commit file — at
+        # production state-partition counts that is the small-file problem
+        # twice per micro-batch).  Measured on the tumbling-window row at
+        # sf0.1: median-of-3 4.06 s → 2.05 s with it off (steady state
+        # 1.9 → 1.5 s).  Corruption detection for checkpoint files falls
+        # back to the filesystem's own integrity (local-FS CRC / object
+        # store etags); set SPARK_GRAFT_STREAM_CHECKSUM=1 to re-enable.
+        .config(
+            "spark.sql.streaming.checkpoint.fileChecksum.enabled",
+            "true" if os.environ.get("SPARK_GRAFT_STREAM_CHECKSUM") else "false",
+        )
     )
     if SparkSession.getActiveSession() is None:
         b = b.master(f"local[{n}]")
