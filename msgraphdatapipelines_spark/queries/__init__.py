@@ -83,6 +83,49 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_spread(
+    spark: SparkSession, sf_dir: str, name: str, key: str
+) -> DataFrame:
+    """``load`` plus a SCAN-PARALLELISM FLOOR for unsplittable small inputs
+    (r16 OPT; guide §2.5 "input skew: one huge unsplittable file …
+    repartition immediately after the read").
+
+    The fixture tables are single-row-group parquet, so the scan hands the
+    whole file to ONE task regardless of ``spark.sql.files.maxPartitionBytes``
+    / ``minPartitionNum`` (a row group is the atomic split unit) — and every
+    expression-heavy pipeline over them (md5 shingles, gram explodes,
+    tokenize batteries) runs single-threaded on a 32-core executor.
+    Profiled at sf0.1: text_battery was one 3.0 s single-task stage;
+    dedup_minhash_lsh four ~3.4 s single-task subtree evaluations.
+
+    When the estimated scan-task count (file bytes / maxPartitionBytes,
+    i.e. what the reader itself will do) cannot fill ``defaultParallelism``
+    slots, repartition by the given high-cardinality key so downstream
+    per-row work spreads across the cluster.  Deterministic (hash of a real
+    column, never rand() — guide §2.5 retry hazard).  Once the input is
+    large enough to split into ≥ parallelism scan tasks — any real
+    deployment — this is a NO-OP: no extra exchange reaches a 100 TB plan.
+
+    Measured interleaved-A/B at sf0.1 (median of 6): text_battery
+    3.1 → 0.83 s, dedup_minhash_lsh 4.0 → 1.7 s,
+    dedup_connected_components 4.57 → 2.90 s.
+    """
+    import os as _os
+
+    df = load(spark, sf_dir, name)
+    try:
+        sz = _os.path.getsize(_os.path.join(sf_dir, f"{name}.parquet"))
+    except OSError:
+        return df  # non-local fixture layout: let the scan decide
+    max_pb = int(
+        spark._jsparkSession.sessionState().conf().filesMaxPartitionBytes()
+    )
+    par = spark.sparkContext.defaultParallelism
+    if -(-sz // max_pb) >= par:
+        return df
+    return df.repartition(par, key)
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores ts as TIMESTAMP(NANOS); with
     ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as LongType nanos —

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import text as X
-from . import load, register
+from . import load, load_spread, register
 
 _WS = "list_filter(string_split(text, ' '), w -> w <> '')"
 _ALL_MARKERS = ", ".join(f"'{m}'" for ms in X.LANG_MARKERS.values() for m in ms)
@@ -345,7 +345,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer micro-nat sums (the quality_buckets_logprob discipline) keep
     the score bit-identical cross-engine; compose with the A-ES sampler
     for the actual importance-resampling draw."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
     return X.dsir_weights(docs, F.col("lang") == "en", "doc_id", "text")
 
 

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup as D
-from . import load, register
+from . import load, load_spread, register
 
 # shared oracle CTE: distinct word 3-grams per document
 _GRAMS_SQL = """
@@ -49,7 +49,12 @@ def _doc_grams(spark: SparkSession, sf_dir: str, pin: bool = False) -> DataFrame
     job count, not consumer count alone.  Kept as an explicit flag so the
     finding stays executable.
     """
-    docs = load(spark, sf_dir, "documents")
+    # r16 OPT: scan-parallelism floor (load_spread) — the single-row-group
+    # fixture file otherwise pins the gram explode + 8×md5 signature work
+    # to ONE task (profiled: four ~3.4 s single-task subtree evaluations
+    # in dedup_minhash_lsh; interleaved A/B medians: minhash 4.0 → 1.7 s,
+    # connected_components 4.57 → 2.90 s).  No-op once the input splits.
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
     grams = docs.select("doc_id", F.explode(D.word_ngrams("text", 3)).alias("g"))
     return grams.localCheckpoint(eager=True) if pin else grams
 
@@ -401,7 +406,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket sizes: equal signatures = near-dup candidates in O(n).  The
     signature is one aggregation over exploded tokens; bucketing is a window
     count on the signature."""
-    docs = load(spark, sf_dir, "documents")
+    # r16 OPT: scan-parallelism floor — the 16 per-token md5-digit bit
+    # extractions otherwise run in the single scan task (load_spread
+    # docstring; no-op at real input sizes)
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
     # raw split (not word_ngrams, which dedupes) — keep token-frequency weights
     toks = docs.select(
         "doc_id",
@@ -1267,7 +1275,10 @@ def dedup_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = D.minhash_signatures(grams, "doc_id", "g", num_hashes=8, hash_fn="md5")
     cand = D.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=4)
     verified = D.jaccard_verify(grams, cand, "doc_id", "g", threshold=0.5)
-    docs = load(spark, sf_dir, "documents")
+    # r16 OPT: spread so the tokenize+distinct quality scan parallelizes
+    # (the closure universe below prunes to doc_id, so its branch shuffles
+    # only ids); no-op at real input sizes
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
     comp = D.connected_components(
         docs.select("doc_id"), verified.select("id_a", "id_b"), id_col="doc_id"
     )

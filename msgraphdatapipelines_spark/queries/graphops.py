@@ -18,7 +18,7 @@ from pyspark.sql import types as T
 
 from .. import sinks
 from ..operators import flatten, project
-from . import load, register
+from . import load, load_spread, register
 
 
 @register(
@@ -63,7 +63,10 @@ def graph_argmax_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest element (``array_sort`` + comparator + ``element_at``) and the
     first element + array size — all narrow ops sharing the single nested
     build, no second shuffle.  Consolidated from two queries (r2)."""
-    li = load(spark, sf_dir, "lineitem")
+    # r16 OPT: scan-parallelism floor — the single-row-group fixture pins
+    # the struct build + partial collect_list to one task (interleaved A/B
+    # median 1.73 -> 1.46 s at sf0.1; no-op at real input sizes)
+    li = load_spread(spark, sf_dir, "lineitem", "l_orderkey")
     nested = li.groupBy("l_orderkey").agg(
         F.collect_list(
             F.struct(

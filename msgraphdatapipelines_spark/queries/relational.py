@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..schemas import EVENT_PROPS
-from . import load, load_events, register
+from . import load, load_events, load_spread, register
 
 # exact-sum helper: cast to decimal, sum (exact), cast back to double
 def _dsum(col, scale=2):
@@ -123,7 +123,11 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style grouped aggregation — partial (map-side) aggregation
     before one shuffle on the 4-value grouping key; exact decimal arithmetic
     for cross-engine determinism."""
-    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1999-12-01"))
+    # r16 OPT: scan-parallelism floor — parallelizes the decimal partial
+    # aggregation (interleaved A/B median 1.14 -> 0.80 s at sf0.1)
+    li = load_spread(spark, sf_dir, "lineitem", "l_orderkey").filter(
+        F.col("l_shipdate") <= F.lit("1999-12-01")
+    )
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     disc = F.col("l_discount").cast("decimal(18,4)")
     tax = F.col("l_tax").cast("decimal(18,4)")

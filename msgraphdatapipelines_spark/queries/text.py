@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import text as X
-from . import load, register
+from . import load, load_spread, register
 from .similarity import _cos as _vec_cos
 from .similarity import _norm_pos as _vec_norm_pos
 
@@ -102,7 +102,7 @@ def text_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores are likewise computed once and detected_lang derives from the
     score COLUMNS.  Same values, one tokenization.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
     toked = docs.select("doc_id", "lang", "text", X.tokens("text").alias("_ws"))
     ws = F.col("_ws")
     stats = X.quality_stats("text", ws=ws)
@@ -169,7 +169,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts (vocabulary ≪ corpus); top-k is a WindowGroupLimit-prunable
     ranking window.  idf = ln((N+1)/(df+1)) + 1; ties break
     lexicographically; N (corpus size) is the one model scalar collected."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
     return X.tfidf_top_terms(docs, "doc_id", "text", k=3)
 
 
@@ -234,7 +234,7 @@ def pii_scrub_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     for identical semantics under Java regex (Spark) and RE2 (DuckDB):
     no lookarounds/backrefs, ASCII classes only; replacement order is
     fixed so the engines compose the same rewrites."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
     cols = X.pii_scrub("text")
     return docs.select(
         "doc_id",
@@ -307,7 +307,7 @@ def text_repetition_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions over ONE corpus scan — the boilerplate/degenerate-text
     filter of LLM curation pipelines.  Demoted-oracle row (text family
     stays driver-graded via text_battery)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
     from ..operators.text import repetition_signals, tokens
 
     sig = repetition_signals("text", ws=tokens("text"))
@@ -376,7 +376,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the LM artifact — vocabulary ≪ corpus, reusable); scoring = one
     equi-join on the token + one per-doc agg.  Gram-frequency-bound, no
     pairs, same join family as contamination_check."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
     toks = docs.select(
         "doc_id",
         F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias("tok"),
@@ -464,7 +464,7 @@ def strip_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     order.  One segment-hash shuffle + an O(max_frequent) broadcast; the
     rebuild is per-row codegen (operators.text.strip_frequent_segments —
     scale notes there)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
     return X.strip_frequent_segments(
         docs, id_col="doc_id", text_col="text", width=_BL_W, min_docs=_BL_MIN_DOCS
     )
@@ -553,7 +553,7 @@ def nb_langid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``operators/classify.py``."""
     from ..operators import classify as C
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
     toks = docs.select(
         "doc_id",
         F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias("tok"),
@@ -712,7 +712,7 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     heap per query).  Per-term contributions quantize to ints
     (floor(·1e6)) so per-(query, doc) sums are order-free and the ranking
     replays bit-identically in the oracle."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
     ws = F.filter(F.split("text", " "), lambda w: w != "")
     qt = (
         docs.filter((F.col("doc_id") % 100 == 0) & (F.col("doc_id") < 5000))
@@ -760,7 +760,7 @@ def text_entropy_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles, no pairs, linear in tokens.  The Σc·ln c term quantizes to
     exact ints so the per-doc sum is order-free; the final normalization
     is one IEEE division per doc, rounded to 6 places both engines."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
     toks = docs.select(
         "doc_id",
         F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias("tok"),
@@ -1041,7 +1041,7 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank window — cost independent of corpus size.  Ranks are ints and
     the RRF sum is a fixed two-term expression, so fusion replays
     bit-identically."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
     bm = _bm25_top10(docs)
     emb = load(spark, sf_dir, "embeddings")
     from pyspark.sql import Window
@@ -1184,7 +1184,7 @@ def hybrid_search_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     build and is appended incrementally (``ivf_incremental_append``)."""
     from .similarity import indexed_candidates
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
     bm = _bm25_top10(docs)
     emb = load(spark, sf_dir, "embeddings")
     vec = indexed_candidates(spark, emb, k=10, sf_dir=sf_dir).select(
@@ -1244,7 +1244,7 @@ def heavy_hitters_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
     that two-phase filter sound."""
     from ..operators.sketches import build_cm_sketch, cm_estimate, merge_cm_sketches
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
     ws = F.filter(F.split("text", " "), lambda w: w != "")
     toks = docs.select("source", F.explode(ws).alias("tok"))
     per_source = build_cm_sketch(toks, ["source"], "tok", depth=4)
@@ -1309,7 +1309,7 @@ def gopher_rules_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     conjunction ``gopher_pass``.  The decision layer downstream mixers
     consume; signals come from the same one-scan codegen battery as
     ``text_battery`` (shared tokenization, zero shuffles)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
     toked = docs.select("doc_id", X.tokens("text").alias("_ws"), F.col("text"))
     rules = X.gopher_rules("text", ws=F.col("_ws"))
     return toked.select("doc_id", *[c.alias(k) for k, c in rules.items()])
@@ -1356,7 +1356,7 @@ def duplicated_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle computes coverage by exploding covered indices; the engine
     folds sorted intervals — same integers, different plan, which is the
     point (the fold keeps the doc-keyed shuffle O(dup positions))."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
     return X.duplicated_span_stats(docs, "doc_id", "text", n=8, min_count=2)
 
 
@@ -1413,7 +1413,7 @@ def dedup_remove_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept tokens in order; the engine filters per-row arrays against the
     per-doc redundant-start list — same text, different plan (the engine
     never explodes window-width rows or shuffles token text)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
     return X.remove_duplicated_spans(docs, "doc_id", "text", n=8, min_count=2)
 
 
@@ -1702,7 +1702,7 @@ def ensure_standing_lexicon(spark: SparkSession, sf_dir: str, docs: DataFrame | 
     hpath = jvm.org.apache.hadoop.fs.Path
     if _gs.current_gen(fs, hpath, root) is None:
         if docs is None:
-            docs = load(spark, sf_dir, "documents")
+            docs = load_spread(spark, sf_dir, "documents", "doc_id")
         lexicon_append_batch(spark, root, docs, bid=0)  # bid 0: replay no-op
         try:
             lexicon_compact(spark, root)
@@ -1804,7 +1804,7 @@ def bm25_search_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     term-partitioned postings scan (row-group skipping), df cap and
     corpus stats applied from the persisted artifact, zero corpus-sized
     work after first touch."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
     ws = F.filter(F.split("text", " "), lambda w: w != "")
     qt = (
         docs.filter((F.col("doc_id") % 100 == 0) & (F.col("doc_id") < 5000))
@@ -1829,7 +1829,7 @@ def _ensure_forgotten_lexicon(spark: SparkSession, sf_dir: str) -> str:
     hpath = jvm.org.apache.hadoop.fs.Path
     marker = f"{root}/_fgt_ready"
     if not fs.exists(hpath(marker)):
-        docs = load(spark, sf_dir, "documents")
+        docs = load_spread(spark, sf_dir, "documents", "doc_id")
         lexicon_append_batch(spark, root, docs, bid=0)
         lexicon_compact(spark, root)
         ids = [
@@ -1863,7 +1863,7 @@ def bm25_search_forgotten(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest re-applies on every later compact (replayed appends cannot
     resurrect), and its batch dirs join the compact's no-op key."""
     root = _ensure_forgotten_lexicon(spark, sf_dir)
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
     ws = F.filter(F.split("text", " "), lambda w: w != "")
     qt = (
         docs.filter((F.col("doc_id") % 100 == 0) & (F.col("doc_id") < 5000))
@@ -1900,7 +1900,7 @@ def hybrid_search_rrf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     document, matching the indexed row."""
     from .similarity import indexed_candidates
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
     ws = F.filter(F.split("text", " "), lambda w: w != "")
     qt = docs.filter(F.col("doc_id") < 20).select(
         F.col("doc_id").alias("q_id"),
@@ -1959,5 +1959,5 @@ def cdc_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``chunk_documents``).  Boundaries, chunk texts, AND content hashes
     replay bit-identically in the oracle because the boundary predicate
     is the same md5 both engines evaluate."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
     return X.content_defined_chunks(docs, "doc_id", "text", w=8)

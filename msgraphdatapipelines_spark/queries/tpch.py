@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import load, register
+from . import load, load_spread, register
 
 
 @register(
@@ -36,7 +36,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     them through), and the final top-k is TakeOrderedAndProject."""
     c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
-    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1996-01-01")
+    # r16 OPT: scan-parallelism floor on the fact side (A/B 1.05 -> 0.82 s)
+    li = load_spread(spark, sf_dir, "lineitem", "l_orderkey").filter(
+        F.col("l_shipdate") > "1996-01-01"
+    )
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     disc = F.col("l_discount").cast("decimal(18,4)")
     return (
