@@ -1292,6 +1292,28 @@ def _plan_cache_state(spark: SparkSession, root: str, version: int) -> dict:
     return st
 
 
+def _memo_serve_plan(spark, root: str, version: int, tag: str, build):
+    """Memoize the BUILT logical plan of a serve query per (session,
+    root, resolved version) — r16 OPT, the serve-side complement of the
+    r16 planning-artifact cache (guide §1/§7.3: the wall was DRIVER-side).
+
+    Profiled on ``ann_filtered_topk_served`` at sf0.1: composing the
+    probe/ADC/rerank DataFrame costs ~1,200 py4j round-trips = 2.2 s of
+    a 3.2 s serve wall; execution is 0.97 s.  A serving deployment builds
+    this plan once per artifact generation and runs it per query batch —
+    exactly what this memo does.  EXECUTION still happens on every call
+    (the cached object is an unexecuted DataFrame; each action re-runs
+    the full scan→probe→rerank DAG — nothing about results is cached).
+    Version-keyed ⇒ a pointer flip builds fresh; ``ann_index_forget`` /
+    rebalance purge via :func:`plan_cache_invalidate` like every other
+    planning entry."""
+    st = _plan_cache_state(spark, root, version)
+    df = st.get(tag)
+    if df is None:
+        df = st[tag] = build()
+    return df
+
+
 def plan_cache_invalidate(root: str) -> None:
     """Drop every cached planning entry for ``root``, all versions.
     Called by the writers that change what future resolves should see
@@ -2290,11 +2312,21 @@ def ann_topk_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     the default operating point the PERF.md isolation table measures:
     serve cost tracks nprobe · mean-list-size, not corpus size (probe+
     rerank grew 1.36× at 100× corpus vs 15.8× for brute force)."""
+    from .. import sinks
+
     emb = load(spark, sf_dir, "embeddings")
-    cand = indexed_candidates(spark, emb, k=K, sf_dir=sf_dir)
-    return cand.select(
-        "qid", "cid", F.round("score", 6).alias("score"), "rank"
-    )
+    ensure_standing_index(spark, sf_dir, emb)  # build-at-most-once
+    root = standing_index_root(sf_dir)
+    version = sinks._read_latest_version(spark, f"{root}/snapshot")
+
+    def _build():
+        cand = indexed_candidates(spark, emb, k=K, sf_dir=sf_dir)
+        return cand.select(
+            "qid", "cid", F.round("score", 6).alias("score"), "rank"
+        )
+
+    # r16 OPT: plan memo per resolved version (_memo_serve_plan docstring)
+    return _memo_serve_plan(spark, root, version, "q:ann_topk_served", _build)
 
 
 def indexed_candidates_pruned(
@@ -2721,28 +2753,35 @@ def ann_range_filtered_topk_served(spark: SparkSession, sf_dir: str) -> DataFram
     root = standing_index_root(sf_dir)
     snap = f"{root}/snapshot"
     version = sinks._read_latest_version(spark, snap)
-    models = _load_models_for(spark, root, version)
-    cents = [(int(c), v) for c, v in models["centroids"]]
-    rl = _load_range_rows(spark, sf_dir, version=version)
-    return S.range_filtered_ivf_pq_topk(
-        emb.filter(F.col("vec_id") < N_QUERIES),
-        emb,
-        "vec_id",
-        "vec_id",
-        "embedding",
-        "embedding",
-        RANGE_LO,
-        RANGE_HI,
-        k=K,
-        nprobe=2 * NPROBE,
-        centroids=cents,
-        codebooks=models["codebooks"],
-        rerank=50,
-        range_lists=rl,
-        index_pruner=lambda cents_: sinks.read_snapshot_pruned_in(
-            spark, snap, "cent", cents_, version=version
-        ),
-        dim=DIM,
+
+    def _build():
+        models = _load_models_for(spark, root, version)
+        cents = [(int(c), v) for c, v in models["centroids"]]
+        rl = _load_range_rows(spark, sf_dir, version=version)
+        return S.range_filtered_ivf_pq_topk(
+            emb.filter(F.col("vec_id") < N_QUERIES),
+            emb,
+            "vec_id",
+            "vec_id",
+            "embedding",
+            "embedding",
+            RANGE_LO,
+            RANGE_HI,
+            k=K,
+            nprobe=2 * NPROBE,
+            centroids=cents,
+            codebooks=models["codebooks"],
+            rerank=50,
+            range_lists=rl,
+            index_pruner=lambda cents_: sinks.read_snapshot_pruned_in(
+                spark, snap, "cent", cents_, version=version
+            ),
+            dim=DIM,
+        )
+
+    # r16 OPT: plan memo per resolved version (_memo_serve_plan docstring)
+    return _memo_serve_plan(
+        spark, root, version, "q:ann_range_filtered_topk_served", _build
     )
 
 
@@ -2866,27 +2905,34 @@ def ann_filtered_topk_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one version resolve pins models + label steering + pruned read to a
     # single consistent generation of the artifact (r13, rebalance-safe)
     version = sinks._read_latest_version(spark, snap)
-    models = _load_models_for(spark, root, version)
-    cents = [(int(c), v) for c, v in models["centroids"]]
-    ll = _load_label_lists(spark, sf_dir, version=version)
-    return S.filtered_ivf_pq_topk(
-        emb.filter(F.col("vec_id") < N_QUERIES),
-        emb,
-        "vec_id",
-        "vec_id",
-        "embedding",
-        "embedding",
-        "label",
-        k=K,
-        nprobe=2 * NPROBE,
-        centroids=cents,
-        codebooks=models["codebooks"],
-        rerank=50,
-        index_pruner=lambda cents_: sinks.read_snapshot_pruned_in(
-            spark, snap, "cent", cents_, version=version
-        ),
-        label_lists=ll,
-        dim=DIM,
+
+    def _build():
+        models = _load_models_for(spark, root, version)
+        cents = [(int(c), v) for c, v in models["centroids"]]
+        ll = _load_label_lists(spark, sf_dir, version=version)
+        return S.filtered_ivf_pq_topk(
+            emb.filter(F.col("vec_id") < N_QUERIES),
+            emb,
+            "vec_id",
+            "vec_id",
+            "embedding",
+            "embedding",
+            "label",
+            k=K,
+            nprobe=2 * NPROBE,
+            centroids=cents,
+            codebooks=models["codebooks"],
+            rerank=50,
+            index_pruner=lambda cents_: sinks.read_snapshot_pruned_in(
+                spark, snap, "cent", cents_, version=version
+            ),
+            label_lists=ll,
+            dim=DIM,
+        )
+
+    # r16 OPT: plan memo per resolved version (_memo_serve_plan docstring)
+    return _memo_serve_plan(
+        spark, root, version, "q:ann_filtered_topk_served", _build
     )
 
 
@@ -2921,30 +2967,37 @@ def ann_label_range_filtered_topk_served(spark: SparkSession, sf_dir: str) -> Da
     root = standing_index_root(sf_dir)
     snap = f"{root}/snapshot"
     version = sinks._read_latest_version(spark, snap)
-    models = _load_models_for(spark, root, version)
-    cents = [(int(c), v) for c, v in models["centroids"]]
-    ll = _load_label_lists(spark, sf_dir, version=version)
-    rl = _load_range_rows(spark, sf_dir, version=version)
-    return S.filtered_ivf_pq_topk(
-        emb.filter(F.col("vec_id") < N_QUERIES),
-        emb,
-        "vec_id",
-        "vec_id",
-        "embedding",
-        "embedding",
-        "label",
-        k=K,
-        nprobe=2 * NPROBE,
-        centroids=cents,
-        codebooks=models["codebooks"],
-        rerank=50,
-        index_pruner=lambda cents_: sinks.read_snapshot_pruned_in(
-            spark, snap, "cent", cents_, version=version
-        ),
-        label_lists=ll,
-        dim=DIM,
-        id_range=(RANGE_LO, RANGE_HI),
-        range_lists=rl,
+
+    def _build():
+        models = _load_models_for(spark, root, version)
+        cents = [(int(c), v) for c, v in models["centroids"]]
+        ll = _load_label_lists(spark, sf_dir, version=version)
+        rl = _load_range_rows(spark, sf_dir, version=version)
+        return S.filtered_ivf_pq_topk(
+            emb.filter(F.col("vec_id") < N_QUERIES),
+            emb,
+            "vec_id",
+            "vec_id",
+            "embedding",
+            "embedding",
+            "label",
+            k=K,
+            nprobe=2 * NPROBE,
+            centroids=cents,
+            codebooks=models["codebooks"],
+            rerank=50,
+            index_pruner=lambda cents_: sinks.read_snapshot_pruned_in(
+                spark, snap, "cent", cents_, version=version
+            ),
+            label_lists=ll,
+            dim=DIM,
+            id_range=(RANGE_LO, RANGE_HI),
+            range_lists=rl,
+        )
+
+    # r16 OPT: plan memo per resolved version (_memo_serve_plan docstring)
+    return _memo_serve_plan(
+        spark, root, version, "q:ann_label_range_filtered_topk_served", _build
     )
 
 

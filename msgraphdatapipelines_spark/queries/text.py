@@ -169,7 +169,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts (vocabulary ≪ corpus); top-k is a WindowGroupLimit-prunable
     ranking window.  idf = ln((N+1)/(df+1)) + 1; ties break
     lexicographically; N (corpus size) is the one model scalar collected."""
-    docs = load_spread(spark, sf_dir, "documents", "doc_id")
+    docs = load(spark, sf_dir, "documents")
     return X.tfidf_top_terms(docs, "doc_id", "text", k=3)
 
 
@@ -1041,7 +1041,7 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank window — cost independent of corpus size.  Ranks are ints and
     the RRF sum is a fixed two-term expression, so fusion replays
     bit-identically."""
-    docs = load_spread(spark, sf_dir, "documents", "doc_id")
+    docs = load(spark, sf_dir, "documents")
     bm = _bm25_top10(docs)
     emb = load(spark, sf_dir, "embeddings")
     from pyspark.sql import Window
@@ -1184,7 +1184,7 @@ def hybrid_search_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     build and is appended incrementally (``ivf_incremental_append``)."""
     from .similarity import indexed_candidates
 
-    docs = load_spread(spark, sf_dir, "documents", "doc_id")
+    docs = load(spark, sf_dir, "documents")
     bm = _bm25_top10(docs)
     emb = load(spark, sf_dir, "embeddings")
     vec = indexed_candidates(spark, emb, k=10, sf_dir=sf_dir).select(
@@ -1244,7 +1244,7 @@ def heavy_hitters_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
     that two-phase filter sound."""
     from ..operators.sketches import build_cm_sketch, cm_estimate, merge_cm_sketches
 
-    docs = load_spread(spark, sf_dir, "documents", "doc_id")
+    docs = load(spark, sf_dir, "documents")
     ws = F.filter(F.split("text", " "), lambda w: w != "")
     toks = docs.select("source", F.explode(ws).alias("tok"))
     per_source = build_cm_sketch(toks, ["source"], "tok", depth=4)
@@ -1898,22 +1898,46 @@ def hybrid_search_rrf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     term of the cost tracks probed postings lists / probed centroid lists,
     never the corpus.  Probe = first 4 distinct tokens of each doc_id < 20
     document, matching the indexed row."""
-    from .similarity import indexed_candidates
+    from .. import genstore as _gs
+    from .. import sinks
+    from .similarity import (
+        _memo_serve_plan,
+        ensure_standing_index,
+        indexed_candidates,
+        standing_index_root,
+    )
 
-    docs = load_spread(spark, sf_dir, "documents", "doc_id")
-    ws = F.filter(F.split("text", " "), lambda w: w != "")
-    qt = docs.filter(F.col("doc_id") < 20).select(
-        F.col("doc_id").alias("q_id"),
-        F.explode(F.array_distinct(F.slice(ws, 1, 4))).alias("tok"),
-    )
-    bm = bm25_topk_served(spark, sf_dir, qt, k=10).select(
-        F.col("q_id").alias("qid"), F.col("doc_id").alias("id"), "rank"
-    )
+    # r16 OPT: plan memo keyed by BOTH artifact states (ANN snapshot
+    # version via the cache key, lexicon generation via the tag) — the
+    # composed serve plan is ~2× the single-branch py4j build cost; see
+    # similarity._memo_serve_plan (execution still runs per call).
     emb = load(spark, sf_dir, "embeddings")
-    vec = indexed_candidates(spark, emb, k=10, sf_dir=sf_dir).select(
-        "qid", F.col("cid").alias("id"), F.col("rank").cast("int").alias("rank")
+    ensure_standing_index(spark, sf_dir, emb)
+    ensure_standing_lexicon(spark, sf_dir)
+    ann_root = standing_index_root(sf_dir)
+    version = sinks._read_latest_version(spark, f"{ann_root}/snapshot")
+    lroot = lexicon_root(sf_dir)
+    fs, _, jvm = sinks._fs_for(spark, lroot)
+    gen = _gs.current_gen(fs, jvm.org.apache.hadoop.fs.Path, lroot)
+
+    def _build():
+        docs = load(spark, sf_dir, "documents")
+        ws = F.filter(F.split("text", " "), lambda w: w != "")
+        qt = docs.filter(F.col("doc_id") < 20).select(
+            F.col("doc_id").alias("q_id"),
+            F.explode(F.array_distinct(F.slice(ws, 1, 4))).alias("tok"),
+        )
+        bm = bm25_topk_served(spark, sf_dir, qt, k=10).select(
+            F.col("q_id").alias("qid"), F.col("doc_id").alias("id"), "rank"
+        )
+        vec = indexed_candidates(spark, emb, k=10, sf_dir=sf_dir).select(
+            "qid", F.col("cid").alias("id"), F.col("rank").cast("int").alias("rank")
+        )
+        return _rrf_fuse(bm, vec)
+
+    return _memo_serve_plan(
+        spark, ann_root, version, f"q:hybrid_search_rrf_served:{gen}", _build
     )
-    return _rrf_fuse(bm, vec)
 
 
 @register(

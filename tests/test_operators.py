@@ -3225,3 +3225,28 @@ def test_bpe_train_batched_equals_sequential_with_fewer_rounds(spark):
     assert bat_stats["rounds"] < seq_stats["rounds"], (
         f"no round-trip reduction: {bat_stats} vs {seq_stats}"
     )
+
+
+def test_load_spread_floors_scan_parallelism(spark, sf_dir):
+    """r16 OPT pin: load_spread repartitions a single-row-group fixture
+    scan to defaultParallelism (the plan grows one REPARTITION exchange),
+    and NO-OPs once the estimated scan-task count already fills the
+    cluster (simulated by shrinking maxPartitionBytes below file size)."""
+    from msgraphdatapipelines_spark.queries import load, load_spread
+
+    df = load_spread(spark, sf_dir, "documents", "doc_id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in plan
+    assert df.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 << 10))
+        big = load_spread(spark, sf_dir, "documents", "doc_id")
+        assert "REPARTITION_BY_NUM" not in (
+            big._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+    # same rows either way
+    assert df.count() == load(spark, sf_dir, "documents").count()

@@ -1939,3 +1939,33 @@ def test_ann_swap_protocol_on_copy_rename_fs(spark, sf_dir, tmp_path, monkeypatc
     assert recover_batches(spark, root) is False
     assert not os.path.exists(fake), "completed-swap stage debris must be swept"
     assert key(read_ann_index(spark, f"{root}/batches")) == before
+
+
+def test_memo_serve_plan_reuse_and_invalidation(spark):
+    """r16 OPT pin: the serve-plan memo returns the SAME built object per
+    (session, root, version, tag), builds fresh on a version flip (new
+    key) or a new tag, and plan_cache_invalidate purges the root — the
+    same invalidation contract as every other planning entry.  Uses stub
+    builders: the contract under test is keying/purging, not the plan."""
+    from msgraphdatapipelines_spark.queries import similarity as QS
+
+    root = "/tmp/memo-test-root-xyz"
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return object()
+
+    a = QS._memo_serve_plan(spark, root, 3, "q:x", build)
+    b = QS._memo_serve_plan(spark, root, 3, "q:x", build)
+    assert a is b and calls["n"] == 1
+    # version flip → fresh build (old entry left behind, version-keyed)
+    c = QS._memo_serve_plan(spark, root, 4, "q:x", build)
+    assert c is not a and calls["n"] == 2
+    # distinct tag (e.g. lexicon generation in the hybrid row) → fresh
+    d = QS._memo_serve_plan(spark, root, 4, "q:x:gen_b", build)
+    assert d is not c and calls["n"] == 3
+    # forget/rebalance purge drops every version of the root
+    QS.plan_cache_invalidate(root)
+    e = QS._memo_serve_plan(spark, root, 4, "q:x", build)
+    assert e is not c and calls["n"] == 4

@@ -1046,3 +1046,27 @@ def test_ann_index_stream_with_label_payload_serves_filtered(spark, tmp_path):
     assert got == key(direct) and len(got) > 0
     labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
     assert all(labels[a] == labels[b] for a, b, _, _ in got)
+
+
+def test_suggest_state_partitions_scales_with_input(spark, sf_dir):
+    """r16 OPT pin: the state-partition bound derives from measured input
+    bytes — 1 partition per 32 MiB, floor 1, capped at
+    min(shuffle.partitions, defaultParallelism) — so a 2 MB fixture
+    stream gets single-digit state stores while a large input saturates
+    the cap (the formula, not a local[32] constant, is the contract)."""
+    from msgraphdatapipelines_spark import streaming as ST
+
+    cap = min(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        spark.sparkContext.defaultParallelism,
+    )
+    n = ST.suggest_state_partitions(spark, sf_dir, "events.parquet")
+    assert 1 <= n <= cap
+    # tiny input ⇒ far fewer than the cap (the pre-r16 behavior was == cap)
+    import os
+
+    sz = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+    assert n == max(1, min(cap, -(-sz // (32 << 20))))
+    # a big synthetic byte count saturates the cap
+    assert ST.suggest_state_partitions(spark, sf_dir, "*.parquet",
+                                       bytes_per_partition=1) == cap
