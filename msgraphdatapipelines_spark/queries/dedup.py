@@ -59,6 +59,28 @@ def _doc_grams(spark: SparkSession, sf_dir: str, pin: bool = False) -> DataFrame
     return grams.localCheckpoint(eager=True) if pin else grams
 
 
+def _pinned_minhash_sigs(grams: DataFrame) -> DataFrame:
+    """The MinHash signature table, PINNED (r16 OPT; guide §2.4 remove
+    re-evaluation, §5 caching-when-reused).
+
+    The 8×md5 signature aggregation is the expensive subtree of the whole
+    LSH family, and WITHOUT pinning it is re-evaluated once per physical
+    consumer: the band self-join's two sides and every broadcast exchange
+    built over ``cand``/``verified`` each re-run explode+md5+agg from the
+    scan (profiled at sf0.1: 61 s of the minhash row's 81 s total task
+    time was duplicated signature evaluations across the broadcast-future
+    stages).  The aggregated table is doc-count-sized — n_docs × 8 hex
+    strings, ≪ corpus — so an eager localCheckpoint is bounded at any
+    scale; same precedent as lsh_dedup_clusters's signature pin (186 →
+    93 s at the 100× sweep).  This is the SMALL-table pin the r6 finding
+    allows — pinning the exploded GRAM table stays banned (see _doc_grams).
+    Interleaved A/B at sf0.1, 7 reps: dedup_minhash_lsh median 2.92 →
+    2.11 s, mean 3.62 → 2.77 s (short-job noise is ±2× on this host;
+    steady-state late-session runs 1.8 vs 2.8 s)."""
+    sigs = D.minhash_signatures(grams, "doc_id", "g", num_hashes=8, hash_fn="md5")
+    return sigs.localCheckpoint(eager=True)
+
+
 @register(
     "dedup_exact",
     oracle="""
@@ -192,7 +214,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     on candidates, not all pairs.  md5-seeded hashes keep the oracle
     bit-identical."""
     grams = _doc_grams(spark, sf_dir)
-    sigs = D.minhash_signatures(grams, "doc_id", "g", num_hashes=8, hash_fn="md5")
+    sigs = _pinned_minhash_sigs(grams)  # r16 OPT: see _pinned_minhash_sigs
     cand = D.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=4)
     return D.jaccard_verify(grams, cand, "doc_id", "g", threshold=0.5)
 
@@ -299,7 +321,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_lsh_clusters (star edges, Θ(n·bands) in every regime, provably
     identical components to the bucket-sharing graph)."""
     grams = _doc_grams(spark, sf_dir)
-    sigs = D.minhash_signatures(grams, "doc_id", "g", num_hashes=8, hash_fn="md5")
+    sigs = _pinned_minhash_sigs(grams)  # r16 OPT: see _pinned_minhash_sigs
     cand = D.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=4)
     verified = D.jaccard_verify(grams, cand, "doc_id", "g", threshold=0.5)
     docs = load(spark, sf_dir, "documents").select("doc_id")
@@ -1272,7 +1294,7 @@ def dedup_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-scored join + one per-cluster window; the score is computed in
     ONE scan with no shuffle beyond the clustering's own."""
     grams = _doc_grams(spark, sf_dir)
-    sigs = D.minhash_signatures(grams, "doc_id", "g", num_hashes=8, hash_fn="md5")
+    sigs = _pinned_minhash_sigs(grams)  # r16 OPT: see _pinned_minhash_sigs
     cand = D.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=4)
     verified = D.jaccard_verify(grams, cand, "doc_id", "g", threshold=0.5)
     # r16 OPT: spread so the tokenize+distinct quality scan parallelizes

@@ -1050,7 +1050,9 @@ def test_ann_index_stream_with_label_payload_serves_filtered(spark, tmp_path):
 
 def test_suggest_state_partitions_scales_with_input(spark, sf_dir):
     """r16 OPT pin: the state-partition bound derives from measured input
-    bytes — 1 partition per 32 MiB, floor 1, capped at
+    bytes — 1 partition per 512 KiB (per-partition state compute matters
+    before commit overhead: the 32 MiB first cut serialized the
+    session-window merge onto one core), floor 1, capped at
     min(shuffle.partitions, defaultParallelism) — so a 2 MB fixture
     stream gets single-digit state stores while a large input saturates
     the cap (the formula, not a local[32] constant, is the contract)."""
@@ -1066,7 +1068,7 @@ def test_suggest_state_partitions_scales_with_input(spark, sf_dir):
     import os
 
     sz = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
-    assert n == max(1, min(cap, -(-sz // (32 << 20))))
+    assert n == max(1, min(cap, -(-sz // (512 << 10))))
     # a big synthetic byte count saturates the cap
     assert ST.suggest_state_partitions(spark, sf_dir, "*.parquet",
                                        bytes_per_partition=1) == cap
