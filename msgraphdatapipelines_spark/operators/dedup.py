@@ -699,7 +699,18 @@ def set_similarity_candidate_ids(
 def _attach_gram_arrays(ids: DataFrame, sets: DataFrame, id_col: str) -> DataFrame:
     """Join the per-doc sorted gram arrays onto the pruned candidate
     pairs — two hash joins against the doc-count-sized ``sets`` table
-    AFTER the distinct, so arrays never ride the candidate shuffle."""
+    AFTER the distinct, so arrays never ride the candidate shuffle.
+
+    r16 OPT: the verify that consumes this output is CPU-bound per pair
+    (array_intersect over the full gram arrays) while the candidate-id
+    rows are tiny, so AQE's byte-based coalescing funnels the whole
+    verify onto 1-2 cores (profiled at sf0.1: a 2-task 3.7 s-tasktime
+    final stage was the served rows' entire wall).  An EXPLICIT numbered
+    repartition on the pair key is exempt from AQE coalescing — same
+    rationale as the _fat_gram_pairs repartition above — and it shuffles
+    only the narrow id rows; the arrays still attach after."""
+    n_par = ids.sparkSession.sparkContext.defaultParallelism
+    ids = ids.repartition(n_par, "id_a", "id_b")
     ga = sets.select(F.col(id_col).alias("id_a"), F.col("__garr").alias("__garr_a"))
     gb = sets.select(F.col(id_col).alias("id_b"), F.col("__garr").alias("__garr_b"))
     return ids.join(ga, "id_a").join(gb, "id_b").select(
