@@ -86,6 +86,77 @@ def minhash_signatures(
     return df.groupBy(id_col).agg(*aggs)
 
 
+def minhash_signatures_arrays(
+    df: DataFrame,
+    id_col: str,
+    arr_col: str,
+    num_hashes: int = 8,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """``minhash_signatures`` computed ARRAY-NATIVE (r16 OPT; guide §2.4
+    remove shuffles outright): when the per-doc gram set already lives in
+    one array cell (``word_ngrams`` returns the DISTINCT grams), the
+    per-seed minimum is ``array_min(transform(...))`` — a narrow map with
+    ZERO shuffle and zero explode, versus the exploded path's n·grams-row
+    explode + groupBy shuffle.  Bit-identical output: min over exploded
+    distinct rows == array_min over the same distinct array, and the
+    per-seed hash is the same ``_hash_hex`` construction."""
+    def _seeded(s: int):
+        # NB: must be a ONE-parameter lambda — F.transform interprets a
+        # second parameter (even a defaulted one) as the array INDEX and
+        # silently substitutes it for the closure value
+        return lambda g: _hash_hex(g, s, hash_fn)
+
+    aggs = [
+        F.array_min(F.transform(F.col(arr_col), _seeded(s))).alias(f"mh{s}")
+        for s in range(num_hashes)
+    ]
+    return df.select(F.col(id_col), *aggs)
+
+
+def jaccard_verify_arrays(
+    docsets: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    arr_col: str,
+    threshold: float,
+) -> DataFrame:
+    """``jaccard_verify`` served from per-doc DISTINCT gram arrays (r16
+    OPT): intersection = ``size(array_intersect)``, union by inclusion-
+    exclusion — exactly the counts the exploded equi-join path produces
+    (both sides are distinct sets), without the three corpus-sized gram
+    evaluations that path pays (ga/gb joins + the sizes aggregation each
+    re-ran the explode subtree; profiled at sf0.1 as ~35 s of task time
+    per evaluation of the verified-pair table).  The candidate pairs are
+    explicitly repartitioned before the arrays attach — same AQE-
+    coalescing rationale as ``_attach_gram_arrays``."""
+    n_par = pairs.sparkSession.sparkContext.defaultParallelism
+    ids = pairs.repartition(n_par, "id_a", "id_b")
+    ga = docsets.select(
+        F.col(id_col).alias("id_a"),
+        F.col(arr_col).alias("__ga"),
+        F.size(arr_col).alias("__sza"),
+    )
+    gb = docsets.select(
+        F.col(id_col).alias("id_b"),
+        F.col(arr_col).alias("__gb"),
+        F.size(arr_col).alias("__szb"),
+    )
+    inter = F.size(F.array_intersect("__ga", "__gb"))
+    return (
+        ids.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn("__inter", inter)
+        .withColumn(
+            "jaccard",
+            F.col("__inter").cast("double")
+            / (F.col("__sza") + F.col("__szb") - F.col("__inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def _band_explode(
     signatures: DataFrame, id_col: str, num_hashes: int, bands: int
 ) -> DataFrame:

@@ -59,25 +59,37 @@ def _doc_grams(spark: SparkSession, sf_dir: str, pin: bool = False) -> DataFrame
     return grams.localCheckpoint(eager=True) if pin else grams
 
 
-def _pinned_minhash_sigs(grams: DataFrame) -> DataFrame:
+def _doc_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per doc with its DISTINCT word-3gram set in one ARRAY cell
+    (r16 OPT) — word_ngrams already returns the distinct set, so the
+    LSH family's per-doc quantities never need the explode at all:
+    signatures are array_min(transform(...)) narrow maps and the Jaccard
+    verify is size(array_intersect) — zero gram-keyed shuffles, zero
+    n·grams-row explodes in the whole pipeline (guide §2.4)."""
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
+    return docs.select("doc_id", D.word_ngrams("text", 3).alias("_garr"))
+
+
+def _pinned_minhash_sigs(docsets: DataFrame) -> DataFrame:
     """The MinHash signature table, PINNED (r16 OPT; guide §2.4 remove
     re-evaluation, §5 caching-when-reused).
 
-    The 8×md5 signature aggregation is the expensive subtree of the whole
-    LSH family, and WITHOUT pinning it is re-evaluated once per physical
-    consumer: the band self-join's two sides and every broadcast exchange
-    built over ``cand``/``verified`` each re-run explode+md5+agg from the
+    The 8×md5-per-gram signature map is the expensive subtree of the
+    whole LSH family, and WITHOUT pinning it is re-evaluated once per
+    physical consumer: the band self-join's two sides and every broadcast
+    exchange built over ``cand``/``verified`` each re-run it from the
     scan (profiled at sf0.1: 61 s of the minhash row's 81 s total task
     time was duplicated signature evaluations across the broadcast-future
-    stages).  The aggregated table is doc-count-sized — n_docs × 8 hex
-    strings, ≪ corpus — so an eager localCheckpoint is bounded at any
-    scale; same precedent as lsh_dedup_clusters's signature pin (186 →
-    93 s at the 100× sweep).  This is the SMALL-table pin the r6 finding
-    allows — pinning the exploded GRAM table stays banned (see _doc_grams).
-    Interleaved A/B at sf0.1, 7 reps: dedup_minhash_lsh median 2.92 →
-    2.11 s, mean 3.62 → 2.77 s (short-job noise is ±2× on this host;
-    steady-state late-session runs 1.8 vs 2.8 s)."""
-    sigs = D.minhash_signatures(grams, "doc_id", "g", num_hashes=8, hash_fn="md5")
+    stages).  The table is doc-count-sized — n_docs × 8 hex strings,
+    ≪ corpus — so an eager localCheckpoint is bounded at any scale; same
+    precedent as lsh_dedup_clusters's signature pin (186 → 93 s at the
+    100× sweep).  This is the SMALL-table pin the r6 finding allows —
+    pinning the gram payload (exploded rows or arrays) stays banned (see
+    _doc_grams).  Interleaved A/B at sf0.1 of the pin alone (pre-array-
+    native), 7 reps: dedup_minhash_lsh median 2.92 → 2.11 s."""
+    sigs = D.minhash_signatures_arrays(
+        docsets, "doc_id", "_garr", num_hashes=8, hash_fn="md5"
+    )
     return sigs.localCheckpoint(eager=True)
 
 
@@ -213,10 +225,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs come only from band-bucket collisions; the expensive gram join runs
     on candidates, not all pairs.  md5-seeded hashes keep the oracle
     bit-identical."""
-    grams = _doc_grams(spark, sf_dir)
-    sigs = _pinned_minhash_sigs(grams)  # r16 OPT: see _pinned_minhash_sigs
+    docsets = _doc_sets(spark, sf_dir)  # r16 OPT: array-native, see _doc_sets
+    sigs = _pinned_minhash_sigs(docsets)
     cand = D.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=4)
-    return D.jaccard_verify(grams, cand, "doc_id", "g", threshold=0.5)
+    return D.jaccard_verify_arrays(docsets, cand, "doc_id", "_garr", threshold=0.5)
 
 
 def _minhash_representatives_oracle(num_hashes: int = 8, bands: int = 4) -> str:
@@ -320,10 +332,10 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     AUDIT/exact-threshold formulation.  Production closure at scale is
     dedup_lsh_clusters (star edges, Θ(n·bands) in every regime, provably
     identical components to the bucket-sharing graph)."""
-    grams = _doc_grams(spark, sf_dir)
-    sigs = _pinned_minhash_sigs(grams)  # r16 OPT: see _pinned_minhash_sigs
+    docsets = _doc_sets(spark, sf_dir)  # r16 OPT: array-native, see _doc_sets
+    sigs = _pinned_minhash_sigs(docsets)
     cand = D.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=4)
-    verified = D.jaccard_verify(grams, cand, "doc_id", "g", threshold=0.5)
+    verified = D.jaccard_verify_arrays(docsets, cand, "doc_id", "_garr", threshold=0.5)
     docs = load(spark, sf_dir, "documents").select("doc_id")
     comp = D.connected_components(
         docs, verified.select("id_a", "id_b"), id_col="doc_id"
@@ -1293,10 +1305,10 @@ def dedup_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, no float ranking).  Plan: clustering as before + one
     doc-scored join + one per-cluster window; the score is computed in
     ONE scan with no shuffle beyond the clustering's own."""
-    grams = _doc_grams(spark, sf_dir)
-    sigs = _pinned_minhash_sigs(grams)  # r16 OPT: see _pinned_minhash_sigs
+    docsets = _doc_sets(spark, sf_dir)  # r16 OPT: array-native, see _doc_sets
+    sigs = _pinned_minhash_sigs(docsets)
     cand = D.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=4)
-    verified = D.jaccard_verify(grams, cand, "doc_id", "g", threshold=0.5)
+    verified = D.jaccard_verify_arrays(docsets, cand, "doc_id", "_garr", threshold=0.5)
     # r16 OPT: spread so the tokenize+distinct quality scan parallelizes
     # (the closure universe below prunes to doc_id, so its branch shuffles
     # only ids); no-op at real input sizes

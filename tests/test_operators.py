@@ -3250,3 +3250,31 @@ def test_load_spread_floors_scan_parallelism(spark, sf_dir):
         spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
     # same rows either way
     assert df.count() == load(spark, sf_dir, "documents").count()
+
+
+def test_array_native_minhash_equals_exploded_path(spark, sf_dir):
+    """r16 OPT pin: the array-native LSH pipeline (signatures via
+    array_min(transform(...)), verify via size(array_intersect)) is
+    BIT-IDENTICAL to the exploded-gram reference path — word_ngrams
+    returns the distinct gram set, so min-over-rows == array_min and the
+    equi-join intersection count == array_intersect size.  Guards the
+    exact-equality claim the r16 optimization rests on."""
+    from pyspark.sql import functions as F
+
+    from msgraphdatapipelines_spark.operators import dedup as D
+    from msgraphdatapipelines_spark.queries import load
+
+    docs = load(spark, sf_dir, "documents")
+    docsets = docs.select("doc_id", D.word_ngrams("text", 3).alias("_garr"))
+    grams = docs.select("doc_id", F.explode(D.word_ngrams("text", 3)).alias("g"))
+
+    sig_a = D.minhash_signatures_arrays(docsets, "doc_id", "_garr", 8, "md5")
+    sig_e = D.minhash_signatures(grams, "doc_id", "g", 8, "md5")
+    assert sorted(map(tuple, sig_a.collect())) == sorted(map(tuple, sig_e.collect()))
+
+    cand = D.lsh_candidate_pairs(sig_e, "doc_id", num_hashes=8, bands=4)
+    ver_a = D.jaccard_verify_arrays(docsets, cand, "doc_id", "_garr", 0.5)
+    ver_e = D.jaccard_verify(grams, cand, "doc_id", "g", 0.5)
+    rows_a = sorted(map(tuple, ver_a.collect()))
+    assert rows_a == sorted(map(tuple, ver_e.collect()))
+    assert len(rows_a) > 0  # non-vacuous on the fixture corpus
