@@ -605,40 +605,51 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-gram with the train side, with the shared-gram ratio as the
     contamination score.
 
-    Scale shape: grams explode once; the train side deduplicates to
-    DISTINCT grams (one hash agg — the vocabulary, ≪ corpus) before the
-    membership equi-join keyed on the gram; counts aggregate per eval doc.
-    No all-pairs anything: cost is gram-frequency-bound, like the LSH
-    band join.  On real pipelines the train side's distinct-gram table is
-    the reusable artifact (build once, broadcast if it fits)."""
-    # pin measured SLOWER here (2.0 -> 3.0 s at sf0.1): the three consumers
-    # each read a PRUNED subset (eval grams, distinct train grams, sizes), so
-    # materializing the full gram table costs more than the pruned re-scans
+    Scale shape (r16 OPT: ONE gram-keyed pass; guide §2.4): grams explode
+    ONCE into a single aggregation keyed on the gram that computes, per
+    gram, the eval documents containing it plus a has-train flag; per-doc
+    shared/total counts then fall out of one doc-keyed aggregation over
+    the exploded eval membership (grams are distinct per doc, so the
+    membership row count IS n_grams).  The previous three-consumer shape
+    (eval grams ⋈ distinct train grams + a separate sizes agg) evaluated
+    the gram explode three times and shuffled it twice more — interleaved
+    A/B at sf0.1: median 1.77 → 1.15 s, identical rows.  Per-gram eval-id
+    arrays are bounded by the gram's EVAL-side document frequency — the
+    same rows the old eg⋈tg shuffle carried, just grouped.  No all-pairs
+    anything: cost stays gram-frequency-bound, like the LSH band join."""
     grams = _doc_grams(spark, sf_dir, pin=False)
     docs = load(spark, sf_dir, "documents")
     split = docs.select(
         "doc_id",
         (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "3").alias("is_eval"),
     )
-    g = grams.join(split, "doc_id")
-    eg = g.filter(F.col("is_eval")).select("doc_id", "g")
-    tg = g.filter(~F.col("is_eval")).select("g").distinct()
-    hits = eg.join(tg, "g").groupBy("doc_id").agg(F.count("*").alias("n_shared_grams"))
-    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    per_gram = (
+        grams.join(split, "doc_id")
+        .groupBy("g")
+        .agg(
+            F.collect_set(F.when(F.col("is_eval"), F.col("doc_id"))).alias("_eval_ids"),
+            F.max(F.when(~F.col("is_eval"), F.lit(1)).otherwise(F.lit(0))).alias("_has_train"),
+        )
+    )
+    per_doc = (
+        per_gram.select(F.explode("_eval_ids").alias("doc_id"), "_has_train")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("_has_train").alias("_shared"),
+        )
+    )
     return (
         split.filter(F.col("is_eval"))
-        .join(sizes, "doc_id")
-        .join(hits, "doc_id", "left")
+        .join(per_doc, "doc_id")
         .select(
             "doc_id",
-            F.coalesce(F.col("n_shared_grams"), F.lit(0)).alias("n_shared_grams"),
+            F.col("_shared").cast("long").alias("n_shared_grams"),
             "n_grams",
-            F.round(
-                F.coalesce(F.col("n_shared_grams"), F.lit(0)).cast("double")
-                / F.col("n_grams"),
-                6,
-            ).alias("contamination_ratio"),
-            (F.coalesce(F.col("n_shared_grams"), F.lit(0)) > 0).alias("contaminated"),
+            F.round(F.col("_shared").cast("double") / F.col("n_grams"), 6).alias(
+                "contamination_ratio"
+            ),
+            (F.col("_shared") > 0).alias("contaminated"),
         )
     )
 
