@@ -242,13 +242,23 @@ def stream_stateful_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     # data batch and the TTL timers (last_ts + 6h) sit beyond the drain's
     # final watermark — see ST.skip_no_data_batches for the contract.
     with ST.skip_no_data_batches(spark):
-        # r16 OPT: deliberately NOT input-size-derived — this operator's
-        # wall is the Python per-key work inside applyInPandasWithState
-        # (state partitions = Arrow workers = usable cores), not the JVM
-        # state-store commit overhead the other rows shed.  A/B at sf0.1:
-        # 32 parts 3-5 s, 8 parts ~6 s, 1 part 34 s.
+        # r17 OPT: bucket-sharded state (streaming.stateful module doc) —
+        # the per-key Python wall that justified cores-based partitioning
+        # in r16 is gone (one vectorized pandas groupby per bucket instead
+        # of one Python call per key; 70.5 → ~2 s of Python task time), so
+        # the input-derived state-partition formula the OTHER streaming
+        # rows use applies here too: the residual wall is per-state-
+        # partition JVM commit overhead.  Interleaved A/B at sf0.1 after
+        # bucketing: 32 parts median 1.42 s, 16 parts 1.23 s, 8 parts
+        # 1.28 s, 4 parts 1.41 s — the formula's 6 lands in the flat
+        # bottom.  Combined row: 2.49 s (r17 start) → ~1.3 s.
         result, _ = ST.run_stream_to_memory(
-            first_seen_dedup(ev), output_mode="update", available_now=True
+            first_seen_dedup(ev),
+            output_mode="update",
+            available_now=True,
+            state_partitions=ST.suggest_state_partitions(
+                spark, sf_dir, "events.parquet"
+            ),
         )
     return result
 
