@@ -54,9 +54,20 @@ def register(name: str, oracle: str | None = None, demoted: bool = False):
 def _harden(spark: SparkSession) -> None:
     """Pin the runtime confs the queries rely on, idempotently — the driver
     may hand us a session built without them (UTC for oracle parity, nanos
-    legacy mode for events.parquet, AQE for adaptive plans)."""
+    legacy mode for events.parquet, AQE for adaptive plans).
+
+    Runs ONCE per session (r17 OPT): every ``load`` call funnels through
+    here, and the four conf.set py4j round-trips cost ~1 ms each — pure
+    driver latency repeated hundreds of times per bench suite.  The pins
+    are static per process (two constants + two env-derived values), so a
+    per-session marker makes repeats free."""
     import os as _os
 
+    mark = "_msgdp_hardened_" + (
+        "1" if _os.environ.get("SPARK_GRAFT_STREAM_CHECKSUM") else "0"
+    )
+    if getattr(spark, mark, False):
+        return
     for k, v in (
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
@@ -76,11 +87,59 @@ def _harden(spark: SparkSession) -> None:
             spark.conf.set(k, v)
         except Exception:  # noqa: BLE001 — non-settable in some deployments; best effort
             pass
+    try:
+        setattr(spark, mark, True)
+    except Exception:  # noqa: BLE001 — exotic session proxies; harden every call
+        pass
+
+
+# r17 OPT (guide §6 file listing / §7.3 driver wall): memoize the SCAN
+# DataFrame per (session, file identity).  Every ``spark.read.parquet``
+# call pays file listing + footer/schema probe + plan construction on the
+# DRIVER (~80-95 ms measured per call at sf0.1), and the bench re-runs
+# each query fn four times with 1-3 table loads each — pure repeated
+# driver latency.  The memo holds an UNEXECUTED scan plan: every action
+# still reads the parquet bytes (nothing about results is cached — the
+# same contract as similarity._memo_serve_plan, r16).  Keyed on the file's
+# (size, mtime_ns) so a replaced fixture busts the entry; non-local
+# layouts (no os.stat) skip the memo entirely.  At 100 TB the identical
+# lever is Spark's own filesourcePartitionFileCacheSize — this extends it
+# to the plan object so repeated serves skip relisting too.
+_SCAN_MEMO: dict[tuple, DataFrame] = {}
+_SCAN_MEMO_MAX = 64
+
+
+def _app_id(spark: SparkSession) -> str:
+    aid = getattr(spark, "_msgdp_app_id", None)
+    if aid is None:
+        aid = spark.sparkContext.applicationId
+        try:
+            spark._msgdp_app_id = aid
+        except Exception:  # noqa: BLE001
+            pass
+    return aid
+
+
+def _memo_scan(key: tuple, build):
+    df = _SCAN_MEMO.get(key)
+    if df is None:
+        while len(_SCAN_MEMO) >= _SCAN_MEMO_MAX:
+            _SCAN_MEMO.pop(next(iter(_SCAN_MEMO)))
+        df = _SCAN_MEMO[key] = build()
+    return df
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    import os as _os
+
     _harden(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        st = _os.stat(path)
+    except OSError:
+        return spark.read.parquet(path)
+    key = (_app_id(spark), _os.path.abspath(path), st.st_size, st.st_mtime_ns)
+    return _memo_scan(key, lambda: spark.read.parquet(path))
 
 
 def load_spread(
@@ -123,7 +182,11 @@ def load_spread(
     par = spark.sparkContext.defaultParallelism
     if -(-sz // max_pb) >= par:
         return df
-    return df.repartition(par, key)
+    # r17: the repartition plan is memoized alongside the scan (same
+    # contract as _SCAN_MEMO above); max_pb/par key the entry so a conf
+    # change re-decides the floor (the plan pin test flips maxPartitionBytes)
+    memo_key = ("spread", _app_id(spark), _os.path.abspath(sf_dir), name, key, max_pb, par)
+    return _memo_scan(memo_key, lambda: df.repartition(par, key))
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
