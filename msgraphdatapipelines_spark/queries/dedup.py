@@ -605,53 +605,121 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-gram with the train side, with the shared-gram ratio as the
     contamination score.
 
-    Scale shape (r16 OPT: ONE gram-keyed pass; guide §2.4): grams explode
-    ONCE into a single aggregation keyed on the gram that computes, per
-    gram, the eval documents containing it plus a has-train flag; per-doc
-    shared/total counts then fall out of one doc-keyed aggregation over
-    the exploded eval membership (grams are distinct per doc, so the
-    membership row count IS n_grams).  The previous three-consumer shape
-    (eval grams ⋈ distinct train grams + a separate sizes agg) evaluated
-    the gram explode three times and shuffled it twice more — interleaved
-    A/B at sf0.1: median 1.77 → 1.15 s, identical rows.  Per-gram eval-id
-    arrays are bounded by the gram's EVAL-side document frequency — the
-    same rows the old eg⋈tg shuffle carried, just grouped.  No all-pairs
-    anything: cost stays gram-frequency-bound, like the LSH band join."""
-    grams = _doc_grams(spark, sf_dir, pin=False)
-    docs = load(spark, sf_dir, "documents")
-    split = docs.select(
-        "doc_id",
-        (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "3").alias("is_eval"),
-    )
-    per_gram = (
-        grams.join(split, "doc_id")
-        .groupBy("g")
-        .agg(
-            F.collect_set(F.when(F.col("is_eval"), F.col("doc_id"))).alias("_eval_ids"),
-            F.max(F.when(~F.col("is_eval"), F.lit(1)).otherwise(F.lit(0))).alias("_has_train"),
-        )
-    )
-    per_doc = (
-        per_gram.select(F.explode("_eval_ids").alias("doc_id"), "_has_train")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum("_has_train").alias("_shared"),
-        )
-    )
-    return (
-        split.filter(F.col("is_eval"))
-        .join(per_doc, "doc_id")
-        .select(
+    Scale shape (r17 OPT — the r16 VERDICT/ADVICE fat-gram fix): TWO
+    lanes, selected by measured input size (the load_spread /
+    suggest_state_partitions pattern: adapt the plan to scale instead of
+    pinning either extreme).
+
+    - Below ``_CONTAM_ARRAY_SAFE_BYTES`` the r16 ONE-PASS runs: one
+      gram-keyed aggregation collecting each gram's eval posting list +
+      a has-train flag, then one doc-keyed agg over the exploded
+      membership.  Its per-gram array is bounded by n_eval_docs × 8 B —
+      provably tiny at fixture sizes (sf0.1: ≤19k ids ≈ 150 KB worst
+      case) — and it is the measured fixture winner by >2× (interleaved
+      A/B medians at sf0.1: one-pass 0.90 s vs flag-semi-join 2.0-2.7 s
+      across broadcast/shuffle-hash/merge variants vs window-flag
+      2.30 s — the alternatives all pay a second gram-keyed data
+      movement).
+    - At or above the bound — where a boilerplate gram's posting list
+      could be a multi-GB single aggregation cell (the r16 ADVICE OOM
+      exposure) — the memory-safe FLAG-JOIN lane runs: eval membership
+      rows LEFT-SEMI-join the distinct train gram set and the per-doc
+      count falls out of one doc-keyed agg.  No per-gram state anywhere:
+      a fat gram is collapsed by the train-side distinct's map-side
+      partial, and on the eval side it is an oversized JOIN partition,
+      which AQE's skew-join split handles (splittable precisely because
+      the per-key build side is one row).  ``n_grams`` is ``size(_garr)``
+      and the split flag derives from doc_id inline, so neither lane
+      needs a third gram evaluation or a grams⋈split join.
+
+    Lane equality (including a synthetic every-doc fat gram) is pinned by
+    tests/test_operators.py::test_contamination_lanes_agree."""
+    import os as _os
+
+    try:
+        sz = _os.path.getsize(_os.path.join(sf_dir, "documents.parquet"))
+    except OSError:
+        sz = _CONTAM_ARRAY_SAFE_BYTES  # unknown size: take the safe lane
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
+    return _contamination_from_docs(docs, one_pass=sz < _CONTAM_ARRAY_SAFE_BYTES)
+
+
+# One-pass lane bound: with ~1 KB/doc corpora the worst-case per-gram
+# eval posting list is (input_bytes / 1 KB) × 19% × 8 B ≈ input/658 —
+# 1 GiB of input caps a cell at ~1.6 MB, far under any task budget, while
+# 100 TB would allow ~150 GB cells, which is the ADVICE OOM exposure the
+# flag-join lane removes.
+_CONTAM_ARRAY_SAFE_BYTES = 1 << 30
+
+
+def _contamination_from_docs(docs: DataFrame, one_pass: bool) -> DataFrame:
+    """Both contamination lanes over a (doc_id, text) document table —
+    see :func:`contamination_check` for the selection rationale.  Every
+    doc has ≥1 gram (word_ngrams pads empty token lists like the oracle's
+    ``greatest(len-2, 1)``), so the eval membership rows cover the full
+    eval universe and ``n_grams`` equals the per-doc membership count.
+
+    The grams explode the ``word_ngrams`` EXPRESSION directly rather than
+    a pre-projected array column: Catalyst's InferFiltersFromGenerate adds
+    a ``size(child) > 0`` filter under a Generate whose child is a plain
+    attribute, and pushing that filter below the defining Project
+    substitutes the full ngram expression into it — evaluating the
+    expensive gram computation TWICE per row (measured 1.06 → 2.46 s at
+    sf0.1).  The rule skips non-attribute generator children, so the
+    direct-explode form runs the expression once."""
+    is_eval = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "3"
+    garr = D.word_ngrams("text", 3)
+
+    def _project(per_doc: DataFrame) -> DataFrame:
+        return per_doc.select(
             "doc_id",
-            F.col("_shared").cast("long").alias("n_shared_grams"),
+            F.coalesce(F.col("_shared"), F.lit(0)).cast("long").alias("n_shared_grams"),
             "n_grams",
-            F.round(F.col("_shared").cast("double") / F.col("n_grams"), 6).alias(
-                "contamination_ratio"
-            ),
-            (F.col("_shared") > 0).alias("contaminated"),
+            F.round(
+                F.coalesce(F.col("_shared"), F.lit(0)).cast("double")
+                / F.col("n_grams"),
+                6,
+            ).alias("contamination_ratio"),
+            (F.coalesce(F.col("_shared"), F.lit(0)) > 0).alias("contaminated"),
         )
+
+    if one_pass:
+        mem = docs.select(
+            "doc_id", is_eval.alias("_is_eval"), F.explode(garr).alias("g")
+        )
+        per_gram = mem.groupBy("g").agg(
+            F.collect_set(F.when(F.col("_is_eval"), F.col("doc_id"))).alias("_eval_ids"),
+            F.max(F.when(~F.col("_is_eval"), F.lit(1)).otherwise(F.lit(0))).alias(
+                "_has_train"
+            ),
+        )
+        per_doc = (
+            per_gram.select(F.explode("_eval_ids").alias("doc_id"), "_has_train")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_grams"),
+                F.sum("_has_train").alias("_shared"),
+            )
+        )
+        return _project(per_doc)
+
+    eval_docs = docs.filter(is_eval)
+    eval_mem = eval_docs.select("doc_id", F.explode(garr).alias("g"))
+    train_grams = (
+        docs.filter(~is_eval).select(F.explode(garr).alias("g")).distinct()
     )
+    shared = (
+        eval_mem.join(train_grams, "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_shared"))
+    )
+    # the semi join drops zero-shared docs, so the universe + n_grams come
+    # from a sizes branch (one extra ngram map over the ~19% eval side; no
+    # shuffle — the at-scale lane trades that map work for bounded memory)
+    sizes = eval_docs.select(
+        "doc_id", F.size(garr).cast("long").alias("n_grams")
+    )
+    return _project(sizes.join(shared, "doc_id", "left"))
 
 
 # --- r11: the STANDING PREFIX-GRAM INDEX (r10 VERDICT item 3) ---------------

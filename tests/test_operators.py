@@ -3278,3 +3278,41 @@ def test_array_native_minhash_equals_exploded_path(spark, sf_dir):
     rows_a = sorted(map(tuple, ver_a.collect()))
     assert rows_a == sorted(map(tuple, ver_e.collect()))
     assert len(rows_a) > 0  # non-vacuous on the fixture corpus
+
+
+def test_contamination_lanes_agree(spark):
+    """r17 OPT pin (r16 ADVICE fat-gram guard): the one-pass collect_set
+    lane and the memory-safe flag-join lane of contamination_check produce
+    identical rows — including on a corpus with a SYNTHETIC FAT GRAM (one
+    gram present in every document, eval and train), the exact shape whose
+    posting list concentrates in a single aggregation cell in the one-pass
+    lane and which the flag-join lane streams through an AQE-splittable
+    semi join instead."""
+    from pyspark.sql import functions as F
+
+    from msgraphdatapipelines_spark.queries.dedup import (
+        _contamination_from_docs,
+    )
+
+    # 200 docs; "common common common" is a gram in EVERY doc (the fat
+    # gram); each doc also carries a private gram and doc_id%3 buckets a
+    # few cross-side shared grams.
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("common common common shared"),
+            (F.col("id") % 3).cast("string"),
+            F.lit(" word"),
+            F.col("id").cast("string"),
+            F.lit(" tail tail"),
+        ).alias("text"),
+    )
+    fast = _contamination_from_docs(docs, one_pass=True)
+    safe = _contamination_from_docs(docs, one_pass=False)
+    assert fast.schema == safe.schema
+    assert fast.exceptAll(safe).count() == 0
+    assert safe.exceptAll(fast).count() == 0
+    rows = {r["doc_id"]: r for r in fast.collect()}
+    assert rows, "eval split empty — fixture too small"
+    # the fat gram makes every eval doc contaminated
+    assert all(r["contaminated"] for r in rows.values())
