@@ -261,6 +261,7 @@ def test_curation_index_composition_e2e(spark, curation_pages, tmp_path):
     assert topk.count() > 0
 
 
+@pytest.mark.heavy
 def test_curation_stream_self_rebalancing_index(spark, tmp_path):
     """r13 (r12 VERDICT item 2's composition lever): the composed stream
     OWNS its standing index root and rebalances itself.  Three delta

@@ -1126,6 +1126,7 @@ def test_nb_classifier_crafted_semantics(spark):
     assert tie[0]["pred"] == "aa"
 
 
+@pytest.mark.heavy
 def test_pagerank_crafted_graphs(spark):
     """pagerank (r7) unit semantics: a symmetric 2-cycle splits mass
     equally; a star's hub outranks its leaves; total mass stays ~SCALE
@@ -1154,6 +1155,7 @@ def test_pagerank_crafted_graphs(spark):
     assert abs(sum(got.values()) - SCALE) < 100
 
 
+@pytest.mark.heavy
 def test_pagerank_damping_conservation_and_early_stop(spark):
     """r8: (a) teleport mass is (1 − damping), so total mass is conserved
     for NON-default damping too (r7 ADVICE item 1 — previously hardcoded
@@ -1866,6 +1868,7 @@ def test_cm_estimate_missing_key_returns_zero(spark):
     assert est["never_seen_xyz"] >= 0
 
 
+@pytest.mark.heavy
 def test_transitive_reachability_deep_chain_frontier_only_checkpoint(spark, monkeypatch):
     """r9 (r8 VERDICT item 7): a depth-40 chain completes, the closure is
     exact, and the loop pins only the per-round INCREMENT — total rows
@@ -2398,6 +2401,7 @@ def _ref_bpe_encode(text, merges):
     return toks
 
 
+@pytest.mark.heavy
 def test_bpe_train_matches_reference_and_is_deterministic(spark):
     """The distributed trainer must reproduce the reference merge
     SEQUENCE exactly (same counts, same tie-breaks) and be run-to-run
@@ -2798,6 +2802,7 @@ def test_compact_lease_heartbeat_outlives_ttl(spark, tmp_path, monkeypatch):
     assert QD._live_leases(fs, hpath, root) == [], "lease not released after commit"
 
 
+@pytest.mark.heavy
 def test_prefix_index_forget_erases_and_survives_replay(spark, sf_dir, tmp_path):
     """r13 standing-store erasure: after prefix_index_forget, the served
     tables exclude the doc; a checkpoint-REPLAYED append of the batch
@@ -3199,6 +3204,7 @@ def test_lexicon_generation_commit_on_copy_rename_fs(spark, tmp_path, monkeypatc
     assert gen2 != gen1 and fs.exists(hpath(f"{gen2}/_commit"))
 
 
+@pytest.mark.heavy
 def test_bpe_train_batched_equals_sequential_with_fewer_rounds(spark):
     """r16 (r15 VERDICT item 9, the bpe_train watch-item): the batched
     trainer takes a provably-sequential-equal PREFIX of the sorted pair

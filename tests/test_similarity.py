@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from msgraphdatapipelines_spark.operators import similarity as S
@@ -115,6 +117,7 @@ def test_zero_norm_vectors_never_rank(spark):
         assert all(not math.isnan(r["score"]) for r in rows)
 
 
+@pytest.mark.heavy
 def test_pq_recall_ladder_and_compression(spark, sf_dir):
     """r6 PQ: ADC-only recall < ADC+exact-rerank recall (the two-stage
     pipeline is the production shape); deeper rerank never hurts; the
@@ -173,6 +176,7 @@ def test_pq_training_reduces_quantization_error(spark, sf_dir):
     assert trained_err <= seed_err * 1.0001
 
 
+@pytest.mark.heavy
 def test_ivf_pq_composed_prunes_and_recalls(spark, sf_dir):
     """r6 IVF+PQ: candidates come only from probed lists (⊆ the pure-ADC
     result universe), exact rerank recovers recall, and every returned
@@ -264,6 +268,7 @@ def test_semantic_dedup_table_assignment_same_result(spark, sf_dir):
     assert snap("literal") == snap("table")
 
 
+@pytest.mark.heavy
 def test_recall_at_k_operator_semantics_and_ladder(spark, sf_dir):
     """r7: recall@k as an operator — crafted-frame semantics (zero-hit
     queries kept, not dropped), agreement with the set arithmetic the
@@ -374,6 +379,7 @@ def test_srp_recall_ladder_monotone_in_pool(spark, sf_dir):
     assert r64 >= 0.6, r64
 
 
+@pytest.mark.heavy
 def test_ivf_incremental_append_equals_full_rebuild(spark, sf_dir):
     """r7 incremental ANN maintenance: under FIXED trained models, indexing
     the corpus in two batches (ivf_incremental_append) yields exactly the
@@ -406,6 +412,7 @@ def test_ivf_incremental_append_equals_full_rebuild(spark, sf_dir):
     assert via_index == inline
 
 
+@pytest.mark.heavy
 def test_indexed_candidates_recall_floor_and_inline_equality(spark, sf_dir):
     """r8 (r7 VERDICT item 1): the index-BACKED retrieval path —
     ivf_pq_topk over the parquet-persisted (cid, cent, code) artifact via
@@ -679,6 +686,7 @@ def test_compact_refreshes_label_lists_for_filtered_serve(spark, tmp_path):
     )
 
 
+@pytest.mark.heavy
 def test_filtered_probe_candidate_budget(spark, sf_dir, tmp_path):
     """r12: min_candidates — the candidate-budget probe.  Brackets: with
     budget 0 output is identical to the plain nprobe probe; with a budget
@@ -871,6 +879,7 @@ def test_pruned_serve_identical_and_skips_files(spark, sf_dir, tmp_path):
     assert got == expect and got <= set(probe)
 
 
+@pytest.mark.heavy
 def test_standing_index_two_builder_race_and_debris_recovery(spark, sf_dir, tmp_path):
     """late r12: the staged-rename publish for ensure_standing_index.
     (a) Two concurrent builders on the same fresh (corpus, config) key
@@ -985,6 +994,7 @@ def _drifted_batch(spark, n_clusters=10, per_cluster=200, dim=64):
     )
 
 
+@pytest.mark.heavy
 def test_ann_rebalance_retrains_restores_occupancy_and_recall(spark, sf_dir, tmp_path):
     """r13 (r12 VERDICT item 2) — the full automated-rebalance loop:
 
@@ -1105,6 +1115,7 @@ def test_ann_rebalance_retrains_restores_occupancy_and_recall(spark, sf_dir, tmp
     )
 
 
+@pytest.mark.heavy
 def test_range_filtered_serve_recall_floor_and_plan(spark, sf_dir, tmp_path):
     """r13 (r12 VERDICT item 6): range-filtered search served from the
     standing artifact.  Pins (a) every hit's cid is inside the window
@@ -1179,6 +1190,7 @@ def test_range_filtered_serve_recall_floor_and_plan(spark, sf_dir, tmp_path):
     assert empty.count() == 0
 
 
+@pytest.mark.heavy
 def test_ann_index_forget_and_rebalance_never_resurrect(spark, sf_dir, tmp_path):
     """r13 standing-store erasure for the ANN index: ann_index_forget
     tombstones + refolds the snapshot behind one pointer flip; serves
@@ -1269,6 +1281,7 @@ def _rebal_fixture(spark, sf_dir, tmp_path):
     return str(my_sf), root, emb.unionByName(drift)
 
 
+@pytest.mark.heavy
 def test_ann_rebalance_orphan_version_dir_still_pairs_models(spark, sf_dir, tmp_path):
     """r14 (ADVICE high): write_snapshot publishes max(v= dirs)+1, and
     orphan v= dirs are exactly the crash debris the protocol documents —
@@ -1314,6 +1327,7 @@ def test_ann_rebalance_orphan_version_dir_still_pairs_models(spark, sf_dir, tmp_
     assert snap4.count() == stats["n_vectors"]
 
 
+@pytest.mark.heavy
 def test_ann_rebalance_crash_before_commit_keeps_old_serving(spark, sf_dir, tmp_path):
     """r14: the rebalance's commit point is compact_ann_index's _LATEST
     flip, run FROM the stage — a crash any earlier leaves version 1
@@ -1355,6 +1369,7 @@ def test_ann_rebalance_crash_before_commit_keeps_old_serving(spark, sf_dir, tmp_
     assert [n for n in os.listdir(root) if n.startswith("batches.stage.")] == []
 
 
+@pytest.mark.heavy
 def test_ann_rebalance_crash_windows_never_mix_quantizers(spark, sf_dir, tmp_path):
     """r14 (ADVICE medium): the r13 swap-before-commit order had two
     poisoned windows — (a) a crash after the snapshot flip but before
@@ -1420,6 +1435,7 @@ def test_ann_rebalance_crash_windows_never_mix_quantizers(spark, sf_dir, tmp_pat
     assert recover_batches(spark, root) is False
 
 
+@pytest.mark.heavy
 def test_ann_rebalance_salvages_concurrent_append(spark, sf_dir, tmp_path):
     """r15 (ADVICE medium): appenders never wait on the compaction
     lease, so a batch appended between the rebalance's entry capture and
@@ -1557,6 +1573,7 @@ def test_resolve_batches_models_legacy_versioned_fallback(spark, tmp_path):
     assert not os.path.exists(f"{root2}/batches/_MODELS")
 
 
+@pytest.mark.heavy
 def test_rebalance_sweeps_summary_swap_debris(spark, sf_dir, tmp_path):
     """r15: the label/range steering-summary swaps leave `.old.{uid}` /
     `.stage.{uid}` dirs when a publisher crashes between its renames —
@@ -1630,6 +1647,7 @@ def test_pq_reconstruct_roundtrip_stable(spark):
     assert joined and all(r["same"] for r in joined)
 
 
+@pytest.mark.heavy
 def test_ann_rebalance_cid_salvage_for_stale_caller_frame(spark, sf_dir, tmp_path):
     """r16 (ADVICE): the r15 name-diff salvage vouches only for batches
     appearing AFTER the rebalance's entry capture — a batch committed
@@ -1761,6 +1779,7 @@ def test_rebalance_debris_sweep_stamps_before_delete(spark, sf_dir, tmp_path):
     )
 
 
+@pytest.mark.heavy
 def test_serve_plan_cache_reuse_and_invalidation(spark, sf_dir, tmp_path):
     """r16 (r15 VERDICT item 3): serve-path planning amortization — the
     model-sized planning artifacts (models JSON, label/range steering
@@ -1842,6 +1861,7 @@ def test_serve_plan_cache_reuse_and_invalidation(spark, sf_dir, tmp_path):
     )
 
 
+@pytest.mark.heavy
 def test_ann_swap_protocol_on_copy_rename_fs(spark, sf_dir, tmp_path, monkeypatch):
     """r16 (r15 VERDICT item 5): the ANN standing root's batch-append /
     write_batches_models / rebalance-swap protocol on an S3-style

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from msgraphdatapipelines_spark import sinks
@@ -1029,6 +1031,7 @@ def test_result_cache_invalidates_on_input_change_and_plan_change(spark, tmp_pat
     assert cache.serve_cached(spark, build(100), [src], base_dir=base).collect()[0]["n"] == 100
 
 
+@pytest.mark.heavy
 def test_snapshot_store_with_bloom_manifest_round_trip(spark, tmp_path):
     """late r10: bloom_cols composes into the versioned store — publish
     builds the manifest BEFORE the pointer flip, point lookups through

@@ -676,6 +676,7 @@ def test_odata_page_stream_envelope_to_enrich_end_to_end(spark, tmp_path):
         q.stop()
 
 
+@pytest.mark.heavy
 def test_ann_index_stream_equals_batch_index(spark, tmp_path):
     """late-r7 streaming ANN maintenance: two staged embedding files arrive
     as separate micro-batches under frozen models; the unioned streamed
@@ -966,6 +967,7 @@ def test_prefix_index_stream_ingest_equals_batch_build(spark, tmp_path):
     assert key(D.set_similarity_join_from_tables(s3, p3, "doc_id", 0.5)) == direct
 
 
+@pytest.mark.heavy
 def test_ann_index_stream_with_label_payload_serves_filtered(spark, tmp_path):
     """r12 composed e2e: vectors arrive as two micro-batches with the
     label payload (ann_index_stream meta_cols) → compact refreshes the
