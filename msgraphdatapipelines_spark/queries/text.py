@@ -1446,8 +1446,12 @@ def lexicon_root(sf_dir: str, variant: str = "full") -> str:
         parts.append(f"{st.st_size}:{st.st_mtime_ns}")
     key = hashlib.md5(
         # v3 (r13): generational layout — bumping the key retires v2
-        # meta.json-commit artifacts instead of carrying a legacy reader
-        f"{os.path.abspath(sf_dir)}|{'|'.join(parts)}|lex|{variant}|v3".encode()
+        # meta.json-commit artifacts instead of carrying a legacy reader.
+        # v4 (r17): range-partitioned + zonemapped postings — old hash-
+        # partitioned artifacts rebuild rather than serving unprunable
+        # layouts (the serve falls back gracefully, but a fresh root keeps
+        # the fleet uniform)
+        f"{os.path.abspath(sf_dir)}|{'|'.join(parts)}|lex|{variant}|v4".encode()
     ).hexdigest()[:16]
     return os.path.join(tempfile.gettempdir(), f"msgdp_lex_{key}")
 
@@ -1599,9 +1603,17 @@ def lexicon_compact(
         import uuid
 
         stage = f"{root}/stage.compact.{uuid.uuid4().hex[:8]}"
-        tf.repartition(F.col("tok")).sortWithinPartitions("tok").write.parquet(
+        # r17 OPT (r16 VERDICT item 8): RANGE-partition the postings by
+        # term instead of hash — each file then holds a contiguous token
+        # range, so the committed ``_zonemap`` manifest can skip whole
+        # FILES under the serve probe's ``tok IN`` (hash partitioning
+        # spreads every file's [min, max] across the alphabet, making
+        # file-level stats useless; row-group skipping inside opened
+        # files worked either way via the within-partition sort).
+        tf.repartitionByRange(F.col("tok")).sortWithinPartitions("tok").write.parquet(
             f"{stage}/postings"
         )
+        sinks.build_zonemap(spark, f"{stage}/postings", ["tok"])
         dl.write.parquet(f"{stage}/docstats")
         tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).write.parquet(
             f"{stage}/termstats"
@@ -1761,11 +1773,39 @@ def _bm25_from_lexicon(
     incremental-maintenance tests can serve from roots they appended)."""
     from pyspark.sql import Window
 
-    postings, dl, dfreq, meta = read_lexicon(spark, root)
+    from .. import genstore as _gs
+    from .. import sinks
+
+    fs, _, jvm = sinks._fs_for(spark, root)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    gen = _gs.current_gen(fs, hpath, root)
+    if gen is None:
+        raise FileNotFoundError(f"no committed lexicon generation under {root}")
+    dl = spark.read.parquet(f"{gen}/docstats")
+    dfreq = spark.read.parquet(f"{gen}/termstats")
+    meta = _lex_read_meta(fs, hpath, gen)
     n_docs, sum_dl = meta["n_docs"], meta["sum_dl"]
     terms = [r["tok"] for r in qt.select("tok").distinct().limit(isin_pushdown_cap + 1).collect()]
     if len(terms) <= isin_pushdown_cap:
-        postings = postings.filter(F.col("tok").isin(terms))
+        # r17 OPT (r16 VERDICT item 8): serve through the generation's
+        # committed zonemap — only postings FILES whose [min, max] token
+        # range intersects the probe set are opened (the range-partitioned
+        # layout makes file stats selective); the residual isin filter
+        # keeps semantics exact and row-group skipping still applies
+        # inside opened files.  Generations are immutable, so the cached
+        # manifest rows never go stale; missing manifest (pre-v4 root)
+        # degrades to the plain filtered scan.
+        rows = sinks._zonemap_rows_cached(spark, f"{gen}/postings")
+        if rows is not None:
+            postings = sinks.scan_pruned_in(
+                spark, f"{gen}/postings", "tok", terms, _manifest_rows=rows
+            )
+        else:
+            postings = spark.read.parquet(f"{gen}/postings").filter(
+                F.col("tok").isin(terms)
+            )
+    else:
+        postings = spark.read.parquet(f"{gen}/postings")
     qt2 = dfreq.join(F.broadcast(qt), "tok")
     if max_df is not None:
         qt2 = qt2.filter(F.col("df") <= max_df)

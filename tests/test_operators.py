@@ -3322,3 +3322,58 @@ def test_contamination_lanes_agree(spark):
     assert rows, "eval split empty — fixture too small"
     # the fat gram makes every eval doc contaminated
     assert all(r["contaminated"] for r in rows.values())
+
+
+def test_lexicon_postings_zonemap_prunes_files(spark, sf_dir, tmp_path):
+    """r17 OPT pin (r16 VERDICT item 8): the compacted lexicon's postings
+    are RANGE-partitioned by term with a committed ``_zonemap`` manifest,
+    and the serve probe's ``tok IN`` opens only the files whose token
+    range intersects the probe set — with ranking identical to the
+    unpruned serve.  AQE correctly coalesces the fixture-sized postings
+    to one file (pruning is then a structural no-op), so this test forces
+    a multi-file layout by disabling partition coalescing for the
+    compact."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    import msgraphdatapipelines_spark.queries.text as qtmod
+    from msgraphdatapipelines_spark.queries import load
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    root = str(tmp_path / "lexzm")
+    qtmod.lexicon_append_batch(spark, root, docs, bid=0)
+    prev = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        qtmod.lexicon_compact(spark, root)
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev)
+
+    from msgraphdatapipelines_spark import genstore as _gs
+    from msgraphdatapipelines_spark import sinks
+
+    fs, _, jvm = sinks._fs_for(spark, root)
+    gen = _gs.current_gen(fs, jvm.org.apache.hadoop.fs.Path, root)
+    n_files = len(sinks._zonemap_rows_cached(spark, f"{gen}/postings"))
+    assert n_files > 1, "layout did not produce multiple postings files"
+
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    qt = docs.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("q_id"),
+        F.explode(F.array_distinct(F.slice(ws, 1, 2))).alias("tok"),
+    )
+    pruned = qtmod._bm25_from_lexicon(spark, root, qt, k=10)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    counts = [
+        int(m.group(1))
+        for m in re.finditer(r"InMemoryFileIndex\((\d+) paths\)\[[^\]]*postings", plan)
+    ]
+    assert counts and min(counts) < n_files, (
+        f"postings scan not pruned: {counts} of {n_files} files"
+    )
+    # pruning is I/O elision, never a semantic change
+    full = qtmod._bm25_from_lexicon(
+        spark, root, qt, k=10, isin_pushdown_cap=0
+    )
+    assert {tuple(r) for r in pruned.collect()} == {tuple(r) for r in full.collect()}
