@@ -100,7 +100,14 @@ def minhash_signatures_arrays(
     ZERO shuffle and zero explode, versus the exploded path's n·grams-row
     explode + groupBy shuffle.  Bit-identical output: min over exploded
     distinct rows == array_min over the same distinct array, and the
-    per-seed hash is the same ``_hash_hex`` construction."""
+    per-seed hash is the same ``_hash_hex`` construction.
+
+    Precondition (r16 ADVICE): ``arr_col`` must be NON-NULL — a null
+    gram array emits a row with null mh columns here, where the exploded
+    path emits no row at all (and downstream banding would hash every
+    null-array doc into the same md5('') buckets).  ``word_ngrams`` never
+    returns null for non-null text; callers with nullable text must
+    filter first."""
     def _seeded(s: int):
         # NB: must be a ONE-parameter lambda — F.transform interprets a
         # second parameter (even a defaulted one) as the array INDEX and
@@ -129,7 +136,13 @@ def jaccard_verify_arrays(
     re-ran the explode subtree; profiled at sf0.1 as ~35 s of task time
     per evaluation of the verified-pair table).  The candidate pairs are
     explicitly repartitioned before the arrays attach — same AQE-
-    coalescing rationale as ``_attach_gram_arrays``."""
+    coalescing rationale as ``_attach_gram_arrays``.
+
+    The ``__inter > 0`` filter (r16 ADVICE) makes the output match the
+    exploded path EXACTLY at any threshold: the equi-join formulation
+    can never produce a zero-intersection pair, and it also discards
+    null-array candidates (``size(null) = -1`` under legacy sizeOfNull
+    would otherwise score -1/-1 = 1.0)."""
     n_par = pairs.sparkSession.sparkContext.defaultParallelism
     ids = pairs.repartition(n_par, "id_a", "id_b")
     ga = docsets.select(
@@ -152,7 +165,7 @@ def jaccard_verify_arrays(
             F.col("__inter").cast("double")
             / (F.col("__sza") + F.col("__szb") - F.col("__inter")),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter((F.col("__inter") > 0) & (F.col("jaccard") >= threshold))
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
 

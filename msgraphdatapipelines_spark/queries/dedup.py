@@ -279,9 +279,13 @@ def dedup_minhash_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
     min id, then per-doc min over its buckets; keep iff own representative.
     Two map-combinable hash shuffles regardless of duplication regime
     (operators.dedup.lsh_dedup_representatives; 100× measurement in
-    PERF.md)."""
-    grams = _doc_grams(spark, sf_dir)
-    sigs = D.minhash_signatures(grams, "doc_id", "g", num_hashes=8, hash_fn="md5")
+    PERF.md).  r17 (r16 VERDICT item 9): signatures via the array-native
+    operator like the graded family — the exploded reference operator
+    stays the equivalence baseline under
+    test_array_native_minhash_equals_exploded_path."""
+    sigs = D.minhash_signatures_arrays(
+        _doc_sets(spark, sf_dir), "doc_id", "_garr", num_hashes=8, hash_fn="md5"
+    )
     return D.lsh_dedup_representatives(sigs, "doc_id", num_hashes=8, bands=4)
 
 
@@ -404,9 +408,12 @@ def dedup_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Θ(m²) per cluster (driver-graded dedup_connected_components documents
     that cost).  Same fixpoint semantics: chained bucket-sharing docs
     collapse into one cluster.  Demoted-oracle row (recursive CTE over the
-    star edges); the verified-pair closure carries the driver grade."""
-    grams = _doc_grams(spark, sf_dir)
-    sigs = D.minhash_signatures(grams, "doc_id", "g", num_hashes=8, hash_fn="md5")
+    star edges); the verified-pair closure carries the driver grade.
+    r17 (r16 VERDICT item 9): array-native signatures like the graded
+    family; the exploded operator stays the pinned equivalence baseline."""
+    sigs = D.minhash_signatures_arrays(
+        _doc_sets(spark, sf_dir), "doc_id", "_garr", num_hashes=8, hash_fn="md5"
+    )
     return D.lsh_dedup_clusters(sigs, "doc_id", num_hashes=8, bands=4)
 
 
