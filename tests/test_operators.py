@@ -3286,6 +3286,36 @@ def test_array_native_minhash_equals_exploded_path(spark, sf_dir):
     assert len(rows_a) > 0  # non-vacuous on the fixture corpus
 
 
+def test_array_native_simhash_equals_exploded_path(spark, sf_dir):
+    """r17 pin (r16 VERDICT item 6): ``simhash_arrays`` — one md5 per
+    token via transform, per-bit signed sums via aggregate — is
+    BIT-IDENTICAL to the exploded-token ``simhash`` reference: integer
+    sums over the same token multiset in any order, same sign → bit
+    construction.  The interleaved sf0.1 A/B DECLINED adoption (0.98 vs
+    0.91 s median — the 16 interpreted aggregate lambdas cost more than
+    the exploded path's codegen'd partial aggregation; OPTIMIZATION_r17),
+    so the graded row stays on the exploded operator and this test keeps
+    the recorded-alternative claim honest."""
+    from pyspark.sql import functions as F
+
+    from msgraphdatapipelines_spark.operators import dedup as D
+    from msgraphdatapipelines_spark.queries import load
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias("tok"),
+    )
+    arr = docs.select(
+        "doc_id", F.filter(F.split("text", " "), lambda w: w != "").alias("_tarr")
+    )
+    sig_e = D.simhash(toks, "doc_id", "tok", num_bits=16)
+    sig_a = D.simhash_arrays(arr, "doc_id", "_tarr", num_bits=16)
+    rows_e = sorted(map(tuple, sig_e.collect()))
+    assert rows_e == sorted(map(tuple, sig_a.collect()))
+    assert len(rows_e) > 0  # non-vacuous on the fixture corpus
+
+
 def test_contamination_lanes_agree(spark):
     """r17 OPT pin (r16 ADVICE fat-gram guard): the one-pass collect_set
     lane and the memory-safe flag-join lane of contamination_check produce
