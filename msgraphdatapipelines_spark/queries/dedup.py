@@ -1060,7 +1060,9 @@ def set_similarity_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     serve plan."""
     root = ensure_prefix_gram_index(spark, sf_dir, n=3, threshold=0.5)
     sets, prefixes = read_prefix_index(spark, root)
-    return D.set_similarity_join_from_tables(sets, prefixes, "doc_id", 0.5)
+    return D.set_similarity_join_from_tables(
+        sets, prefixes, "doc_id", 0.5, max_df=_setsim_max_df()
+    )
 
 
 @register(
@@ -1162,7 +1164,28 @@ def set_similarity_join_docs_incremental(spark: SparkSession, sf_dir: str) -> Da
     IS the proof that frozen-order appends lose no recall."""
     root = _ensure_incremental_prefix_index(spark, sf_dir)
     sets, prefixes = read_prefix_index(spark, root)
-    return D.set_similarity_join_from_tables(sets, prefixes, "doc_id", 0.5)
+    return D.set_similarity_join_from_tables(
+        sets, prefixes, "doc_id", 0.5, max_df=_setsim_max_df()
+    )
+
+
+def _setsim_max_df() -> int | None:
+    """Scale lever for the served set-similarity rows (r17, r16 VERDICT
+    item 5): document-frequency cap routing fat-gram prefixes through the
+    exact within-group fallback instead of the df² self-join
+    (operators.dedup.set_similarity_candidate_ids).  Default None keeps
+    the fixture-scale single-join plan the driver grades — at sf0.1 the
+    max prefix-gram df is 25 and the join emits ~60k rows, so the cap
+    buys nothing and costs a Python stage.  On replicated corpora the
+    thin-lane join output grows with Σ df² (measured: 97M rows at 10×,
+    9.7e9 at 100× — PERF.md r17 sweep notes), so a deployment sets
+    SPARK_GRAFT_SETSIM_MAX_DF to bound the join lane; recall is exact
+    either way (the capped lane is oracle-equality-proven on the
+    bigram_capped row)."""
+    import os
+
+    v = os.environ.get("SPARK_GRAFT_SETSIM_MAX_DF")
+    return int(v) if v else None
 
 def _read_forgotten_docs(spark: SparkSession, root: str) -> DataFrame | None:
     """The store's durable erasure manifest — every compact applies it,
@@ -1599,4 +1622,8 @@ def set_similarity_join_docs_bucketed(spark: SparkSession, sf_dir: str) -> DataF
     the quadratic oracle exactly, like every other lifecycle row."""
     root = ensure_prefix_gram_index(spark, sf_dir, n=3, threshold=0.5)
     sets, prefixes = read_prefix_index_bucketed(spark, root)
+    # no max_df lever here (r17, measured): the co-bucketed join has no
+    # __pg shuffle to protect, and routing fat grams through the Python
+    # fallback LOST the 10× A/B (14.0 → 23.6 s) while the shuffled serves
+    # won it 2.2× — see PERF.md r17 sweep notes.
     return D.set_similarity_join_from_tables(sets, prefixes, "doc_id", 0.5)
